@@ -1,0 +1,194 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point at 100 TB):
+  - exact dedup         — one hash-groupBy shuffle on the digest.
+  - n-gram Jaccard      — explode shingles → self-join on shingle →
+                          pair-count aggregation.  Shuffles are keyed on
+                          shingle then (doc1,doc2); no cartesian product.
+  - MinHash + LSH       — shingle → k minhashes (one groupBy) → band
+                          buckets → join within buckets only.  Candidate
+                          set is O(collisions), not O(n²).
+  - SimHash             — 64-bit signed-bit signature per doc, bucketed by
+                          signature band for near-dup candidate pairs.
+
+Hash functions are built from md5 (identical across engines) so every
+step is deterministic and oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on content digest: keep the smallest id per digest
+    (one shuffle on the 128-bit digest; ids never collide across groups).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (explode → distinct).
+
+    Output: (id, shingle).  The explode happens JVM-side (Generate node).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    |A ∩ B| via a self-join on shingle; |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard ≥ threshold.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc1"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col(id_col).alias("doc2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("inter_sz") / (F.col("sz1") + F.col("sz2") - F.col("inter_sz"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _md5_hash64(col, seed: int):
+    """Deterministic 60-bit hash from md5(seed || value) — engine-portable
+    (DuckDB computes the identical md5)."""
+    hx = F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 15)
+    return F.conv(hx, 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    h_i(shingle).  One explode + one groupBy — shuffle keyed on id.
+
+    Output: (id, sig array<bigint>).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    mins = [
+        F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by estimated
+    Jaccard (fraction of matching minhashes).
+
+    Signatures are split into ``bands``; docs sharing any band bucket are
+    candidates (join keyed on (band_idx, band_hash) — the LSH trick that
+    replaces the O(n²) comparison).  Returns (doc1, doc2, est_jaccard).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+    band_entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]).alias(
+                        "band_key"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bk")
+    banded = sig.select(F.col(id_col), F.col("sig"), band_entries).select(
+        F.col(id_col), "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc1"), F.col("sig").alias("sig1"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc2"), F.col("sig").alias("sig2"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sig1", "sig2")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.select("doc1", "doc2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash signature: per token hash, each bit votes ±1; the signature
+    bit is 1 where the vote sum is positive.  Pure HOF arithmetic.
+
+    Output: (id, simhash bigint).
+    """
+    words = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    hashes = F.transform(words, lambda w: _md5_hash64(w, 0))
+    def _voter(b: int):
+        # bitwise test, not division: double division loses precision on
+        # 60-bit hashes.  NB: the lambda must take exactly (acc, h) —
+        # Spark's lambda bridge binds one column per parameter.
+        mask = F.lit(1 << b)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("bigint"), _voter(b)) for b in range(bits)
+    ]
+    sig = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,148 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (JVM, whole-stage codegen) —
+the 100 TB hot path never enters Python.  Each operator is deterministic
+so the DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deterministic and replicated verbatim in the oracle SQL.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "es": ["el", "la", "de", "y", "los"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, r"\s+")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def char_count(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(c)
+
+
+def punct_ratio(text_col) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    stripped = F.regexp_replace(c, "[A-Za-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def _is_any(w: Column, values: list[str]) -> Column:
+    """w IN (values) as an OR-chain — `isin` rejects lambda variables."""
+    cond = w == values[0]
+    for v in values[1:]:
+        cond = cond | (w == v)
+    return cond
+
+
+def stopword_ratio(text_col, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    words = tokens(text_col)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(words, lambda w: _is_any(w, sw)))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def avg_word_len(text_col) -> Column:
+    words = tokens(text_col)
+    total = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(text_col) -> Column:
+    """Composite quality score in [0,1]: rewards reasonable length and
+    word size, penalizes punctuation density.  Deterministic arithmetic
+    over the stats above."""
+    n_tok = token_count(text_col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wl = avg_word_len(text_col)
+    wl_score = F.lit(1.0) - F.least(F.abs(wl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    p_score = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
+    return F.round((len_score + wl_score + p_score) / 3, 6)
+
+
+def lang_scores(text_col) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    words = tokens(text_col)
+
+    def matcher(sw):
+        # exactly one lambda param — Spark binds one column per parameter
+        return lambda w: _is_any(w, sw)
+
+    return {
+        lang: F.size(F.filter(words, matcher(sw))) for lang, sw in STOPWORDS.items()
+    }
+
+
+LANG_ORDER = ("en", "fr", "es", "de")
+
+
+def lang_id(text_col) -> Column:
+    """Pick the language with the most stopword hits.  Ties break by the
+    fixed precedence en > fr > es > de (deterministic, oracle-replayable
+    as a CASE chain); 'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    expr = F.lit("und")
+    # Build the CASE chain back-to-front so earlier langs win ties via >=.
+    for lang in reversed(LANG_ORDER):
+        s = scores[lang]
+        cond = s > 0
+        for other in LANG_ORDER:
+            if LANG_ORDER.index(other) < LANG_ORDER.index(lang):
+                cond = cond & (s > scores[other])
+            elif other != lang:
+                cond = cond & (s >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text_col, modulus: int = 2147483647, base: int = 31) -> Column:
+    """Polynomial rolling-hash fingerprint over the token stream:
+    ``h = sum(base^i * ascii-sum(token_i)) mod modulus`` — a deterministic
+    document signature cheap enough for 100 TB (pure codegen arithmetic).
+    """
+    words = tokens(text_col)
+    word_val = lambda w: F.aggregate(  # noqa: E731  ascii-sum of one token
+        F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return F.aggregate(
+        F.transform(words, word_val),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % modulus,
+    )
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats battery as columns."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(avg_word_len(text_col), 6).alias("avg_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,244 @@
+"""OVER / analytic windows, ranking, top-n, dedup, unnest (SURVEY §2.6, §2.8).
+
+Reference: StreamExecOverAggregate.scala:56, BatchExecOverAggregate.scala:72,
+FlinkSqlOperatorTable.java:998-1002 (RANK/DENSE_RANK/ROW_NUMBER/LEAD/LAG),
+StreamExecRank.scala:53 (top-n), StreamExecDeduplicate.scala:50,
+LogicalUnnestRule.scala (UNNEST).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.operators.rank import dedup_keep_first, dedup_keep_last, top_n
+from my_flink_1_10_2_spark.queries import read, register
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+    """,
+    category="analytic",
+)
+def q_window_rank(spark, sf_dir):
+    """RANK / DENSE_RANK / ROW_NUMBER over a partition."""
+    customer = read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "q_window_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price,
+           first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    """,
+    category="analytic",
+)
+def q_window_lead_lag(spark, sf_dir):
+    """LEAD/LAG/FIRST_VALUE/LAST_VALUE (ref: FlinkSqlOperatorTable.java:757-763)."""
+    orders = read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+    )
+
+
+@register(
+    "q_over_rows_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+           avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg4,
+           count(*) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+    FROM lineitem WHERE l_suppkey <= 3
+    """,
+    category="analytic",
+)
+def q_over_rows_running(spark, sf_dir):
+    """ROWS-frame OVER aggregate — running + sliding
+    (ref: RowTimeRowsBoundedPrecedingFunction.java:301)."""
+    lineitem = read(spark, sf_dir, "lineitem").filter("l_suppkey <= 3")
+    w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-3, Window.currentRow)
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.sum("l_extendedprice").over(run).alias("running_sum"),
+        F.avg("l_extendedprice").over(mov).alias("moving_avg4"),
+        F.count(F.lit(1)).over(run).alias("running_cnt"),
+    )
+
+
+@register(
+    "q_over_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS range_sum
+    FROM orders WHERE o_custkey <= 30
+    """,
+    category="analytic",
+)
+def q_over_range_frame(spark, sf_dir):
+    """RANGE-frame OVER aggregate
+    (ref: RowTimeRangeBoundedPrecedingFunction.java:289)."""
+    orders = read(spark, sf_dir, "orders").filter("o_custkey <= 30")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum("o_totalprice").over(w).alias("range_sum"),
+    )
+
+
+@register(
+    "q_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rownum
+      FROM customer
+    ) WHERE rownum <= 3
+    """,
+    category="rank",
+)
+def q_topn_per_group(spark, sf_dir):
+    """Top-N per key via the engine's top_n operator
+    (ref: StreamExecRank.scala:53, AppendOnlyTopNFunction.java)."""
+    customer = read(spark, sf_dir, "customer")
+    return top_n(
+        customer.select("c_mktsegment", "c_custkey", "c_name", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+        ascending=True,  # order columns already carry direction
+    )
+
+
+@register(
+    "q_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    category="dedup",
+)
+def q_dedup_keep_first(spark, sf_dir):
+    """Keep-first dedup per key by rowtime
+    (ref: DeduplicateKeepFirstRowFunction.java:34)."""
+    events = read(spark, sf_dir, "events")
+    return dedup_keep_first(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    )
+
+
+@register(
+    "q_dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    category="dedup",
+)
+def q_dedup_keep_last(spark, sf_dir):
+    """Keep-last dedup per key (ref: DeduplicateKeepLastRowFunction.java)."""
+    events = read(spark, sf_dir, "events")
+    return dedup_keep_last(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    )
+
+
+@register(
+    "q_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    category="dedup",
+)
+def q_distinct_rows(spark, sf_dir):
+    """DISTINCT = exact dedup over full rows (ref: DataSet.distinct:596)."""
+    return read(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_unnest_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id <= 20
+    """,
+    category="correlate",
+)
+def q_unnest_explode(spark, sf_dir):
+    """UNNEST / CROSS JOIN LATERAL TABLE(split(...))
+    (ref: LogicalUnnestRule.scala, StreamExecCorrelate.scala).
+
+    `explode` is Spark's native Generate node — stays in the JVM, no UDF.
+    """
+    docs = read(spark, sf_dir, "documents").filter("doc_id <= 20")
+    return docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+
+@register(
+    "q_count_window",
+    oracle="""
+    SELECT user_id, w_id, count(*) AS cnt, sum(value) AS sum_value FROM (
+      SELECT user_id, value,
+             CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 5)
+                  AS BIGINT) AS w_id
+      FROM events
+    ) GROUP BY user_id, w_id
+    """,
+    category="window",
+)
+def q_count_window(spark, sf_dir):
+    """Count-based tumbling window (ref: KeyedStream.countWindow:643) —
+    no Spark native; engine expresses it as row_number bucketing."""
+    from my_flink_1_10_2_spark.operators.windows import count_tumble_window
+
+    events = read(spark, sf_dir, "events")
+    bucketed = count_tumble_window(events, ["user_id"], ["ts", "event_id"], 5)
+    return bucketed.groupBy("user_id", "w_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )

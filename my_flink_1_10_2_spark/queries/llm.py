@@ -1,0 +1,378 @@
+"""LLM-data-pipeline queries: text analysis, dedup (exact / n-gram Jaccard
+/ MinHash+LSH / SimHash), embedding similarity search, multimodal columns.
+
+Oracles are built programmatically from the SAME constants as the engine
+implementations (stopword lists, hash construction, shingle size), so
+engine and oracle can't drift apart.  Hashes derive from md5 — identical
+in Spark and DuckDB — making even MinHash/SimHash exactly replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.llm import dedup as D
+from my_flink_1_10_2_spark.llm import similarity as S
+from my_flink_1_10_2_spark.llm import text as T
+from my_flink_1_10_2_spark.llm.multimodal import documents_as_media, extract_features
+from my_flink_1_10_2_spark.queries import read, register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring llm.text / llm.dedup
+# ---------------------------------------------------------------------------
+
+_WORDS = r"str_split_regex(text, '\s+')"
+_SHINGLES = (
+    "list_transform(range(1, greatest(len({w})-2, 1)+1), "
+    "i -> array_to_string({w}[i:i+2], ' '))"
+).format(w=_WORDS)
+
+
+def _hits_sql(sw: list[str]) -> str:
+    cond = " OR ".join(f"w = '{s}'" for s in sw)
+    return f"len(list_filter({_WORDS}, w -> {cond}))"
+
+
+def _lang_case_sql() -> str:
+    scores = {lang: _hits_sql(sw) for lang, sw in T.STOPWORDS.items()}
+    whens = []
+    for lang in T.LANG_ORDER:
+        s = scores[lang]
+        conds = [f"{s} > 0"]
+        for other in T.LANG_ORDER:
+            if T.LANG_ORDER.index(other) < T.LANG_ORDER.index(lang):
+                conds.append(f"{s} > {scores[other]}")
+            elif other != lang:
+                conds.append(f"{s} >= {scores[other]}")
+        whens.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+_MD5H = "('0x' || substr(md5('{seed}|' || {col}), 1, 15))::BIGINT"
+
+
+def _minhash_mins(num_hashes: int) -> list[str]:
+    return [
+        "min(" + _MD5H.format(seed=i, col="shingle") + f") AS h{i}" for i in range(num_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_WORDS}) AS n_tokens,
+           length(text)  AS n_chars_computed,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio,
+           list_sum(list_transform({_WORDS}, w -> CAST(length(w) AS DOUBLE)))
+             / greatest(len({_WORDS}), 1) AS avg_word_len
+    FROM documents
+    """,
+    category="llm_text",
+)
+def q_text_stats(spark, sf_dir):
+    """Token counting + char/punct stats (SURVEY §7.2 step 7 text analysis).
+
+    Pure JVM expressions — the 100 TB path never leaves codegen.
+    """
+    docs = read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_computed"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.avg_word_len("text").alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred
+    FROM documents
+    """,
+    category="llm_text",
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language ID heuristic (deterministic CASE chain)."""
+    docs = read(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS DOUBLE) AS n_tok,
+             list_sum(list_transform({_WORDS}, w -> CAST(length(w) AS DOUBLE)))
+               / greatest(len({_WORDS}), 1) AS wl,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / greatest(length(text), 1) AS pr
+      FROM documents
+    )
+    SELECT doc_id,
+           round((least(n_tok / 50.0, 1.0)
+                + (1.0 - least(abs(wl - 5.0) / 5.0, 1.0))
+                + (1.0 - least(pr * 5, 1.0))) / 3, 6) AS quality
+    FROM s
+    """,
+    category="llm_text",
+)
+def q_quality_score(spark, sf_dir):
+    """Composite document quality score (length / word-size / punctuation)."""
+    docs = read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_transform(words, w ->
+               list_sum(list_transform(str_split(w, ''), c -> CAST(ascii(c) AS BIGINT)))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fingerprint
+    FROM w
+    """,
+    category="llm_text",
+)
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (llm.text.fingerprint)."""
+    docs = read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    category="llm_dedup",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-groupBy shuffle on the md5 digest."""
+    return D.exact_dedup(read(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_shingles",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id <= 50)
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                 i -> array_to_string(words[i:i+2], ' '))) AS shingle
+    FROM w
+    """,
+    category="llm_dedup",
+)
+def q_shingles(spark, sf_dir):
+    """3-word shingle extraction (the explode feeding MinHash/Jaccard)."""
+    docs = read(spark, sf_dir, "documents").filter("doc_id <= 50")
+    return D.shingles(docs)
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
+           FROM w),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_sz
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           inter_sz / (s1.sz + s2.sz - inter_sz) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE inter_sz / (s1.sz + s2.sz - inter_sz) >= 0.2
+    """,
+    category="llm_dedup",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle self-join — shuffle
+    keyed on shingle, never a cartesian product)."""
+    docs = read(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register(
+    "q_minhash_signatures",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
+           FROM w),
+    sig AS (SELECT doc_id, {', '.join(_minhash_mins(16))} FROM sh GROUP BY doc_id)
+    SELECT doc_id,
+           array_to_string([{', '.join(f'h{i}' for i in range(16))}], ',') AS sig_str
+    FROM sig
+    """,
+    category="llm_dedup",
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 md5-derived hash fns, min per shingle set).
+
+    The md5-based hash family is engine-portable, so the oracle replays
+    the exact signature — not just a statistical check.
+    """
+    docs = read(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=16)
+    return sig.select(
+        "doc_id", F.concat_ws(",", *[F.col("sig")[i].cast("string") for i in range(16)]).alias("sig_str")
+    )
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
+           FROM w),
+    sig AS (SELECT doc_id, {', '.join(_minhash_mins(16))} FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             CASE b
+               {' '.join(f"WHEN {b} THEN array_to_string([h{4*b}, h{4*b+1}, h{4*b+2}, h{4*b+3}], ',')" for b in range(4))}
+             END AS band_key,
+             [{', '.join(f'h{i}' for i in range(16))}] AS sig
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, a.sig AS sig1, b.sig AS sig2
+      FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           len(list_filter(range(1, 17), i -> sig1[i] = sig2[i])) / 16.0 AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(range(1, 17), i -> sig1[i] = sig2[i])) / 16.0 >= 0.25
+    """,
+    category="llm_dedup",
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH banding near-dup candidates — the O(collisions) scale
+    path that replaces the O(n²) comparison (SURVEY §7.2 step 7)."""
+    docs = read(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.25)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = _MD5H.format(seed=0, col="w")
+    votes = []
+    for b in range(bits):
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(dw, w -> CASE WHEN (({h}) >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        )
+    total = " + ".join(votes)
+    return f"""
+    WITH w AS (SELECT doc_id, list_distinct({_WORDS}) AS dw FROM documents WHERE doc_id <= 100)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM w
+    """
+
+
+@register("q_simhash", oracle=_simhash_oracle(32), category="llm_dedup")
+def q_simhash(spark, sf_dir):
+    """SimHash 32-bit signatures — bit-exact against the oracle thanks to
+    the md5 hash family."""
+    docs = read(spark, sf_dir, "documents").filter("doc_id <= 100")
+    return D.simhash(docs, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.q_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    category="llm_similarity",
+)
+def q_embedding_topk(spark, sf_dir):
+    """Exact cosine top-k neighbors (brute force, queries broadcast —
+    corpus never shuffles; the LSH variant is the 100 TB path)."""
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return S.cosine_topk_bruteforce(emb, queries, k=5)
+
+
+@register("q_embedding_topk_lsh", oracle=None, category="llm_similarity")
+def q_embedding_topk_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets (rows-only
+    check; recall vs brute force is asserted in tests/test_llm.py)."""
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return S.cosine_topk_lsh(emb, queries, dim=64, k=5, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    category="llm_multimodal",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal column model: opaque binary payload + typed metadata;
+    metadata predicates push down so codecs only see selected rows."""
+    media = documents_as_media(read(spark, sf_dir, "documents"))
+    return media.select("media_id", "mime", "n_bytes")
+
+
+@register("q_multimodal_features", oracle=None, category="llm_multimodal")
+def q_multimodal_features(spark, sf_dir):
+    """Decode + feature-extract via Arrow-batched mapInPandas (codec
+    stubbed with a deterministic fake — rows-only check)."""
+    media = documents_as_media(read(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "mime", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )

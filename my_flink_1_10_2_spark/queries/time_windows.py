@@ -1,0 +1,209 @@
+"""Event-time windows + time-oriented joins over the `events` rowtime table
+(SURVEY §2.5 group windows, §2.4 interval/temporal joins).
+
+These run here in batch mode (the driver's oracle protocol is batch); the
+same expressions run unchanged over a streaming DataFrame with
+``withWatermark`` — see my_flink_1_10_2_spark/streaming/ and the
+streaming harness tests.
+
+Reference: StreamExecGroupWindowAggregate.scala:33 (TUMBLE/HOP/SESSION),
+TimeBoundedStreamJoin.java:52 (interval join),
+TemporalRowTimeJoinOperator.java:71 (as-of join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.operators.joins import asof_join, interval_join
+from my_flink_1_10_2_spark.operators.windows import hop, session, tumble, with_window_bounds
+from my_flink_1_10_2_spark.queries import read, register
+
+
+@register(
+    "q_tumble_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS cnt, sum(value) AS sum_value, avg(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    category="window",
+)
+def q_tumble_window(spark, sf_dir):
+    """TUMBLE(ts, 1 hour) per event_type (ref: TumblingEventTimeWindows.java,
+    FlinkSqlOperatorTable.java TUMBLE_START/TUMBLE_END)."""
+    events = read(spark, sf_dir, "events")
+    agg = tumble(events, "ts", "1 hour", ["event_type"]).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "cnt",
+        "sum_value",
+        "avg_value",
+    )
+
+
+@register(
+    "q_hop_window",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1800]) AS off)
+    SELECT make_timestamp(CAST((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+                               AS BIGINT) * 1000000) AS window_start,
+           count(*) AS cnt, sum(value) AS sum_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+    category="window",
+)
+def q_hop_window(spark, sf_dir):
+    """HOP(ts, slide 30 min, size 1 hour) (ref: SlidingEventTimeWindows.java).
+
+    Every event lands in size/slide = 2 windows; the oracle replays that
+    expansion with epoch arithmetic.
+    """
+    events = read(spark, sf_dir, "events")
+    agg = hop(events, "ts", "1 hour", "30 minutes").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )
+    return agg.select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           date_trunc('microseconds', min(ts)) AS session_start,
+           date_trunc('microseconds', max(ts)) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS cnt, sum(value) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    category="window",
+)
+def q_session_window(spark, sf_dir):
+    """SESSION(ts, gap 30 min) per user (ref: EventTimeSessionWindows.java,
+    MergingWindowSet.java).  Spark's native session_window implements the
+    same merge semantics; the oracle reconstructs sessions with the
+    gaps-and-islands pattern.
+
+    Note session_window end = last event + gap, exactly the reference's
+    window end for session merges.
+    """
+    events = read(spark, sf_dir, "events")
+    agg = session(events, "ts", "30 minutes", ["user_id"]).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           date_trunc('microseconds', a.ts) AS click_ts,
+           date_trunc('microseconds', b.ts) AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    category="join",
+)
+def q_interval_join(spark, sf_dir):
+    """Interval join: purchases within 30 min after a click, same user
+    (ref: KeyedStream.intervalJoin:415, TimeBoundedStreamJoin.java:52).
+
+    The engine's interval_join keys the shuffle on user_id — the time
+    range is a residual predicate, so no nested-loop blowup at scale.
+    """
+    events = read(spark, sf_dir, "events")
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = events.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        key=("user_id", "p_user_id"),
+        time=("cts", "pts"),
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("cts").alias("click_ts"),
+        F.col("pts").alias("purchase_ts"),
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           date_trunc('microseconds', p.ts) AS ts,
+           p.value AS purchase_value,
+           c.value AS last_click_value,
+           c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    category="join",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of (temporal) join: each purchase picks up the latest prior click
+    per user (ref: TemporalRowTimeJoinOperator.java:71, `FOR SYSTEM_TIME
+    AS OF` probe semantics; DuckDB's native ASOF JOIN is the oracle).
+
+    Engine implementation: union + last(ignorenulls) window — ONE shuffle
+    by key, no point lookups (operators/joins.py:asof_join).
+    """
+    events = read(spark, sf_dir, "events")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("last_click_value"),
+        F.col("event_id").alias("last_click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key=("user_id", "c_user_id"),
+        time=("ts", "c_ts"),
+        right_value_cols=["last_click_value", "last_click_id"],
+    )

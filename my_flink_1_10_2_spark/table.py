@@ -1,0 +1,209 @@
+"""Fluent relational Table API.
+
+Re-expresses the reference's Table surface (ref:
+flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/api/Table.java:1,
+1,153 LoC) as a thin, zero-copy wrapper over a Spark DataFrame.  Every
+method is declarative — it only builds the logical plan; Catalyst chooses
+the physical strategy (hash vs sort-merge vs broadcast join, partial/final
+aggregation, whole-stage codegen).  That is the whole point of the
+rebuild: the reference implements Calc fusion, two-phase aggs, spillable
+hash tables etc. by hand (SURVEY §4.2); here they are free.
+
+Expressions are passed as SQL strings (parsed with ``F.expr``) or Column
+objects — the analog of the reference's Expression DSL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(expression) -> Column:
+    return expression if isinstance(expression, Column) else F.expr(expression)
+
+
+def _cols(expressions) -> list[Column]:
+    if isinstance(expressions, (str, Column)):
+        expressions = [expressions]
+    return [_col(e) for e in expressions]
+
+
+class Table:
+    """Lazily-planned relational table (ref: Table.java:1)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- row-level (ref: Table.java select/filter/where; DataStream.map:588) --
+    def select(self, *fields) -> "Table":
+        return Table(self.df.select(*_cols(fields)))
+
+    def filter(self, predicate) -> "Table":
+        return Table(self.df.filter(_col(predicate)))
+
+    where = filter
+
+    def distinct(self) -> "Table":
+        return Table(self.df.distinct())
+
+    # -- column surgery (ref: Table.java:925,983,1010) ----------------------
+    def add_columns(self, **named_exprs) -> "Table":
+        df = self.df
+        for name, expression in named_exprs.items():
+            df = df.withColumn(name, _col(expression))
+        return Table(df)
+
+    def add_or_replace_columns(self, **named_exprs) -> "Table":
+        return self.add_columns(**named_exprs)
+
+    def rename_columns(self, **renames) -> "Table":
+        df = self.df
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        return Table(df)
+
+    def drop_columns(self, *names) -> "Table":
+        return Table(self.df.drop(*names))
+
+    # -- aggregation (ref: Table.java groupBy; StreamExecGroupAggregate.scala:55) --
+    def group_by(self, *fields) -> "GroupedTable":
+        return GroupedTable(self.df, _cols(fields))
+
+    def aggregate(self, *agg_exprs) -> "Table":
+        return Table(self.df.agg(*_cols(agg_exprs)))
+
+    # -- joins (ref: Table.java join/leftOuterJoin/...; BatchExecHashJoin.scala:53) --
+    def join(self, right: "Table", on=None, how: str = "inner") -> "Table":
+        cond = _col(on) if isinstance(on, str) else on
+        return Table(self.df.join(right.df, cond, how))
+
+    def left_outer_join(self, right: "Table", on=None) -> "Table":
+        return self.join(right, on, "left")
+
+    def right_outer_join(self, right: "Table", on=None) -> "Table":
+        return self.join(right, on, "right")
+
+    def full_outer_join(self, right: "Table", on=None) -> "Table":
+        return self.join(right, on, "full")
+
+    def semi_join(self, right: "Table", on=None) -> "Table":
+        return self.join(right, on, "left_semi")
+
+    def anti_join(self, right: "Table", on=None) -> "Table":
+        return self.join(right, on, "left_anti")
+
+    def cross_join(self, right: "Table") -> "Table":
+        return Table(self.df.crossJoin(right.df))
+
+    def join_with_tiny(self, right: "Table", on=None, how: str = "inner") -> "Table":
+        """Broadcast the right side (ref: DataSet.joinWithTiny:751)."""
+        cond = _col(on) if isinstance(on, str) else on
+        return Table(self.df.join(F.broadcast(right.df), cond, how))
+
+    def join_lateral(self, udtf_expr, outer: bool = False) -> "Table":
+        """LATERAL TABLE(udtf(x)) (ref: StreamExecCorrelate.scala).
+
+        ``udtf_expr`` must be a generator expression (``explode``/
+        ``posexplode``/``inline``...); implemented with Spark's native
+        generator support so it stays JVM-side.
+        """
+        gen = _col(udtf_expr)
+        star = [F.col(c) for c in self.df.columns]
+        if outer:
+            # left-outer lateral: keep rows whose generator yields nothing
+            return Table(self.df.select(*star, gen))
+        return Table(self.df.select(*star, gen))
+
+    # -- set operations (ref: Table.java:655-742; §2.7) ---------------------
+    def union(self, other: "Table") -> "Table":
+        return Table(self.df.union(other.df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self.df.union(other.df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self.df.intersect(other.df))
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self.df.intersectAll(other.df))
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self.df.subtract(other.df))
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self.df.exceptAll(other.df))
+
+    # -- ordering / limits (ref: Table.java orderBy:770, offset:791, fetch:812) --
+    def order_by(self, *fields) -> "Table":
+        return Table(self.df.orderBy(*_cols(fields)))
+
+    def limit(self, n: int) -> "Table":
+        return Table(self.df.limit(n))
+
+    def offset(self, n: int) -> "Table":
+        return Table(self.df.offset(n))
+
+    def fetch(self, n: int) -> "Table":
+        return self.limit(n)
+
+    def first(self, n: int) -> "Table":
+        return self.limit(n)
+
+    # -- partitioning primitives (ref: DataStream.java:358-464; DataSet:1257-1372) --
+    def rebalance(self, n: int | None = None) -> "Table":
+        return Table(self.df.repartition(n) if n else self.df.repartition())
+
+    def partition_by_hash(self, *fields, num_partitions: int | None = None) -> "Table":
+        cols = _cols(fields)
+        if num_partitions:
+            return Table(self.df.repartition(num_partitions, *cols))
+        return Table(self.df.repartition(*cols))
+
+    def partition_by_range(self, *fields) -> "Table":
+        return Table(self.df.repartitionByRange(*_cols(fields)))
+
+    def sort_partition(self, *fields) -> "Table":
+        return Table(self.df.sortWithinPartitions(*_cols(fields)))
+
+    # -- sinks / materialization (ref: DataStream print:1001, writeAsCsv:1117) --
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def collect(self):
+        return self.df.collect()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def print_table(self, n: int = 20) -> None:
+        self.df.show(n)
+
+    def write_as_csv(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).option("header", True).csv(path)
+
+    def write_as_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).parquet(path)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+
+class GroupedTable:
+    """Result of ``Table.group_by`` (ref: Table.java groupBy)."""
+
+    def __init__(self, df: DataFrame, keys: Sequence[Column]):
+        self._df = df
+        self._keys = list(keys)
+
+    def select(self, *agg_exprs) -> Table:
+        return Table(self._df.groupBy(*self._keys).agg(*_cols(agg_exprs)))
+
+    aggregate = select
+
+    def apply_in_pandas(self, fn, schema) -> Table:
+        """Full-group UDF (ref: DataSet.reduceGroup:464 /
+        Table.flatAggregate:1136) — Arrow-batched ``applyInPandas``."""
+        return Table(self._df.groupBy(*self._keys).applyInPandas(fn, schema))

@@ -1,0 +1,234 @@
+"""DataStream-like fluent API compiled to Structured Streaming.
+
+Reference surface → Spark mapping (SURVEY §2):
+  - env.addSource / readTextFile / socketTextStream
+      (StreamExecutionEnvironment.java:1517,1062,1396) → ``readStream``
+  - DataStream.map/flatMap/filter (DataStream.java:588,632,731)
+      → select/where (declarative, codegen'd)
+  - assignTimestampsAndWatermarks (BoundedOutOfOrdernessTimestampExtractor.java:32)
+      → ``withWatermark`` (bounded out-of-orderness is the one Spark model)
+  - keyBy().window().aggregate (WindowedStream.java)
+      → ``groupBy(window(...), key).agg``
+  - keyBy().process(ProcessFunction) (KeyedProcessOperator.java)
+      → ``applyInPandasWithState`` (timers ≈ state timeouts)
+  - side outputs (SingleOutputStreamOperator.java:399)
+      → filter-split in foreachBatch
+  - print/addSink (DataStream.java:1001,1318)
+      → writeStream sinks (console/memory/foreachBatch/files)
+
+Retraction story: streaming group-aggs emit changelogs in the reference
+(BaseRow.java:40-47 ACCUMULATE/RETRACT).  Spark's `update`/`complete`
+output modes carry the same information; `with_change_flag` materializes
+an explicit ``__change`` column in foreachBatch for sinks that need
+deltas (SURVEY §7.2 step 6).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _col(e):
+    return e if isinstance(e, Column) else F.expr(e)
+
+
+class StreamExecutionEnvironment:
+    """Streaming entry point (ref: StreamExecutionEnvironment.java)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def from_rate(self, rows_per_second: int = 100) -> "Stream":
+        return Stream(
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+
+    def from_files(self, path: str, schema, fmt: str = "parquet", max_files_per_trigger: int = 1) -> "Stream":
+        """File-based source with per-trigger pacing — the test harness's
+        deterministic replacement for a Kafka source."""
+        reader = (
+            self.spark.readStream.format(fmt)
+            .schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+        )
+        return Stream(reader.load(path))
+
+    def socket_text_stream(self, host: str, port: int) -> "Stream":
+        """(ref: StreamExecutionEnvironment.socketTextStream:1396)"""
+        return Stream(
+            self.spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", port)
+            .load()
+        )
+
+
+class Stream:
+    """Possibly-unbounded stream (ref: DataStream.java:1)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- row-level ----------------------------------------------------------
+    def select(self, *exprs) -> "Stream":
+        return Stream(self.df.select(*[_col(e) for e in exprs]))
+
+    map = select
+
+    def filter(self, predicate) -> "Stream":
+        return Stream(self.df.filter(_col(predicate)))
+
+    def flat_map(self, generator_expr) -> "Stream":
+        """1→N via a generator expression (explode & friends)."""
+        return Stream(self.df.select("*", _col(generator_expr)))
+
+    def union(self, other: "Stream") -> "Stream":
+        return Stream(self.df.unionByName(other.df))
+
+    # -- event time ---------------------------------------------------------
+    def assign_timestamps_and_watermarks(self, ts_col: str, max_out_of_orderness: str) -> "Stream":
+        """Bounded out-of-orderness watermark (ref:
+        BoundedOutOfOrdernessTimestampExtractor.java:70 — wm = maxTs − delay;
+        Spark implements exactly this)."""
+        return Stream(self.df.withWatermark(ts_col, max_out_of_orderness))
+
+    with_watermark = assign_timestamps_and_watermarks
+
+    # -- keyed ops ----------------------------------------------------------
+    def key_by(self, *keys) -> "KeyedStream":
+        return KeyedStream(self.df, list(keys))
+
+    def drop_duplicates(self, keys: list[str], within_watermark: bool = False) -> "Stream":
+        """Streaming keep-first dedup (ref:
+        DeduplicateKeepFirstRowFunction.java:34).  With a watermark set,
+        state is evicted as event time advances (the reference's state
+        TTL); ``within_watermark`` uses Spark's
+        ``dropDuplicatesWithinWatermark`` relaxation."""
+        if within_watermark:
+            return Stream(self.df.dropDuplicatesWithinWatermark(keys))
+        return Stream(self.df.dropDuplicates(keys))
+
+    # -- joins --------------------------------------------------------------
+    def interval_join(
+        self,
+        other: "Stream",
+        key: tuple[str, str],
+        time: tuple[str, str],
+        lower: str,
+        upper: str,
+    ) -> "Stream":
+        """Stream-stream interval join (ref: TimeBoundedStreamJoin.java:52)
+        — both sides must carry watermarks; Spark bounds state from the
+        interval condition exactly like the reference's cleanup timers."""
+        from my_flink_1_10_2_spark.operators.joins import interval_join as _ij
+
+        return Stream(_ij(self.df, other.df, key, time, lower, upper))
+
+    def lookup_join(self, static_df: DataFrame, on, how: str = "left") -> "Stream":
+        """Lookup (dimension) join: stream × static table (ref:
+        LookupJoinRunner.java).  Spark re-plans the static side per
+        micro-batch — the same freshness model as the reference's
+        per-record lookup with caching; broadcast keeps it shuffle-free."""
+        return Stream(self.df.join(F.broadcast(static_df), on, how))
+
+    # -- sinks --------------------------------------------------------------
+    def to_memory_sink(
+        self,
+        name: str | None = None,
+        output_mode: str = "append",
+        await_termination: bool = True,
+    ):
+        """Run the stream into an in-memory table (test/queryable-state
+        substitute, SURVEY §2.10) using availableNow (process everything,
+        then stop).  Returns (query, table_name)."""
+        name = name or f"sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            self.df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if await_termination:
+            q.awaitTermination()
+        return q, name
+
+    def for_each_batch(self, fn: Callable[[DataFrame, int], None], checkpoint: str | None = None):
+        """foreachBatch sink (ref: addSink/TwoPhaseCommitSinkFunction —
+        exactly-once via Spark's checkpoint + idempotent batch writes)."""
+        writer = self.df.writeStream.foreachBatch(fn).trigger(availableNow=True)
+        if checkpoint is None:
+            checkpoint = tempfile.mkdtemp(prefix="fl_ckpt_")
+        writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+        return q
+
+    def with_change_flag(self) -> "Stream":
+        """Attach the retraction-convention column for update-mode sinks
+        (ref: BaseRow.java:40-47): downstream consumers treat every row as
+        an upsert keyed on the grouping columns (__change='+U')."""
+        return Stream(self.df.withColumn("__change", F.lit("+U")))
+
+
+class KeyedStream:
+    """Stream partitioned by key (ref: KeyedStream.java:116)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self.df = df
+        self.keys = keys
+
+    def aggregate(self, *agg_exprs) -> Stream:
+        """Unbounded per-key running aggregate (ref: GroupAggFunction.java:44)
+        — run in ``update``/``complete`` output mode."""
+        return Stream(self.df.groupBy(*self.keys).agg(*[_col(e) for e in agg_exprs]))
+
+    def tumble(self, ts_col: str, size: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size))
+
+    def hop(self, ts_col: str, size: str, slide: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size, slide))
+
+    def session(self, ts_col: str, gap: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
+
+    def process(self, func, state_schema, output_schema, timeout: str = "NoTimeout") -> Stream:
+        """Keyed stateful ProcessFunction (ref: KeyedProcessOperator.java,
+        InternalTimerService.java) → ``applyInPandasWithState``.
+
+        ``func(key, pdf_iter, state)`` with a GroupState handle; timers map
+        to state timeouts (ProcessingTimeTimeout / EventTimeTimeout).
+        """
+        return Stream(
+            self.df.groupBy(*self.keys).applyInPandasWithState(
+                func, output_schema, state_schema, "append", timeout
+            )
+        )
+
+
+class WindowedStream:
+    """Keyed windowed stream (ref: WindowedStream.java)."""
+
+    def __init__(self, df: DataFrame, keys: list[str], window_col: Column):
+        self.df = df
+        self.keys = keys
+        self.window_col = window_col.alias("w")
+
+    def aggregate(self, *agg_exprs) -> Stream:
+        agg = self.df.groupBy(self.window_col, *self.keys).agg(
+            *[_col(e) for e in agg_exprs]
+        )
+        flat = agg.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[c for c in agg.columns if c != "w"],
+        )
+        return Stream(flat)

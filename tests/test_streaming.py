@@ -1,0 +1,309 @@
+"""Streaming harness tests (SURVEY §5 layer 3): replay the events table in
+timestamp order as micro-batches (maxFilesPerTrigger=1) and assert the
+streaming operators converge to the batch-computed truth.
+
+This mirrors the reference's harness tests
+(flink-table-planner-blink/.../runtime/harness/) where elements +
+watermarks are scripted through a single operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tests.conftest import SF_DIR
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),  # watermark requires LTZ (UTC session)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+N_BATCHES = 5
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory):
+    """Split events (ts-sorted, ns→µs) into N part files = N micro-batches,
+    plus a far-future sentinel row in the last batch so the final
+    watermark passes every real window."""
+    d = tmp_path_factory.mktemp("events_replay")
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        pc.floor_temporal(t.column("ts").combine_chunks(), unit="microsecond").cast(
+            pa.timestamp("us")
+        ),
+    )
+    t = t.sort_by("ts")
+    n = t.num_rows
+    step = n // N_BATCHES + 1
+    for i in range(N_BATCHES):
+        chunk = t.slice(i * step, step)
+        if i == N_BATCHES - 1:
+            max_ts = pc.max(t.column("ts")).as_py()
+            sentinel = pa.table(
+                {
+                    "event_id": pa.array([10**12], pa.int64()),
+                    "ts": pa.array([max_ts + __import__("datetime").timedelta(days=30)], pa.timestamp("us")),
+                    "user_id": pa.array([999999], pa.int64()),
+                    "event_type": pa.array(["__sentinel__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            )
+            chunk = pa.concat_tables([chunk, sentinel])
+        pq.write_table(chunk, str(d / f"part-{i:03d}.parquet"))
+    return str(d)
+
+
+def _env(spark):
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    return StreamExecutionEnvironment(spark)
+
+
+def _batch_events(spark):
+    from my_flink_1_10_2_spark.catalog import read_table
+
+    # LTZ to match the streaming side (watermarks require TIMESTAMP; the
+    # UTC session makes NTZ->LTZ value-preserving)
+    return read_table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_streaming_tumble_window_agg(spark, replay_dir):
+    """Windowed agg with watermark, append mode: finalized windows match
+    the batch computation exactly (ref: WindowOperator.java:100)."""
+    env = _env(spark)
+    stream = (
+        # NB: no pre-agg sentinel filter — Catalyst would push it below the
+        # watermark operator and the sentinel would never advance event time
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .with_watermark("ts", "10 minutes")
+        .key_by("event_type")
+        .tumble("ts", "1 hour")
+        .aggregate(
+            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+        )
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    got = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in spark.table(name).collect()
+        if r.event_type != "__sentinel__"
+    }
+    expected_rows = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+        .collect()
+    )
+    expected = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in expected_rows
+    }
+    assert got == expected
+
+
+def test_streaming_session_window(spark, replay_dir):
+    """Session windows merge across micro-batches exactly as in batch
+    (ref: MergingWindowSet.java / session_window)."""
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .with_watermark("ts", "10 minutes")
+        .key_by("user_id")
+        .session("ts", "30 minutes")
+        .aggregate(F.count(F.lit(1)).alias("cnt"))
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    got = {
+        (r.user_id, r.window_start, r.window_end): r.cnt
+        for r in spark.table(name).collect()
+        if r.user_id != 999999
+    }
+    expected = {
+        (r.user_id, r["w"]["start"], r["w"]["end"]): r.cnt
+        for r in _batch_events(spark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_keep_first(spark, replay_dir):
+    """Streaming keep-first dedup: first row per user in replay (=rowtime)
+    order equals the batch keep-first operator
+    (ref: DeduplicateKeepFirstRowFunction.java:34)."""
+    from my_flink_1_10_2_spark.operators.rank import dedup_keep_first
+
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .drop_duplicates(["user_id"])
+        .select("user_id", "event_id")
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    got = {(r.user_id, r.event_id) for r in spark.table(name).collect()}
+    expected = {
+        (r.user_id, r.event_id)
+        for r in dedup_keep_first(
+            _batch_events(spark), ["user_id"], [F.col("ts"), F.col("event_id")]
+        )
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_interval_join(spark, replay_dir):
+    """Stream-stream interval join matches the batch interval join
+    (ref: TimeBoundedStreamJoin.java:52)."""
+    env = _env(spark)
+    clicks = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("cts"),
+        )
+        .with_watermark("cts", "10 minutes")
+    )
+    purchases = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+        )
+        .with_watermark("pts", "10 minutes")
+    )
+    joined = clicks.interval_join(
+        purchases,
+        key=("user_id", "p_user_id"),
+        time=("cts", "pts"),
+        lower="0 seconds",
+        upper="30 minutes",
+    ).select("click_id", "purchase_id")
+    _, name = joined.to_memory_sink(output_mode="append")
+    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+
+    from my_flink_1_10_2_spark.queries import all_queries
+
+    expected_df = all_queries()["q_interval_join"].spark_fn(spark, SF_DIR)
+    expected = {(r.click_id, r.purchase_id) for r in expected_df.collect()}
+    assert got == expected
+
+
+def test_streaming_keyed_process_running_count(spark, replay_dir):
+    """Keyed ProcessFunction with state (ref: KeyedProcessOperator.java):
+    running per-user event count via applyInPandasWithState; the final
+    emitted count per user equals the batch count."""
+    import pandas as pd
+
+    env = _env(spark)
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("running_cnt", LongType())]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    def running_count(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_cnt": [total]})
+
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .key_by("user_id")
+        .process(running_count, state_schema, out_schema)
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    # the max running count per user is the final state
+    got = {
+        (r.user_id, r.max_cnt)
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("running_cnt").alias("max_cnt"))
+        .collect()
+    }
+    expected = {
+        (r.user_id, r.cnt)
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_lookup_join(spark, replay_dir):
+    """Stream-static (lookup/dimension) join (ref: LookupJoinRunner.java):
+    enrich events with a small dimension table, broadcast."""
+    env = _env(spark)
+    dim = spark.createDataFrame(
+        [(i, f"user_{i}") for i in range(15)], "user_id long, user_name string"
+    )
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type = 'signup'")
+        .lookup_join(dim, "user_id")
+        .select("event_id", "user_id", "user_name")
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    rows = spark.table(name).collect()
+    assert len(rows) > 0
+    assert all(r.user_name == f"user_{r.user_id}" for r in rows)
+
+
+def test_streaming_changelog_flag(spark, replay_dir):
+    """Update-mode running agg with the __change retraction convention
+    (ref: BaseRow.java:40-47 ACC/RETRACT → upsert changelog)."""
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .key_by("event_type")
+        .aggregate(F.count(F.lit(1)).alias("cnt"))
+        .with_change_flag()
+    )
+    _, name = stream.to_memory_sink(output_mode="update")
+    pdf = spark.table(name).toPandas()
+    assert set(pdf["__change"]) == {"+U"}
+    # last update per key equals batch truth
+    final = pdf.groupby("event_type")["cnt"].max()
+    expected = {
+        r.event_type: r.cnt
+        for r in _batch_events(spark).groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for et, cnt in expected.items():
+        assert final[et] == cnt, (et, final[et], cnt)

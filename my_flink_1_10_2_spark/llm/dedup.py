@@ -42,7 +42,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .distinct()
     )
 
@@ -92,6 +93,14 @@ def _md5_hash64(col, seed: int):
     return F.conv(hx, 16, 10).cast("bigint")
 
 
+def _shingle_array(text_col, n: int):
+    """Array of word n-gram shingles (may contain duplicates — harmless
+    for min-aggregation)."""
+    words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -100,15 +109,41 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    h_i(shingle).  One explode + one groupBy — shuffle keyed on id.
+    h_i(shingle).
+
+    Scale design: explode (no distinct — duplicates can't change a min)
+    → md5 digests as named columns (one md5 per hash GROUP of 4, not per
+    hash) → groupBy(id) with 16 min() aggregates.  min() is
+    partial-aggregable, so the map side combines down to one row per doc
+    per task before the shuffle — exchange volume is O(docs × 16), not
+    O(shingles).
 
     Output: (id, sig array<bigint>).
     """
-    sh = shingles(df, text_col, id_col, n)
-    mins = [
-        F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    # Fan the docs out before the hash-heavy explode: a single parquet
+    # file otherwise pins the whole computation to one task.  The
+    # repartition shuffles only (id, text) rows — negligible next to the
+    # md5 work it parallelizes.
+    exploded = df.repartition(F.col(id_col)).select(
+        F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle")
+    )
+    groups = num_hashes // 4
+    with_digests = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("shingle"))).alias(f"d{g}")
+            for g in range(groups)
+        ],
+    )
+    mins = []
+    for i in range(num_hashes):
+        g, lo = i // 4, (i % 4) * 8 + 1
+        mins.append(
+            F.min(F.conv(F.substring(F.col(f"d{g}"), lo, 8), 16, 10).cast("bigint")).alias(
+                f"h{i}"
+            )
+        )
+    sig = with_digests.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -52,9 +52,15 @@ _MD5H = "('0x' || substr(md5('{seed}|' || {col}), 1, 15))::BIGINT"
 
 
 def _minhash_mins(num_hashes: int) -> list[str]:
-    return [
-        "min(" + _MD5H.format(seed=i, col="shingle") + f") AS h{i}" for i in range(num_hashes)
-    ]
+    # mirrors llm.dedup.minhash_signatures: hash i = 32-bit slice #(i%4) of
+    # md5 digest group g=i//4
+    out = []
+    for i in range(num_hashes):
+        g, lo = i // 4, (i % 4) * 8 + 1
+        out.append(
+            f"min(('0x' || substr(md5('{g}|' || shingle), {lo}, 8))::BIGINT) AS h{i}"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

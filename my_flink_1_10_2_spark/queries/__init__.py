@@ -72,6 +72,7 @@ def _load_all_modules() -> None:
         analytic,
         scalar_functions,
         time_windows,
+        tpch,
         llm,
     )
 

@@ -155,7 +155,7 @@ def q7_volume_shipping(spark, sf_dir):
       JOIN nation n1 ON c_nationkey = n1.n_nationkey
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
       JOIN region   ON n1.n_regionkey = r_regionkey
-      WHERE r_name = 'REGION_1' AND p_type = 'ECONOMY'
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
     ) all_nations
     GROUP BY o_year
     """,
@@ -176,7 +176,7 @@ def q8_market_share(spark, sf_dir):
     n2 = read(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    r = read(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    r = read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     base = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -210,7 +210,7 @@ def q8_market_share(spark, sf_dir):
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%green%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, year(o_orderdate)
     """,
     category="tpch",
@@ -218,7 +218,7 @@ def q8_market_share(spark, sf_dir):
 def q9_profit_by_nation_year(spark, sf_dir):
     """TPC-H Q9 (supply cost ≈ 0.5·retailprice since partsupp is absent):
     LIKE-filtered part broadcast into the fact join."""
-    p = read(spark, sf_dir, "part").where(F.col("p_name").like("%green%"))
+    p = read(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     l = read(spark, sf_dir, "lineitem")
     s = read(spark, sf_dir, "supplier")
     o = read(spark, sf_dir, "orders")
@@ -473,7 +473,8 @@ def q19_disjunctive_revenue(spark, sf_dir):
     SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     GROUP BY c_nationkey
     """,
     category="tpch",
@@ -483,7 +484,7 @@ def q22_idle_customers(spark, sf_dir):
     (ref: ReplaceMinusWithAntiJoinRule.scala shape)."""
     c = read(spark, sf_dir, "customer")
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
-    o = read(spark, sf_dir, "orders")
+    o = read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal")).drop("avg_bal")
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(

@@ -1,0 +1,28 @@
+"""Sources & sinks — the engine's connector surface (SURVEY §2.1).
+
+Batch formats + bounded sources in :mod:`batch`; streaming sources,
+sinks and the exactly-once file-sink analog in :mod:`streaming`.
+"""
+
+from my_flink_1_10_2_spark.sources.batch import (  # noqa: F401
+    from_elements,
+    read_avro,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+    write_text,
+)
+from my_flink_1_10_2_spark.sources.streaming import (  # noqa: F401
+    TransactionalForeachBatchSink,
+    file_stream_source,
+    memory_sink,
+    rate_source,
+    socket_text_stream,
+    streaming_file_sink,
+)

@@ -1,0 +1,121 @@
+"""Bounded sources and batch sinks (SURVEY §2.1).
+
+The reference's bounded-input surface is `createInput(InputFormat)` +
+the format modules (ref: flink-core/src/main/java/org/apache/flink/api/
+common/io/FileInputFormat.java, flink-formats/{flink-csv,flink-json,
+flink-avro,flink-parquet,flink-orc}/), and `fromElements`/
+`fromCollection` (ref: flink-streaming-java/.../StreamExecutionEnvironment
+.java:824,892). Spark's DataSource V2 readers provide every format
+natively with split-based parallel scans, predicate pushdown and column
+pruning — so each reader here is a thin, typed wrapper that keeps those
+properties intact.
+
+Scale notes: readers return *lazy* DataFrames — no materialization, so
+filters/projections composed later still reach the scan. Writers default
+to snappy parquet and accept `partition_by` for directory-partitioned
+layouts (the 100 TB layout primitive: partition pruning at read time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def from_elements(spark: SparkSession, rows, schema=None) -> DataFrame:
+    """In-memory bounded source (ref: StreamExecutionEnvironment.java:824
+    fromElements; StreamExecValues.scala VALUES)."""
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def read_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV scan (ref: flink-formats/flink-csv/, GenericCsvInputFormat).
+    Explicit schema preferred at scale — schema inference is an extra
+    full pass over the data."""
+    reader = (
+        spark.read.option("header", header)
+        .option("delimiter", delimiter)
+        .option("inferSchema", infer_schema)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan (ref: flink-formats/flink-json/)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (ref: flink-formats/flink-orc/ vectorized reader — Spark's
+    ORC reader is likewise vectorized + pushdown-capable)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented scan (ref: StreamExecutionEnvironment.readTextFile
+    :1062) → single `value` string column."""
+    return spark.read.text(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (ref: flink-formats/flink-avro/). Requires the
+    spark-avro package on the classpath; raises a clear error if absent."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        raise NotImplementedError(
+            "avro format requires the spark-avro package on the classpath"
+        ) from exc
+
+
+def _write(df: DataFrame, mode: str, partition_by):
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """Parquet sink. The task-commit protocol gives all-or-nothing
+    visibility per job — the batch analog of the reference's
+    StreamingFileSink part-file + commit lifecycle."""
+    _write(df, mode, partition_by).parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, partition_by=None
+):
+    """CSV sink (ref: DataStream.writeAsCsv DataStream.java:1117)."""
+    _write(df, mode, partition_by).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    _write(df, mode, partition_by).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    _write(df, mode, partition_by).orc(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite"):
+    """Text sink (ref: DataStream.writeAsText DataStream.java:1071) —
+    expects a single string column."""
+    df.write.mode(mode).text(path)

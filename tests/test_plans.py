@@ -1,0 +1,75 @@
+"""Plan-shape gates: the properties that decide 100 TB behavior must hold
+in the physical plan, not just the answer (SURVEY §4 — the reference's
+golden-plan tests reinterpreted for Catalyst).
+
+Every gate here failing means a real regression at scale: a filter
+evaluated post-scan, a fact-table shuffle for a dimension join, or a
+Python row loop in a hot path.
+"""
+
+from __future__ import annotations
+
+from my_flink_1_10_2_spark import plans
+from my_flink_1_10_2_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def _df(spark, name):
+    return QUERIES[name].spark_fn(spark, SF_DIR)
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    """TPC-H Q6 is the pushdown benchmark: all predicates at the scan,
+    only the 4 referenced columns read."""
+    df = _df(spark, "q6_forecast_revenue")
+    plans.assert_plan(
+        df,
+        pushed=["l_shipdate", "l_discount", "l_quantity"],
+        columns_subset={"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+        no_batch_python=True,
+    )
+
+
+def test_q1_single_shuffle(spark):
+    """Scan → partial agg → exchange → final agg: exactly one shuffle
+    (plus AQE reads); the map-side combine keeps shuffled volume at
+    |groups|."""
+    df = _df(spark, "q1_pricing_summary")
+    assert plans.num_shuffles(df) <= 2  # group-agg exchange + orderBy range exchange
+    assert plans.python_eval_count(df) == 0
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """q9: part/supplier/nation must ride broadcast joins — never
+    shuffle the lineitem fact for dimension enrichment."""
+    df = _df(spark, "q9_profit_by_nation_year")
+    assert plans.broadcast_join_count(df) >= 3
+    assert plans.python_eval_count(df) == 0
+
+
+def test_q7_fact_joins_shuffle_only_facts(spark):
+    df = _df(spark, "q7_volume_shipping")
+    # supplier + both nation copies broadcast; orders/customer may shuffle
+    assert plans.broadcast_join_count(df) >= 3
+
+
+def test_scan_prunes_columns_for_projection(spark):
+    """A 2-column projection over lineitem must read exactly 2 columns."""
+    from my_flink_1_10_2_spark.queries import read
+
+    df = read(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    assert plans.scan_columns(df) == {"l_orderkey", "l_quantity"}
+
+
+def test_no_row_python_in_llm_pipeline(spark):
+    """MinHash/LSH pipelines must stay JVM-side or Arrow-vectorized —
+    BatchEvalPython (row-at-a-time) is banned."""
+    for name in ["q_minhash_signatures", "q_text_stats", "q_embedding_topk"]:
+        assert plans.python_eval_count(_df(spark, name)) == 0, name
+
+
+def test_wholestage_codegen_active(spark):
+    df = _df(spark, "q1_pricing_summary")
+    assert plans.wholestage_codegen_spans(df) >= 1

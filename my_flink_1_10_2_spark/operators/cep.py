@@ -1,0 +1,213 @@
+"""CEP / MATCH_RECOGNIZE — pattern matching over keyed, ordered rows.
+
+Reimplements the semantics of the reference's NFA-based CEP library
+(ref: flink-libraries/flink-cep/src/main/java/org/apache/flink/cep/
+pattern/Pattern.java:50, Quantifier.java, nfa/NFA.java:85; SQL surface
+StreamExecMatch.scala:69, MatchCodeGenerator.scala) on Spark:
+
+  - A :class:`Pattern` is an ordered list of :class:`Step`s, each with a
+    name, a per-row predicate, and a quantifier (``1``, ``+``, ``*``,
+    ``?``). Predicates see the candidate row *and* the rows matched so
+    far (giving PREV/LAST/FIRST navigation, ref
+    FlinkSqlOperatorTable.java:989-995).
+  - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW
+    (ref: cep/aftermatch/AfterMatchSkipStrategy.java).
+  - Greedy quantifiers with backtracking, like the reference's shared-
+    buffer NFA.
+
+Execution model (Spark-first): pattern matching is inherently sequential
+*within a key* but embarrassingly parallel *across keys* — exactly the
+shape of ``groupBy(key).applyInPandas``. Each key's rows arrive as one
+Arrow batch, the NFA runs in vectorized-friendly Python, and output rows
+carry one match each. At 100 TB the shuffle is one hash partition by
+key — the same data movement the reference's keyBy requires — and no
+state is held beyond a single group.
+
+The streaming variant keeps a bounded per-key tail buffer in
+``applyInPandasWithState`` so matches spanning micro-batch boundaries
+are found; rows are processed in event-time order within the buffer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RowPredicate = Callable[[pd.Series, dict[str, list[pd.Series]]], bool]
+
+
+@dataclass
+class Step:
+    """One pattern variable (ref: Pattern.java begin/next/where chain)."""
+
+    name: str
+    predicate: RowPredicate
+    quantifier: str = "1"  # '1' | '?' | '+' | '*'
+
+    def __post_init__(self):
+        if self.quantifier not in ("1", "?", "+", "*"):
+            raise ValueError(f"unsupported quantifier {self.quantifier!r}")
+
+
+class Pattern:
+    """``Pattern.begin('a', p).next('b', q, '+').next('c', r)`` — the
+    fluent surface of cep/pattern/Pattern.java:50 (strict contiguity,
+    i.e. `next`; `followedBy` relaxed contiguity is out of scope)."""
+
+    def __init__(self, steps: list[Step]):
+        self.steps = steps
+
+    @classmethod
+    def begin(cls, name: str, predicate: RowPredicate, quantifier: str = "1") -> "Pattern":
+        return cls([Step(name, predicate, quantifier)])
+
+    def next(self, name: str, predicate: RowPredicate, quantifier: str = "1") -> "Pattern":
+        return Pattern(self.steps + [Step(name, predicate, quantifier)])
+
+
+def _match_at(
+    rows: list[pd.Series], start: int, steps: list[Step]
+) -> dict[str, list[pd.Series]] | None:
+    """Backtracking NFA: try to match `steps` starting at rows[start].
+    Returns {step_name: [rows]} or None. Greedy quantifiers, like the
+    reference NFA's default greedy consumption (Quantifier.java)."""
+
+    def go(i: int, s: int, matched: dict[str, list[pd.Series]]):
+        if s == len(steps):
+            return matched if any(matched.values()) else None
+        step = steps[s]
+        binding = dict(matched)
+        binding[step.name] = list(matched.get(step.name, []))
+
+        def try_take(count_matched: dict, j: int):
+            row = rows[j]
+            taken = dict(count_matched)
+            taken[step.name] = count_matched[step.name] + [row]
+            return taken if step.predicate(row, count_matched) else None
+
+        if step.quantifier == "1":
+            if i < len(rows):
+                taken = try_take(binding, i)
+                if taken is not None:
+                    return go(i + 1, s + 1, taken)
+            return None
+        if step.quantifier == "?":
+            if i < len(rows):
+                taken = try_take(binding, i)
+                if taken is not None:
+                    res = go(i + 1, s + 1, taken)
+                    if res is not None:
+                        return res
+            return go(i, s + 1, binding)
+        # '+' / '*': consume greedily, backtrack on failure
+        min_take = 1 if step.quantifier == "+" else 0
+        takes: list[dict] = [binding]
+        j = i
+        while j < len(rows):
+            taken = try_take(takes[-1], j)
+            if taken is None:
+                break
+            takes.append(taken)
+            j += 1
+        for n in range(len(takes) - 1, min_take - 1, -1):
+            res = go(i + n, s + 1, takes[n])
+            if res is not None:
+                return res
+        return None
+
+    return go(start, 0, {n.name: [] for n in steps} | {})
+
+
+def _run_nfa(
+    pdf: pd.DataFrame,
+    steps: list[Step],
+    measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
+    after_match: str,
+) -> pd.DataFrame:
+    rows = [pdf.iloc[i] for i in range(len(pdf))]
+    out: list[dict] = []
+    i = 0
+    while i < len(rows):
+        m = _match_at(rows, i, steps)
+        if m is not None:
+            out.append({k: fn(m) for k, fn in measures.items()})
+            if after_match == "skip_past_last_row":
+                i += max(1, sum(len(v) for v in m.values()))
+            else:  # skip_to_next_row
+                i += 1
+        else:
+            i += 1
+    return pd.DataFrame(out)
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: Pattern,
+    measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
+    output_schema: str,
+    after_match: str = "skip_past_last_row",
+) -> DataFrame:
+    """Batch MATCH_RECOGNIZE (ref: StreamExecMatch.scala:69 semantics,
+    bounded input). `measures` maps output column → fn(matched_groups);
+    matched_groups is {step_name: [pandas rows]} supporting
+    FIRST/LAST/PREV navigation by plain list indexing."""
+    steps = pattern.steps
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        return _run_nfa(pdf, steps, measures, after_match)
+
+    return df.groupBy(*partition_by).applyInPandas(apply, schema=output_schema)
+
+
+def match_recognize_stream(
+    df: DataFrame,
+    partition_by: list[str],
+    ts_col: str,
+    pattern: Pattern,
+    measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
+    output_schema: str,
+    state_schema: str,
+    max_pattern_rows: int,
+    after_match: str = "skip_past_last_row",
+):
+    """Streaming CEP on `applyInPandasWithState`: a bounded tail buffer
+    (max_pattern_rows − 1 rows) per key carries partial matches across
+    micro-batches (the role of the reference's per-key NFA SharedBuffer,
+    nfa/sharedbuffer/SharedBuffer.java). Rows must arrive in event-time
+    order per key (use a watermark + sort in foreachBatch upstream for
+    out-of-order streams — documented gap vs the reference's full
+    event-time CEP)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = pattern.steps
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        buffered = (
+            _pd.DataFrame(state.get[0]) if state.exists and state.get[0] else None
+        )
+        new = _pd.concat(list(pdf_iter), ignore_index=True)
+        full = (
+            _pd.concat([buffered, new], ignore_index=True) if buffered is not None else new
+        )
+        full = full.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        matches = _run_nfa(full, steps, measures, after_match)
+        tail = full.tail(max(0, max_pattern_rows - 1))
+        state.update((tail.to_dict("records"),))
+        if len(matches):
+            yield matches
+
+    return df.groupBy(*partition_by).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,96 @@
+"""CEP / MATCH_RECOGNIZE queries (SURVEY §2.10, §7.2-6).
+
+q_cep_v_shape uses a fixed-length 3-step pattern with SKIP TO NEXT ROW
+so every match position is independently checkable — which makes the
+query expressible as window lag/lead SQL for the DuckDB oracle. The
+engine side still runs the full backtracking NFA
+(operators/cep.py), so the oracle genuinely validates the NFA path.
+
+q_cep_rally uses a `+` quantifier (variable-length match) — beyond
+window-function SQL, so it gets the rows-only check (driver records the
+weaker gate; the pytest harness adds a hand-computed fixture test in
+tests/test_cep.py).
+"""
+
+from __future__ import annotations
+
+from my_flink_1_10_2_spark.operators.cep import Pattern, match_recognize
+from my_flink_1_10_2_spark.queries import read, register
+
+
+def _v_pattern() -> Pattern:
+    return (
+        Pattern.begin("a", lambda row, ctx: True)
+        .next("b", lambda row, ctx: row["value"] < ctx["a"][-1]["value"])
+        .next("c", lambda row, ctx: row["value"] > ctx["b"][-1]["value"])
+    )
+
+
+@register(
+    "q_cep_v_shape",
+    oracle="""
+    SELECT user_id, ts AS start_ts, value AS a_val, b_val, c_val
+    FROM (
+      SELECT user_id, ts, value,
+             lead(value, 1) OVER w AS b_val,
+             lead(value, 2) OVER w AS c_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE b_val < value AND c_val > b_val
+    """,
+    category="cep",
+)
+def q_cep_v_shape(spark, sf_dir):
+    """MATCH_RECOGNIZE (A B C) with B.value < A.value, C.value > B.value,
+    AFTER MATCH SKIP TO NEXT ROW (ref: StreamExecMatch.scala:69;
+    navigation FlinkSqlOperatorTable.java:989-995)."""
+    events = read(spark, sf_dir, "events")
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=_v_pattern(),
+        measures={
+            "user_id": lambda m: m["a"][0]["user_id"],
+            "start_ts": lambda m: m["a"][0]["ts"],
+            "a_val": lambda m: float(m["a"][0]["value"]),
+            "b_val": lambda m: float(m["b"][0]["value"]),
+            "c_val": lambda m: float(m["c"][0]["value"]),
+        },
+        output_schema="user_id long, start_ts timestamp_ntz, a_val double, b_val double, c_val double",
+        after_match="skip_to_next_row",
+    )
+
+
+@register("q_cep_rally", oracle=None, category="cep")
+def q_cep_rally(spark, sf_dir):
+    """Variable-length pattern: a strictly-rising run of 3+ values
+    (A, RISE+ with each rise > previous, length ≥ 2) ending the run —
+    per user. Exercises greedy `+` with backtracking and
+    SKIP PAST LAST ROW (the reference's default after-match strategy)."""
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("start", lambda row, ctx: True)
+        .next(
+            "rise",
+            lambda row, ctx: row["value"]
+            > (ctx["rise"][-1]["value"] if ctx["rise"] else ctx["start"][-1]["value"]),
+            "+",
+        )
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["start"][0]["user_id"],
+            "start_ts": lambda m: m["start"][0]["ts"],
+            "run_len": lambda m: 1 + len(m["rise"]),
+            "low": lambda m: float(m["start"][0]["value"]),
+            "high": lambda m: float(m["rise"][-1]["value"]),
+        },
+        output_schema="user_id long, start_ts timestamp_ntz, run_len int, low double, high double",
+        after_match="skip_past_last_row",
+    ).where("run_len >= 3")

@@ -1,0 +1,110 @@
+"""CEP NFA unit + harness tests (ref test model:
+flink-libraries/flink-cep/src/test/java/org/apache/flink/cep/nfa/NFATest.java
+and MatchRecognizeITCase.scala — scripted inputs, exact expected
+matches)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from my_flink_1_10_2_spark.operators.cep import Pattern, match_recognize
+
+
+def _events(spark, values, user=1):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (user, i, base + dt.timedelta(seconds=i), float(v)) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+
+
+V = (
+    Pattern.begin("a", lambda r, c: True)
+    .next("b", lambda r, c: r["value"] < c["a"][-1]["value"])
+    .next("c", lambda r, c: r["value"] > c["b"][-1]["value"])
+)
+
+
+def _run(df, pattern, after="skip_past_last_row", extra_measures=None):
+    measures = {
+        "start_id": lambda m: int(m[pattern.steps[0].name][0]["event_id"]),
+    }
+    measures.update(extra_measures or {})
+    schema = "start_id long" + "".join(f", {k} double" for k in (extra_measures or {}))
+    out = match_recognize(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures=measures,
+        output_schema=schema,
+        after_match=after,
+    )
+    return sorted(r.start_id for r in out.collect())
+
+
+def test_v_shape_skip_to_next_row_finds_overlaps(spark):
+    # values: 5 3 4 2 6 → V at idx0 (5,3,4) and idx2 (4,2,6)
+    df = _events(spark, [5, 3, 4, 2, 6])
+    assert _run(df, V, after="skip_to_next_row") == [0, 2]
+
+
+def test_v_shape_skip_past_last_row_consumes(spark):
+    df = _events(spark, [5, 3, 4, 2, 6])
+    # after matching rows 0-2, scanning resumes at row 3 → no second match
+    assert _run(df, V, after="skip_past_last_row") == [0]
+
+
+def test_plus_quantifier_greedy_with_backtracking(spark):
+    # rising run 1 2 3 4 then drop: start=idx0, rise consumes 1..3 greedily
+    rally = Pattern.begin("s", lambda r, c: True).next(
+        "rise",
+        lambda r, c: r["value"]
+        > (c["rise"][-1]["value"] if c["rise"] else c["s"][-1]["value"]),
+        "+",
+    )
+    df = _events(spark, [1, 2, 3, 4, 2, 3])
+    out = match_recognize(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=rally,
+        measures={
+            "start_id": lambda m: int(m["s"][0]["event_id"]),
+            "run_len": lambda m: 1 + len(m["rise"]),
+        },
+        output_schema="start_id long, run_len int",
+        after_match="skip_past_last_row",
+    )
+    got = sorted((r.start_id, r.run_len) for r in out.collect())
+    assert got == [(0, 4), (4, 2)]
+
+
+def test_optional_quantifier(spark):
+    # a (b?) c : b = value<prev, c = value>5
+    pat = (
+        Pattern.begin("a", lambda r, c: True)
+        .next("b", lambda r, c: r["value"] < c["a"][-1]["value"], "?")
+        .next("c", lambda r, c: r["value"] > 5)
+    )
+    df = _events(spark, [4, 9])  # no b needed: a=idx0, c=idx1
+    assert _run(df, pat) == [0]
+
+
+def test_no_match_empty_result(spark):
+    df = _events(spark, [3, 3, 3])
+    assert _run(df, V) == []
+
+
+def test_multiple_keys_parallel(spark):
+    df = _events(spark, [5, 3, 6]).union(_events(spark, [9, 1, 2], user=2))
+    assert _run(df, V, after="skip_to_next_row") == [0, 0]
+
+
+def test_invalid_quantifier_rejected():
+    with pytest.raises(ValueError):
+        Pattern.begin("a", lambda r, c: True, "{2,3}")

@@ -382,3 +382,37 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", "mime", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+
+
+# ---------------------------------------------------------------------------
+# token counting (pipeline brief: whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> ''))                     AS ws_tokens,
+           len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+    category="llm_text",
+)
+def q_token_count(spark, sf_dir):
+    """Token counting for training-data budgeting: whitespace tokens and
+    a BPE-ish regex segmentation (letters runs / digit runs / single
+    punctuation — the GPT-2 pre-tokenizer shape). Pure JVM regex, no
+    Python per row."""
+    docs = read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+        ).alias("bpe_tokens"),
+    )

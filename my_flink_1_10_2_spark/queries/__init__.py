@@ -75,6 +75,7 @@ def _load_all_modules() -> None:
         tpch,
         cep,
         graph,
+        udf,
         llm,
     )
 

@@ -1,0 +1,135 @@
+"""User-defined aggregation surface (SURVEY §2.11): pandas UDAF,
+table-UDAF (flatAggregate), and coGroup — the three reference features
+whose Spark expression is Arrow-batched ``applyInPandas``.
+
+These are the *sanctioned* Python paths: per-group logic that built-in
+operators can't express. The batch arrives as Arrow (columnar, zero-copy
+per batch), the shuffle is the same hash-by-key the reference pays, and
+Python cost is O(|groups|) invocations, not O(|rows|).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.table import Table
+
+
+@register(
+    "q_udaf_median",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity)      AS med_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           count(*)                AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="udf",
+)
+def q_udaf_median(spark, sf_dir):
+    """Pandas UDAF (ref: AggregateFunction.java accumulate/getValue):
+    exact median / p90 per group — a holistic aggregate Spark's built-ins
+    only approximate (percentile_approx), so the UDAF path is the
+    genuine use-case."""
+    l = Table(read(spark, sf_dir, "lineitem"))
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "med_qty": [pdf["l_quantity"].median()],
+                "p90_price": [pdf["l_extendedprice"].quantile(0.9, interpolation="linear")],
+                "n": [len(pdf)],
+            }
+        )
+
+    return l.group_by("l_returnflag").aggregate_pandas(
+        median_fn, "l_returnflag string, med_qty double, p90_price double, n long"
+    ).df
+
+
+@register(
+    "q_flat_aggregate_top2",
+    oracle="""
+    SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+      FROM lineitem
+    ) WHERE rnk <= 2
+    """,
+    category="udf",
+)
+def q_flat_aggregate_top2(spark, sf_dir):
+    """Table-UDAF (ref: TableAggregateFunction.java Top2 example,
+    Table.flatAggregate:1136): emits N rows per group."""
+    l = Table(read(spark, sf_dir, "lineitem"))
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(2)
+        out = pdf[["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]].copy()
+        out.insert(1, "rnk", range(1, len(pdf) + 1))
+        return out
+
+    return l.group_by("l_returnflag").flat_aggregate(
+        top2,
+        "l_returnflag string, rnk long, l_orderkey long, l_linenumber int, l_extendedprice double",
+    ).df
+
+
+@register(
+    "q_cogroup_nation_balance",
+    oracle="""
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers,
+           c.avg_cust_bal, s.avg_supp_bal
+    FROM (SELECT c_nationkey AS k, count(*) AS n_customers,
+                 avg(c_acctbal) AS avg_cust_bal
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, count(*) AS n_suppliers,
+                 avg(s_acctbal) AS avg_supp_bal
+          FROM supplier GROUP BY s_nationkey) s
+    ON c.k = s.k
+    """,
+    category="udf",
+)
+def q_cogroup_nation_balance(spark, sf_dir):
+    """coGroup (ref: DataSet.coGroup:1009): both sides' complete groups
+    in one function call, outer semantics when a key is absent on one
+    side."""
+    c = Table(
+        read(spark, sf_dir, "customer").select(
+            F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal")
+        )
+    )
+    s = read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal")
+    )
+
+    def combine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["nationkey"].iloc[0] if len(left) else right["nationkey"].iloc[0]
+        return pd.DataFrame(
+            {
+                "nationkey": [key],
+                "n_customers": [len(left)],
+                "n_suppliers": [len(right)],
+                "avg_cust_bal": [left["c_acctbal"].mean() if len(left) else None],
+                "avg_supp_bal": [right["s_acctbal"].mean() if len(right) else None],
+            }
+        )
+
+    return c.group_by("nationkey").co_group(
+        s,
+        combine,
+        "nationkey int, n_customers long, n_suppliers long, avg_cust_bal double, avg_supp_bal double",
+    ).df

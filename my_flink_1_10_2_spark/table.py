@@ -207,3 +207,28 @@ class GroupedTable:
         """Full-group UDF (ref: DataSet.reduceGroup:464 /
         Table.flatAggregate:1136) — Arrow-batched ``applyInPandas``."""
         return Table(self._df.groupBy(*self._keys).applyInPandas(fn, schema))
+
+    def aggregate_pandas(self, fn, schema) -> Table:
+        """User-defined aggregate (ref: AggregateFunction.java —
+        create/accumulate/merge/getValue collapsed into one pandas fn
+        returning exactly one row per group). Arrow-batched; the group's
+        rows arrive as one DataFrame, partitioned by the group key —
+        the same shuffle the reference's UDAF pays."""
+        return self.apply_in_pandas(fn, schema)
+
+    def flat_aggregate(self, fn, schema) -> Table:
+        """Table aggregate (ref: TableAggregateFunction.java,
+        Table.flatAggregate:1136 — e.g. a custom top-2 emitting N rows
+        per group). ``fn`` returns any number of rows."""
+        return self.apply_in_pandas(fn, schema)
+
+    def co_group(self, other: "Table | DataFrame", fn, schema) -> Table:
+        """Two-input full-group UDF (ref: DataSet.coGroup:1009,
+        CoGroupedStreams.java:1): both sides are grouped on this
+        grouping's keys; ``fn(left_pdf, right_pdf)`` sees the complete
+        group from each side (either may be empty — outer semantics,
+        exactly like the reference's CoGroupFunction)."""
+        other_df = other.df if isinstance(other, Table) else other
+        key_names = [self._df.select(k).columns[0] for k in self._keys]
+        grouped = self._df.groupBy(*self._keys).cogroup(other_df.groupBy(*key_names))
+        return Table(grouped.applyInPandas(fn, schema))

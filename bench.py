@@ -32,6 +32,14 @@ HEADLINE = [
     "q_minhash_lsh_pairs",
     "q_embedding_topk",
     "q_text_stats",
+    "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customer",
+    "q_cep_v_shape",
+    "q_embedding_neardup",
+    "q_connected_components",
+    "q_token_count",
+    "q_udaf_median",
 ]
 
 

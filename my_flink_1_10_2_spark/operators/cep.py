@@ -127,7 +127,9 @@ def _run_nfa(
     measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
     after_match: str,
 ) -> pd.DataFrame:
-    rows = [pdf.iloc[i] for i in range(len(pdf))]
+    # plain dicts, not pd.Series: same row["field"] access for predicates
+    # and measures, ~10× less per-row overhead in the NFA loop
+    rows = pdf.to_dict("records")
     out: list[dict] = []
     i = 0
     while i < len(rows):

@@ -207,3 +207,55 @@ def q_asof_join(spark, sf_dir):
         time=("ts", "c_ts"),
         right_value_cols=["last_click_value", "last_click_id"],
     )
+
+
+@register(
+    "q_sql_tumble_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type, count(*) AS cnt, sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="window",
+)
+def q_sql_tumble_window(spark, sf_dir):
+    """Flink-dialect SQL through the rewriter (SURVEY §7.0 engine.sql):
+    GROUP BY TUMBLE + TUMBLE_START run as Spark window() SQL."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "events")
+    te = TableEnvironment(spark)
+    return te.sql(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start, "
+        "       event_type, count(*) AS cnt, sum(value) AS sum_value "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type"
+    ).df
+
+
+@register(
+    "q_sql_hop_window",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1800]) AS off)
+    SELECT make_timestamp(CAST((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+                               AS BIGINT) * 1000000) AS window_start,
+           count(*) AS cnt
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+    category="window",
+)
+def q_sql_hop_window(spark, sf_dir):
+    """Flink-dialect HOP SQL (slide 30 min, size 1 hour) through the
+    rewriter — note Flink's (slide, size) argument order."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "events")
+    te = TableEnvironment(spark)
+    return te.sql(
+        "SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS window_start, "
+        "       count(*) AS cnt "
+        "FROM events GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
+    ).df

@@ -110,11 +110,14 @@ class TableEnvironment:
 
     # -- query entry (ref: TableEnvironmentImpl.sqlQuery :463) --------------
     def sql_query(self, query: str) -> "Table":
+        from my_flink_1_10_2_spark.sql import rewrite_flink_sql
         from my_flink_1_10_2_spark.table import Table
 
-        return Table(self.spark.sql(query))
+        return Table(self.spark.sql(rewrite_flink_sql(query)))
 
     sql = sql_query
 
     def execute_sql(self, statement: str) -> DataFrame:
-        return self.spark.sql(statement)
+        from my_flink_1_10_2_spark.sql import rewrite_flink_sql
+
+        return self.spark.sql(rewrite_flink_sql(statement))

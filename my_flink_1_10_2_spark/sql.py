@@ -1,0 +1,94 @@
+"""Flink-SQL dialect pre-rewriter (SURVEY §7.0 `engine.sql`).
+
+The reference's streaming SQL adds group-window functions that ANSI/Spark
+SQL lacks: ``TUMBLE/HOP/SESSION(rowtime, INTERVAL ...)`` in GROUP BY with
+``*_START/*_END/*_ROWTIME/*_PROCTIME`` auxiliaries in the select list
+(ref: FlinkSqlOperatorTable.java:777-824, parsed by flink-sql-parser and
+planned in StreamExecGroupWindowAggregate.scala:33). Spark expresses the
+same thing with the ``window()`` / ``session_window()`` table functions,
+which produce a struct column with ``start``/``end`` fields.
+
+This module rewrites the Flink spellings into the Spark ones *textually*
+before handing the query to Catalyst — no custom parser, no semantic
+divergence: after rewriting, everything (resolution, optimization,
+pushdown) is ordinary Spark SQL.
+
+Mappings:
+  TUMBLE(ts, INTERVAL '1' HOUR)            → window(ts, '1 hours')
+  HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+                                           → window(ts, '1 hours', '30 minutes')
+                                             (note the size/slide arg swap)
+  SESSION(ts, INTERVAL '30' MINUTE)        → session_window(ts, '30 minutes')
+  TUMBLE_START/_END(...)                   → window.start / window.end
+  HOP_START/_END(...)                      → window.start / window.end
+  SESSION_START/_END(...)                  → session_window.start / .end
+  TUMBLE_ROWTIME/HOP_ROWTIME(...)          → window.end  (Flink's rowtime is
+                                             end − 1 ms; the end bound is the
+                                             faithful watermark-safe analog)
+  PROCTIME()                               → current_timestamp()
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNITS = {"SECOND": "seconds", "MINUTE": "minutes", "HOUR": "hours", "DAY": "days"}
+_IVL = r"INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?"
+
+
+def _dur(n: str, unit: str) -> str:
+    return f"{n} {_UNITS[unit.upper()]}"
+
+
+def _ivl_to_dur(sql_fragment: str) -> str:
+    m = re.fullmatch(_IVL, sql_fragment.strip(), flags=re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported interval syntax: {sql_fragment!r}")
+    return _dur(m.group(1), m.group(2))
+
+
+def rewrite_flink_sql(query: str) -> str:
+    """Rewrite Flink group-window SQL into Spark SQL. Queries without
+    Flink-only constructs pass through byte-identical."""
+    q = query
+
+    # auxiliaries first (their argument lists contain the same intervals
+    # the bare window functions use, so longest-match order matters)
+    q = re.sub(
+        rf"\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME)\s*\(\s*[\w.]+\s*(?:,\s*{_IVL}\s*)+\)",
+        lambda m: (
+            ("session_window" if m.group(1).upper() == "SESSION" else "window")
+            + "." + ("end" if m.group(2).upper() in ("END", "ROWTIME") else "start")
+        ),
+        q,
+        flags=re.IGNORECASE,
+    )
+
+    # TUMBLE(ts, interval) → window(ts, 'dur')
+    q = re.sub(
+        rf"\bTUMBLE\s*\(\s*([\w.]+)\s*,\s*{_IVL}\s*\)",
+        lambda m: f"window({m.group(1)}, '{_dur(m.group(2), m.group(3))}')",
+        q,
+        flags=re.IGNORECASE,
+    )
+    # HOP(ts, slide, size) → window(ts, 'size', 'slide')
+    q = re.sub(
+        rf"\bHOP\s*\(\s*([\w.]+)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)",
+        lambda m: (
+            f"window({m.group(1)}, '{_dur(m.group(4), m.group(5))}', "
+            f"'{_dur(m.group(2), m.group(3))}')"
+        ),
+        q,
+        flags=re.IGNORECASE,
+    )
+    # SESSION(ts, gap) → session_window(ts, 'gap')
+    q = re.sub(
+        rf"\bSESSION\s*\(\s*([\w.]+)\s*,\s*{_IVL}\s*\)",
+        lambda m: f"session_window({m.group(1)}, '{_dur(m.group(2), m.group(3))}')",
+        q,
+        flags=re.IGNORECASE,
+    )
+
+    # PROCTIME() → current_timestamp()
+    q = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", q, flags=re.IGNORECASE)
+    return q

@@ -1,0 +1,76 @@
+"""Flink-SQL dialect rewriter tests: textual mappings + end-to-end
+execution through TableEnvironment.sql (ref SQL surface:
+FlinkSqlOperatorTable.java:777-824; IT model WindowAggregateITCase)."""
+
+from __future__ import annotations
+
+from my_flink_1_10_2_spark.sql import rewrite_flink_sql
+from tests.conftest import SF_DIR
+
+
+def test_passthrough_untouched():
+    q = "SELECT a, count(*) FROM t WHERE b > 3 GROUP BY a"
+    assert rewrite_flink_sql(q) == q
+
+
+def test_tumble_rewrite():
+    q = rewrite_flink_sql(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, count(*) c "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hours')" in q
+    assert "window.start AS ws" in q
+    assert "TUMBLE" not in q.upper().replace("WINDOW", "")
+
+
+def test_hop_swaps_slide_and_size():
+    q = rewrite_flink_sql(
+        "SELECT count(*) FROM events "
+        "GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hours', '30 minutes')" in q
+
+
+def test_session_rewrite():
+    q = rewrite_flink_sql(
+        "SELECT SESSION_END(ts, INTERVAL '30' MINUTE) AS se, count(*) "
+        "FROM events GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)"
+    )
+    assert "session_window(ts, '30 minutes')" in q
+    assert "session_window.end AS se" in q
+
+
+def test_rowtime_maps_to_window_end():
+    q = rewrite_flink_sql("SELECT TUMBLE_ROWTIME(ts, INTERVAL '5' MINUTE) FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)")
+    assert "window.end" in q
+
+
+def test_proctime():
+    assert rewrite_flink_sql("SELECT PROCTIME() FROM t") == "SELECT current_timestamp() FROM t"
+
+
+def test_tumble_sql_executes_and_matches_dataframe_path(spark):
+    """The rewritten SQL must produce exactly the DataFrame tumble()
+    results."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.windows import tumble
+    from my_flink_1_10_2_spark.queries import read
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    te = TableEnvironment(spark)
+    events = read(spark, SF_DIR, "events")
+    events.createOrReplaceTempView("events")
+
+    got = te.sql(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start, "
+        "       count(*) AS cnt, sum(value) AS sum_value "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    ).df
+
+    want = (
+        tumble(events, "ts", "1 hour")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -174,17 +174,20 @@ def match_recognize_stream(
     pattern: Pattern,
     measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
     output_schema: str,
-    state_schema: str,
     max_pattern_rows: int,
     after_match: str = "skip_past_last_row",
 ):
     """Streaming CEP on `applyInPandasWithState`: a bounded tail buffer
     (max_pattern_rows − 1 rows) per key carries partial matches across
     micro-batches (the role of the reference's per-key NFA SharedBuffer,
-    nfa/sharedbuffer/SharedBuffer.java). Rows must arrive in event-time
-    order per key (use a watermark + sort in foreachBatch upstream for
-    out-of-order streams — documented gap vs the reference's full
-    event-time CEP)."""
+    nfa/sharedbuffer/SharedBuffer.java). The buffer is pickled into a
+    single binary state column, so arbitrary row dtypes (timestamps,
+    arrays) survive the state store round-trip. Rows must arrive in
+    event-time order per key (use a watermark + sort in foreachBatch
+    upstream for out-of-order streams — documented gap vs the
+    reference's full event-time CEP)."""
+    import pickle
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     steps = pattern.steps
@@ -193,7 +196,9 @@ def match_recognize_stream(
         import pandas as _pd
 
         buffered = (
-            _pd.DataFrame(state.get[0]) if state.exists and state.get[0] else None
+            pickle.loads(bytes(state.get[0]))
+            if state.exists and state.get[0] is not None
+            else None
         )
         new = _pd.concat(list(pdf_iter), ignore_index=True)
         full = (
@@ -202,14 +207,14 @@ def match_recognize_stream(
         full = full.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         matches = _run_nfa(full, steps, measures, after_match)
         tail = full.tail(max(0, max_pattern_rows - 1))
-        state.update((tail.to_dict("records"),))
+        state.update((pickle.dumps(tail),))
         if len(matches):
             yield matches
 
     return df.groupBy(*partition_by).applyInPandasWithState(
         fn,
         outputStructType=output_schema,
-        stateStructType=state_schema,
+        stateStructType="buffer binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

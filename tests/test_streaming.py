@@ -307,3 +307,66 @@ def test_streaming_changelog_flag(spark, replay_dir):
     }
     for et, cnt in expected.items():
         assert final[et] == cnt, (et, final[et], cnt)
+
+
+def test_streaming_cep_matches_batch_nfa(spark, replay_dir):
+    """Streaming MATCH_RECOGNIZE (tail-buffered NFA across micro-batches)
+    must find exactly the matches the batch NFA finds on the same data
+    (SKIP TO NEXT ROW, fixed-length pattern ⇒ tail of len-1 rows cannot
+    double-emit)."""
+    from my_flink_1_10_2_spark.operators.cep import (
+        Pattern,
+        match_recognize,
+        match_recognize_stream,
+    )
+
+    pattern = (
+        Pattern.begin("a", lambda r, c: True)
+        .next("b", lambda r, c: r["value"] < c["a"][-1]["value"])
+        .next("c", lambda r, c: r["value"] > c["b"][-1]["value"])
+    )
+    measures = {
+        "user_id": lambda m: int(m["a"][0]["user_id"]),
+        "start_id": lambda m: int(m["a"][0]["event_id"]),
+        "a_val": lambda m: float(m["a"][0]["value"]),
+    }
+    out_schema = "user_id long, start_id long, a_val double"
+
+    env = _env(spark)
+    stream = env.from_files(replay_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    cols = ["user_id", "event_id", "ts", "value"]
+    result = match_recognize_stream(
+        stream.df.where(F.col("event_type") != "__sentinel__").select(*cols),
+        partition_by=["user_id"],
+        ts_col="ts",
+        pattern=pattern,
+        measures=measures,
+        output_schema=out_schema,
+        max_pattern_rows=3,
+        after_match="skip_to_next_row",
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("cep_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.start_id) for r in spark.table("cep_stream").collect()
+    )
+
+    batch = match_recognize(
+        _batch_events(spark).select(*cols),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures=measures,
+        output_schema=out_schema,
+        after_match="skip_to_next_row",
+    )
+    want = sorted((r.user_id, r.start_id) for r in batch.collect())
+    assert got == want

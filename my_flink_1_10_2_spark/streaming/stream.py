@@ -106,6 +106,11 @@ class Stream:
     def key_by(self, *keys) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
+    def connect(self, other: "Stream") -> "ConnectedStreams":
+        """Pair this stream with another for shared-state co-processing
+        (ref: DataStream.connect:257)."""
+        return ConnectedStreams(self, other)
+
     def drop_duplicates(self, keys: list[str], within_watermark: bool = False) -> "Stream":
         """Streaming keep-first dedup (ref:
         DeduplicateKeepFirstRowFunction.java:34).  With a watermark set,
@@ -177,6 +182,40 @@ class Stream:
         (ref: BaseRow.java:40-47): downstream consumers treat every row as
         an upsert keyed on the grouping columns (__change='+U')."""
         return Stream(self.df.withColumn("__change", F.lit("+U")))
+
+
+class ConnectedStreams:
+    """Two streams sharing keyed state (ref: ConnectedStreams.java:1,
+    DataStream.connect:257).
+
+    Spark expression: both inputs are tagged with ``__side`` (0 = first,
+    1 = second), schemas are unified by name (missing columns null), and
+    the union feeds one keyed stateful operator — so a CoProcessFunction
+    sees interleaved elements of both inputs with shared per-key state,
+    exactly the reference's semantics. At scale this is one shuffle of
+    the unioned stream; no extra state copies."""
+
+    SIDE = "__side"
+
+    def __init__(self, first: "Stream", second: "Stream"):
+        a = first.df.withColumn(self.SIDE, F.lit(0))
+        b = second.df.withColumn(self.SIDE, F.lit(1))
+        self.df = a.unionByName(b, allowMissingColumns=True)
+
+    def key_by(self, *keys) -> "KeyedStream":
+        """Keyed co-stream: downstream ``process`` receives batches whose
+        rows carry ``__side`` to dispatch processElement1/processElement2
+        (ref: CoProcessFunction.java)."""
+        return KeyedStream(self.df, [str(k) for k in keys])
+
+    def map(self, fn_first, fn_second) -> "Stream":
+        """CoMap (ref: ConnectedStreams.map): per-side Column expressions
+        merged into one output."""
+        side = F.col(self.SIDE)
+        out = self.df.withColumn(
+            "co_mapped", F.when(side == 0, _col(fn_first)).otherwise(_col(fn_second))
+        )
+        return Stream(out)
 
 
 class KeyedStream:

@@ -370,3 +370,61 @@ def test_streaming_cep_matches_batch_nfa(spark, replay_dir):
     )
     want = sorted((r.user_id, r.start_id) for r in batch.collect())
     assert got == want
+
+
+def test_connected_streams_co_process(spark, replay_dir):
+    """ConnectedStreams: two tagged inputs through one keyed stateful
+    co-process with shared state (ref: ConnectedStreams.java:1,
+    CoProcessFunction). Final per-user counts of each side must equal the
+    batch truth."""
+    import pandas as pd
+
+    env = _env(spark)
+    base = env.from_files(replay_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    clicks = base.filter(F.col("event_type") == "click")
+    purchases = base.filter(F.col("event_type") == "purchase")
+
+    def co_count(key, pdf_iter, state):
+        c1, c2 = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            c1 += int((pdf["__side"] == 0).sum())
+            c2 += int((pdf["__side"] == 1).sum())
+        state.update((c1, c2))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_clicks": [c1], "n_purchases": [c2]}
+        )
+
+    result = (
+        clicks.connect(purchases)
+        .key_by("user_id")
+        .process(
+            co_count,
+            state_schema="c1 long, c2 long",
+            output_schema="user_id long, n_clicks long, n_purchases long",
+        )
+    )
+    q = (
+        result.df.writeStream.format("memory")
+        .queryName("co_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emission per user = final running counts
+    final = (
+        spark.table("co_counts")
+        .groupBy("user_id")
+        .agg(F.max("n_clicks").alias("n_clicks"), F.max("n_purchases").alias("n_purchases"))
+    )
+    got = {r.user_id: (r.n_clicks, r.n_purchases) for r in final.collect()}
+
+    batch = _batch_events(spark)
+    want_c = {r.user_id: r.c for r in batch.where("event_type = 'click'").groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    want_p = {r.user_id: r.c for r in batch.where("event_type = 'purchase'").groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    for uid, (nc, np_) in got.items():
+        assert nc == want_c.get(uid, 0), uid
+        assert np_ == want_p.get(uid, 0), uid
+    assert set(got) == set(want_c) | set(want_p)

@@ -59,11 +59,12 @@ def num_shuffles(df: DataFrame) -> int:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", explain_str(df)))
+    plan = explain_str(df, mode="simple")
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", explain_str(df)))
+    return len(re.findall(r"SortMergeJoin", explain_str(df, mode="simple")))
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

@@ -7,6 +7,7 @@ sinks and the exactly-once file-sink analog in :mod:`streaming`.
 from my_flink_1_10_2_spark.sources.batch import (  # noqa: F401
     from_elements,
     read_avro,
+    write_bucketed,
     read_csv,
     read_json,
     read_orc,

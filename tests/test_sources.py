@@ -98,3 +98,41 @@ def test_rate_source_and_memory_sink(spark):
     finally:
         q.stop()
     assert spark.table("rate_smoke").columns == ["timestamp", "value"]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO Exchange nodes — the co-located join the 100 TB layout is
+    built around."""
+    from my_flink_1_10_2_spark.plans import num_shuffles, sort_merge_join_count
+
+    orders = sources.read_parquet(spark, f"{SF_DIR}/orders.parquet")
+    lineitem = sources.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    sources.write_bucketed(
+        orders, "orders_b", str(tmp_path / "orders_b"), ["o_orderkey"], 8
+    )
+    sources.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", str(tmp_path / "lineitem_b"), ["o_orderkey"], 8,
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("orders_b")
+            .join(spark.table("lineitem_b"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert num_shuffles(joined) <= 1  # only the final groupBy exchange
+        assert sort_merge_join_count(joined) == 1
+        # correctness unchanged
+        want = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("q"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

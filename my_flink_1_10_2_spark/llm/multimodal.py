@@ -111,3 +111,28 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4)
         "mime",
         F.posexplode(frames).alias("frame_idx", "frame_bytes"),
     ).filter(F.length("frame_bytes") > 0)
+
+
+def resize(media: DataFrame, target_bytes: int = 256, fake: bool = True) -> DataFrame:
+    """'Resize' the media payload (the brief's image-resize slot).
+
+    With a real codec this would decode → scale → re-encode inside the
+    same Arrow batch loop as :func:`extract_features`; here the
+    deterministic stand-in truncates/pads the payload to `target_bytes`
+    JVM-side, preserving the contract that matters for the pipeline:
+    output schema equals input schema with `payload`/`n_bytes` rewritten,
+    partitioning untouched, no Python in the plan.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "use fake=True for the deterministic stub"
+        )
+    resized = F.substring(F.col("payload"), 1, target_bytes)
+    padded = F.concat(
+        resized,
+        F.repeat(F.lit(b"\x00"), F.lit(target_bytes) - F.length(resized)),
+    )
+    return media.withColumn("payload", padded).withColumn(
+        "n_bytes", F.length(F.col("payload")).cast("bigint")
+    )

@@ -78,23 +78,24 @@ def cosine_topk_bruteforce(
     )
 
 
-def _planes(dim: int, num_planes: int) -> list[list[float]]:
+def _planes(dim: int, num_planes: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible
-    across runs/engines without any RNG dependency."""
+    across runs/engines without any RNG dependency. `table` seeds an
+    independent plane set per LSH hash table (OR-amplification)."""
     planes = []
     for p in range(num_planes):
         vals = []
         for d in range(dim):
-            h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()
+            h = hashlib.md5(f"plane|{table}|{p}|{d}".encode()).hexdigest()
             # map 8 hex chars to [-1, 1)
             vals.append(int(h[:8], 16) / float(2**31) - 1.0)
         planes.append(vals)
     return planes
 
 
-def lsh_bucket(vec_col, dim: int, num_planes: int = 8):
+def lsh_bucket(vec_col, dim: int, num_planes: int = 8, table: int = 0):
     """Random-hyperplane LSH bucket id (0..2^num_planes-1) for a vector."""
-    planes = _planes(dim, num_planes)
+    planes = _planes(dim, num_planes, table)
     bucket = None
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in plane])
@@ -109,23 +110,40 @@ def cosine_topk_lsh(
     dim: int,
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, then exact cosine.
+    """Approximate top-k: candidates = same bucket in ANY of `num_tables`
+    independent hash tables (OR-amplification), then exact cosine.
 
-    The bucket equi-join is the scale path: shuffle keyed on bucket id,
-    candidate count ≈ n/2^planes per bucket instead of n.
+    Recall ≈ 1 − (1 − p)^L for per-table collision probability p — one
+    table alone misses most true neighbors once vectors are
+    near-orthogonal. The (table, bucket) equi-join is the scale path:
+    shuffle keyed on the composite bucket id, candidate volume
+    ≈ L·n/2^planes per query instead of n; raising `num_planes` shrinks
+    buckets, raising `num_tables` buys recall.
     """
-    cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    tables = list(range(num_tables))
+    c_buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), dim, num_planes, t) for t in tables]
+    )
+    q_buckets = F.array(
+        *[lsh_bucket(F.col("q_vec"), dim, num_planes, t) for t in tables]
+    )
+    cb = corpus.select(
+        id_col, vec_col, F.posexplode(c_buckets).alias("tbl", "bucket")
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, num_planes))
+    ).select(query_id_col, "q_vec", F.posexplode(q_buckets).alias("tbl", "bucket"))
     scored = (
-        cb.join(q, "bucket")
+        cb.join(q, ["tbl", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"))
+        .select(query_id_col, id_col, F.col(vec_col).alias("c_vec"), F.col("q_vec"))
+        .dropDuplicates([query_id_col, id_col])  # same pair from several tables
+        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
     )
     return top_n(
         scored,

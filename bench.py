@@ -52,8 +52,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_queries()
 
-    # Warm the JVM + parquet footers with one tiny action.
+    # Warm the JVM + parquet footers with one tiny action, and spawn the
+    # Python UDF workers (reused across queries) so applyInPandas-path
+    # timings measure the operator, not the one-time worker fork.
     reg["q_full_sort"].spark_fn(spark, sf_dir).count()
+    spark.range(1000).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -259,3 +259,54 @@ def q_sql_hop_window(spark, sf_dir):
         "       count(*) AS cnt "
         "FROM events GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
     ).df
+
+
+@register(
+    "q_session_window_dynamic_gap",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                  ELSE INTERVAL 15 MINUTE END AS gap
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value, gap,
+             CASE WHEN lag(ts + gap) OVER w IS NULL
+                    OR ts > max(ts + gap) OVER (PARTITION BY user_id
+                         ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM gapped
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, sum(value) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    category="window",
+)
+def q_session_window_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap session windows (ref:
+    DynamicEventTimeSessionWindows.java — per-element gap extractor):
+    purchases keep sessions alive 60 min, other events 15 min. Spark's
+    session_window accepts a Column gap; the oracle replays the
+    gaps-and-islands logic with a running max of ts+gap."""
+    events = read(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    agg = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )

@@ -133,3 +133,32 @@ def q_cogroup_nation_balance(spark, sf_dir):
         combine,
         "nationkey int, n_customers long, n_suppliers long, avg_cust_bal double, avg_supp_bal double",
     ).df
+
+
+@register(
+    "q_async_enrich",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           length(n_name)    AS name_len,
+           n_nationkey * 2   AS double_key
+    FROM nation
+    """,
+    category="udf",
+)
+def q_async_enrich(spark, sf_dir):
+    """Async I/O enrichment (ref: AsyncDataStream.java:103 orderedWait):
+    the lookup here is a deterministic local coroutine so the oracle can
+    replay it in SQL; in production it's an HTTP/KV call batched by the
+    same operator."""
+    import asyncio
+
+    from my_flink_1_10_2_spark.operators.async_io import async_enrich
+
+    async def lookup(row):
+        await asyncio.sleep(0)  # yield point — stands in for network I/O
+        return {"name_len": len(row["n_name"]), "double_key": row["n_nationkey"] * 2}
+
+    nation = read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return async_enrich(
+        nation, lookup, "n_nationkey int, n_name string, name_len int, double_key int"
+    )

@@ -490,3 +490,129 @@ def q22_idle_customers(spark, sf_dir):
     return idle.groupBy("c_nationkey").agg(
         F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+                FROM lineitem)
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM part
+    JOIN ps ON p_partkey = partkey
+    JOIN supplier ON suppkey = s_suppkey
+    WHERE p_size <= 3
+      AND s_acctbal = (SELECT min(s2.s_acctbal)
+                       FROM ps ps2 JOIN supplier s2 ON ps2.suppkey = s2.s_suppkey
+                       WHERE ps2.partkey = p_partkey)
+    """,
+    category="tpch",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp ≈ distinct lineitem pairs): correlated
+    min subquery → window-min + filter, no self-join of the fact."""
+    l = read(spark, sf_dir, "lineitem")
+    ps = l.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = read(spark, sf_dir, "part").where(F.col("p_size") <= 3)
+    s = read(spark, sf_dir, "supplier")
+    from pyspark.sql import Window as W
+
+    joined = (
+        ps.join(F.broadcast(p), ps.partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .withColumn("min_bal", F.min("s_acctbal").over(W.partitionBy("partkey")))
+    )
+    return joined.where(F.col("s_acctbal") == F.col("min_bal")).select(
+        "p_partkey", "p_name", "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "q11_value_concentration",
+    oracle="""
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.001 FROM lineitem)
+    """,
+    category="tpch",
+)
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a global-aggregate scalar
+    subquery (broadcast single-row join, not a driver collect)."""
+    l = read(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(F.sum(_revenue()).alias("value"))
+    total = l.agg((F.sum(_revenue()) * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total), per_part.value > total.threshold)
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT sum(l1.l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    category="tpch",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: correlated scalar AVG subquery → per-key aggregate
+    joined back (the reference plans the identical decorrelation,
+    FlinkDecorrelateProgram.scala)."""
+    l = read(spark, sf_dir, "lineitem")
+    p = read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_limit")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(thresholds, l.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 50
+    )
+    """,
+    category="tpch",
+)
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: IN over a HAVING-filtered aggregate → semi join
+    on the aggregated key set."""
+    l = read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast(_TS))
+    )
+    p = read(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    s = read(spark, sf_dir, "supplier")
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")

@@ -94,3 +94,42 @@ def q_cep_rally(spark, sf_dir):
         output_schema="user_id long, start_ts timestamp_ntz, run_len int, low double, high double",
         after_match="skip_past_last_row",
     ).where("run_len >= 3")
+
+
+@register(
+    "q_sql_match_recognize",
+    oracle="""
+    SELECT user_id, value AS a_val, b_val, c_val
+    FROM (
+      SELECT user_id, ts, value,
+             lead(value, 1) OVER w AS b_val,
+             lead(value, 2) OVER w AS c_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE b_val < value AND c_val > b_val
+    """,
+    category="cep",
+)
+def q_sql_match_recognize(spark, sf_dir):
+    """The reference's MATCH_RECOGNIZE SQL surface verbatim
+    (ref: MatchRecognizeITCase.scala), compiled by operators/cep_sql.py
+    onto the NFA."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "events")
+    te = TableEnvironment(spark)
+    return te.sql(
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.value AS a_val, B.value AS b_val, C.value AS c_val
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B C)
+          DEFINE B AS B.value < PREV(B.value),
+                 C AS C.value > LAST(B.value)
+        )
+        """
+    ).df

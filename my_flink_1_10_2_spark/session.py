@@ -110,9 +110,15 @@ class TableEnvironment:
 
     # -- query entry (ref: TableEnvironmentImpl.sqlQuery :463) --------------
     def sql_query(self, query: str) -> "Table":
+        from my_flink_1_10_2_spark.operators.cep_sql import (
+            compile_match_recognize,
+            contains_match_recognize,
+        )
         from my_flink_1_10_2_spark.sql import rewrite_flink_sql
         from my_flink_1_10_2_spark.table import Table
 
+        if contains_match_recognize(query):
+            return Table(compile_match_recognize(self.spark, query))
         return Table(self.spark.sql(rewrite_flink_sql(query)))
 
     sql = sql_query

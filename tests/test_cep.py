@@ -108,3 +108,33 @@ def test_multiple_keys_parallel(spark):
 def test_invalid_quantifier_rejected():
     with pytest.raises(ValueError):
         Pattern.begin("a", lambda r, c: True, "{2,3}")
+
+
+def test_sql_match_recognize_plus_quantifier(spark):
+    """SQL surface with a + quantifier and literal comparison."""
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    df = _events(spark, [1, 2, 3, 4, 2, 3, 9])
+    df.createOrReplaceTempView("seq_events")
+    te = TableEnvironment(spark)
+    out = te.sql(
+        """
+        SELECT * FROM seq_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(R.value) AS first_rise, LAST(R.value) AS top
+          PATTERN (S R+)
+          DEFINE R AS R.value > PREV(R.value)
+        )
+        """
+    ).df
+    rows = sorted((r.first_rise, r.top) for r in out.collect())
+    # runs: 1→(2,3,4) and 2→(3,9)
+    assert rows == [(2.0, 4.0), (3.0, 9.0)]
+
+
+def test_sql_match_recognize_rejects_unsupported(spark):
+    from my_flink_1_10_2_spark.operators.cep_sql import compile_match_recognize
+
+    with pytest.raises(ValueError):
+        compile_match_recognize(spark, "SELECT 1")

@@ -177,6 +177,50 @@ class Stream:
         q.awaitTermination()
         return q
 
+    def for_each_batch_with_late_split(
+        self,
+        ts_col: str,
+        allowed_lateness_seconds: float,
+        on_time_fn: Callable[[DataFrame, int], None],
+        late_fn: Callable[[DataFrame, int], None],
+        checkpoint: str | None = None,
+    ):
+        """allowedLateness + sideOutputLateData (ref:
+        WindowedStream.java:158,177): rows older than the observed
+        event-time high-water mark minus the allowance are routed to
+        ``late_fn`` (the dead-letter side output) instead of silently
+        dropping; everything else flows to ``on_time_fn``.
+
+        The high-water mark is the running max event time across batches
+        — the same quantity Spark's watermark tracks — held in the
+        foreachBatch closure (driver-side, one timestamp: O(1) state).
+        """
+        import datetime as _dt
+
+        hwm: dict[str, object] = {"max_ts": None}
+        delta = _dt.timedelta(seconds=allowed_lateness_seconds)
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            prev = hwm["max_ts"]
+            batch_df = batch_df.persist()
+            try:
+                if prev is not None:
+                    threshold = prev - delta
+                    late = batch_df.filter(F.col(ts_col) < F.lit(threshold))
+                    on_time = batch_df.filter(F.col(ts_col) >= F.lit(threshold))
+                else:
+                    late = batch_df.limit(0)
+                    on_time = batch_df
+                late_fn(late, batch_id)
+                on_time_fn(on_time, batch_id)
+                mx = batch_df.agg(F.max(ts_col).alias("m")).first()["m"]
+                if mx is not None and (prev is None or mx > prev):
+                    hwm["max_ts"] = mx
+            finally:
+                batch_df.unpersist()
+
+        return self.for_each_batch(handle, checkpoint)
+
     def with_change_flag(self) -> "Stream":
         """Attach the retraction-convention column for update-mode sinks
         (ref: BaseRow.java:40-47): downstream consumers treat every row as
@@ -238,6 +282,62 @@ class KeyedStream:
 
     def session(self, ts_col: str, gap: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
+
+    def running_agg(
+        self, value_col: str, ts_col: str, how: str = "sum"
+    ) -> Stream:
+        """Streaming OVER aggregate — per-row running sum/count/min/max
+        over ROWS UNBOUNDED PRECEDING in event-time order (ref:
+        StreamExecOverAggregate.scala:56,
+        AbstractRowTimeUnboundedPrecedingOver.java:265).
+
+        State = the accumulator (O(1) per key); each micro-batch sorts
+        its rows by `ts_col`, folds them into the accumulator and emits
+        every input row extended with `running_<how>`. Rows must arrive
+        in event-time order across batches (watermark + ordered replay —
+        same caveat as the reference's rowtime over-window, which also
+        buffers per timestamp)."""
+        import pandas as _pd
+
+        if how not in ("sum", "count", "min", "max"):
+            raise ValueError(f"unsupported running aggregate: {how}")
+        keys = self.keys
+        out_col = f"running_{how}"
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in self.df.schema.fields
+        ) + f", {out_col} double"
+
+        def fn(key, pdf_iter, state):
+            acc = state.get[0] if state.exists else None
+            new = _pd.concat(list(pdf_iter), ignore_index=True)
+            new = new.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            vals = new[value_col].astype("float64")
+            if how == "sum":
+                run = vals.cumsum() + (acc or 0.0)
+                acc = float(run.iloc[-1]) if len(run) else acc
+            elif how == "count":
+                run = _pd.Series(range(1, len(vals) + 1), dtype="float64") + (acc or 0.0)
+                acc = float(run.iloc[-1]) if len(run) else acc
+            elif how == "min":
+                run = vals.cummin()
+                if acc is not None:
+                    run = run.clip(upper=acc)
+                acc = float(run.iloc[-1]) if len(run) else acc
+            else:
+                run = vals.cummax()
+                if acc is not None:
+                    run = run.clip(lower=acc)
+                acc = float(run.iloc[-1]) if len(run) else acc
+            state.update((acc,))
+            out = new.copy()
+            out[out_col] = run
+            yield out
+
+        return Stream(
+            self.df.groupBy(*keys).applyInPandasWithState(
+                fn, out_schema, "acc double", "append", "NoTimeout"
+            )
+        )
 
     def top_n(self, n: int, order_col: str, desc: bool = True) -> Stream:
         """Incremental streaming Top-N per key (ref: StreamExecRank.scala:53

@@ -479,3 +479,91 @@ def test_streaming_top_n_converges_to_batch(spark, replay_dir):
     # every true top-3 value must have been emitted in some snapshot
     for uid, vals in want_sets.items():
         assert vals <= got_sets.get(uid, set()), uid
+
+
+def test_streaming_running_sum_matches_batch_over(spark, replay_dir):
+    """Streaming OVER (ROWS UNBOUNDED PRECEDING running sum, ref:
+    AbstractRowTimeUnboundedPrecedingOver.java): per-row running values
+    must equal the batch window function on the same ordered input."""
+    from pyspark.sql import Window as W
+
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    result = stream.key_by("user_id").running_agg("value", "ts", how="sum")
+    q = (
+        result.df.writeStream.format("memory")
+        .queryName("running_sum")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.running_sum for r in spark.table("running_sum").collect()}
+
+    want_df = (
+        _batch_events(spark)
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn(
+            "running_sum",
+            F.sum("value").over(
+                W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    want = {r.event_id: r.running_sum for r in want_df.collect()}
+    assert len(got) == len(want)
+    import math
+    mism = [k for k in want if not math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-6)]
+    assert not mism, f"{len(mism)} mismatching running sums, e.g. {mism[:3]}"
+
+
+@pytest.fixture(scope="module")
+def shuffled_replay_dir(tmp_path_factory):
+    """Out-of-order replay: rows dealt round-robin by event_id into 4
+    files, so later batches carry earlier timestamps (late data)."""
+    d = tmp_path_factory.mktemp("events_shuffled")
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts",
+        pc.floor_temporal(t.column("ts").combine_chunks(), unit="microsecond").cast(pa.timestamp("us")),
+    )
+    for i in range(4):
+        mask = pc.equal(pc.bit_wise_and(t.column("event_id").combine_chunks(), 3), i)
+        pq.write_table(t.filter(mask), str(d / f"part-{i:03d}.parquet"))
+    return str(d)
+
+
+def test_late_data_side_output(spark, shuffled_replay_dir):
+    """allowedLateness analog: on_time ∪ late = everything; every late
+    row is genuinely behind the high-water mark by > the allowance."""
+    env = _env(spark)
+    stream = env.from_files(shuffled_replay_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+
+    on_time_ids, late_rows = [], []
+    seen_hwm = []
+
+    def on_time(df, bid):
+        on_time_ids.extend(r.event_id for r in df.select("event_id").collect())
+
+    def late(df, bid):
+        late_rows.extend((r.event_id, r.ts) for r in df.select("event_id", "ts").collect())
+
+    stream.for_each_batch_with_late_split(
+        "ts", allowed_lateness_seconds=3600, on_time_fn=on_time, late_fn=late
+    )
+
+    total = spark.read.schema(EVENTS_SCHEMA).parquet(shuffled_replay_dir).count()
+    assert len(on_time_ids) + len(late_rows) == total
+    assert late_rows, "shuffled replay should produce late rows"
+    # batch 0 (event_id % 4 == 0) spans the whole month, so it can never
+    # be late; late rows must all come from later batches
+    assert all(eid % 4 != 0 for eid, _ts in late_rows)
+    assert len(on_time_ids) >= total / 4

@@ -111,6 +111,13 @@ class Stream:
         (ref: DataStream.connect:257)."""
         return ConnectedStreams(self, other)
 
+    def connect_broadcast(
+        self, control_df: DataFrame, fold: Callable[[dict, DataFrame], dict]
+    ) -> "BroadcastConnectedStream":
+        """Connect with a broadcast control side (ref:
+        DataStream.broadcast(stateDesc):430)."""
+        return BroadcastConnectedStream(self, control_df, fold)
+
     def drop_duplicates(self, keys: list[str], within_watermark: bool = False) -> "Stream":
         """Streaming keep-first dedup (ref:
         DeduplicateKeepFirstRowFunction.java:34).  With a watermark set,
@@ -226,6 +233,40 @@ class Stream:
         (ref: BaseRow.java:40-47): downstream consumers treat every row as
         an upsert keyed on the grouping columns (__change='+U')."""
         return Stream(self.df.withColumn("__change", F.lit("+U")))
+
+
+class BroadcastConnectedStream:
+    """Control-stream broadcast (ref: DataStream.broadcast(stateDesc)
+    :430, BroadcastConnectedStream.java:1): a low-throughput control
+    stream whose latest state must be visible to every task processing
+    the data stream.
+
+    Spark expression: the data stream runs in foreachBatch; each
+    micro-batch first folds any new control rows into the (tiny,
+    driver-held) broadcast state, then processes the data batch with a
+    fresh broadcast of that state — the micro-batch analog of the
+    reference's broadcast-state element ordering. State size must stay
+    broadcast-small, the same contract the reference imposes.
+    """
+
+    def __init__(self, data: "Stream", control_df: DataFrame, fold: Callable[[dict, DataFrame], dict]):
+        self.data = data
+        self.control_df = control_df  # batch DataFrame re-read per micro-batch
+        self.fold = fold
+        self.state: dict = {}
+
+    def process(self, fn: Callable[[DataFrame, dict, int], None], checkpoint: str | None = None):
+        """``fn(batch_df, broadcast_state, batch_id)`` — broadcast_state
+        is the folded control state as of this batch."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            # control side is a (small) table re-read every batch — the
+            # stream-static pattern; a streaming control side would fold
+            # only its new rows here instead.
+            self.state = self.fold(self.state, self.control_df)
+            fn(batch_df, dict(self.state), batch_id)
+
+        return self.data.for_each_batch(handle, checkpoint)
 
 
 class ConnectedStreams:

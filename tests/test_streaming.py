@@ -567,3 +567,40 @@ def test_late_data_side_output(spark, shuffled_replay_dir):
     # be late; late rows must all come from later batches
     assert all(eid % 4 != 0 for eid, _ts in late_rows)
     assert len(on_time_ids) >= total / 4
+
+
+def test_broadcast_connected_stream(spark, replay_dir, tmp_path):
+    """Broadcast-state pattern (ref: BroadcastConnectedStream.java):
+    every data batch sees the latest folded control state."""
+    import json
+
+    env = _env(spark)
+    stream = env.from_files(replay_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+
+    # control table: per-event-type multiplier (static here; the fold
+    # would merge new control rows if the control side streamed)
+    control = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 10.0)], "event_type string, weight double"
+    )
+
+    def fold(state, ctrl_df):
+        state = dict(state)
+        for r in ctrl_df.collect():
+            state[r.event_type] = r.weight
+        return state
+
+    weighted_counts = []
+
+    def process(batch_df, bstate, batch_id):
+        rows = batch_df.groupBy("event_type").count().collect()
+        total = sum(bstate.get(r.event_type, 0.0) * r["count"] for r in rows)
+        weighted_counts.append(total)
+
+    stream.connect_broadcast(control, fold).process(process)
+
+    batch = _batch_events(spark)
+    want = (
+        batch.where("event_type = 'click'").count() * 1.0
+        + batch.where("event_type = 'purchase'").count() * 10.0
+    )
+    assert abs(sum(weighted_counts) - want) < 1e-6

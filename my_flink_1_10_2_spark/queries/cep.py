@@ -63,12 +63,37 @@ def q_cep_v_shape(spark, sf_dir):
     )
 
 
-@register("q_cep_rally", oracle=None, category="cep")
+@register(
+    "q_cep_rally",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m
+    )
+    SELECT user_id, min(ts) AS start_ts,
+           CAST(count(*) AS INTEGER) AS run_len,
+           min(value) AS low, max(value) AS high
+    FROM runs
+    GROUP BY user_id, run_id
+    HAVING count(*) >= 3
+    """,
+    category="cep",
+)
 def q_cep_rally(spark, sf_dir):
-    """Variable-length pattern: a strictly-rising run of 3+ values
-    (A, RISE+ with each rise > previous, length ≥ 2) ending the run —
-    per user. Exercises greedy `+` with backtracking and
-    SKIP PAST LAST ROW (the reference's default after-match strategy)."""
+    """Variable-length pattern: maximal strictly-rising runs of length
+    ≥ 3 per user. Exercises greedy `+` with backtracking and SKIP PAST
+    LAST ROW (the reference's default after-match strategy). The oracle
+    recomputes the same runs with gaps-and-islands SQL — an independent
+    algorithm, so parity validates the NFA's greedy/skip semantics on
+    variable-length matches."""
     events = read(spark, sf_dir, "events")
     pattern = (
         Pattern.begin("start", lambda row, ctx: True)

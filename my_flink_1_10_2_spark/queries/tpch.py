@@ -616,3 +616,72 @@ def q20_heavy_shippers(spark, sf_dir):
     return s.join(
         heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey, o.o_orderstatus,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, flagged l1, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND l1.o_orderstatus = 'F'
+      AND l1.late
+      AND EXISTS (SELECT 1 FROM flagged l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+      AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY s_name
+    """,
+    category="tpch",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (no l_receiptdate in fixture → late :=
+    l_shipdate > o_orderdate + 60 days): the double correlated
+    EXISTS / NOT EXISTS over the same fact becomes a left-semi plus a
+    left-anti self-join on l_orderkey (ref rewrite:
+    FlinkSubQueryRemoveRule.scala). The `flagged` fact is computed once;
+    both semi and anti probes reuse the same shuffle-by-l_orderkey
+    exchange, so the fact table is scanned/joined-to-orders a single
+    time even at 100 TB.
+    """
+    l = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    flagged = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        "o_orderstatus",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    l1 = flagged.where(F.col("o_orderstatus") == "F").where(F.col("late"))
+    l2 = flagged.select(F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey"))
+    l3 = (
+        flagged.where(F.col("late"))
+        .select(F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey"))
+    )
+    has_other = l1.join(
+        l2,
+        (l1.l_orderkey == l2.r_orderkey) & (l1.l_suppkey != l2.r_suppkey),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        l3,
+        (has_other.l_orderkey == l3.r_orderkey) & (has_other.l_suppkey != l3.r_suppkey),
+        "left_anti",
+    )
+    s = read(spark, sf_dir, "supplier")
+    n = read(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    return (
+        sole_late.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                       sole_late.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -31,21 +31,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) word n-gram rows, duplicates kept.
+
+    posexplode + null-safe ``F.get`` lookups instead of
+    transform(sequence, i -> concat_ws(slice(...))): the higher-order
+    -function chain is interpreted per element (no codegen) and measured
+    ~5× slower than this flat projection at sf0.1.  The repartition fans
+    the docs out first — a single parquet file otherwise pins the whole
+    hash-heavy downstream to one task; it shuffles only (id, text).
+    """
+    words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__w"))
+        .select(id_col, F.col("__w"), F.posexplode("__w").alias("__i", "__w0"))
+        .where(F.col("__i") <= F.greatest(F.size("__w") - n, F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", "__w0", *[F.get("__w", F.col("__i") + k) for k in range(1, n)]
+            ).alias("shingle"),
+        )
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (explode → distinct).
 
-    Output: (id, shingle).  The explode happens JVM-side (Generate node).
+    Output: (id, shingle).  The explode happens JVM-side (Generate node);
+    the distinct is one shuffle of O(shingles) rows keyed (id, shingle).
     """
-    words = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
-    return (
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
-    )
+    return shingle_rows(df, text_col, id_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -93,14 +112,6 @@ def _md5_hash64(col, seed: int):
     return F.conv(hx, 16, 10).cast("bigint")
 
 
-def _shingle_array(text_col, n: int):
-    """Array of word n-gram shingles (may contain duplicates — harmless
-    for min-aggregation)."""
-    words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -120,13 +131,7 @@ def minhash_signatures(
 
     Output: (id, sig array<bigint>).
     """
-    # Fan the docs out before the hash-heavy explode: a single parquet
-    # file otherwise pins the whole computation to one task.  The
-    # repartition shuffles only (id, text) rows — negligible next to the
-    # md5 work it parallelizes.
-    exploded = df.repartition(F.col(id_col)).select(
-        F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle")
-    )
+    exploded = shingle_rows(df, text_col, id_col, n)
     groups = num_hashes // 4
     with_digests = exploded.select(
         id_col,
@@ -135,17 +140,21 @@ def minhash_signatures(
             for g in range(groups)
         ],
     )
+    # min() over the fixed-width lowercase-hex chunks equals min() over
+    # their numeric values (hex digits order lexicographically == numerically
+    # at fixed width), so the per-shingle hex→bigint conversion is deferred
+    # to AFTER the aggregate: num_hashes conversions per DOC instead of per
+    # SHINGLE (~50× fewer `conv` calls at 50 shingles/doc).
     mins = []
     for i in range(num_hashes):
         g, lo = i // 4, (i % 4) * 8 + 1
-        mins.append(
-            F.min(F.conv(F.substring(F.col(f"d{g}"), lo, 8), 16, 10).cast("bigint")).alias(
-                f"h{i}"
-            )
-        )
+        mins.append(F.min(F.substring(F.col(f"d{g}"), lo, 8)).alias(f"h{i}"))
     sig = with_digests.groupBy(id_col).agg(*mins)
     return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        F.col(id_col),
+        F.array(
+            *[F.conv(F.col(f"h{i}"), 16, 10).cast("bigint") for i in range(num_hashes)]
+        ).alias("sig"),
     )
 
 

@@ -73,6 +73,7 @@ def _load_all_modules() -> None:
         scalar_functions,
         time_windows,
         tpch,
+        tpcds,
         cep,
         graph,
         udf,

@@ -12,11 +12,13 @@ from my_flink_1_10_2_spark.sources.batch import (  # noqa: F401
     read_json,
     read_orc,
     read_parquet,
+    read_sequence_file,
     read_text,
     write_csv,
     write_json,
     write_orc,
     write_parquet,
+    write_sequence_file,
     write_text,
 )
 from my_flink_1_10_2_spark.sources.streaming import (  # noqa: F401

@@ -115,10 +115,41 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=No
     _write(df, mode, partition_by).orc(path)
 
 
-def write_text(df: DataFrame, path: str, mode: str = "overwrite"):
+def write_text(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None):
     """Text sink (ref: DataStream.writeAsText DataStream.java:1071) —
-    expects a single string column."""
-    df.write.mode(mode).text(path)
+    expects a single string column.  `compression` ('gzip', 'bzip2',
+    'deflate', …) maps the reference's flink-compress
+    writers; the matching read side is transparent (spark.read.text
+    decompresses by file extension)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """Hadoop SequenceFile scan → (key string, value string) DataFrame
+    (ref: flink-formats/flink-sequence-file/).
+
+    One of the rare legitimate RDD paths (SURVEY §7.0): Spark has no
+    DataFrame SequenceFile source, so this goes through
+    ``sc.sequenceFile`` and converts.  Splits/partitions come from the
+    Hadoop InputFormat, so parallelism at 100 TB matches the file's
+    block layout exactly as a native DataFrame scan would."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema="key string, value string")
+
+
+def write_sequence_file(df: DataFrame, path: str):
+    """SequenceFile sink for a 2-column (key, value) DataFrame — both
+    cast to strings (Hadoop Text) for portability."""
+    cols = df.columns
+    if len(cols) != 2:
+        raise ValueError("write_sequence_file expects exactly (key, value) columns")
+    rdd = df.select(
+        df[cols[0]].cast("string"), df[cols[1]].cast("string")
+    ).rdd.map(tuple)
+    rdd.saveAsSequenceFile(path)
 
 
 def write_bucketed(

@@ -380,6 +380,28 @@ class KeyedStream:
             )
         )
 
+    def as_queryable_state(
+        self, name: str, *agg_exprs
+    ) -> "QueryableStateHandle":
+        """Queryable-state substitute (ref: KeyedStream.asQueryableState
+        :1005, flink-queryable-state/): expose the latest per-key
+        aggregate for point lookups from outside the job.
+
+        The keyed aggregate runs in ``complete`` mode into an in-memory
+        sink table named ``name``; :meth:`QueryableStateHandle.get` is
+        the client-side point query.  (On a cluster the same surface
+        would back onto a Delta/parquet sink — the memory sink is the
+        local-mode analog, per SURVEY §2.10.)
+        """
+        agg = self.df.groupBy(*self.keys).agg(*[_col(e) for e in agg_exprs])
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        return QueryableStateHandle(self.df.sparkSession, name, self.keys, query)
+
     def top_n(self, n: int, order_col: str, desc: bool = True) -> Stream:
         """Incremental streaming Top-N per key (ref: StreamExecRank.scala:53
         AppendFast strategy — AppendOnlyTopNFunction.java:222: append-only
@@ -440,6 +462,33 @@ class KeyedStream:
                 func, output_schema, state_schema, "append", timeout
             )
         )
+
+
+class QueryableStateHandle:
+    """Client handle for :meth:`KeyedStream.as_queryable_state` — point
+    queries against the latest committed per-key aggregate (ref:
+    flink-queryable-state/ QueryableStateClient semantics)."""
+
+    def __init__(self, spark, name: str, keys: list[str], query):
+        self.spark = spark
+        self.name = name
+        self.keys = keys
+        self.query = query
+
+    def get(self, *key_values):
+        """Point lookup: latest aggregate row for `key_values`, or None."""
+        df = self.spark.table(self.name)
+        for k, v in zip(self.keys, key_values):
+            df = df.where(F.col(k) == F.lit(v))
+        rows = df.collect()
+        return rows[0] if rows else None
+
+    def snapshot(self) -> DataFrame:
+        """Whole-state scan (every key's latest aggregate)."""
+        return self.spark.table(self.name)
+
+    def stop(self):
+        self.query.stop()
 
 
 class WindowedStream:

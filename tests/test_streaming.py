@@ -604,3 +604,37 @@ def test_broadcast_connected_stream(spark, replay_dir, tmp_path):
         + batch.where("event_type = 'purchase'").count() * 10.0
     )
     assert abs(sum(weighted_counts) - want) < 1e-6
+
+
+def test_queryable_state(spark, replay_dir):
+    """Queryable-state substitute (ref: KeyedStream.asQueryableState:1005):
+    point lookups against the latest per-key streaming aggregate match
+    the batch aggregate once the stream drains."""
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .key_by("user_id")
+    )
+    handle = stream.as_queryable_state(
+        "qstate_counts", F.count("*").alias("cnt"), F.sum("value").alias("total")
+    )
+    try:
+        handle.query.processAllAvailable()
+        batch = (
+            _batch_events(spark)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+            .collect()
+        )
+        expected = {r.user_id: (r.cnt, float(r.total)) for r in batch}
+        assert handle.snapshot().count() == len(expected)
+        some = sorted(expected)[:5]
+        for uid in some:
+            row = handle.get(uid)
+            assert row is not None
+            assert row.cnt == expected[uid][0]
+            assert float(row.total) == pytest.approx(expected[uid][1])
+        assert handle.get(-12345) is None
+    finally:
+        handle.stop()

@@ -46,36 +46,75 @@ class Step:
     name: str
     predicate: RowPredicate
     quantifier: str = "1"  # '1' | '?' | '+' | '*'
+    contiguity: str = "strict"  # 'strict' (next) | 'relaxed' (followedBy)
 
     def __post_init__(self):
         if self.quantifier not in ("1", "?", "+", "*"):
             raise ValueError(f"unsupported quantifier {self.quantifier!r}")
+        if self.contiguity not in ("strict", "relaxed"):
+            raise ValueError(f"unsupported contiguity {self.contiguity!r}")
 
 
 class Pattern:
-    """``Pattern.begin('a', p).next('b', q, '+').next('c', r)`` — the
-    fluent surface of cep/pattern/Pattern.java:50 (strict contiguity,
-    i.e. `next`; `followedBy` relaxed contiguity is out of scope)."""
+    """``Pattern.begin('a', p).next('b', q, '+').followed_by('c', r)`` —
+    the fluent surface of cep/pattern/Pattern.java:50.  ``next`` is
+    strict contiguity; ``followed_by`` is relaxed contiguity (non-
+    matching rows between steps are ignored, the reference NFA's IGNORE
+    self-loop).  ``within`` bounds first→last matched-row event time
+    (ref: Pattern.java within(Time) / NFA window timeout)."""
 
-    def __init__(self, steps: list[Step]):
+    def __init__(self, steps: list[Step], within_td: "pd.Timedelta | None" = None):
         self.steps = steps
+        self.within_td = within_td
 
     @classmethod
     def begin(cls, name: str, predicate: RowPredicate, quantifier: str = "1") -> "Pattern":
         return cls([Step(name, predicate, quantifier)])
 
     def next(self, name: str, predicate: RowPredicate, quantifier: str = "1") -> "Pattern":
-        return Pattern(self.steps + [Step(name, predicate, quantifier)])
+        return Pattern(self.steps + [Step(name, predicate, quantifier)], self.within_td)
+
+    def followed_by(
+        self, name: str, predicate: RowPredicate, quantifier: str = "1"
+    ) -> "Pattern":
+        """Relaxed contiguity (ref: Pattern.followedBy).  For ``+``/``*``
+        the relaxation applies to REACHING the step; repeats inside it
+        stay strict (= reference ``followedBy(...).consecutive()``)."""
+        return Pattern(
+            self.steps + [Step(name, predicate, quantifier, contiguity="relaxed")],
+            self.within_td,
+        )
+
+    def within(self, duration: str) -> "Pattern":
+        """Time constraint on a whole match, e.g. ``within("1 hour")``
+        (ref: Pattern.java within(Time)).  Requires the rows to carry the
+        event-time column used for ordering."""
+        return Pattern(self.steps, pd.Timedelta(duration))
 
 
 def _match_at(
-    rows: list[pd.Series], start: int, steps: list[Step]
+    rows: list[pd.Series],
+    start: int,
+    steps: list[Step],
+    ts_col: str | None = None,
+    within: "pd.Timedelta | None" = None,
 ) -> dict[str, list[pd.Series]] | None:
     """Backtracking NFA: try to match `steps` starting at rows[start].
     Returns {step_name: [rows]} or None. Greedy quantifiers, like the
-    reference NFA's default greedy consumption (Quantifier.java)."""
+    reference NFA's default greedy consumption (Quantifier.java).
 
-    def go(i: int, s: int, matched: dict[str, list[pd.Series]]):
+    `within` (with `ts_col`) rejects taking any row later than
+    first-taken-row + within — and, because rows are event-time sorted,
+    also cuts relaxed-contiguity forward scans at that horizon, so a
+    followedBy never walks more than the time window (the same pruning
+    the reference gets from NFA window timeouts)."""
+
+    def in_window(first_ts, row) -> bool:
+        if within is None or first_ts is None:
+            return True
+        return row[ts_col] - first_ts <= within
+
+    def go(i: int, s: int, matched, first_ts):
         if s == len(steps):
             return matched if any(matched.values()) else None
         step = steps[s]
@@ -84,41 +123,49 @@ def _match_at(
 
         def try_take(count_matched: dict, j: int):
             row = rows[j]
+            if not in_window(first_ts, row):
+                return None
             taken = dict(count_matched)
             taken[step.name] = count_matched[step.name] + [row]
             return taken if step.predicate(row, count_matched) else None
 
-        if step.quantifier == "1":
-            if i < len(rows):
-                taken = try_take(binding, i)
+        def first_ts_after(j: int):
+            if first_ts is not None:
+                return first_ts
+            return rows[j][ts_col] if ts_col is not None else None
+
+        if step.contiguity == "relaxed":
+            # IGNORE self-loop: any later start, bounded by the window
+            starts = [j for j in range(i, len(rows)) if in_window(first_ts, rows[j])]
+        else:
+            starts = [i] if i < len(rows) else []
+        for i0 in starts:
+            if step.quantifier in ("1", "?"):
+                taken = try_take(binding, i0)
                 if taken is not None:
-                    return go(i + 1, s + 1, taken)
-            return None
-        if step.quantifier == "?":
-            if i < len(rows):
-                taken = try_take(binding, i)
-                if taken is not None:
-                    res = go(i + 1, s + 1, taken)
+                    res = go(i0 + 1, s + 1, taken, first_ts_after(i0))
                     if res is not None:
                         return res
-            return go(i, s + 1, binding)
-        # '+' / '*': consume greedily, backtrack on failure
-        min_take = 1 if step.quantifier == "+" else 0
-        takes: list[dict] = [binding]
-        j = i
-        while j < len(rows):
-            taken = try_take(takes[-1], j)
-            if taken is None:
-                break
-            takes.append(taken)
-            j += 1
-        for n in range(len(takes) - 1, min_take - 1, -1):
-            res = go(i + n, s + 1, takes[n])
-            if res is not None:
-                return res
+                continue
+            # '+' / '*': consume greedily (strict inside), backtrack on failure
+            takes: list[dict] = [binding]
+            j = i0
+            while j < len(rows):
+                taken = try_take(takes[-1], j)
+                if taken is None:
+                    break
+                takes.append(taken)
+                j += 1
+            for n in range(len(takes) - 1, 0, -1):
+                res = go(i0 + n, s + 1, takes[n], first_ts_after(i0))
+                if res is not None:
+                    return res
+        if step.quantifier in ("?", "*"):
+            # zero-take: step skipped entirely, position and clock unchanged
+            return go(i, s + 1, binding, first_ts)
         return None
 
-    return go(start, 0, {n.name: [] for n in steps} | {})
+    return go(start, 0, {n.name: [] for n in steps} | {}, None)
 
 
 def _run_nfa(
@@ -126,6 +173,8 @@ def _run_nfa(
     steps: list[Step],
     measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
     after_match: str,
+    ts_col: str | None = None,
+    within: "pd.Timedelta | None" = None,
 ) -> pd.DataFrame:
     # plain dicts, not pd.Series: same row["field"] access for predicates
     # and measures, ~10× less per-row overhead in the NFA loop
@@ -133,7 +182,7 @@ def _run_nfa(
     out: list[dict] = []
     i = 0
     while i < len(rows):
-        m = _match_at(rows, i, steps)
+        m = _match_at(rows, i, steps, ts_col=ts_col, within=within)
         if m is not None:
             out.append({k: fn(m) for k, fn in measures.items()})
             if after_match == "skip_past_last_row":
@@ -171,10 +220,13 @@ def match_recognize(
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    ts_col = order_by[0] if pattern.within_td is not None else None
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
-        return _run_nfa(pdf, steps, measures, after_match)
+        return _run_nfa(
+            pdf, steps, measures, after_match, ts_col=ts_col, within=pattern.within_td
+        )
 
     return (
         df.repartition(n, *partition_by)
@@ -221,7 +273,9 @@ def match_recognize_stream(
             _pd.concat([buffered, new], ignore_index=True) if buffered is not None else new
         )
         full = full.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
-        matches = _run_nfa(full, steps, measures, after_match)
+        matches = _run_nfa(
+            full, steps, measures, after_match, ts_col=ts_col, within=pattern.within_td
+        )
         tail = full.tail(max(0, max_pattern_rows - 1))
         state.update((pickle.dumps(tail),))
         if len(matches):

@@ -158,3 +158,47 @@ def q_sql_match_recognize(spark, sf_dir):
         )
         """
     ).df
+
+
+@register(
+    "q_cep_funnel_within",
+    oracle="""
+    SELECT v.user_id, v.ts AS view_ts, min(p.ts) AS purchase_ts
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view'
+    GROUP BY v.user_id, v.ts
+    """,
+    category="cep",
+)
+def q_cep_funnel_within(spark, sf_dir):
+    """Conversion funnel: view FOLLOWED BY purchase WITHIN 1 hour —
+    relaxed contiguity + time-windowed match (ref: Pattern.followedBy,
+    Pattern.within(Time), NFA.java:85 IGNORE transitions + window
+    timeout). AFTER MATCH SKIP TO NEXT ROW, so every view that converts
+    inside the hour produces exactly one match, and the relaxed scan
+    binds the EARLIEST qualifying purchase — which makes the query
+    SQL-expressible (min over the bounded time range) for the oracle.
+    """
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("v", lambda row, ctx: row["event_type"] == "view")
+        .followed_by("p", lambda row, ctx: row["event_type"] == "purchase")
+        .within("1 hour")
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["v"][0]["user_id"],
+            "view_ts": lambda m: m["v"][0]["ts"],
+            "purchase_ts": lambda m: m["p"][0]["ts"],
+        },
+        output_schema="user_id long, view_ts timestamp_ntz, purchase_ts timestamp_ntz",
+        after_match="skip_to_next_row",
+    )

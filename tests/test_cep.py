@@ -138,3 +138,55 @@ def test_sql_match_recognize_rejects_unsupported(spark):
 
     with pytest.raises(ValueError):
         compile_match_recognize(spark, "SELECT 1")
+
+
+def test_followed_by_skips_noise(spark):
+    """Relaxed contiguity (ref: Pattern.followedBy): noise rows between
+    the steps are ignored; strict `next` finds nothing."""
+    # values: 10, noise, noise, 20 — pattern: 10 then 20
+    df = _events(spark, [10, 1, 2, 20])
+    relaxed = Pattern.begin("a", lambda r, c: r["value"] == 10.0).followed_by(
+        "b", lambda r, c: r["value"] == 20.0
+    )
+    strict = Pattern.begin("a", lambda r, c: r["value"] == 10.0).next(
+        "b", lambda r, c: r["value"] == 20.0
+    )
+    assert _run(df, relaxed) == [0]
+    assert _run(df, strict) == []
+
+
+def test_followed_by_binds_earliest(spark):
+    """The relaxed scan takes the FIRST qualifying row (reference
+    followedBy: IGNORE loop stops at the first take)."""
+    df = _events(spark, [10, 20, 20])
+    relaxed = Pattern.begin("a", lambda r, c: r["value"] == 10.0).followed_by(
+        "b", lambda r, c: r["value"] == 20.0
+    )
+    out = _run(df, relaxed, extra_measures={"b_id": lambda m: float(m["b"][0]["event_id"])})
+    assert out == [0]
+
+
+def test_within_rejects_slow_matches(spark):
+    """within() bounds first→last event time (ref: Pattern.within(Time)).
+    Rows are 1s apart; a 2s window allows idx gap ≤2."""
+    df = _events(spark, [10, 1, 1, 1, 20])  # match span = 4s
+    base = Pattern.begin("a", lambda r, c: r["value"] == 10.0).followed_by(
+        "b", lambda r, c: r["value"] == 20.0
+    )
+    assert _run(df, base) == [0]
+    assert _run(df, base.within("2 seconds")) == []
+    assert _run(df, base.within("4 seconds")) == [0]
+
+
+def test_within_backtracks_to_shorter_match(spark):
+    """If the greedy `+` overshoots the window, backtracking must find
+    the shorter in-window alternative, not drop the match."""
+    df = _events(spark, [1, 2, 3, 4, 5, 6])
+    rising = Pattern.begin("a", lambda r, c: True).next(
+        "b", lambda r, c: not c["b"] or r["value"] > c["b"][-1]["value"], "+"
+    )
+    n_rows = {"n": lambda m: float(len(m["b"]))}
+    full = _run(df, rising, extra_measures=n_rows)
+    capped = _run(df, rising.within("3 seconds"), extra_measures=n_rows)
+    assert full == [0]   # greedy: one match consuming everything
+    assert capped == [0, 4]  # 3s window: (a=0, b=1..3), then (a=4, b=5)

@@ -103,6 +103,36 @@ class Table:
         cond = _col(on) if isinstance(on, str) else on
         return Table(self.df.join(F.broadcast(right.df), cond, how))
 
+    def create_temporal_table_function(
+        self, time_attr: str, primary_key: str
+    ) -> "TemporalTableFunction":
+        """Version this table by (primary_key, time_attr) for temporal
+        joins (ref: Table.createTemporalTableFunction Table.java:139 —
+        the `FOR SYSTEM_TIME AS OF` build side)."""
+        return TemporalTableFunction(self, time_attr, primary_key)
+
+    def temporal_join(
+        self, ttf: "TemporalTableFunction", probe_time: str, probe_key: str
+    ) -> "Table":
+        """As-of join against a temporal table function: each row of this
+        table is joined with the version of `ttf` valid at `probe_time`
+        (ref: StreamExecTemporalJoin.scala:51 /
+        TemporalRowTimeJoinOperator.java:71; Table API joinLateral over a
+        temporal table function).
+
+        Single shuffle by key via the union+last() plan in
+        operators/joins.py::asof_join — no per-row lookups at 100 TB."""
+        from my_flink_1_10_2_spark.operators.joins import asof_join
+
+        return Table(
+            asof_join(
+                self.df,
+                ttf.table.df,
+                key=(probe_key, ttf.primary_key),
+                time=(probe_time, ttf.time_attr),
+            )
+        )
+
     def join_lateral(self, udtf_expr, outer: bool = False) -> "Table":
         """LATERAL TABLE(udtf(x)) (ref: StreamExecCorrelate.scala).
 
@@ -232,3 +262,14 @@ class GroupedTable:
         key_names = [self._df.select(k).columns[0] for k in self._keys]
         grouped = self._df.groupBy(*self._keys).cogroup(other_df.groupBy(*key_names))
         return Table(grouped.applyInPandas(fn, schema))
+
+
+class TemporalTableFunction:
+    """A table versioned by (primary_key, time_attr) — the build side of
+    a temporal join (ref: Table.createTemporalTableFunction Table.java:139,
+    TemporalTableFunctionImpl)."""
+
+    def __init__(self, table: Table, time_attr: str, primary_key: str):
+        self.table = table
+        self.time_attr = time_attr
+        self.primary_key = primary_key

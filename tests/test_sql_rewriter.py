@@ -74,3 +74,28 @@ def test_tumble_sql_executes_and_matches_dataframe_path(spark):
         .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_temporal_table_function_join(spark):
+    """Table.createTemporalTableFunction + temporal join (ref:
+    Table.java:139, TemporalRowTimeJoinOperator.java:71): each probe row
+    sees the latest build-side version at its own rowtime; keys with no
+    prior version stay NULL (left-outer as-of semantics)."""
+    import datetime as dt
+
+    from my_flink_1_10_2_spark import TableEnvironment
+
+    env = TableEnvironment(spark)
+    T = dt.datetime
+    rates = env.from_elements(
+        [("EUR", T(2024, 1, 1), 1.0), ("EUR", T(2024, 1, 3), 1.2), ("USD", T(2024, 1, 1), 0.9)],
+        "ccy string, rate_ts timestamp_ntz, rate double",
+    )
+    orders = env.from_elements(
+        [(1, "EUR", T(2024, 1, 2)), (2, "EUR", T(2024, 1, 4)), (3, "USD", T(2024, 1, 2)), (4, "GBP", T(2024, 1, 2))],
+        "oid long, ccy string, o_ts timestamp_ntz",
+    )
+    ttf = rates.create_temporal_table_function("rate_ts", "ccy")
+    out = orders.temporal_join(ttf, probe_time="o_ts", probe_key="ccy")
+    got = {r.oid: r.rate for r in out.df.collect()}
+    assert got == {1: 1.0, 2: 1.2, 3: 0.9, 4: None}

@@ -74,15 +74,31 @@ def connected_components(
         nodes = nodes.union(vertices.select(F.col(vertices.columns[0]).alias("node"))).distinct()
     labels = nodes.withColumn("component", F.col("node"))
 
-    def step(lbl: DataFrame, _i: int) -> DataFrame:
+    def step(lbl: DataFrame, i: int) -> DataFrame:
         neighbor = sym.join(lbl, sym.e_src == lbl.node).select(
             F.col("e_dst").alias("node"), F.col("component")
         )
-        return (
+        propagated = (
             lbl.select("node", "component")
             .union(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        if i % 2 == 0:
+            return propagated
+        # Pointer jumping (path compression) on alternate supersteps:
+        # component ← label OF the component node. Keeps convergence at
+        # O(log diameter) — at 100 TB each superstep is a full shuffle,
+        # so cutting the round count dominates — while paying the extra
+        # |nodes|-sized join only half the time (on small-diameter
+        # graphs compression every round measured net-slower).
+        lbl2 = propagated.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        return propagated.join(
+            lbl2, propagated.component == lbl2.c_node, "left"
+        ).select(
+            "node", F.coalesce("c_comp", "component").alias("component")
         )
 
     def converged(prev: DataFrame, new: DataFrame) -> bool:

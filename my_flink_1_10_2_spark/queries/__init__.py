@@ -74,6 +74,7 @@ def _load_all_modules() -> None:
         time_windows,
         tpch,
         tpcds,
+        sketches,
         cep,
         graph,
         udf,

@@ -1,0 +1,62 @@
+"""Sketch queries — deterministic approximate distinct counts.
+
+KMV is the oracle-checkable stand-in for the reference's
+APPROX_COUNT_DISTINCT surface (FlinkSqlOperatorTable.java): both engines
+replay the identical md5-based sketch, so the driver's hash-match gate
+applies to an *approximate* operator (production code would use Spark's
+native `approx_count_distinct` HLL — demonstrated in tests).
+"""
+
+from __future__ import annotations
+
+from my_flink_1_10_2_spark.operators.sketch import kmv_distinct, kmv_distinct_by
+from my_flink_1_10_2_spark.queries import read, register
+
+_HASH = (
+    "(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT + 1.0)"
+    " / power(16.0, 15)"
+)
+
+
+@register(
+    "q_kmv_distinct_parts",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT {_HASH.format(col="l_partkey")} AS h FROM lineitem
+    ),
+    topk AS (SELECT h FROM h ORDER BY h LIMIT 128)
+    SELECT CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                ELSE 127.0 / max(h) END AS estimate
+    FROM topk
+    """,
+    category="sketch",
+)
+def q_kmv_distinct_parts(spark, sf_dir):
+    """KMV distinct-count of lineitem part keys (k=128): per-partition
+    top-k then a k-row merge — no full-domain shuffle
+    (operators/sketch.py)."""
+    return kmv_distinct(read(spark, sf_dir, "lineitem"), "l_partkey", k=128)
+
+
+@register(
+    "q_kmv_distinct_users_by_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_HASH.format(col="user_id")} AS h FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE 63.0 / max(h) END AS estimate
+    FROM ranked WHERE rn <= 64
+    GROUP BY event_type
+    """,
+    category="sketch",
+)
+def q_kmv_distinct_users_by_type(spark, sf_dir):
+    """Grouped KMV sketches: distinct users per event type (k=64)."""
+    return kmv_distinct_by(read(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)

@@ -1,0 +1,56 @@
+"""KMV sketch tests (operators/sketch.py) + native HLL cross-check.
+
+The KMV estimate must land within the theoretical error envelope
+(~1/sqrt(k)) of the true distinct count, and the production path —
+Spark's built-in approx_count_distinct HLL — must agree with both.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from my_flink_1_10_2_spark.operators.sketch import kmv_distinct, kmv_distinct_by
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_kmv_within_error_envelope(spark, lineitem):
+    true = lineitem.select("l_partkey").distinct().count()
+    est = kmv_distinct(lineitem, "l_partkey", k=128).first().estimate
+    assert abs(est - true) / true < 3.0 / (128 ** 0.5)  # 3σ ≈ 26%
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(50).select(F.col("id").alias("v"))
+    est = kmv_distinct(df, "v", k=128).first().estimate
+    assert est == 50.0
+
+
+def test_kmv_grouped_matches_per_group_truth(spark, lineitem):
+    truth = {
+        r.l_returnflag: r.n
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    ests = {
+        r.l_returnflag: r.estimate
+        for r in kmv_distinct_by(lineitem, ["l_returnflag"], "l_suppkey", k=64).collect()
+    }
+    assert set(ests) == set(truth)
+    for flag, n in truth.items():
+        assert abs(ests[flag] - n) / n < 3.0 / (64 ** 0.5)
+
+
+def test_native_hll_agrees(spark, lineitem):
+    """Production path: Spark's built-in HLL (approx_count_distinct) —
+    the reference's APPROX_COUNT_DISTINCT analog — lands in the same
+    envelope."""
+    true = lineitem.select("l_partkey").distinct().count()
+    hll = lineitem.agg(F.approx_count_distinct("l_partkey", rsd=0.05).alias("e")).first().e
+    assert abs(hll - true) / true < 0.15

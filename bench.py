@@ -40,6 +40,12 @@ HEADLINE = [
     "q_connected_components",
     "q_token_count",
     "q_udaf_median",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "ds_rollup_geo_report",
+    "ds_yoy_growth",
+    "q_cep_funnel_within",
+    "q_kmv_distinct_parts",
 ]
 
 

@@ -380,6 +380,54 @@ class KeyedStream:
             )
         )
 
+    def count_window(self, n: int, value_col: str, ts_col: str) -> Stream:
+        """Count-based tumbling window over the stream (ref:
+        KeyedStream.countWindow:643 — GlobalWindows + CountTrigger).
+
+        Emits (keys..., w_id, cnt, sum_value) once a key accumulates `n`
+        rows; the in-flight window (cnt, partial sum, window index) is
+        the only state — O(1) per key, exactly the reference's
+        count-trigger accumulator. Rows are folded in event-time order
+        within each batch; cross-batch order follows arrival (same
+        caveat as the reference's processing-order count windows).
+        """
+        import pandas as _pd
+
+        keys = self.keys
+        key_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.df.schema.fields
+            if f.name in keys
+        )
+        out_schema = f"{key_fields}, w_id long, cnt long, sum_value double"
+
+        def fn(key, pdf_iter, state):
+            w_id, cnt, acc = state.get if state.exists else (0, 0, 0.0)
+            rows = _pd.concat(list(pdf_iter), ignore_index=True)
+            rows = rows.sort_values(ts_col, kind="mergesort")
+            out = []
+            for v in rows[value_col].astype("float64"):
+                cnt += 1
+                acc += v
+                if cnt == n:
+                    out.append((*key, w_id, cnt, acc))
+                    w_id, cnt, acc = w_id + 1, 0, 0.0
+            state.update((w_id, cnt, acc))
+            if out:
+                yield _pd.DataFrame(
+                    out, columns=[*keys, "w_id", "cnt", "sum_value"]
+                )
+
+        return Stream(
+            self.df.groupBy(*keys).applyInPandasWithState(
+                fn,
+                out_schema,
+                "w_id long, cnt long, sum_value double",
+                "append",
+                "NoTimeout",
+            )
+        )
+
     def as_queryable_state(
         self, name: str, *agg_exprs
     ) -> "QueryableStateHandle":

@@ -638,3 +638,35 @@ def test_queryable_state(spark, replay_dir):
         assert handle.get(-12345) is None
     finally:
         handle.stop()
+
+
+def test_streaming_count_window_matches_batch(spark, replay_dir):
+    """Streaming count windows (ref: KeyedStream.countWindow:643): the
+    completed windows emitted across micro-batches equal the batch
+    row_number bucketing restricted to full windows."""
+    from my_flink_1_10_2_spark.operators.windows import count_tumble_window
+
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .key_by("user_id")
+        .count_window(5, value_col="value", ts_col="ts")
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    got = spark.table(name).collect()
+    batch = count_tumble_window(
+        _batch_events(spark), ["user_id"], ["ts", "event_id"], 5
+    )
+    want = (
+        batch.groupBy("user_id", "w_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .where(F.col("cnt") == 5)
+        .collect()
+    )
+    want_map = {(r.user_id, r.w_id): (r.cnt, r.sum_value) for r in want}
+    got_map = {(r.user_id, r.w_id): (r.cnt, r.sum_value) for r in got}
+    assert set(got_map) == set(want_map)
+    for k, (cnt, sv) in want_map.items():
+        assert got_map[k][0] == cnt
+        assert got_map[k][1] == pytest.approx(sv)

@@ -276,3 +276,111 @@ def ds_count_buckets(spark, sf_dir):
         F.sum(F.when(F.col("n_items") > 5, 1).otherwise(0)).alias("large_orders"),
         F.sum(F.when(F.col("total_qty") > 100, 1).otherwise(0)).alias("bulk_orders"),
     )
+
+
+@register(
+    "ds_monthly_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, year(o_orderdate), month(o_orderdate)
+    ),
+    with_avg AS (
+      SELECT p_brand, o_year, o_month, rev,
+             avg(rev) OVER (PARTITION BY p_brand, o_year) AS avg_year,
+             lag(rev)  OVER (PARTITION BY p_brand ORDER BY o_year, o_month) AS prev_rev,
+             lead(rev) OVER (PARTITION BY p_brand ORDER BY o_year, o_month) AS next_rev
+      FROM monthly
+    )
+    SELECT p_brand, o_year, o_month,
+           round(rev, 4) AS rev, round(avg_year, 4) AS avg_year,
+           round(prev_rev, 4) AS prev_rev, round(next_rev, 4) AS next_rev
+    FROM with_avg
+    WHERE avg_year > 0 AND rev / avg_year > 1.5
+    """,
+    category="tpcds",
+)
+def ds_monthly_deviation(spark, sf_dir):
+    """TPC-DS Q47 shape: monthly series per brand with same-year mean and
+    lag/lead neighbors; keep months >1.5× their yearly mean. Window input
+    is the aggregated |brand × month| relation."""
+    l = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    p = read(spark, sf_dir, "part")
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(F.sum(_revenue()).alias("rev"))
+    )
+    w_year = W.partitionBy("p_brand", "o_year")
+    w_seq = W.partitionBy("p_brand").orderBy("o_year", "o_month")
+    enriched = monthly.select(
+        "p_brand",
+        "o_year",
+        "o_month",
+        "rev",
+        F.avg("rev").over(w_year).alias("avg_year"),
+        F.lag("rev").over(w_seq).alias("prev_rev"),
+        F.lead("rev").over(w_seq).alias("next_rev"),
+    )
+    return enriched.where(
+        (F.col("avg_year") > 0) & (F.col("rev") / F.col("avg_year") > 1.5)
+    ).select(
+        "p_brand",
+        "o_year",
+        "o_month",
+        F.round("rev", 4).alias("rev"),
+        F.round("avg_year", 4).alias("avg_year"),
+        F.round("prev_rev", 4).alias("prev_rev"),
+        F.round("next_rev", 4).alias("next_rev"),
+    )
+
+
+@register(
+    "ds_frequent_buyers",
+    oracle="""
+    WITH mid_orders AS (
+      SELECT o_orderkey, o_custkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_custkey
+      HAVING count(*) BETWEEN 3 AND 5
+    ),
+    frequent AS (
+      SELECT o_custkey, count(*) AS n_mid_orders
+      FROM mid_orders GROUP BY o_custkey HAVING count(*) >= 3
+    )
+    SELECT c_custkey, c_name, c_mktsegment, n_mid_orders
+    FROM frequent JOIN customer ON o_custkey = c_custkey
+    """,
+    category="tpcds",
+)
+def ds_frequent_buyers(spark, sf_dir):
+    """TPC-DS Q34 shape: per-order size HAVING band → per-customer
+    frequency HAVING → join back to the dimension for details. Both
+    HAVINGs are post-aggregation filters on |orders| / |customers|-sized
+    relations; the customer join broadcasts."""
+    o = read(spark, sf_dir, "orders")
+    l = read(spark, sf_dir, "lineitem")
+    c = read(spark, sf_dir, "customer")
+    mid = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("n_items"))
+        .where(F.col("n_items").between(3, 5))
+    )
+    freq = (
+        mid.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_mid_orders"))
+        .where(F.col("n_mid_orders") >= 3)
+    )
+    return freq.join(F.broadcast(c), freq.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment", "n_mid_orders"
+    )

@@ -87,6 +87,7 @@ class TableEnvironment:
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = tune_session(spark or get_spark())
+        self._versioned: dict[str, tuple[str, str]] = {}
 
     # -- source registration (ref: SqlCreateTable.java:56) ------------------
     def register_parquet(self, name: str, path: str) -> "Table":
@@ -97,6 +98,15 @@ class TableEnvironment:
     def create_temporary_view(self, name: str, table_or_df) -> None:
         df = table_or_df.df if hasattr(table_or_df, "df") else table_or_df
         df.createOrReplaceTempView(name)
+
+    def create_versioned_view(
+        self, name: str, table_or_df, time_attr: str, primary_key: str
+    ) -> None:
+        """Register a versioned (temporal) view: the build side of
+        `FOR SYSTEM_TIME AS OF` SQL joins (ref: versioned-table DDL +
+        Table.createTemporalTableFunction Table.java:139)."""
+        self.create_temporary_view(name, table_or_df)
+        self._versioned[name] = (time_attr, primary_key)
 
     def from_elements(self, rows, schema=None) -> "Table":
         from my_flink_1_10_2_spark.table import Table
@@ -119,6 +129,13 @@ class TableEnvironment:
 
         if contains_match_recognize(query):
             return Table(compile_match_recognize(self.spark, query))
+        from my_flink_1_10_2_spark.operators.temporal_sql import (
+            compile_temporal_join,
+            contains_temporal_join,
+        )
+
+        if contains_temporal_join(query):
+            return Table(compile_temporal_join(self.spark, query, self._versioned))
         return Table(self.spark.sql(rewrite_flink_sql(query)))
 
     sql = sql_query

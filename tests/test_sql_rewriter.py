@@ -99,3 +99,50 @@ def test_temporal_table_function_join(spark):
     out = orders.temporal_join(ttf, probe_time="o_ts", probe_key="ccy")
     got = {r.oid: r.rate for r in out.df.collect()}
     assert got == {1: 1.0, 2: 1.2, 3: 0.9, 4: None}
+
+
+def test_for_system_time_as_of_sql(spark):
+    """SQL temporal join (ref: StreamExecTemporalJoin.scala:51 SQL
+    surface): FOR SYSTEM_TIME AS OF against a versioned view compiles
+    onto the single-shuffle as-of join."""
+    import datetime as dt
+
+    from my_flink_1_10_2_spark import TableEnvironment
+
+    env = TableEnvironment(spark)
+    T = dt.datetime
+    rates = env.from_elements(
+        [("EUR", T(2024, 1, 1), 1.0), ("EUR", T(2024, 1, 3), 1.2), ("USD", T(2024, 1, 1), 0.9)],
+        "ccy string, rate_ts timestamp_ntz, rate double",
+    )
+    orders = env.from_elements(
+        [(1, "EUR", T(2024, 1, 2)), (2, "EUR", T(2024, 1, 4)), (3, "USD", T(2024, 1, 2))],
+        "oid long, ccy string, o_ts timestamp_ntz",
+    )
+    env.create_temporary_view("orders_t", orders)
+    env.create_versioned_view("rates_t", rates, time_attr="rate_ts", primary_key="ccy")
+    out = env.sql(
+        """
+        SELECT o.oid, o.ccy, r.rate
+        FROM orders_t o
+        JOIN rates_t FOR SYSTEM_TIME AS OF o.o_ts AS r
+        ON r.ccy = o.ccy
+        WHERE o.oid < 10
+        """
+    )
+    got = {r.oid: r.rate for r in out.df.collect()}
+    assert got == {1: 1.0, 2: 1.2, 3: 0.9}
+
+
+def test_for_system_time_requires_versioned_view(spark):
+    import pytest as _pytest
+
+    from my_flink_1_10_2_spark import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.create_temporary_view("plain_t", env.from_elements([(1,)], "x long"))
+    env.create_temporary_view("probe_t", env.from_elements([(1,)], "x long"))
+    with _pytest.raises(ValueError, match="versioned view"):
+        env.sql(
+            "SELECT p.x FROM probe_t p JOIN plain_t FOR SYSTEM_TIME AS OF p.x AS b ON b.x = p.x"
+        )

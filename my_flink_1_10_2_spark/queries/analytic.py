@@ -242,3 +242,29 @@ def q_count_window(spark, sf_dir):
     return bucketed.groupBy("user_id", "w_id").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
     )
+
+
+@register(
+    "q_percentile_native",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    category="analytic",
+)
+def q_percentile_native(spark, sf_dir):
+    """Exact percentiles via Spark's native `percentile` aggregate —
+    the JVM-side counterpart of the q_udaf_median pandas UDAF (same
+    linear interpolation as DuckDB quantile_cont). At scale prefer
+    `percentile_approx` (KLL-style sketch, bounded memory); the exact
+    form is the oracle-checkable variant."""
+    l = read(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )

@@ -74,3 +74,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = None) -> None:
+    """Compute catalog statistics for a saved table — table-level
+    (sizeInBytes, rowCount) and optionally per-column (NDV, min/max,
+    nulls) histogram-free stats.
+
+    This is the engine's analog of the reference's precomputed TPC-DS
+    statistics (ref: flink-end-to-end-tests/flink-tpcds-test/.../stats/
+    TpcdsStatsProvider.java, loaded before the 103-query run): with
+    stats in the catalog, CBO (spark.sql.cbo.enabled, set in session.py)
+    costs join orders and picks broadcast sides from rowCount instead of
+    file size, and AQE refines at runtime.  At 100 TB, run this after
+    bulk loads; it is a metadata-only scan-and-aggregate job.
+    """
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )

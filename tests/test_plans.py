@@ -73,3 +73,26 @@ def test_no_row_python_in_llm_pipeline(spark):
 def test_wholestage_codegen_active(spark):
     df = _df(spark, "q1_pricing_summary")
     assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE (ref: TpcdsStatsProvider.java — the reference
+    preloads TPC-DS stats the same way) must surface rowCount into the
+    optimized plan's cost model, which CBO join-ordering consumes."""
+    from my_flink_1_10_2_spark.catalog import analyze_table, read_table
+
+    name = "nation_stats_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    read_table(spark, SF_DIR, "nation").write.saveAsTable(name)
+    try:
+        n = spark.table(name).count()
+        analyze_table(spark, name, columns=["n_nationkey", "n_regionkey"])
+        cost = spark.table(name)._jdf.queryExecution().optimizedPlan().stats().toString()
+        assert f"rowCount={n}" in cost
+        desc = spark.sql(
+            f"DESCRIBE EXTENDED {name} n_nationkey"
+        ).collect()
+        info = {r.info_name: r.info_value for r in desc}
+        assert info.get("distinct_count") == str(n)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

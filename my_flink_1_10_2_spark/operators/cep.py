@@ -179,6 +179,13 @@ def _run_nfa(
     # plain dicts, not pd.Series: same row["field"] access for predicates
     # and measures, ~10× less per-row overhead in the NFA loop
     rows = pdf.to_dict("records")
+    # Tag each row with its scan position: with relaxed contiguity a match
+    # can have gaps, so SKIP PAST LAST ROW must resume after the last
+    # matched row's INDEX, not start + match size (which would rescan the
+    # gap rows and let consumed rows seed later matches — a semantics the
+    # reference's AfterMatchSkipStrategy.java explicitly forbids).
+    for idx, row in enumerate(rows):
+        row["__rowidx"] = idx
     out: list[dict] = []
     i = 0
     while i < len(rows):
@@ -186,7 +193,8 @@ def _run_nfa(
         if m is not None:
             out.append({k: fn(m) for k, fn in measures.items()})
             if after_match == "skip_past_last_row":
-                i += max(1, sum(len(v) for v in m.values()))
+                last_idx = max(r["__rowidx"] for v in m.values() for r in v)
+                i = last_idx + 1
             else:  # skip_to_next_row
                 i += 1
         else:

@@ -180,8 +180,11 @@ def _measure_fn(expr: str, partition_by: list[str], var_order: list[str]):
         return col, lambda mtch: mtch[var][-1][col] if mtch.get(var) else None
     ref = re.fullmatch(r"(\w+)\.(\w+)", expr)
     if ref:
+        # bare VAR.col in ONE ROW PER MATCH is (RUNNING) LAST per the SQL
+        # standard and the reference (MatchCodeGenerator.scala) — differs
+        # from FIRST whenever VAR carries a + or * quantifier
         var, col = ref.group(1), ref.group(2)
-        return col, lambda mtch: mtch[var][0][col] if mtch.get(var) else None
+        return col, lambda mtch: mtch[var][-1][col] if mtch.get(var) else None
     if expr in partition_by:  # bare partition column: same for every row
         col = expr
 

@@ -64,30 +64,40 @@ def asof_join(
     broadcast requirement, and skew only where the key itself is skewed.
     Left rows with no prior right row keep NULLs (left-outer semantics).
     """
+    from pyspark.sql.types import StructType
+
     lk, rk = key
     lt, rt = time
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (rk, rt)]
 
+    # All right value columns travel as ONE struct, and last(ignorenulls)
+    # fills that struct: every probe row sees all values from the same
+    # (latest) version row — a version whose value column is legitimately
+    # NULL stays NULL instead of leaking the older version's value, and
+    # multiple value columns can never mix versions (ref:
+    # TemporalRowTimeJoinOperator.java returns whole rows, not columns).
+    version_struct_t = StructType([right.schema[c] for c in right_value_cols])
+
     # Tagged union: side 0 = right (version rows), side 1 = left (probe rows).
     # Right rows sort before left rows at equal timestamps, so a version
     # with ts == probe ts IS visible (inclusive as-of, matching the
     # reference's rowtime join).
+    null_left = [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns]
     r = right.select(
         F.col(rk).alias("__k"),
         F.col(rt).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_value_cols],
+        *null_left,
+        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__r"),
     )
-    null_left = [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns]
-    r = r.select("__k", "__t", "__side", *null_left, *[F.col(c).alias(f"__r_{c}") for c in right_value_cols])
 
     l = left.select(
         F.col(lk).alias("__k"),
         F.col(lt).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(version_struct_t).alias("__r"),
     )
 
     unioned = r.unionByName(l)
@@ -97,17 +107,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__v")
     )
     out = (
         filled.filter(F.col("__side") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"__v_{c}").alias(c) for c in right_value_cols],
+            *[F.col(f"__v.{c}").alias(c) for c in right_value_cols],
         )
     )
     return out

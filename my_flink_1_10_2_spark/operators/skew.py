@@ -46,10 +46,12 @@ def salted_join(
     use AQE skew handling there)."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError("salted_join supports inner/left joins only")
-    # deterministic per-row scatter (survives task retries, unlike rand())
-    scatter = F.pmod(
-        F.abs(F.hash(F.monotonically_increasing_id())), F.lit(salt)
-    ).cast("int")
+    # Content-derived scatter: hash of the full row is stable under stage
+    # retries and upstream shuffle reorderings (monotonically_increasing_id
+    # and rand() are NOT — both depend on partition id / position and can
+    # double-count or drop rows on partial recomputation). Duplicate rows
+    # share a salt, which costs a little uniformity but never correctness.
+    scatter = F.pmod(F.abs(F.hash(*skewed.columns)), F.lit(salt)).cast("int")
     left = skewed.withColumn(_SALT, scatter)
     right = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -78,7 +80,8 @@ def salted_agg(
         if fn not in supported:
             raise ValueError(f"{out}: {fn} is not algebraic-decomposable here")
 
-    scatter = F.pmod(F.abs(F.hash(F.monotonically_increasing_id())), F.lit(salt))
+    # content-derived scatter, stable under retries (see salted_join)
+    scatter = F.pmod(F.abs(F.hash(*df.columns)), F.lit(salt))
     salted = df.withColumn(_SALT, scatter)
 
     partials, finals = [], []

@@ -86,20 +86,20 @@ def q_string_functions(spark, sf_dir):
            ceil(l_quantity / 7)          AS ceil_v,
            floor(l_quantity / 7)         AS floor_v,
            round(l_extendedprice, 1)     AS round_v,
-           exp(l_discount)               AS exp_v,
-           ln(l_extendedprice)           AS ln_v,
-           log10(l_extendedprice)        AS log10_v,
-           log2(l_quantity + 1)          AS log2_v,
-           power(l_quantity, 2)          AS pow_v,
-           sqrt(l_extendedprice)         AS sqrt_v,
+           round(exp(l_discount), 9)     AS exp_v,
+           round(ln(l_extendedprice), 9) AS ln_v,
+           round(log10(l_extendedprice), 9) AS log10_v,
+           round(log2(l_quantity + 1), 9)   AS log2_v,
+           round(power(l_quantity, 2), 9)   AS pow_v,
+           round(sqrt(l_extendedprice), 9)  AS sqrt_v,
            mod(CAST(l_quantity AS BIGINT), 5) AS mod_v,
            sign(l_discount - 0.05)       AS sign_v,
-           sin(l_discount)               AS sin_v,
-           cos(l_discount)               AS cos_v,
-           tan(l_discount)               AS tan_v,
-           atan2(l_discount, l_tax + 0.01) AS atan2_v,
-           degrees(l_discount)           AS deg_v,
-           radians(l_quantity)           AS rad_v,
+           round(sin(l_discount), 9)     AS sin_v,
+           round(cos(l_discount), 9)     AS cos_v,
+           round(tan(l_discount), 9)     AS tan_v,
+           round(atan2(l_discount, l_tax + 0.01), 9) AS atan2_v,
+           round(degrees(l_discount), 9) AS deg_v,
+           round(radians(l_quantity), 9) AS rad_v,
            pi()                          AS pi_v,
            greatest(l_quantity, l_extendedprice / 1000) AS greatest_v,
            least(l_quantity, l_extendedprice / 1000)    AS least_v
@@ -108,7 +108,12 @@ def q_string_functions(spark, sf_dir):
     category="scalar",
 )
 def q_math_functions(spark, sf_dir):
-    """Math family (ref: BuiltInFunctionDefinitions.java:370-596)."""
+    """Math family (ref: BuiltInFunctionDefinitions.java:370-596).
+
+    Transcendental outputs are rounded to 9 decimals on BOTH sides: JVM
+    libm and DuckDB libm differ in the last ULP on exp/ln/tan/... and the
+    driver's correctness gate hashes values exactly.
+    """
     li = read(spark, sf_dir, "lineitem").filter("l_orderkey <= 300")
     return li.select(
         "l_orderkey",
@@ -117,20 +122,20 @@ def q_math_functions(spark, sf_dir):
         F.ceil(F.col("l_quantity") / 7).alias("ceil_v"),
         F.floor(F.col("l_quantity") / 7).alias("floor_v"),
         F.round(F.col("l_extendedprice"), 1).alias("round_v"),
-        F.exp("l_discount").alias("exp_v"),
-        F.log(F.col("l_extendedprice")).alias("ln_v"),
-        F.log10("l_extendedprice").alias("log10_v"),
-        F.log2(F.col("l_quantity") + 1).alias("log2_v"),
-        F.pow(F.col("l_quantity"), 2).alias("pow_v"),
-        F.sqrt("l_extendedprice").alias("sqrt_v"),
+        F.round(F.exp("l_discount"), 9).alias("exp_v"),
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("ln_v"),
+        F.round(F.log10("l_extendedprice"), 9).alias("log10_v"),
+        F.round(F.log2(F.col("l_quantity") + 1), 9).alias("log2_v"),
+        F.round(F.pow(F.col("l_quantity"), 2), 9).alias("pow_v"),
+        F.round(F.sqrt("l_extendedprice"), 9).alias("sqrt_v"),
         (F.col("l_quantity").cast("bigint") % 5).alias("mod_v"),
         F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
-        F.sin("l_discount").alias("sin_v"),
-        F.cos("l_discount").alias("cos_v"),
-        F.tan("l_discount").alias("tan_v"),
-        F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01).alias("atan2_v"),
-        F.degrees("l_discount").alias("deg_v"),
-        F.radians("l_quantity").alias("rad_v"),
+        F.round(F.sin("l_discount"), 9).alias("sin_v"),
+        F.round(F.cos("l_discount"), 9).alias("cos_v"),
+        F.round(F.tan("l_discount"), 9).alias("tan_v"),
+        F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 9).alias("atan2_v"),
+        F.round(F.degrees("l_discount"), 9).alias("deg_v"),
+        F.round(F.radians("l_quantity"), 9).alias("rad_v"),
         F.lit(3.141592653589793).alias("pi_v"),
         F.greatest(F.col("l_quantity"), F.col("l_extendedprice") / 1000).alias("greatest_v"),
         F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000).alias("least_v"),

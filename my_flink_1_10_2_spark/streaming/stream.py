@@ -394,10 +394,10 @@ class KeyedStream:
         import pandas as _pd
 
         keys = self.keys
+        # iterate `keys` (not schema field order): emitted tuples are in
+        # key order, so the schema must be too or columns misalign
         key_fields = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in self.df.schema.fields
-            if f.name in keys
+            f"{k} {self.df.schema[k].dataType.simpleString()}" for k in keys
         )
         out_schema = f"{key_fields}, w_id long, cnt long, sum_value double"
 

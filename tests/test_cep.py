@@ -190,3 +190,19 @@ def test_within_backtracks_to_shorter_match(spark):
     capped = _run(df, rising.within("3 seconds"), extra_measures=n_rows)
     assert full == [0]   # greedy: one match consuming everything
     assert capped == [0, 4]  # 3s window: (a=0, b=1..3), then (a=4, b=5)
+
+
+def test_skip_past_last_row_with_relaxed_gaps(spark):
+    """AFTER MATCH SKIP PAST LAST ROW must resume after the last matched
+    row's INDEX — with followedBy the match has gaps, and consumed rows
+    must not seed later matches (ref: AfterMatchSkipStrategy.java).
+    A(v>=1) followedBy B(v>=10) over [1, 1, 10, 10] is exactly one match
+    (a=row0, b=row2); row1/row2 were rescanned by the old count-based
+    skip and produced a bogus second match."""
+    df = _events(spark, [1, 1, 10, 10])
+    pat = Pattern.begin("a", lambda r, c: r["value"] >= 1.0).followed_by(
+        "b", lambda r, c: r["value"] >= 10.0
+    )
+    assert _run(df, pat, after="skip_past_last_row") == [0]
+    # SKIP TO NEXT ROW still finds the overlapping alternatives
+    assert _run(df, pat, after="skip_to_next_row") == [0, 1, 2]

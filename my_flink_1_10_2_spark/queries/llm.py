@@ -326,7 +326,7 @@ def q_simhash(spark, sf_dir):
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, sim, rank FROM (
+    SELECT query_id, vec_id, round(sim, 9) AS sim, rank FROM (
       SELECT query_id, vec_id, sim,
              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
       FROM scored
@@ -339,7 +339,8 @@ def q_embedding_topk(spark, sf_dir):
     corpus never shuffles; the LSH variant is the 100 TB path)."""
     emb = read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
-    return S.cosine_topk_bruteforce(emb, queries, k=5)
+    out = S.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.withColumn("sim", F.round("sim", 9))
 
 
 @register("q_embedding_topk_lsh", oracle=None, category="llm_similarity")

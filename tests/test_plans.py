@@ -96,3 +96,44 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
         assert info.get("distinct_count") == str(n)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_topk_has_no_nested_loop_join(spark):
+    """Exact cosine top-k must score via the broadcast-matrix BLAS
+    kernel, not a per-pair BroadcastNestedLoopJoin on a != condition."""
+    df = _df(spark, "q_embedding_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_path_never_collects_corpus(spark):
+    """Building the near-dup / connected-components DataFrames must not
+    launch ANY Spark job: an eager toPandas()/collect() of the corpus
+    during query construction is the driver bottleneck at 100 TB."""
+    import inspect
+
+    from my_flink_1_10_2_spark.queries import graph
+
+    src = inspect.getsource(graph.neardup_pairs)
+    assert "toPandas" not in src and ".collect(" not in src
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = _df(spark, "q_embedding_neardup")   # construct only — no action
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    for jid in after - before:
+        info = tracker.getJobInfo(jid)
+        tasks = [
+            tracker.getStageInfo(s).numTasks
+            for s in info.stageIds
+            if tracker.getStageInfo(s) is not None
+        ]
+        # parquet footer/schema-inference jobs are 1-task metadata reads;
+        # anything larger means the corpus was materialized on the driver
+        assert all(t <= 1 for t in tasks), f"data job during construction: {tasks}"
+    # and the pair scoring itself runs distributed, as a grouped kernel
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # q_connected_components shares the pair kernel; its iterate loop
+    # does run jobs per superstep (inherent to iteration), but the edge
+    # generation itself is the same job-free blocked plan.

@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
         sketches,
         cep,
         graph,
+        gelly,
         udf,
         llm,
     )

@@ -57,3 +57,64 @@ def test_connected_components_chain_converges_logarithmically(spark, monkeypatch
     comps = cc.select("component").distinct().collect()
     assert [r.component for r in comps] == [0]
     assert calls["n"] <= 16, f"expected O(log d) supersteps, got {calls['n']}"
+
+
+def test_delta_iteration_matches_bulk_and_workset_shrinks(spark):
+    """iterateDelta (ref: DataSet.java:1206): same fixpoint as the bulk
+    iteration, with the workset — only vertices whose label improved —
+    monotonically shrinking to empty (converged elements drop out of the
+    per-superstep shuffle, the whole point of delta iterations)."""
+    from my_flink_1_10_2_spark.operators.iterate import (
+        connected_components,
+        connected_components_delta,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    sizes: list[int] = []
+    delta = connected_components_delta(
+        edges, max_iterations=20, superstep_sizes=sizes
+    )
+    bulk = connected_components(edges, max_iterations=20)
+    assert sorted(map(tuple, delta.collect())) == sorted(map(tuple, bulk.collect()))
+    assert sizes[-1] == 0  # reached the empty-workset fixpoint
+    assert sizes == sorted(sizes, reverse=True)  # monotone shrink
+    assert len(sizes) > 2 and sizes[1] < sizes[0]  # genuinely shrinking
+
+
+def test_pagerank_sums_to_less_than_one_and_is_deterministic(spark):
+    """PageRank on a 3-cycle: symmetric graph ⇒ uniform ranks; total
+    mass = 1 (no dangling nodes in a cycle)."""
+    from my_flink_1_10_2_spark.operators.gelly import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    out = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert len(out) == 3
+    for v in out.values():
+        assert abs(v - 1.0 / 3) < 1e-9
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by nothing: each converges to its min id."""
+    from my_flink_1_10_2_spark.operators.gelly import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iterations=4).collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+
+
+def test_triangle_enumeration_exact(spark):
+    """K4 has exactly 4 triangles, each enumerated once, v1<v2<v3."""
+    from my_flink_1_10_2_spark.operators.gelly import triangle_enumerate
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    tris = sorted(map(tuple, triangle_enumerate(edges).collect()))
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]

@@ -384,3 +384,451 @@ def ds_frequent_buyers(spark, sf_dir):
     return freq.join(F.broadcast(c), freq.o_custkey == c.c_custkey).select(
         "c_custkey", "c_name", "c_mktsegment", "n_mid_orders"
     )
+
+
+@register(
+    "ds_returns_above_avg",
+    oracle="""
+    WITH cust_returns AS (
+      SELECT c_custkey, c_nationkey,
+             sum(l_extendedprice * (1 - l_discount)) AS ret_amt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_nationkey
+    ),
+    nation_avg AS (
+      SELECT c_nationkey, avg(ret_amt) AS avg_ret
+      FROM cust_returns GROUP BY c_nationkey
+    )
+    SELECT cr.c_custkey, n_name, round(cr.ret_amt, 4) AS ret_amt
+    FROM cust_returns cr
+    JOIN nation_avg na ON cr.c_nationkey = na.c_nationkey
+    JOIN nation ON cr.c_nationkey = n_nationkey
+    WHERE cr.ret_amt > 1.2 * na.avg_ret
+    """,
+    category="tpcds",
+)
+def ds_returns_above_avg(spark, sf_dir):
+    """TPC-DS Q1 shape: CTE on CTE — per-customer return totals, then a
+    per-nation average OF that aggregate, then customers above 1.2× their
+    nation's mean. Both aggregates are |customers|-sized; the second agg
+    and the final join never touch the fact table again."""
+    l = read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    n = read(spark, sf_dir, "nation")
+    cust_returns = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(_revenue()).alias("ret_amt"))
+    )
+    nation_avg = cust_returns.groupBy("c_nationkey").agg(
+        F.avg("ret_amt").alias("avg_ret")
+    )
+    return (
+        cust_returns.join(F.broadcast(nation_avg), "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .where(F.col("ret_amt") > 1.2 * F.col("avg_ret"))
+        .select("c_custkey", "n_name", F.round("ret_amt", 4).alias("ret_amt"))
+    )
+
+
+@register(
+    "ds_frequent_best_items",
+    oracle="""
+    WITH frequent_items AS (
+      SELECT l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey
+      HAVING count(DISTINCT date_trunc('month', o_orderdate)) >= 4
+    ),
+    cust_rev AS (
+      SELECT o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    best_customers AS (
+      SELECT o_custkey FROM cust_rev
+      WHERE rev > 1.5 * (SELECT avg(rev) FROM cust_rev)
+    )
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+           count(*) AS n_sales
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM frequent_items)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+    category="tpcds",
+)
+def ds_frequent_best_items(spark, sf_dir):
+    """TPC-DS Q23 shape: two independently-derived entity sets (frequent
+    items: sold in ≥4 distinct months; best customers: spend >1.5× the
+    mean) intersected against the fact table via semi joins. Both sets
+    are aggregates — small — so they broadcast into the final fact scan."""
+    l = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    fact = l.join(o, l.l_orderkey == o.o_orderkey)
+    frequent = (
+        fact.groupBy("l_partkey")
+        .agg(F.countDistinct(F.date_trunc("month", "o_orderdate")).alias("n_months"))
+        .where(F.col("n_months") >= 4)
+        .select("l_partkey")
+    )
+    cust_rev = fact.groupBy("o_custkey").agg(F.sum(_revenue()).alias("rev"))
+    avg_rev = cust_rev.agg(F.avg("rev").alias("avg_rev"))
+    best = (
+        cust_rev.join(F.broadcast(avg_rev))
+        .where(F.col("rev") > 1.5 * F.col("avg_rev"))
+        .select("o_custkey")
+    )
+    return (
+        fact.join(F.broadcast(frequent), "l_partkey", "left_semi")
+        .join(F.broadcast(best), "o_custkey", "left_semi")
+        .agg(
+            F.round(F.sum(_revenue()), 4).alias("total_rev"),
+            F.count("*").alias("n_sales"),
+        )
+    )
+
+
+@register(
+    "ds_hour_bucket_pivot",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 0  AND 2 ) AS h0,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 3  AND 5 ) AS h1,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 6  AND 8 ) AS h2,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 9  AND 11) AS h3,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 12 AND 14) AS h4,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 15 AND 17) AS h5,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 18 AND 20) AS h6,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 21 AND 23) AS h7
+    """,
+    category="tpcds",
+)
+def ds_hour_bucket_pivot(spark, sf_dir):
+    """TPC-DS Q88 shape: the 8-scalar-subquery time-bucket pivot. The
+    oracle keeps Q88's literal 8-subquery topology; the engine applies
+    the planner rewrite the reference would want — ONE fact scan with 8
+    conditional counts (8 scans → 1 at 100 TB)."""
+    e = read(spark, sf_dir, "events").select(F.hour("ts").alias("h"))
+    aggs = [
+        F.sum(F.when(F.col("h").between(3 * i, 3 * i + 2), 1).otherwise(0))
+        .cast("long")
+        .alias(f"h{i}")
+        for i in range(8)
+    ]
+    return e.agg(*aggs)
+
+
+@register(
+    "ds_wide_two_year_join",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey AS pk, o_custkey AS ck, year(o_orderdate) AS yr,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey, o_custkey, year(o_orderdate)
+    )
+    SELECT p_brand, c_mktsegment, n_name, r_name, a.pk AS partkey,
+           a.ck AS custkey,
+           round(a.rev, 4) AS rev_y1, round(b.rev, 4) AS rev_y2
+    FROM py a
+    JOIN py b ON a.pk = b.pk AND a.ck = b.ck AND a.yr = 1996 AND b.yr = 1997
+             AND b.rev > a.rev
+    JOIN part     ON a.pk = p_partkey
+    JOIN customer ON a.ck = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    """,
+    category="tpcds",
+)
+def ds_wide_two_year_join(spark, sf_dir):
+    """TPC-DS Q64 shape: a wide multi-table join around a same-entity
+    two-period self-join ((part, customer) revenue in 1996 vs 1997,
+    keep growers). The self-join runs on the AGGREGATED relation, and
+    all four dimensions broadcast onto it."""
+    l = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    p = read(spark, sf_dir, "part")
+    c = read(spark, sf_dir, "customer")
+    n = read(spark, sf_dir, "nation")
+    r = read(spark, sf_dir, "region")
+    py = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("o_custkey").alias("ck"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(_revenue()).alias("rev"))
+    )
+    a = py.where(F.col("yr") == 1996).alias("a")
+    b = py.where(F.col("yr") == 1997).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("b.rev") > F.col("a.rev")),
+        )
+        .join(F.broadcast(p), F.col("a.pk") == p.p_partkey)
+        .join(F.broadcast(c), F.col("a.ck") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_brand",
+            "c_mktsegment",
+            "n_name",
+            "r_name",
+            F.col("a.pk").alias("partkey"),
+            F.col("a.ck").alias("custkey"),
+            F.round(F.col("a.rev"), 4).alias("rev_y1"),
+            F.round(F.col("b.rev"), 4).alias("rev_y2"),
+        )
+    )
+
+
+@register(
+    "ds_channel_union_report",
+    oracle="""
+    WITH unioned AS (
+      SELECT 'returned' AS channel, year(o_orderdate) AS o_year, l_quantity,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'kept-async' AS channel, year(o_orderdate) AS o_year, l_quantity,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'A'
+      UNION ALL
+      SELECT 'kept-normal' AS channel, year(o_orderdate) AS o_year, l_quantity,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'N'
+    )
+    SELECT channel, o_year, count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS total_qty, round(sum(rev), 4) AS total_rev
+    FROM unioned GROUP BY channel, o_year
+    """,
+    category="tpcds",
+)
+def ds_channel_union_report(spark, sf_dir):
+    """TPC-DS Q76/Q71 shape: UNION ALL of per-channel branches with a
+    synthesized channel literal, aggregated over the union. Each branch
+    filters at the scan; the union itself adds no shuffle (the exchange
+    happens once, at the group-by)."""
+    l = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    fact = l.join(o, l.l_orderkey == o.o_orderkey)
+
+    def branch(flag: str, channel: str):
+        return fact.where(F.col("l_returnflag") == flag).select(
+            F.lit(channel).alias("channel"),
+            F.year("o_orderdate").alias("o_year"),
+            "l_quantity",
+            _revenue().alias("rev"),
+        )
+
+    unioned = (
+        branch("R", "returned")
+        .unionByName(branch("A", "kept-async"))
+        .unionByName(branch("N", "kept-normal"))
+    )
+    return unioned.groupBy("channel", "o_year").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        F.round(F.sum("rev"), 4).alias("total_rev"),
+    )
+
+
+@register(
+    "ds_loyal_customers_intersect",
+    oracle="""
+    SELECT count(*) AS n_loyal FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+    )
+    """,
+    category="tpcds",
+)
+def ds_loyal_customers_intersect(spark, sf_dir):
+    """TPC-DS Q38/Q87 shape: three-way INTERSECT of per-period entity
+    sets, counted. Each leg aggregates to distinct keys before the
+    intersects, so the set operation runs on |customers|-sized inputs."""
+    o = read(spark, sf_dir, "orders")
+
+    def year_keys(y: int):
+        return o.where(F.year("o_orderdate") == y).select("o_custkey").distinct()
+
+    loyal = year_keys(1996).intersect(year_keys(1997)).intersect(year_keys(1998))
+    return loyal.agg(F.count("*").alias("n_loyal"))
+
+
+@register(
+    "ds_rollup_rank",
+    oracle="""
+    WITH sales AS (
+      SELECT p_type, p_brand,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP (p_type, p_brand)
+    ),
+    ranked AS (
+      SELECT p_type, p_brand, revenue,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY revenue DESC, p_brand NULLS FIRST) AS rk
+      FROM sales
+    )
+    SELECT p_type, p_brand, round(revenue, 4) AS revenue, rk
+    FROM ranked WHERE rk <= 3
+    """,
+    category="tpcds",
+)
+def ds_rollup_rank(spark, sf_dir):
+    """TPC-DS Q67 shape: rank WITHIN the rollup output — subtotal rows
+    (NULL dims) compete in the same window as detail rows. The window
+    input is the |type × brand| aggregate, not the fact table."""
+    l = read(spark, sf_dir, "lineitem")
+    p = read(spark, sf_dir, "part")
+    sales = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .rollup("p_type", "p_brand")
+        .agg(F.sum(_revenue()).alias("revenue"))
+    )
+    w = W.partitionBy("p_type").orderBy(
+        F.desc("revenue"), F.asc_nulls_first("p_brand")
+    )
+    return (
+        sales.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_type", "p_brand", F.round("revenue", 4).alias("revenue"), "rk")
+    )
+
+
+@register(
+    "ds_monthly_pivot_matrix",
+    oracle="""
+    SELECT n_name, year(o_orderdate) AS o_year,
+    """
+    + ",\n    ".join(
+        f"round(sum(CASE WHEN month(o_orderdate) = {m} THEN "
+        f"l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS m{m:02d}"
+        for m in range(1, 13)
+    )
+    + """
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    category="tpcds",
+)
+def ds_monthly_pivot_matrix(spark, sf_dir):
+    """TPC-DS Q66 shape: the 12-column CASE pivot — one row per
+    (nation, year) with a revenue column per month, all twelve computed
+    in a single aggregation pass."""
+    l = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    n = read(spark, sf_dir, "nation")
+    fact = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    aggs = [
+        F.round(
+            F.sum(
+                F.when(F.month("o_orderdate") == m, _revenue()).otherwise(F.lit(0.0))
+            ),
+            4,
+        ).alias(f"m{m:02d}")
+        for m in range(1, 13)
+    ]
+    return fact.groupBy("n_name", F.year("o_orderdate").alias("o_year")).agg(*aggs)
+
+
+@register(
+    "ds_cohort_revenue",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_year, year(o_orderdate) AS o_year,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           round(sum(o_totalprice), 4) AS cohort_rev
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY cohort_year, year(o_orderdate)
+    """,
+    category="tpcds",
+)
+def ds_cohort_revenue(spark, sf_dir):
+    """Retention-cohort report (TPC-DS Q54 new-customer shape): the
+    cohort dimension is DERIVED from the fact table (min order year per
+    customer), then joined back and cut by (cohort, activity) year.
+    The derived dimension is |customers|-sized → broadcast."""
+    o = read(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        o.join(F.broadcast(first), "o_custkey")
+        .groupBy("cohort_year", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 4).alias("cohort_rev"),
+        )
+    )
+
+
+@register(
+    "ds_double_rank_band",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev,
+             sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev, qty,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS rev_rank,
+             row_number() OVER (ORDER BY qty DESC, l_partkey) AS qty_rank
+      FROM per_part
+    )
+    SELECT l_partkey, round(rev, 4) AS rev, round(qty, 4) AS qty,
+           rev_rank, qty_rank
+    FROM ranked WHERE rev_rank <= 15 OR qty_rank <= 15
+    """,
+    category="tpcds",
+)
+def ds_double_rank_band(spark, sf_dir):
+    """TPC-DS Q49 shape: the same aggregated relation ranked under two
+    different orderings, rows kept when EITHER rank clears the band.
+    Both windows are global over the |parts| aggregate — fine there;
+    never do this pre-aggregation."""
+    l = read(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(_revenue()).alias("rev"), F.sum("l_quantity").alias("qty")
+    )
+    w_rev = W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    w_qty = W.orderBy(F.desc("qty"), F.asc("l_partkey"))
+    return (
+        per_part.withColumn("rev_rank", F.row_number().over(w_rev))
+        .withColumn("qty_rank", F.row_number().over(w_qty))
+        .where((F.col("rev_rank") <= 15) | (F.col("qty_rank") <= 15))
+        .select(
+            "l_partkey",
+            F.round("rev", 4).alias("rev"),
+            F.round("qty", 4).alias("qty"),
+            "rev_rank",
+            "qty_rank",
+        )
+    )

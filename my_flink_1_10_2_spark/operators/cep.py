@@ -192,7 +192,29 @@ def _run_nfa(
         m = _match_at(rows, i, steps, ts_col=ts_col, within=within)
         if m is not None:
             out.append({k: fn(m) for k, fn in measures.items()})
-            if after_match == "skip_past_last_row":
+            if isinstance(after_match, tuple):
+                # ("skip_to_first"|"skip_to_last", var) — resume AT the
+                # first/last row matched to `var` (ref:
+                # AfterMatchSkipStrategy.java SKIP_TO_FIRST/SKIP_TO_LAST)
+                mode, var = after_match
+                bound = m.get(var) or []
+                if not bound:  # var matched zero rows (?/*) → next row
+                    i += 1
+                else:
+                    tgt = (
+                        bound[0]["__rowidx"]
+                        if mode == "skip_to_first"
+                        else bound[-1]["__rowidx"]
+                    )
+                    if tgt <= i:
+                        # would re-attempt at the same position forever —
+                        # the reference raises for this degenerate spec
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {mode.rsplit('_', 1)[-1].upper()}"
+                            f" {var} does not advance past row {i}"
+                        )
+                    i = tgt
+            elif after_match == "skip_past_last_row":
                 last_idx = max(r["__rowidx"] for v in m.values() for r in v)
                 i = last_idx + 1
             else:  # skip_to_next_row

@@ -13,8 +13,9 @@ Supported subset (strict contiguity, the reference's `next` semantics):
       ORDER BY col [, col]
       MEASURES <expr> AS name [, ...]
       [ONE ROW PER MATCH]
-      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-      PATTERN (A B+ C? ...)
+      [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+       | SKIP TO FIRST var | SKIP TO LAST var]
+      PATTERN (A B+ C? ...) [WITHIN INTERVAL '<n>' <unit>]
       DEFINE VAR AS <cond> [AND <cond>]... [, VAR AS ...]
     )
 
@@ -80,7 +81,7 @@ def _clause(body: str, name: str, stop: list[str]) -> str | None:
 
 
 _CLAUSES = ["PARTITION\\s+BY", "ORDER\\s+BY", "MEASURES", "ONE\\s+ROW",
-            "AFTER\\s+MATCH", "PATTERN", "DEFINE"]
+            "AFTER\\s+MATCH", "PATTERN", "WITHIN", "DEFINE"]
 
 
 def _last_matched(ctx: dict, var_order: list[str]):
@@ -206,15 +207,39 @@ def compile_match_recognize(spark: SparkSession, query: str) -> DataFrame:
     part = _clause(body, r"PARTITION\s+BY", _CLAUSES) or ""
     order = _clause(body, r"ORDER\s+BY", _CLAUSES) or ""
     measures_raw = _clause(body, "MEASURES", _CLAUSES) or ""
-    after_raw = (_clause(body, r"AFTER\s+MATCH", _CLAUSES) or "SKIP PAST LAST ROW").upper()
+    after_clause = _clause(body, r"AFTER\s+MATCH", _CLAUSES) or "SKIP PAST LAST ROW"
     pattern_raw = _clause(body, "PATTERN", _CLAUSES) or ""
+    within_raw = _clause(body, "WITHIN", _CLAUSES)
     define_raw = _clause(body, "DEFINE", _CLAUSES) or ""
 
     partition_by = [c.strip() for c in part.split(",") if c.strip()]
     order_by = [c.strip() for c in order.split(",") if c.strip()]
-    after = (
-        "skip_to_next_row" if "NEXT ROW" in after_raw else "skip_past_last_row"
+
+    # AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW | TO FIRST v | TO LAST v}
+    # (ref: AfterMatchSkipStrategy.java; SQL spellings exercised by
+    # MatchRecognizeITCase.scala)
+    skip_to = re.search(
+        r"SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)", after_clause, re.IGNORECASE
     )
+    if skip_to:
+        after = (f"skip_to_{skip_to.group(1).lower()}", skip_to.group(2))
+    elif "NEXT ROW" in after_clause.upper():
+        after = "skip_to_next_row"
+    else:
+        after = "skip_past_last_row"
+
+    # PATTERN (...) WITHIN INTERVAL '<n>' <unit>  (ref: Pattern.within /
+    # MATCH_RECOGNIZE WITHIN in the reference's SQL surface)
+    within_td = None
+    if within_raw is not None:
+        wm = re.fullmatch(
+            r"INTERVAL\s+'([\d.]+)'\s+(\w+)", within_raw.strip(), re.IGNORECASE
+        )
+        if not wm:
+            raise ValueError(f"unsupported WITHIN clause: {within_raw!r}")
+        import pandas as pd
+
+        within_td = pd.Timedelta(f"{wm.group(1)} {wm.group(2).lower()}")
 
     pat = re.sub(r"[()]", " ", pattern_raw)
     tokens = pat.split()
@@ -260,7 +285,7 @@ def compile_match_recognize(spark: SparkSession, query: str) -> DataFrame:
         df,
         partition_by=partition_by,
         order_by=order_by,
-        pattern=Pattern(steps),
+        pattern=Pattern(steps, within_td),
         measures=measures,
         output_schema=", ".join(schema_parts),
         after_match=after,

@@ -202,3 +202,98 @@ def q_cep_funnel_within(spark, sf_dir):
         output_schema="user_id long, view_ts timestamp_ntz, purchase_ts timestamp_ntz",
         after_match="skip_to_next_row",
     )
+
+
+@register(
+    "q_sql_match_skip_to_first",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, event_id, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m
+    ), rr AS (
+      SELECT user_id, run_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, run_id
+                                ORDER BY ts, event_id) AS pos,
+             count(*)   OVER (PARTITION BY user_id, run_id) AS rl,
+             max(value) OVER (PARTITION BY user_id, run_id) AS high
+      FROM runs
+    )
+    SELECT user_id, ts AS start_ts, value AS low, high
+    FROM rr WHERE pos < rl
+    """,
+    category="cep",
+)
+def q_sql_match_skip_to_first(spark, sf_dir):
+    """AFTER MATCH SKIP TO FIRST var (ref: AfterMatchSkipStrategy.java,
+    SQL spelling per MatchRecognizeITCase.scala): after a greedy rising
+    run A B+, the scan resumes AT the first B row, so every suffix of a
+    maximal run is its own match. The oracle enumerates exactly those
+    suffixes with gaps-and-islands SQL — one output row per non-final
+    position of each maximal rising run."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "events")
+    te = TableEnvironment(spark)
+    return te.sql(
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES A.ts AS start_ts, A.value AS low, B.value AS high
+          AFTER MATCH SKIP TO FIRST B
+          PATTERN (A B+)
+          DEFINE B AS B.value > PREV(B.value)
+        )
+        """
+    ).df
+
+
+@register(
+    "q_sql_match_within",
+    oracle="""
+    SELECT user_id, ts AS view_ts, next_ts AS purchase_ts
+    FROM (
+      SELECT user_id, ts, event_type,
+             lead(ts) OVER w AS next_ts,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE event_type = 'view' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL 30 MINUTE
+    """,
+    category="cep",
+)
+def q_sql_match_within(spark, sf_dir):
+    """PATTERN (...) WITHIN INTERVAL (ref: Pattern.within(Time) /
+    NFA window timeout; SQL spelling per the reference's
+    MATCH_RECOGNIZE surface): a view IMMEDIATELY followed by a purchase
+    counts only when the pair spans ≤ 30 minutes. Strict contiguity
+    makes the oracle a lead() check with the same time bound."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "events")
+    te = TableEnvironment(spark)
+    return te.sql(
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES V.ts AS view_ts, P.ts AS purchase_ts
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (V P) WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    ).df

@@ -206,3 +206,41 @@ def test_skip_past_last_row_with_relaxed_gaps(spark):
     assert _run(df, pat, after="skip_past_last_row") == [0]
     # SKIP TO NEXT ROW still finds the overlapping alternatives
     assert _run(df, pat, after="skip_to_next_row") == [0, 1, 2]
+
+
+def test_skip_to_last_var(spark):
+    """SKIP TO LAST B resumes AT the last B row: over a single rising
+    run the resumed attempt fails (run was maximal), so matches equal
+    SKIP PAST LAST ROW — but over back-to-back runs sharing a boundary
+    row the boundary is re-used as the next match's A."""
+    df = _events(spark, [1, 2, 3, 1, 2])
+    rising = Pattern.begin("a", lambda r, c: True).next(
+        "b",
+        lambda r, c: r["value"] > (c["b"][-1]["value"] if c["b"] else c["a"][-1]["value"]),
+        "+",
+    )
+    out = _run(df, rising, after=("skip_to_last", "b"))
+    assert out == [0, 3]
+
+
+def test_skip_to_first_var(spark):
+    """SKIP TO FIRST B resumes at the FIRST B row: every suffix of a
+    maximal rising run matches."""
+    df = _events(spark, [1, 2, 3, 4])
+    rising = Pattern.begin("a", lambda r, c: True).next(
+        "b",
+        lambda r, c: r["value"] > (c["b"][-1]["value"] if c["b"] else c["a"][-1]["value"]),
+        "+",
+    )
+    assert _run(df, rising, after=("skip_to_first", "b")) == [0, 1, 2]
+
+
+def test_skip_to_first_of_leading_var_raises(spark):
+    """SKIP TO FIRST A where A starts the match can never advance — the
+    reference rejects this degenerate spec; so do we."""
+    import pytest as _pytest
+
+    df = _events(spark, [1, 2])
+    pat = Pattern.begin("a", lambda r, c: True).next("b", lambda r, c: True)
+    with _pytest.raises(Exception):
+        _run(df, pat, after=("skip_to_first", "a"))

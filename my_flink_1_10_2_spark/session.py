@@ -88,6 +88,7 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = tune_session(spark or get_spark())
         self._versioned: dict[str, tuple[str, str]] = {}
+        self._ddl_tables: dict[str, object] = {}
 
     # -- source registration (ref: SqlCreateTable.java:56) ------------------
     def register_parquet(self, name: str, path: str) -> "Table":
@@ -141,6 +142,27 @@ class TableEnvironment:
     sql = sql_query
 
     def execute_sql(self, statement: str) -> DataFrame:
+        from my_flink_1_10_2_spark.ddl import (
+            contains_create_table,
+            execute_create_table,
+        )
         from my_flink_1_10_2_spark.sql import rewrite_flink_sql
 
+        if contains_create_table(statement):
+            # CREATE TABLE ... WITH (...) [+ WATERMARK FOR] — registers a
+            # lazy batch view and records the spec for stream_table()
+            # (ref: SqlCreateTable.java:56, SqlWatermark.java)
+            ct = execute_create_table(self.spark, statement)
+            self._ddl_tables[ct.name] = ct
+            return self.spark.range(0)
         return self.spark.sql(rewrite_flink_sql(statement))
+
+    def stream_table(self, name: str) -> DataFrame:
+        """Streaming read of a DDL-registered source: same path/format
+        via ``readStream``, with the ``WATERMARK FOR`` bound applied as
+        ``withWatermark`` (ref: rowtime attribute, SURVEY §1.2)."""
+        from my_flink_1_10_2_spark.ddl import stream_reader
+
+        if name not in self._ddl_tables:
+            raise ValueError(f"{name} was not registered via CREATE TABLE DDL")
+        return stream_reader(self.spark, self._ddl_tables[name])

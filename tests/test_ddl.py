@@ -1,0 +1,104 @@
+"""DDL surface tests (ref: SqlCreateTable.java:56, SqlWatermark.java —
+CREATE TABLE ... WITH (...) + WATERMARK FOR registered from SQL text)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from my_flink_1_10_2_spark.ddl import parse_create_table
+from my_flink_1_10_2_spark.session import TableEnvironment
+
+_DDL = """
+CREATE TABLE clicks (
+  user_id BIGINT,
+  value DOUBLE,
+  ts TIMESTAMP(3),
+  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+) WITH (
+  'connector' = 'filesystem',
+  'path' = '{path}',
+  'format' = 'parquet'
+)
+"""
+
+
+def _write_fixture(spark, path: str) -> None:
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, float(v), base + dt.timedelta(minutes=m))
+        for u in (1, 2)
+        for m, v in enumerate(range(10))
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, value double, ts timestamp_ntz"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_parse_create_table_full_clause():
+    ct = parse_create_table(_DDL.format(path="/tmp/x"))
+    assert ct.name == "clicks"
+    assert ct.columns == [
+        ("user_id", "bigint"), ("value", "double"), ("ts", "timestamp_ntz")
+    ]
+    assert ct.watermark == ("ts", "5 seconds")
+    assert ct.options["format"] == "parquet"
+    assert ct.options["path"] == "/tmp/x"
+
+
+def test_ddl_registers_batch_view_for_group_window_sql(spark, tmp_path):
+    """The DDL-registered view feeds the Flink group-window SQL surface
+    (TUMBLE rewritten to window()) like any catalog table."""
+    path = str(tmp_path / "clicks")
+    _write_fixture(spark, path)
+    te = TableEnvironment(spark)
+    te.execute_sql(_DDL.format(path=path))
+    out = te.sql(
+        """
+        SELECT user_id, TUMBLE_START(ts, INTERVAL '5' MINUTE) AS w_start,
+               SUM(value) AS total
+        FROM clicks
+        GROUP BY user_id, TUMBLE(ts, INTERVAL '5' MINUTE)
+        """
+    ).df
+    rows = {(r.user_id, r.w_start): r.total for r in out.collect()}
+    base = dt.datetime(2024, 1, 1)
+    # minutes 0-4 carry values 0..4 → 10; minutes 5-9 carry 5..9 → 35
+    assert rows[(1, base)] == 10.0
+    assert rows[(1, base + dt.timedelta(minutes=5))] == 35.0
+    assert len(rows) == 4
+
+
+def test_ddl_stream_table_applies_watermark_and_windows(spark, tmp_path):
+    """stream_table() reads the same source with readStream and the
+    declared watermark; a windowed agg over it converges to the batch
+    answer (availableNow drain into a memory sink)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "clicks")
+    _write_fixture(spark, path)
+    te = TableEnvironment(spark)
+    te.execute_sql(_DDL.format(path=path))
+    stream = te.stream_table("clicks")
+    assert stream.isStreaming
+    # watermark node must be on the plan
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
+
+    agg = stream.groupBy(
+        "user_id", F.window("ts", "5 minutes").alias("w")
+    ).agg(F.sum("value").alias("total"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ddl_stream_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.w.start): r.total
+        for r in spark.table("ddl_stream_out").collect()
+    }
+    base = dt.datetime(2024, 1, 1)
+    assert got[(2, base)] == 10.0
+    assert got[(2, base + dt.timedelta(minutes=5))] == 35.0
+    assert len(got) == 4

@@ -46,6 +46,10 @@ HEADLINE = [
     "ds_yoy_growth",
     "q_cep_funnel_within",
     "q_kmv_distinct_parts",
+    "q_pagerank",
+    "q_triangle_count",
+    "ds_wide_two_year_join",
+    "q_sql_match_within",
 ]
 
 
@@ -66,15 +70,26 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Median of 3 runs per query: machine noise is ±40% run-to-run, so
+    # single-run numbers can't support round-over-round comparisons.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]
-        t0 = time.perf_counter()
-        # noop sink: forces full computation of every output column
-        # (count() would let Catalyst prune projection-only work)
-        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # noop sink: forces full computation of every output column
+            # (count() would let Catalyst prune projection-only work)
+            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -80,6 +80,7 @@ def _load_all_modules() -> None:
         gelly,
         udf,
         llm,
+        streaming_q,
     )
 
 
@@ -127,6 +128,8 @@ _FLAGSHIP_ORDER = [
     # sketches
     "q_kmv_distinct_parts",
     "q_kmv_distinct_users_by_type",
+    # streaming changelog
+    "q_retract_join_materialized",
     # UDF surface
     "q_udaf_median",
     "q_flat_aggregate_top2",

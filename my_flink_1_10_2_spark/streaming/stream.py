@@ -144,6 +144,22 @@ class Stream:
 
         return Stream(_ij(self.df, other.df, key, time, lower, upper))
 
+    def retract_join(
+        self,
+        other: "Stream",
+        on: list[tuple[str, str]],
+        how: str = "inner",
+        state_dir: str | None = None,
+    ):
+        """Unbounded stream-stream join with retractions (ref:
+        StreamingJoinOperator.java:37) — no watermark required on either
+        side; OUTER results are null-padded eagerly and retracted
+        (``__change='-D'``) when a late match arrives.  Returns a
+        :class:`RetractionJoin`; call ``.run(sink_fn)`` to execute."""
+        from my_flink_1_10_2_spark.streaming.retraction_join import RetractionJoin
+
+        return RetractionJoin(self.df, other.df, on, how, state_dir)
+
     def lookup_join(self, static_df: DataFrame, on, how: str = "left") -> "Stream":
         """Lookup (dimension) join: stream × static table (ref:
         LookupJoinRunner.java).  Spark re-plans the static side per

@@ -81,6 +81,7 @@ def _load_all_modules() -> None:
         udf,
         llm,
         streaming_q,
+        triggers_q,
     )
 
 
@@ -104,6 +105,9 @@ _FLAGSHIP_ORDER = [
     "q_interval_join",
     "q_asof_join",
     "q_sql_tumble_window",
+    "q_count_trigger_window",
+    "q_early_fire_window",
+    "q_count_evictor_window",
     # graph / iterations
     "q_pagerank",
     "q_label_propagation",

@@ -244,6 +244,81 @@ class Stream:
 
         return self.for_each_batch(handle, checkpoint)
 
+    def rowtime_sort(
+        self,
+        ts_col: str,
+        max_out_of_orderness_seconds: float,
+        emit_fn: Callable[[DataFrame, int], None],
+        secondary: list[str] | None = None,
+        checkpoint: str | None = None,
+    ):
+        """Event-time (rowtime) sort (ref: StreamExecTemporalSort.scala,
+        RowTimeSortOperator.java): buffer rows until the watermark passes
+        their timestamp, then emit them in (rowtime, secondary) order;
+        rows arriving behind the watermark are dropped as late.
+
+        Spark's streaming ``orderBy`` is unsupported, so the buffer lives
+        in a parquet state directory (the RocksDB analog) and each
+        emission is a distributed sort of the ready slice.  Driver state
+        is one timestamp (the event-time high-water mark).
+        """
+        import datetime as _dt
+        import shutil as _sh
+
+        delay = _dt.timedelta(seconds=max_out_of_orderness_seconds)
+        state_root = tempfile.mkdtemp(prefix="fl_sort_state_")
+        st: dict[str, object] = {"max_ts": None, "cur": None}
+        order_cols = [ts_col, *(secondary or [])]
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            prev_max = st["max_ts"]
+            wm_prev = None if prev_max is None else prev_max - delay
+            fresh = (
+                batch_df
+                if wm_prev is None
+                else batch_df.filter(F.col(ts_col) >= F.lit(wm_prev))
+            )
+            if st["cur"] is not None:
+                buf = spark.read.schema(batch_df.schema).parquet(st["cur"])
+                allbuf = buf.unionByName(fresh)
+            else:
+                allbuf = fresh
+            mx = allbuf.agg(F.max(ts_col).alias("m")).first()["m"]
+            if mx is None:
+                return
+            if prev_max is None or mx > prev_max:
+                st["max_ts"] = mx
+            wm = st["max_ts"] - delay
+            ready = allbuf.filter(F.col(ts_col) <= F.lit(wm)).orderBy(
+                *order_cols
+            )
+            emit_fn(ready, batch_id)
+            nxt = f"{state_root}/v{batch_id}"
+            allbuf.filter(F.col(ts_col) > F.lit(wm)).write.mode(
+                "overwrite"
+            ).parquet(nxt)
+            old = st["cur"]
+            st["cur"] = nxt
+            if old is not None:
+                _sh.rmtree(old, ignore_errors=True)
+
+        try:
+            q = self.for_each_batch(handle, checkpoint)
+            # End of a bounded stream = final +Inf watermark
+            # (ref: Watermark.MAX_WATERMARK emitted on input close):
+            # flush whatever is still buffered, in order.
+            if st["cur"] is not None:
+                rem = (
+                    self.df.sparkSession.read.schema(self.df.schema)
+                    .parquet(st["cur"])
+                    .orderBy(*order_cols)
+                )
+                emit_fn(rem, -1)
+            return q
+        finally:
+            _sh.rmtree(state_root, ignore_errors=True)
+
     def with_change_flag(self) -> "Stream":
         """Attach the retraction-convention column for update-mode sinks
         (ref: BaseRow.java:40-47): downstream consumers treat every row as

@@ -74,6 +74,7 @@ def _load_all_modules() -> None:
         time_windows,
         tpch,
         tpcds,
+        tpcds2,
         sketches,
         cep,
         graph,

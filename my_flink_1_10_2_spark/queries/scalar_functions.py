@@ -83,8 +83,8 @@ def q_string_functions(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)        AS abs_v,
-           ceil(l_quantity / 7)          AS ceil_v,
-           floor(l_quantity / 7)         AS floor_v,
+           CAST(ceil(l_quantity / 7) AS BIGINT)  AS ceil_v,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS floor_v,
            round(l_extendedprice, 1)     AS round_v,
            round(exp(l_discount), 9)     AS exp_v,
            round(ln(l_extendedprice), 9) AS ln_v,
@@ -93,7 +93,7 @@ def q_string_functions(spark, sf_dir):
            round(power(l_quantity, 2), 9)   AS pow_v,
            round(sqrt(l_extendedprice), 9)  AS sqrt_v,
            mod(CAST(l_quantity AS BIGINT), 5) AS mod_v,
-           sign(l_discount - 0.05)       AS sign_v,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sign_v,
            round(sin(l_discount), 9)     AS sin_v,
            round(cos(l_discount), 9)     AS cos_v,
            round(tan(l_discount), 9)     AS tan_v,
@@ -129,7 +129,7 @@ def q_math_functions(spark, sf_dir):
         F.round(F.pow(F.col("l_quantity"), 2), 9).alias("pow_v"),
         F.round(F.sqrt("l_extendedprice"), 9).alias("sqrt_v"),
         (F.col("l_quantity").cast("bigint") % 5).alias("mod_v"),
-        F.signum(F.col("l_discount") - 0.05).alias("sign_v"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("sign_v"),
         F.round(F.sin("l_discount"), 9).alias("sin_v"),
         F.round(F.cos("l_discount"), 9).alias("cos_v"),
         F.round(F.tan("l_discount"), 9).alias("tan_v"),

@@ -251,10 +251,10 @@ def ds_cumulative_channels(spark, sf_dir):
       GROUP BY o_orderkey
     )
     SELECT
-      sum(CASE WHEN n_items BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS small_orders,
-      sum(CASE WHEN n_items BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS mid_orders,
-      sum(CASE WHEN n_items > 5 THEN 1 ELSE 0 END) AS large_orders,
-      sum(CASE WHEN total_qty > 100 THEN 1 ELSE 0 END) AS bulk_orders
+      CAST(sum(CASE WHEN n_items BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS BIGINT) AS small_orders,
+      CAST(sum(CASE WHEN n_items BETWEEN 3 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS mid_orders,
+      CAST(sum(CASE WHEN n_items > 5 THEN 1 ELSE 0 END) AS BIGINT) AS large_orders,
+      CAST(sum(CASE WHEN total_qty > 100 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_orders
     FROM per_order
     """,
     category="tpcds",

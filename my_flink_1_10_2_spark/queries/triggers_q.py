@@ -120,7 +120,7 @@ def q_purging_count_trigger_window(spark, sf_dir):
     )
     SELECT window_start, event_type, fire_ts,
            CAST(row_number() OVER w AS BIGINT) AS fire_seq,
-           sum(c) OVER w AS cnt,
+           CAST(sum(c) OVER w AS BIGINT) AS cnt,
            round(sum(sv) OVER w, 6) AS sum_value
     FROM partials
     WINDOW w AS (PARTITION BY window_start, event_type

@@ -1,7 +1,10 @@
 """Gelly graph-algorithm library (ref: flink-libraries/flink-gelly/src/
 main/java/org/apache/flink/graph/library/ — linkanalysis/PageRank.java,
-LabelPropagation.java, TriangleEnumerator.java), re-expressed as
-DataFrame programs over the bulk-iteration operator.
+linkanalysis/HITS.java, LabelPropagation.java, TriangleEnumerator.java,
+SingleSourceShortestPaths.java, similarity/JaccardIndex.java,
+similarity/AdamicAdar.java, clustering/undirected/*.java,
+metric/undirected/VertexMetrics.java, Summarization.java), re-expressed
+as DataFrame programs over the bulk-iteration operator.
 
 Scale shape per superstep (same data movement as Gelly's scatter-gather):
 one shuffle join of the vertex-state relation with the (checkpointed)
@@ -108,6 +111,300 @@ def label_propagation(
         )
 
     return iterate(init, step, iterations)
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Single-source shortest paths, synchronous Bellman-Ford (ref:
+    flink-gelly library/SingleSourceShortestPaths.java — scatter
+    distance+weight along out-edges, gather min).
+
+    `weight` names an edge weight column (unit weights if None). One
+    relax round = one shuffle join (distances × edges) + one min-agg;
+    distance state is |reached|-sized. Unreached vertices are absent
+    from the output, as in the reference (Double.MAX_VALUE filtered).
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.cast("double").alias("__w")
+    ).localCheckpoint(eager=True)
+    init = (
+        _nodes(e, "__s", "__d")
+        .filter(F.col("node") == source)
+        .select("node", F.lit(0.0).alias("dist"))
+    )
+
+    def step(d: DataFrame, i: int) -> DataFrame:
+        relaxed = e.join(d, e["__s"] == d.node).select(
+            F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist")
+        )
+        return d.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+
+    return iterate(init, step, iterations)
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hubs-and-authorities (ref: flink-gelly
+    library/linkanalysis/HITS.java): per round, authority(v) = Σ hub(u)
+    over in-edges then L2-normalize, hub(u) = Σ authority(v) over
+    out-edges then L2-normalize. Returns (node, hub, authority).
+
+    The L2 norms stay distributed: each is a 1-row aggregate
+    crossJoin-ed back (broadcast of one row) — no driver collect in the
+    loop.
+    """
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    nodes = _nodes(e, src, dst)
+    init = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+
+    def normalized(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm"))
+        return df.crossJoin(F.broadcast(norm)).select(
+            *[c for c in df.columns if c != col],
+            (F.col(col) / F.col("__norm")).alias(col),
+        )
+
+    def step(hs: DataFrame, i: int) -> DataFrame:
+        auth = (
+            e.join(hs, e[src] == hs.node)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = normalized(
+            nodes.join(auth, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        hub = (
+            e.join(auth, e[dst] == auth.node)
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = normalized(
+            nodes.join(hub, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        return hub.join(auth, "node").select("node", "hub", "authority")
+
+    return iterate(init, step, iterations)
+
+
+def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric closure minus self-loops: undirected neighbor relation."""
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex clustering coefficient, undirected (ref: flink-gelly
+    library/clustering/undirected/LocalClusteringCoefficient.java):
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2.
+    Returns (node, degree, triangle_count, coefficient)."""
+    sym = _sym(edges, src, dst).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+    tris = triangle_enumerate(edges, src, dst)
+    per_vertex = (
+        tris.select(F.col("v1").alias("node"))
+        .union(tris.select("v2"))
+        .union(tris.select("v3"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangle_count"))
+    )
+    return deg.join(per_vertex, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangle_count", F.lit(0)).alias("triangle_count"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("triangle_count", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("coefficient"),
+    )
+
+
+def vertex_metrics(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Whole-graph metrics, undirected (ref: flink-gelly
+    library/metric/undirected/VertexMetrics.java + GlobalClusteringCoefficient
+    + AverageClusteringCoefficient): one row with vertex/edge/triplet/
+    triangle counts, degree stats, global and average clustering
+    coefficient. Everything reduces to scalar aggregates crossJoin-ed
+    together — no data leaves the executors until the single-row result."""
+    lcc = local_clustering_coefficient(edges, src, dst)
+    n_triangles = (
+        triangle_enumerate(edges, src, dst).agg(F.count("*").alias("triangle_count"))
+    )
+    base = lcc.agg(
+        F.count("*").alias("vertex_count"),
+        (F.sum("degree") / 2).cast("bigint").alias("edge_count"),
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("bigint")
+        .alias("triplet_count"),
+        F.max("degree").alias("max_degree"),
+        F.avg("degree").alias("avg_degree"),
+        F.avg("coefficient").alias("avg_clustering_coefficient"),
+    )
+    return base.crossJoin(F.broadcast(n_triangles)).select(
+        "vertex_count",
+        "edge_count",
+        "triplet_count",
+        "max_degree",
+        "avg_degree",
+        "triangle_count",
+        F.when(
+            F.col("triplet_count") > 0,
+            3.0 * F.col("triangle_count") / F.col("triplet_count"),
+        )
+        .otherwise(0.0)
+        .alias("global_clustering_coefficient"),
+        "avg_clustering_coefficient",
+    )
+
+
+def triadic_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected triadic census (ref: flink-gelly
+    library/clustering/undirected/TriadicCensus.java — same closed-form
+    derivation from vertex/edge/triplet/triangle counts):
+    t3 = triangles, t2 = triplets − 3·t3, t1 = m·(n−2) − 2·t2 − 3·t3,
+    t0 = C(n,3) − t1 − t2 − t3. One row (t0, t1, t2, t3)."""
+    m = vertex_metrics(edges, src, dst)
+    return m.select(
+        (
+            F.col("vertex_count")
+            * (F.col("vertex_count") - 1)
+            * (F.col("vertex_count") - 2)
+            / 6
+            - (
+                F.col("edge_count") * (F.col("vertex_count") - 2)
+                - 2 * (F.col("triplet_count") - 3 * F.col("triangle_count"))
+                - 3 * F.col("triangle_count")
+            )
+            - (F.col("triplet_count") - 3 * F.col("triangle_count"))
+            - F.col("triangle_count")
+        )
+        .cast("bigint")
+        .alias("t0"),
+        (
+            F.col("edge_count") * (F.col("vertex_count") - 2)
+            - 2 * (F.col("triplet_count") - 3 * F.col("triangle_count"))
+            - 3 * F.col("triangle_count")
+        )
+        .cast("bigint")
+        .alias("t1"),
+        (F.col("triplet_count") - 3 * F.col("triangle_count"))
+        .cast("bigint")
+        .alias("t2"),
+        F.col("triangle_count").cast("bigint").alias("t3"),
+    )
+
+
+def jaccard_index(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Neighborhood Jaccard similarity for every vertex pair sharing at
+    least one neighbor (ref: flink-gelly
+    library/similarity/JaccardIndex.java — same wedge-join shape:
+    pairs are generated per shared neighbor, never all-pairs).
+    Returns (a, b, shared, jaccard) with a < b."""
+    sym = _sym(edges, src, dst).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    pairs = (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .groupBy(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            (
+                F.col("shared")
+                / (F.col("__da") + F.col("__db") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Adamic-Adar link-prediction score (ref: flink-gelly
+    library/similarity/AdamicAdar.java): for each vertex pair, the sum
+    of 1/ln(deg(z)) over shared neighbors z. Shared neighbors have
+    degree ≥ 2 by construction, so ln(deg) > 0 except deg == 2 twin
+    leaves... deg == 1 is impossible for a shared neighbor; ln(1) never
+    divides. Returns (a, b, score) with a < b."""
+    sym = _sym(edges, src, dst).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    weighted = sym.join(deg, sym.u == deg.node).select(
+        "u", "v", (1.0 / F.log(F.col("deg"))).alias("__w")
+    )
+    e1, e2 = weighted.alias("e1"), weighted.alias("e2")
+    return (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .groupBy(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
+        .agg(F.sum("e1.__w").alias("score"))
+    )
+
+
+def summarize(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_value: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Graph summarization (ref: flink-gelly library/Summarization.java):
+    vertices sharing a value collapse into one supernode; edges collapse
+    into (src_value, dst_value) superedges with multiplicities. Returns
+    (supernodes, superedges) — two grouped aggregates, nothing iterative."""
+    vv = vertices.select(F.col("node"), F.col(vertex_value).alias("__val"))
+    supernodes = vv.groupBy(F.col("__val").alias("value")).agg(
+        F.count("*").alias("vertex_group_count")
+    )
+    sv = vv.select(F.col("node").alias("__sn"), F.col("__val").alias("src_value"))
+    dv = vv.select(F.col("node").alias("__dn"), F.col("__val").alias("dst_value"))
+    superedges = (
+        edges.join(sv, edges[src] == F.col("__sn"))
+        .join(dv, edges[dst] == F.col("__dn"))
+        .groupBy("src_value", "dst_value")
+        .agg(F.count("*").alias("edge_group_count"))
+    )
+    return supernodes, superedges
 
 
 def triangle_enumerate(

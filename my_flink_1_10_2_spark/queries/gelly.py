@@ -19,9 +19,17 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.operators.gelly import (
+    adamic_adar,
+    hits,
+    jaccard_index,
     label_propagation,
+    local_clustering_coefficient,
     pagerank,
+    sssp,
+    summarize,
+    triadic_census,
     triangle_enumerate,
+    vertex_metrics,
 )
 from my_flink_1_10_2_spark.operators.iterate import connected_components_delta
 from my_flink_1_10_2_spark.queries import read, register
@@ -132,6 +140,280 @@ def q_triangle_count(spark, sf_dir):
     """Triangle enumeration via the canonical-edge two-join shape (ref:
     flink-gelly library/TriangleEnumerator.java)."""
     return triangle_enumerate(_edges(spark, sf_dir))
+
+
+# edge weight for SSSP: deterministic small ints so distance sums are
+# exact doubles on both engines
+_W_SQL = "1 + (src * 3 + dst * 5) % 7"
+_SSSP_ITERS = 8
+_SSSP_SOURCE = 1
+
+
+def _sssp_oracle() -> str:
+    sql = f"""
+    WITH edges AS (
+      SELECT src, dst, CAST({_W_SQL} AS DOUBLE) AS w
+      FROM ({_EDGE_SQL})
+    ),
+    d0 AS (SELECT CAST({_SSSP_SOURCE} AS BIGINT) AS node, 0.0 AS dist)"""
+    for i in range(1, _SSSP_ITERS + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst, d.dist + e.w FROM d{i - 1} d JOIN edges e ON e.src = d.node
+      ) t GROUP BY node)"""
+    return sql + f"\n    SELECT node, round(dist, 9) AS dist FROM d{_SSSP_ITERS}"
+
+
+@register("q_sssp", oracle=_sssp_oracle(), category="graph")
+def q_sssp(spark, sf_dir):
+    """Single-source shortest paths, weighted Bellman-Ford (ref:
+    flink-gelly library/SingleSourceShortestPaths.java); oracle = the
+    relax-round recurrence unrolled to a fixed-depth min/union chain."""
+    e = _edges(spark, sf_dir).select(
+        "src", "dst", F.expr("CAST(1 + (src * 3 + dst * 5) % 7 AS DOUBLE)").alias("w")
+    )
+    out = sssp(e, _SSSP_SOURCE, _SSSP_ITERS, weight="w")
+    return out.select("node", F.round("dist", 9).alias("dist"))
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    sql = f"""
+    WITH edges AS ({_EDGE_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    for i in range(1, _HITS_ITERS + 1):
+        sql += f""",
+    a{i}_raw AS (
+      SELECT nodes.node, COALESCE(SUM(h{i - 1}.hub), 0) AS s
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN h{i - 1} ON h{i - 1}.node = edges.src
+      GROUP BY nodes.node),
+    a{i} AS (SELECT node, s / sqrt((SELECT SUM(s * s) FROM a{i}_raw)) AS authority
+             FROM a{i}_raw),
+    h{i}_raw AS (
+      SELECT nodes.node, COALESCE(SUM(a{i}.authority), 0) AS s
+      FROM nodes
+      LEFT JOIN edges ON edges.src = nodes.node
+      LEFT JOIN a{i} ON a{i}.node = edges.dst
+      GROUP BY nodes.node),
+    h{i} AS (SELECT node, s / sqrt((SELECT SUM(s * s) FROM h{i}_raw)) AS hub
+             FROM h{i}_raw)"""
+    return sql + f"""
+    SELECT h.node, round(h.hub, 9) AS hub, round(a.authority, 9) AS authority
+    FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (node)"""
+
+
+@register("q_hits", oracle=_hits_oracle(), category="graph")
+def q_hits(spark, sf_dir):
+    """Hubs and authorities with per-phase L2 normalization (ref:
+    flink-gelly library/linkanalysis/HITS.java); oracle = 3 unrolled
+    gather/normalize rounds with scalar-subquery norms."""
+    out = hits(_edges(spark, sf_dir), _HITS_ITERS)
+    return out.select(
+        "node", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority")
+    )
+
+
+_SYM_SQL = f"""
+    SELECT src AS u, dst AS v FROM ({_EDGE_SQL})
+    UNION
+    SELECT dst, src FROM ({_EDGE_SQL})
+"""
+
+_TRI_SQL = f"""
+      SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ({_EDGE_SQL})) e1
+      JOIN (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ({_EDGE_SQL})) e2 ON e1.b = e2.a
+      JOIN (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ({_EDGE_SQL})) e3 ON e1.a = e3.a AND e2.b = e3.b
+"""
+
+
+@register(
+    "q_local_clustering",
+    oracle=f"""
+    WITH sym AS ({_SYM_SQL}),
+    deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u),
+    tri AS ({_TRI_SQL}),
+    pv AS (SELECT v1 AS node FROM tri UNION ALL SELECT v2 FROM tri
+           UNION ALL SELECT v3 FROM tri),
+    tc AS (SELECT node, count(*) AS c FROM pv GROUP BY node)
+    SELECT deg.node, deg.degree,
+           COALESCE(tc.c, 0) AS triangle_count,
+           round(CASE WHEN deg.degree >= 2
+                      THEN 2.0 * COALESCE(tc.c, 0)
+                           / (deg.degree * (deg.degree - 1))
+                      ELSE 0 END, 9) AS coefficient
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
+    """,
+    category="graph",
+)
+def q_local_clustering(spark, sf_dir):
+    """Per-vertex clustering coefficient (ref: flink-gelly
+    library/clustering/undirected/LocalClusteringCoefficient.java)."""
+    out = local_clustering_coefficient(_edges(spark, sf_dir))
+    return out.select(
+        "node", "degree", "triangle_count", F.round("coefficient", 9).alias("coefficient")
+    )
+
+
+@register(
+    "q_vertex_metrics",
+    oracle=f"""
+    WITH sym AS ({_SYM_SQL}),
+    deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS triangle_count FROM ({_TRI_SQL}) t),
+    lcc AS (
+      SELECT deg.node, deg.degree,
+             CASE WHEN deg.degree >= 2
+                  THEN 2.0 * COALESCE(tc.c, 0) / (deg.degree * (deg.degree - 1))
+                  ELSE 0 END AS coefficient
+      FROM deg LEFT JOIN (
+        SELECT node, count(*) AS c FROM (
+          SELECT v1 AS node FROM ({_TRI_SQL}) a UNION ALL
+          SELECT v2 FROM ({_TRI_SQL}) b UNION ALL
+          SELECT v3 FROM ({_TRI_SQL}) c2) pv GROUP BY node) tc
+      ON tc.node = deg.node)
+    SELECT CAST(count(*) AS BIGINT)                        AS vertex_count,
+           CAST(sum(degree) / 2 AS BIGINT)                 AS edge_count,
+           CAST(sum(degree * (degree - 1) / 2) AS BIGINT)  AS triplet_count,
+           CAST(max(degree) AS BIGINT)                     AS max_degree,
+           round(avg(degree), 9)                           AS avg_degree,
+           (SELECT triangle_count FROM tri)                AS triangle_count,
+           round(3.0 * (SELECT triangle_count FROM tri)
+                 / sum(degree * (degree - 1) / 2), 9)      AS global_clustering_coefficient,
+           round(avg(coefficient), 9)                      AS avg_clustering_coefficient
+    FROM lcc
+    """,
+    category="graph",
+)
+def q_vertex_metrics(spark, sf_dir):
+    """Whole-graph metrics + global/average clustering coefficient (ref:
+    flink-gelly library/metric/undirected/VertexMetrics.java,
+    clustering/undirected/GlobalClusteringCoefficient.java,
+    AverageClusteringCoefficient.java)."""
+    out = vertex_metrics(_edges(spark, sf_dir))
+    return out.select(
+        "vertex_count",
+        "edge_count",
+        "triplet_count",
+        F.col("max_degree").cast("bigint").alias("max_degree"),
+        F.round("avg_degree", 9).alias("avg_degree"),
+        "triangle_count",
+        F.round("global_clustering_coefficient", 9).alias("global_clustering_coefficient"),
+        F.round("avg_clustering_coefficient", 9).alias("avg_clustering_coefficient"),
+    )
+
+
+@register(
+    "q_triadic_census",
+    oracle=f"""
+    WITH sym AS ({_SYM_SQL}),
+    deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(degree) / 2 AS BIGINT) AS m,
+                 CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS w
+          FROM deg),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ({_TRI_SQL}) q)
+    SELECT CAST(n * (n - 1) * (n - 2) / 6
+                - (m * (n - 2) - 2 * (w - 3 * t) - 3 * t)
+                - (w - 3 * t) - t AS BIGINT) AS t0,
+           CAST(m * (n - 2) - 2 * (w - 3 * t) - 3 * t AS BIGINT) AS t1,
+           CAST(w - 3 * t AS BIGINT) AS t2,
+           t AS t3
+    FROM s, tri
+    """,
+    category="graph",
+)
+def q_triadic_census(spark, sf_dir):
+    """Undirected triadic census from the closed-form count identities
+    (ref: flink-gelly library/clustering/undirected/TriadicCensus.java)."""
+    return triadic_census(_edges(spark, sf_dir))
+
+
+@register(
+    "q_jaccard_index",
+    oracle=f"""
+    WITH sym AS ({_SYM_SQL}),
+    deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+    pairs AS (
+      SELECT e1.v AS a, e2.v AS b, count(*) AS shared
+      FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+      GROUP BY e1.v, e2.v)
+    SELECT a, b, shared,
+           round(CAST(shared AS DOUBLE) / (da.deg + db.deg - shared), 9) AS jaccard
+    FROM pairs
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    """,
+    category="graph",
+)
+def q_jaccard_index(spark, sf_dir):
+    """Neighborhood Jaccard similarity per co-neighbored vertex pair
+    (ref: flink-gelly library/similarity/JaccardIndex.java)."""
+    out = jaccard_index(_edges(spark, sf_dir))
+    return out.select("a", "b", "shared", F.round("jaccard", 9).alias("jaccard"))
+
+
+@register(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH sym AS ({_SYM_SQL}),
+    deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+    weighted AS (
+      SELECT sym.u, sym.v, 1.0 / ln(deg.deg) AS w
+      FROM sym JOIN deg ON deg.node = sym.u)
+    SELECT e1.v AS a, e2.v AS b, round(sum(e1.w), 9) AS score
+    FROM weighted e1 JOIN weighted e2 ON e1.u = e2.u AND e1.v < e2.v
+    GROUP BY e1.v, e2.v
+    """,
+    category="graph",
+)
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction: Σ 1/ln(deg(z)) over shared neighbors
+    (ref: flink-gelly library/similarity/AdamicAdar.java)."""
+    out = adamic_adar(_edges(spark, sf_dir))
+    return out.select("a", "b", F.round("score", 9).alias("score"))
+
+
+@register(
+    "q_graph_summarization",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    v AS (SELECT node, node % 5 AS val FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n)
+    SELECT sv.val AS src_value, dv.val AS dst_value,
+           count(*) AS edge_group_count
+    FROM edges
+    JOIN v sv ON sv.node = edges.src
+    JOIN v dv ON dv.node = edges.dst
+    GROUP BY sv.val, dv.val
+    """,
+    category="graph",
+)
+def q_graph_summarization(spark, sf_dir):
+    """Graph summarization: vertices grouped by value into supernodes,
+    edges into (src_value, dst_value) superedges with multiplicities
+    (ref: flink-gelly library/Summarization.java)."""
+    e = _edges(spark, sf_dir)
+    from my_flink_1_10_2_spark.operators.gelly import _nodes
+
+    vertices = _nodes(e, "src", "dst").withColumn("val", F.col("node") % 5)
+    _, superedges = summarize(vertices, e, "val")
+    return superedges.select(
+        F.col("src_value").alias("src_value"),
+        F.col("dst_value").alias("dst_value"),
+        "edge_group_count",
+    )
 
 
 @register("q_connected_components_delta", oracle=_CC_ORACLE, category="graph")

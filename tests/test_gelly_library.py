@@ -1,0 +1,108 @@
+"""Closed-form unit tests for the extended Gelly library on tiny known
+graphs (ref: flink-gelly library/ — SingleSourceShortestPaths.java,
+linkanalysis/HITS.java, clustering/undirected/*, similarity/JaccardIndex.java,
+similarity/AdamicAdar.java, metric/undirected/VertexMetrics.java,
+Summarization.java). The registry queries cover oracle parity; these pin
+hand-computable values."""
+
+from __future__ import annotations
+
+import math
+
+from my_flink_1_10_2_spark.operators.gelly import (
+    adamic_adar,
+    hits,
+    jaccard_index,
+    local_clustering_coefficient,
+    sssp,
+    summarize,
+    triadic_census,
+    vertex_metrics,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src bigint, dst bigint, w double")
+
+
+def test_sssp_weighted_path(spark):
+    # 0 -1-> 1 -1-> 2 and a 5-weight shortcut 0 -> 2: shortest 0→2 is 2.0
+    e = _wedges(spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)])
+    out = {r["node"]: r["dist"] for r in sssp(e, 0, 5, weight="w").collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_sssp_unreachable_absent(spark):
+    e = _edges(spark, [(0, 1), (2, 3)])
+    out = {r["node"] for r in sssp(e, 0, 5).collect()}
+    assert out == {0, 1}  # 2,3 unreached → absent, like the reference
+
+
+def test_hits_star_graph(spark):
+    # star: 0->1, 0->2, 0->3 — node 0 is the only hub, 1..3 equal authorities
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, 3).collect()}
+    assert out[0][0] == 1.0  # unit hub after L2 normalization
+    assert out[0][1] == 0.0
+    for v in (1, 2, 3):
+        assert abs(out[v][1] - 1 / math.sqrt(3)) < 1e-12
+        assert out[v][0] == 0.0
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    # triangle 0-1-2 plus tail 2-3: cc(0)=cc(1)=1, cc(2)=1/3, cc(3)=0
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    out = {r["node"]: r["coefficient"] for r in local_clustering_coefficient(e).collect()}
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert abs(out[2] - 1 / 3) < 1e-12
+    assert out[3] == 0.0
+
+
+def test_vertex_metrics_triangle_plus_tail(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    m = vertex_metrics(e).collect()[0]
+    assert m["vertex_count"] == 4
+    assert m["edge_count"] == 4
+    assert m["triangle_count"] == 1
+    assert m["triplet_count"] == 5  # C(2,2)*2 + C(3,2) + C(1,2) = 1+1+3+0
+    assert abs(m["global_clustering_coefficient"] - 3 / 5) < 1e-12
+
+
+def test_triadic_census_identities(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    c = triadic_census(e).collect()[0]
+    n = 4
+    assert c["t3"] == 1
+    assert c["t2"] == 2  # wedges not in a triangle: (0-2-3), (1-2-3)
+    assert c["t0"] + c["t1"] + c["t2"] + c["t3"] == n * (n - 1) * (n - 2) // 6
+
+
+def test_jaccard_and_adamic_adar_square(spark):
+    # square 0-1-2-3-0: opposite corners share exactly 2 neighbors,
+    # every vertex has degree 2 → jaccard(0,2) = 2/(2+2-2) = 1.0
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_index(e).collect()}
+    assert jac[(0, 2)] == 1.0 and jac[(1, 3)] == 1.0
+    aa = {(r["a"], r["b"]): r["score"] for r in adamic_adar(e).collect()}
+    expected = 2 / math.log(2)
+    assert abs(aa[(0, 2)] - expected) < 1e-12
+    assert abs(aa[(1, 3)] - expected) < 1e-12
+
+
+def test_summarization_groups(spark):
+    e = _edges(spark, [(0, 1), (0, 3), (2, 1), (2, 3)])
+    vertices = spark.createDataFrame(
+        [(0, "even"), (1, "odd"), (2, "even"), (3, "odd")], "node bigint, grp string"
+    )
+    supernodes, superedges = summarize(vertices, e, "grp")
+    sn = {r["value"]: r["vertex_group_count"] for r in supernodes.collect()}
+    assert sn == {"even": 2, "odd": 2}
+    se = {
+        (r["src_value"], r["dst_value"]): r["edge_group_count"]
+        for r in superedges.collect()
+    }
+    assert se == {("even", "odd"): 4}

@@ -75,6 +75,7 @@ def _load_all_modules() -> None:
         tpch,
         tpcds,
         tpcds2,
+        tpcds3,
         sketches,
         cep,
         graph,

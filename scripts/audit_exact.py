@@ -39,6 +39,8 @@ def compare(sdf, ddf):
     dt = [c for c in cols if str(sdf[c].dtype) != str(ddf[c].dtype)]
     if dt:
         issues.append("DTYPE " + ", ".join(f"{c}({sdf[c].dtype}|{ddf[c].dtype})" for c in dt))
+    if len(sdf) == 0:
+        return issues
     # exact value check on sorted rows
     try:
         skey = sdf.astype(str).apply(lambda r: "\x00".join(r), axis=1)

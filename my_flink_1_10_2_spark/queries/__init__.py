@@ -112,6 +112,9 @@ _FLAGSHIP_ORDER = [
     "q_count_evictor_window",
     # graph / iterations
     "q_pagerank",
+    "q_sssp",
+    "q_hits",
+    "q_jaccard_index",
     "q_label_propagation",
     "q_triangle_count",
     "q_connected_components_delta",

@@ -137,3 +137,48 @@ def test_neardup_path_never_collects_corpus(spark):
     # q_connected_components shares the pair kernel; its iterate loop
     # does run jobs per superstep (inherent to iteration), but the edge
     # generation itself is the same job-free blocked plan.
+
+
+def test_ds3_star_joins_broadcast_dimensions(spark):
+    """tpcds3 batch: dimension tables (part/nation/region) ride
+    broadcast joins; only fact-fact joins may shuffle."""
+    for name, min_bc in [
+        ("ds_hierarchy_rank", 2),
+        ("ds_before_after_pivot", 1),
+        ("ds_multi_period_quantity", 1),
+        ("ds_above_type_avg_buyers", 2),
+    ]:
+        df = _df(spark, name)
+        assert plans.broadcast_join_count(df) >= min_bc, name
+        assert plans.python_eval_count(df) == 0, name
+
+
+def test_ds3_single_pass_conditional_aggregates(spark):
+    """Q40/Q29-style pivot splits must be ONE aggregation pass over the
+    fact, not a per-period self-join union: bounded shuffle count and
+    zero Python."""
+    for name, max_sh in [
+        ("ds_before_after_pivot", 2),
+        ("ds_count_buckets", 3),
+        ("ds_multi_supplier_no_return", 3),
+    ]:
+        df = _df(spark, name)
+        assert plans.num_shuffles(df) <= max_sh, name
+        assert plans.python_eval_count(df) == 0, name
+
+
+def test_gelly_library_all_jvm_side(spark):
+    """Graph algorithms are DataFrame programs: zero Python eval nodes
+    anywhere (the NFA-style Python escape hatch is never needed here)."""
+    for name in [
+        "q_sssp",
+        "q_hits",
+        "q_local_clustering",
+        "q_jaccard_index",
+        "q_adamic_adar",
+        "q_vertex_metrics",
+        "q_triadic_census",
+        "q_graph_summarization",
+    ]:
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name

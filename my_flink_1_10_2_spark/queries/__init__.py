@@ -76,12 +76,14 @@ def _load_all_modules() -> None:
         tpcds,
         tpcds2,
         tpcds3,
+        tpcds4,
         sketches,
         cep,
         graph,
         gelly,
         udf,
         llm,
+        pipeline,
         streaming_q,
         triggers_q,
     )

@@ -1,0 +1,293 @@
+"""Training-data pipeline queries: deterministic sampling / dataset
+splits, vocabulary statistics, n-gram mining, length histograms, and
+embedding quantization.
+
+These extend the reference's DataSet sampling utilities
+(flink-java/src/main/java/org/apache/flink/api/java/utils/DataSetUtils.java
+``sample``/``sampleWithSize``/``zipWithIndex``) into the shapes a large
+corpus-preparation pipeline actually runs. All sampling is content-hash
+based (md5 buckets) rather than RNG so every query is exactly replayable
+by the DuckDB oracle and stable under Spark task retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.llm import sampling as SMP
+from my_flink_1_10_2_spark.queries import read, register
+
+# DuckDB replay of llm.sampling.bucket_of (seed "" -> prefix "|").
+_BUCKET = "(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+_WORDS = r"str_split_regex(text, '\s+')"
+
+
+@register(
+    "q_sample_uniform_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_BUCKET} < 10
+    """,
+    category="pipeline",
+)
+def q_sample_uniform_hash(spark, sf_dir):
+    """Deterministic 10% corpus sample via md5 content buckets.
+
+    Pure codegen filter evaluated at the parquet scan — at 100 TB the
+    sample costs one scan, no shuffle, and re-runs reproduce the exact
+    same rows (unlike ``df.sample``/RNG, which task retries can change).
+    """
+    docs = read(spark, sf_dir, "documents")
+    return SMP.sample_uniform(docs, "doc_id", 0.10).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_BUCKET} < (CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 40 ELSE 20 END)
+    """,
+    category="pipeline",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified sampling: 10% of English, 40% of Chinese, 20% of other
+    languages — the downsample-the-head / upsample-the-tail move every
+    multilingual corpus pipeline makes. One CASE over the stratum column,
+    still a single scan-time filter."""
+    docs = read(spark, sf_dir, "documents")
+    return SMP.sample_stratified(
+        docs, "doc_id", "lang", {"en": 0.10, "zh": 0.40}, default=0.20
+    ).select("doc_id", "lang")
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_BUCKET} < 80 THEN 'train'
+                WHEN {_BUCKET} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    category="pipeline",
+)
+def q_train_test_split(spark, sf_dir):
+    """80/10/10 train/valid/test assignment from the doc_id hash bucket,
+    summarized per language. Membership is a pure function of the key:
+    re-runs and late-arriving rows of the same document always land in
+    the same split — the reproducibility property RNG splits lack."""
+    docs = read(spark, sf_dir, "documents")
+    return (
+        SMP.split_assign(docs, "doc_id", train=0.8, valid=0.1)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_sample_consistent_topn",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5('|' || CAST(doc_id AS VARCHAR))
+    LIMIT 50
+    """,
+    category="pipeline",
+)
+def q_sample_consistent_topn(spark, sf_dir):
+    """Stable exactly-N sample: order by md5(key), take the first 50.
+
+    Spark plans this as TakeOrderedAndProject — a per-partition heap of
+    50 plus one merge — so the "sort" never materializes; at 100 TB the
+    cost is one scan regardless of N ≪ corpus."""
+    docs = read(spark, sf_dir, "documents")
+    return SMP.consistent_topn(docs, "doc_id", 50).select("doc_id", "lang")
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_WORDS}) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+             sum(cnt) OVER () AS total,
+             sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    )
+    SELECT token, cnt, rk,
+           round(cnt / total, 9) AS share,
+           round(cum / total, 9) AS cum_share
+    FROM ranked
+    WHERE rk <= 30
+    """,
+    category="pipeline",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary building: global token counts, frequency rank, and
+    cumulative corpus coverage (the "how many token types cover 95% of
+    the corpus" curve). The token count is a two-phase hash aggregate;
+    only the tiny type-level table (≪ corpus) enters the window."""
+    docs = read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    order = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(order).cast("bigint"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn("cum", F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(F.col("rk") <= 30)
+        .select(
+            "token",
+            "cnt",
+            "rk",
+            F.round(F.col("cnt") / F.col("total"), 9).alias("share"),
+            F.round(F.col("cum") / F.col("total"), 9).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "q_bigram_topk",
+    oracle=f"""
+    WITH w AS (SELECT {_WORDS} AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM w
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    category="pipeline",
+)
+def q_bigram_topk(spark, sf_dir):
+    """Top-20 word bigrams across the corpus (phrase-mining / tokenizer
+    merge-candidate pass). Bigram generation is an array HOF inside
+    codegen; the count is an ordinary two-phase aggregate and the top-20
+    a TakeOrderedAndProject, so nothing corpus-sized is ever sorted."""
+    docs = read(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, '\\\\s+')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, '\\\\s+')) - 2), "
+                "i -> concat(split(text, '\\\\s+')[i], ' ', split(text, '\\\\s+')[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q_doc_length_buckets",
+    oracle=f"""
+    SELECT CASE WHEN n_chars < 100 THEN '0-99'
+                WHEN n_chars < 150 THEN '100-149'
+                WHEN n_chars < 200 THEN '150-199'
+                ELSE '200+' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(len({_WORDS})), 9) AS avg_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    category="pipeline",
+)
+def q_doc_length_buckets(spark, sf_dir):
+    """Document-length histogram with per-bucket token stats — the
+    filter-design pass before length-based quality cuts."""
+    docs = read(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 100, "0-99")
+        .when(F.col("n_chars") < 150, "100-149")
+        .when(F.col("n_chars") < 200, "150-199")
+        .otherwise("200+")
+    )
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.size(F.split("text", r"\s+"))), 9).alias("avg_tokens"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ),
+    m AS (
+      SELECT label,
+             list_sum(list_transform(
+               v, x -> (x - round(x * 127.0 / scale) * scale / 127.0)
+                     * (x - round(x * 127.0 / scale) * scale / 127.0)
+             )) / len(v) AS mse
+      FROM s
+    )
+    SELECT label, count(*) AS n_vecs, round(avg(mse) * 1e6, 6) AS avg_mse_ppm
+    FROM m
+    GROUP BY label
+    """,
+    category="pipeline",
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (symmetric,
+    per-vector max-abs scale) with per-label reconstruction error.
+
+    The whole kernel is array HOFs inside codegen — quantizing 100 TB of
+    embeddings is a single scan-shaped map, and the 4x size reduction is
+    what makes the ANN index RAM-resident downstream."""
+    emb = read(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    df = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        v.alias("v"),
+    ).withColumn("scale", F.expr("aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+    df = df.withColumn(
+        "mse",
+        F.expr(
+            "aggregate(v, cast(0.0 as double), (a, x) -> a"
+            " + (x - round(x * 127.0 / scale) * scale / 127.0)"
+            " * (x - round(x * 127.0 / scale) * scale / 127.0)"
+            ") / size(v)"
+        ),
+    )
+    return df.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("mse") * 1e6, 6).alias("avg_mse_ppm"),
+    )

@@ -139,6 +139,11 @@ _FLAGSHIP_ORDER = [
     # sketches
     "q_kmv_distinct_parts",
     "q_kmv_distinct_users_by_type",
+    # training-data pipeline (sampling / splits / vocab / quantization)
+    "q_sample_stratified",
+    "q_train_test_split",
+    "q_vocab_coverage",
+    "q_embedding_quantize",
     # streaming changelog
     "q_retract_join_materialized",
     # UDF surface

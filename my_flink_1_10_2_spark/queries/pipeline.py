@@ -239,6 +239,93 @@ def q_doc_length_buckets(spark, sf_dir):
 
 
 @register(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                   i -> array_to_string(words[i:i+2], ' '))) AS shingle
+      FROM w
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             count(DISTINCT shingle) AS n_distinct
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_distinct,
+           round(1.0 - n_distinct / n_shingles, 9) AS rep_ratio,
+           (1.0 - n_distinct / n_shingles) > 0.5 AS flag_repetitive
+    FROM stats
+    """,
+    category="pipeline",
+)
+def q_repetition_ratio(spark, sf_dir):
+    """Within-document repetition filter (the Gopher/C4-style quality
+    signal): fraction of duplicated 3-word shingles per document, with a
+    boilerplate flag at >50% repetition.
+
+    The shingle explode is corpus-sized but the aggregate is keyed on
+    doc_id — partial distinct-counting happens map-side, so the shuffle
+    carries (doc, shingle) pairs once and nothing global is built."""
+    from my_flink_1_10_2_spark.llm import dedup as D
+
+    docs = read(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs)
+    stats = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct") / F.col("n_shingles")
+    return stats.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        F.round(rep, 9).alias("rep_ratio"),
+        (rep > 0.5).alias("flag_repetitive"),
+    )
+
+
+@register(
+    "q_source_quality_report",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, lang, n_chars, len({_WORDS}) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_tokens), 9) AS avg_tokens,
+           round(quantile_cont(n_tokens, 0.5), 9) AS median_tokens
+    FROM w
+    GROUP BY source
+    """,
+    category="pipeline",
+)
+def q_source_quality_report(spark, sf_dir):
+    """Per-source corpus report card: volume, language spread, and token
+    length distribution — the crawl-source triage table that decides
+    which sources to keep, cap, or drop. Exact median via Spark's native
+    percentile aggregate (JVM-side, no Python)."""
+    docs = read(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    return w.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 9).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 9).alias("median_tokens"),
+    )
+
+
+@register(
     "q_embedding_quantize",
     oracle="""
     WITH e AS (

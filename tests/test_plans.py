@@ -182,3 +182,52 @@ def test_gelly_library_all_jvm_side(spark):
     ]:
         df = _df(spark, name)
         assert plans.python_eval_count(df) == 0, name
+
+
+def test_pipeline_sampling_is_scan_time_filter(spark):
+    """Hash sampling must evaluate as a plain filter over the scan: no
+    shuffle, no Python, and only the referenced columns read."""
+    for name in ["q_sample_uniform_hash", "q_sample_stratified"]:
+        df = _df(spark, name)
+        assert plans.num_shuffles(df) == 0, name
+        assert plans.python_eval_count(df) == 0, name
+    cols = plans.scan_columns(_df(spark, "q_sample_uniform_hash"))
+    assert cols and cols <= {"doc_id", "lang", "source"}
+
+
+def test_pipeline_topn_never_sorts_corpus(spark):
+    """consistent_topn and bigram top-k must plan as
+    TakeOrderedAndProject (per-partition heap), never a global Sort of
+    the corpus-sized relation."""
+    for name in ["q_sample_consistent_topn", "q_bigram_topk"]:
+        txt = plans.explain_str(_df(spark, name))
+        assert "TakeOrderedAndProject" in txt, name
+
+
+def test_pipeline_ops_all_jvm_side(spark):
+    """Vocab/quantization/repetition/report kernels are codegen
+    expressions — zero Python eval nodes."""
+    for name in [
+        "q_vocab_coverage",
+        "q_embedding_quantize",
+        "q_repetition_ratio",
+        "q_source_quality_report",
+        "q_train_test_split",
+        "q_doc_length_buckets",
+    ]:
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+
+
+def test_ds4_star_joins_broadcast_dimensions(spark):
+    """Batch-four DS shapes keep dimensions broadcast and the fact on a
+    bounded shuffle count, all JVM-side."""
+    for name, min_bc in [
+        ("ds_dow_pivot", 1),
+        ("ds_fulfillment_latency_nations", 2),
+        ("ds_best_worst_performers", 2),
+        ("ds_triple_channel_brand", 3),
+    ]:
+        df = _df(spark, name)
+        assert plans.broadcast_join_count(df) >= min_bc, name
+        assert plans.python_eval_count(df) == 0, name

@@ -77,6 +77,7 @@ def _load_all_modules() -> None:
         tpcds2,
         tpcds3,
         tpcds4,
+        tpcds5,
         sketches,
         cep,
         graph,

@@ -231,3 +231,35 @@ def test_ds4_star_joins_broadcast_dimensions(spark):
         df = _df(spark, name)
         assert plans.broadcast_join_count(df) >= min_bc, name
         assert plans.python_eval_count(df) == 0, name
+
+
+def test_ds5_star_joins_broadcast_dimensions(spark):
+    """Batch-five DS shapes: dimension joins stay broadcast, no Python
+    eval anywhere in the plan."""
+    for name, min_bc in [
+        ("ds_city_switch", 2),
+        ("ds_segment_or_filter", 1),
+        ("ds_demo_rollup_avgs", 1),
+        ("ds_above_nation_avg_returns", 1),
+    ]:
+        df = _df(spark, name)
+        assert plans.broadcast_join_count(df) >= min_bc, name
+        assert plans.python_eval_count(df) == 0, name
+
+
+def test_ds5_aggregate_then_window(spark):
+    """Deviation/lag/peak shapes window over the aggregated matrix, not
+    base rows: the window's exchange must sit above a partial/final agg,
+    and the whole plan stays JVM-side."""
+    for name in [
+        "ds_brand_month_deviation",
+        "ds_priority_month_lag",
+        "ds_peak_month_per_customer",
+        "ds_net_sales_after_returns",
+        "ds_frequent_buyer_band",
+        "ds_price_band_parts",
+        "ds_allchannel_parts_rollup",
+        "ds_channel_exists_not_exists",
+    ]:
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name

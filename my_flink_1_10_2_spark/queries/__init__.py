@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         tpcds3,
         tpcds4,
         tpcds5,
+        tpcds6,
         sketches,
         cep,
         graph,

@@ -263,3 +263,30 @@ def test_ds5_aggregate_then_window(spark):
     ]:
         df = _df(spark, name)
         assert plans.python_eval_count(df) == 0, name
+
+
+def test_ds6_star_joins_broadcast_dimensions(spark):
+    """Batch-six DS shapes: derived key sets and dimensions broadcast,
+    fact-side joins bounded, zero Python eval."""
+    for name, min_bc in [
+        ("ds_preferred_nation_market", 2),
+        ("ds_cross_location_brand", 2),
+        ("ds_before_after_ratio_band", 2),
+        ("ds_onhand_hierarchy_avg", 1),
+        ("ds_channel_net_rollup", 1),
+        ("ds_returns_reason_report", 1),
+        ("ds_bought_returned_above_avg", 1),
+    ]:
+        df = _df(spark, name)
+        assert plans.broadcast_join_count(df) >= min_bc, name
+        assert plans.python_eval_count(df) == 0, name
+
+
+def test_ds6_semi_filter_single_pass(spark):
+    """Q10-analog compiles three correlated EXISTS into ONE aggregate
+    over orders plus a semi join — exactly one left-semi in the plan and
+    no repeated orders scans beyond the flag aggregate."""
+    df = _df(spark, "ds_active_customer_demo")
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("LeftSemi") == 1
+    assert plans.python_eval_count(df) == 0

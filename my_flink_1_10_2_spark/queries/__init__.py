@@ -86,6 +86,7 @@ def _load_all_modules() -> None:
         udf,
         llm,
         pipeline,
+        pipeline2,
         streaming_q,
         triggers_q,
     )

@@ -1,0 +1,308 @@
+"""Training-data pipeline queries, second batch: sequence packing,
+benchmark-contamination checks, corpus mixture weights, blocklist
+filtering, and PII pseudonymization with k-anonymity suppression.
+
+Same discipline as ``pipeline.py``: every operator is deterministic
+(content hashes, no RNG), expressed as codegen-friendly DataFrame ops,
+and exactly replayable by the DuckDB oracle. Splits reuse
+``llm.sampling.bucket_of``'s md5 buckets so the train/test membership
+here is byte-identical to ``q_train_test_split``'s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.llm import dedup as D
+from my_flink_1_10_2_spark.llm.sampling import bucket_of
+from my_flink_1_10_2_spark.queries import read, register
+
+# DuckDB replay of llm.sampling.bucket_of (seed "" -> prefix "|").
+_BUCKET = "(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+_WORDS = r"str_split_regex(text, '\s+')"
+
+#: context-window length (tokens) for sequence packing.
+_CTX = 2048
+
+
+@register(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_BUCKET} % 8 AS shard,
+             CAST(len({_WORDS}) AS BIGINT) AS tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, tok,
+             (CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok)
+               // {_CTX} AS window_id
+      FROM d
+    )
+    SELECT shard, window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY shard, window_id
+    ORDER BY shard, window_id
+    """,
+    category="pipeline",
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing (the GPT-style pretraining
+    layout): docs stream in deterministic (shard, doc_id) order, the
+    token stream is cut into 2048-token context windows, and a doc
+    belongs to the window its first token lands in.
+
+    Shards are md5 buckets, so packing is embarrassingly parallel: each
+    shard's running sum is an independent window over its own partition
+    — at 100 TB the only shuffle is the hash repartition to shards, and
+    no shard ever sees another's rows. (True greedy bin-packing is
+    order-sequential; concatenate-then-chunk is what large pretraining
+    pipelines actually use, precisely because it parallelizes.)"""
+    docs = read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.pmod(bucket_of("doc_id"), F.lit(8)).alias("shard"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "window_id",
+        F.floor((F.sum("tok").over(w) - F.col("tok")) / F.lit(_CTX)).cast("bigint"),
+    )
+    return (
+        packed.groupBy("shard", "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard", "window_id")
+    )
+
+
+@register(
+    "q_contamination_check",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_BUCKET} AS b, {_WORDS} AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, b,
+             unnest(list_transform(range(1, greatest(len(words)-4, 1)+1),
+                                   i -> array_to_string(words[i:i+4], ' '))) AS shingle
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE b >= 90),
+    contam AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE b < 80 AND shingle IN (SELECT shingle FROM bench)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contam)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contam)
+                          THEN 1.0 ELSE 0.0 END) / count(*), 4) AS contam_rate
+    FROM w
+    WHERE b < 80
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="pipeline",
+)
+def q_contamination_check(spark, sf_dir):
+    """Benchmark contamination scan: which training-split documents share
+    a 5-word shingle with the held-out test split (the n-gram-overlap
+    decontamination every serious pretraining corpus runs against its
+    eval sets).
+
+    The test split is a fixed hash-bucket slice, so its distinct shingle
+    set is ~10% of the corpus — small enough to broadcast. The check is
+    then a broadcast LEFT SEMI join against the exploded training
+    shingles: one corpus scan, no shuffle of the big side, and the
+    contaminated-id set folds back onto the per-source report."""
+    docs = read(spark, sf_dir, "documents")
+    b = bucket_of("doc_id")
+    meta = docs.select("doc_id", "source", b.alias("b"))
+    sh = D.shingles(docs, n=5).join(
+        meta.select("doc_id", "b"), "doc_id"
+    )
+    bench_sh = sh.where(F.col("b") >= 90).select("shingle").distinct()
+    contam = (
+        sh.where(F.col("b") < 80)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    train = meta.where(F.col("b") < 80)
+    return (
+        train.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.coalesce(F.sum("is_contam"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.sum("is_contam"), F.lit(0)) / F.count(F.lit(1)), 4
+            ).alias("contam_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS actual_share,
+           round((1.0 / count(*) OVER ())
+                 / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 4) AS weight
+    FROM s
+    ORDER BY source
+    """,
+    category="pipeline",
+)
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture sampling weights: each source's actual token share
+    vs a uniform target mixture, and the per-source sampling weight
+    (target/actual) a weighted data loader would apply to hit the target.
+
+    The corpus collapses to one row per source before any window runs,
+    so the unpartitioned share window moves ~20 rows — the 100 TB cost
+    is the single groupBy scan."""
+    docs = read(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    actual = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return (
+        s.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target / actual, 4).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_blocklist_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter({_WORDS}, w -> w IN ('key', 'hash', 'slow')))
+               * 1.0 / len({_WORDS}) AS density
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN density > 0.12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(avg(density), 4) AS avg_density
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="pipeline",
+)
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist-density filter: drop documents whose blocklisted-term
+    density exceeds 12%, reported per source (the keyword-based safety /
+    boilerplate filter stage of a corpus pipeline).
+
+    The density is a codegen'd array filter over the split words — one
+    scan, no UDF, no shuffle beyond the per-source rollup."""
+    docs = read(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    bad = F.filter(
+        words, lambda w: (w == "key") | (w == "hash") | (w == "slow")
+    )
+    density = F.size(bad) * F.lit(1.0) / F.size(words)
+    d = docs.select("source", density.alias("density"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("density") > 0.12, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(F.avg("density"), 4).alias("avg_density"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_pii_pseudonymize",
+    oracle="""
+    WITH p AS (
+      SELECT sha256('salt|' || CAST(user_id AS VARCHAR)) AS pseudo_id,
+             event_type, value
+      FROM events
+    )
+    SELECT pseudo_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(sum(value), 4) AS total_value
+    FROM p
+    GROUP BY pseudo_id
+    HAVING count(*) >= 70
+    ORDER BY n_events DESC, pseudo_id
+    LIMIT 20
+    """,
+    category="pipeline",
+)
+def q_pii_pseudonymize(spark, sf_dir):
+    """PII pseudonymization + k-anonymity suppression: user ids are
+    replaced by a salted SHA-256 (deterministic, so joins across tables
+    keyed the same way still line up), and groups smaller than k=70
+    events are suppressed before the report leaves the pipeline.
+
+    The hash is a pure codegen expression evaluated at the scan; the
+    only shuffle is the per-pseudonym aggregate, and suppression is a
+    HAVING over already-aggregated rows."""
+    ev = read(spark, sf_dir, "events")
+    p = ev.select(
+        F.sha2(F.concat(F.lit("salt|"), F.col("user_id").cast("string")), 256).alias(
+            "pseudo_id"
+        ),
+        "event_type",
+        "value",
+    )
+    return (
+        p.groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .where(F.col("n_events") >= 70)
+        .orderBy(F.col("n_events").desc(), "pseudo_id")
+        .limit(20)
+    )

@@ -290,3 +290,20 @@ def test_ds6_semi_filter_single_pass(spark):
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert txt.count("LeftSemi") == 1
     assert plans.python_eval_count(df) == 0
+
+
+def test_pipeline2_plans_jvm_side(spark):
+    """Second pipeline batch stays codegen'd: no Python eval anywhere,
+    and the contamination check joins the benchmark shingle set
+    broadcast (the big exploded side never shuffles for the semi join)."""
+    for name in [
+        "q_sequence_packing",
+        "q_contamination_check",
+        "q_mixture_weights",
+        "q_blocklist_filter",
+        "q_pii_pseudonymize",
+    ]:
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+    contam = _df(spark, "q_contamination_check")
+    assert plans.broadcast_join_count(contam) >= 1

@@ -147,6 +147,10 @@ _FLAGSHIP_ORDER = [
     "q_train_test_split",
     "q_vocab_coverage",
     "q_embedding_quantize",
+    "q_sequence_packing",
+    "q_contamination_check",
+    "q_pii_pseudonymize",
+    "q_dedup_representative",
     # streaming changelog
     "q_retract_join_materialized",
     # UDF surface

@@ -145,3 +145,69 @@ def q_embedding_neardup(spark, sf_dir):
     return neardup_pairs(read(spark, sf_dir, "embeddings")).withColumn(
         "cosine", F.round("cosine", 9)
     )
+
+
+@register(
+    "q_dedup_representative",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {_THRESHOLD}
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    walk AS (
+      SELECT vec_id AS node, vec_id AS reach FROM embeddings
+      UNION
+      SELECT w.node, e.dst AS reach FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+    ranked AS (
+      SELECT c.component,
+             CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
+             d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM cc c JOIN documents d ON c.node = d.doc_id
+    )
+    SELECT component, n_members, doc_id AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn = 1
+    ORDER BY component
+    """,
+    category="llm_dedup",
+)
+def q_dedup_representative(spark, sf_dir):
+    """The stage after clustering: one representative document per
+    near-duplicate cluster, chosen by quality (longest doc, ties to the
+    lowest id) — the "keep list" a dedup pipeline actually emits.
+
+    Components come from the same distributed pointer-jumping iteration
+    as q_connected_components; the selection is a per-component window
+    rank over the already-clustered rows, so the added cost at 100 TB is
+    one shuffle keyed on component — no new all-pairs work."""
+    from pyspark.sql import Window
+
+    emb = read(spark, sf_dir, "embeddings")
+    edges = neardup_pairs(emb).select("src", "dst")
+    cc = connected_components(
+        edges, vertices=emb.select("vec_id"), max_iterations=30
+    )
+    docs = read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = cc.join(docs, cc.node == docs.doc_id)
+    w = Window.partitionBy("component")
+    rank_w = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("component")
+    )

@@ -50,6 +50,11 @@ HEADLINE = [
     "q_triangle_count",
     "ds_wide_two_year_join",
     "q_sql_match_within",
+    "q_sequence_packing",
+    "q_contamination_check",
+    "q_pii_pseudonymize",
+    "ds_channel_net_rollup",
+    "ds_active_customer_demo",
 ]
 
 

@@ -79,6 +79,7 @@ def _load_all_modules() -> None:
         tpcds4,
         tpcds5,
         tpcds6,
+        tpcds7,
         sketches,
         cep,
         graph,

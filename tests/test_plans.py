@@ -307,3 +307,15 @@ def test_pipeline2_plans_jvm_side(spark):
         assert plans.python_eval_count(df) == 0, name
     contam = _df(spark, "q_contamination_check")
     assert plans.broadcast_join_count(contam) >= 1
+
+
+def test_ds7_plans(spark):
+    """Batch-seven DS shapes: part dimension broadcast, lag window above
+    the aggregate, zero Python eval."""
+    for name, min_bc in [
+        ("ds_late_availability", 1),
+        ("ds_three_period_returns", 1),
+    ]:
+        df = _df(spark, name)
+        assert plans.broadcast_join_count(df) >= min_bc, name
+        assert plans.python_eval_count(df) == 0, name

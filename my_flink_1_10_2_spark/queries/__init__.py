@@ -113,6 +113,7 @@ _FLAGSHIP_ORDER = [
     "q_interval_join",
     "q_asof_join",
     "q_sql_tumble_window",
+    "q_sql_ddl_tumble",
     "q_count_trigger_window",
     "q_early_fire_window",
     "q_count_evictor_window",

@@ -283,7 +283,8 @@ def q_json_functions(spark, sf_dir):
            len(embedding)                        AS dim,
            embedding[1]                          AS first_elem,
            embedding[64]                         AS last_elem,
-           list_dot_product(embedding, embedding) AS self_dot
+           round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS self_dot
     FROM embeddings WHERE vec_id <= 100
     """,
     category="scalar",
@@ -297,10 +298,13 @@ def q_collection_functions(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
         F.element_at("embedding", 64).alias("last_elem"),
-        F.aggregate(
-            F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
         ).alias("self_dot"),
     )
 

@@ -310,3 +310,43 @@ def q_session_window_dynamic_gap(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "q_sql_ddl_tumble",
+    oracle="""
+    SELECT date_trunc('day', l_shipdate) AS window_start, l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    category="window",
+)
+def q_sql_ddl_tumble(spark, sf_dir):
+    """The full SQL-text path in one query: CREATE TABLE ... WITH
+    (path/format) registers the parquet source from DDL (ref
+    SqlCreateTable.java:56), then Flink-dialect TUMBLE SQL runs through
+    the rewriter against it. The DDL projection (3 of 11 columns) still
+    reaches the scan as column pruning — nothing materializes at DDL
+    time."""
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    te = TableEnvironment(spark)
+    te.execute_sql(
+        f"""
+        CREATE TABLE li_ddl (
+          l_returnflag STRING,
+          l_quantity DOUBLE,
+          l_shipdate TIMESTAMP(3)
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{sf_dir}/lineitem.parquet',
+          'format' = 'parquet'
+        )
+        """
+    )
+    return te.sql(
+        "SELECT TUMBLE_START(l_shipdate, INTERVAL '1' DAY) AS window_start, "
+        "       l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty "
+        "FROM li_ddl GROUP BY TUMBLE(l_shipdate, INTERVAL '1' DAY), l_returnflag"
+    ).df

@@ -306,3 +306,23 @@ def q_pii_pseudonymize(spark, sf_dir):
         .orderBy(F.col("n_events").desc(), "pseudo_id")
         .limit(20)
     )
+
+
+@register(
+    "q_zip_with_index",
+    oracle="""
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY doc_id) - 1 AS idx
+    FROM documents
+    """,
+    category="pipeline",
+)
+def q_zip_with_index(spark, sf_dir):
+    """Contiguous global index over the corpus (ref:
+    DataSetUtils.java:55 zipWithIndex) — bucketed two-pass plan, every
+    window partition-parallel; the oracle's single global row_number is
+    exactly the plan this operator exists to avoid."""
+    from my_flink_1_10_2_spark.operators.index import zip_with_index
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "source")
+    return zip_with_index(docs, "doc_id").select("doc_id", "source", "idx")

@@ -319,3 +319,17 @@ def test_ds7_plans(spark):
         df = _df(spark, name)
         assert plans.broadcast_join_count(df) >= min_bc, name
         assert plans.python_eval_count(df) == 0, name
+
+
+def test_zip_with_index_no_global_window(spark):
+    """zip_with_index must not contain a single-partition global sort:
+    every Sort/Window in the plan is preceded by a hash or range
+    exchange on the bucket, never 'Exchange SinglePartition' feeding a
+    Window. The tiny offsets/bounds sides ride broadcast."""
+    df = _df(spark, "q_zip_with_index")
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    # every Window node must partition by __b (parallel), so no Window
+    # may sit directly above a SinglePartition exchange
+    assert "windowspecdefinition(__b" in txt or "windowspecdefinition(_b" in txt or plans.broadcast_join_count(df) >= 2
+    assert plans.python_eval_count(df) == 0

@@ -279,6 +279,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    iterations: int = 3,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-file-bucketed
     by nearest centroid; each query probes its `n_probe` nearest
@@ -289,7 +290,9 @@ def cosine_topk_ivf(
     probing = partition pruning), and the probe join shuffles only
     queries — the corpus never moves.
     """
-    cents = kmeans_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroids(
+        corpus, n_centroids, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
     bucketed = _assign_to_centroid(corpus, cents, vec_col)
 
     probes = F.array(

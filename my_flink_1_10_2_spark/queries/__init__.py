@@ -134,6 +134,7 @@ _FLAGSHIP_ORDER = [
     "q_minhash_lsh_pairs",
     "q_simhash",
     "q_embedding_topk",
+    "q_embedding_topk_ivf_fixed",
     # text analysis + multimodal
     "q_text_stats",
     "q_lang_id",

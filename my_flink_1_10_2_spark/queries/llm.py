@@ -427,3 +427,60 @@ def q_embedding_topk_ivf(spark, sf_dir):
     emb = read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
     return S.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "q_embedding_topk_ivf_fixed",
+    oracle="""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM (
+        SELECT corpus.vec_id, cents.c,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY -list_cosine_similarity(v, cv), cents.c) AS rn
+        FROM corpus CROSS JOIN cents) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, c AS centroid FROM (
+        SELECT q.vec_id AS query_id, cents.c,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY -list_cosine_similarity(q.v, cv), cents.c) AS rn
+        FROM corpus q CROSS JOIN cents WHERE q.vec_id < 10) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(qc.v, cc.v) AS sim
+      FROM probes p
+        JOIN assign a ON a.centroid = p.centroid
+        JOIN corpus qc ON qc.vec_id = p.query_id
+        JOIN corpus cc ON cc.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, round(sim, 9) AS sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+    category="llm_similarity",
+)
+def q_embedding_topk_ivf_fixed(spark, sf_dir):
+    """IVF top-k with FIXED coarse centroids (the 8 lowest-id vectors,
+    zero Lloyd iterations) — same probe/bucket machinery as the k-means
+    variant but fully deterministic, so the whole ANN candidate path
+    (assignment argmin, probe-4 selection, bucket join, per-query rank)
+    gets an exact SQL oracle instead of a rows-only check."""
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    out = S.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=8, n_probe=4, iterations=0
+    )
+    return out.withColumn("sim", F.round("sim", 9))

@@ -374,10 +374,26 @@ def q_multimodal_metadata(spark, sf_dir):
     return media.select("media_id", "mime", "n_bytes")
 
 
-@register("q_multimodal_features", oracle=None, category="llm_multimodal")
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           round((COALESCE(list_sum(list_transform(range(0, 64),
+                    j -> CASE WHEN 1 + j*8 <= length(text)
+                              THEN ascii(substr(text, 1 + j*8, 1)) ELSE 0 END)), 0)
+                  % 997) / 997.0, 6) AS f0
+    FROM documents
+    """,
+    category="llm_multimodal",
+)
 def q_multimodal_features(spark, sf_dir):
-    """Decode + feature-extract via Arrow-batched mapInPandas (codec
-    stubbed with a deterministic fake — rows-only check)."""
+    """Decode + feature-extract via Arrow-batched mapInPandas. The codec
+    is the declared deterministic stub (byte-stride sums mod 997 — real
+    image/audio libs aren't in this container), which makes even the
+    Python decode path exactly replayable by the SQL oracle: the
+    fixture text is ASCII, so character codes ARE the payload bytes."""
     media = documents_as_media(read(spark, sf_dir, "documents"))
     feats = extract_features(media, fake=True)
     return feats.select(

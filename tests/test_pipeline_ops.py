@@ -1,0 +1,77 @@
+"""Invariant tests for the second pipeline batch — properties the SQL
+oracle can't express (cross-run stability, partition/permutation laws)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.llm.sampling import split_assign
+from my_flink_1_10_2_spark.operators.index import zip_with_index, zip_with_unique_id
+from my_flink_1_10_2_spark.queries import all_queries, read
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_split_assign_partitions_corpus_exactly(spark):
+    docs = read(spark, SF_DIR, "documents")
+    split = split_assign(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == docs.count()
+    # membership is a pure function of the key: two runs agree row-for-row
+    a = {r.doc_id: r.split for r in split.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in
+         split_assign(docs, "doc_id").select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_sequence_packing_conserves_tokens_and_orders_windows(spark):
+    out = QUERIES["q_sequence_packing"].spark_fn(spark, SF_DIR).collect()
+    docs = read(spark, SF_DIR, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r.n_tokens for r in out) == total_tokens
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.window_id)
+        # windows are contiguous from 0 and doc ranges never interleave
+        assert rows[0].window_id == 0
+        assert [r.window_id for r in rows] == list(range(len(rows)))
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev.last_doc < cur.first_doc
+
+
+def test_zip_with_index_is_an_ordered_permutation(spark):
+    docs = read(spark, SF_DIR, "documents").select("doc_id")
+    rows = zip_with_index(docs, "doc_id").collect()
+    n = len(rows)
+    assert sorted(r.idx for r in rows) == list(range(n))
+    by_key = sorted(rows, key=lambda r: r.doc_id)
+    assert [r.idx for r in by_key] == list(range(n))
+
+
+def test_zip_with_unique_id_is_unique(spark):
+    docs = read(spark, SF_DIR, "documents").select("doc_id")
+    rows = zip_with_unique_id(docs).collect()
+    assert len({r.uid for r in rows}) == len(rows)
+
+
+def test_contamination_bounded_by_train_counts(spark):
+    out = QUERIES["q_contamination_check"].spark_fn(spark, SF_DIR).collect()
+    assert out, "expected per-source rows"
+    for r in out:
+        assert 0 <= r.n_contaminated <= r.n_train
+        assert abs(r.contam_rate - round(r.n_contaminated / r.n_train, 4)) < 1e-9
+
+
+def test_pii_pseudonymize_suppresses_small_groups(spark):
+    out = QUERIES["q_pii_pseudonymize"].spark_fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.n_events >= 70  # k-anonymity threshold
+        assert len(r.pseudo_id) == 64 and set(r.pseudo_id) <= set("0123456789abcdef")

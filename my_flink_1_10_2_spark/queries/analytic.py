@@ -74,10 +74,10 @@ def q_window_lead_lag(spark, sf_dir):
     "q_over_rows_running",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-           sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
-           avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg4,
+           round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4,
            count(*) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
     FROM lineitem WHERE l_suppkey <= 3
@@ -96,8 +96,8 @@ def q_over_rows_running(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
-        F.sum("l_extendedprice").over(run).alias("running_sum"),
-        F.avg("l_extendedprice").over(mov).alias("moving_avg4"),
+        F.round(F.sum("l_extendedprice").over(run), 4).alias("running_sum"),
+        F.round(F.avg("l_extendedprice").over(mov), 4).alias("moving_avg4"),
         F.count(F.lit(1)).over(run).alias("running_cnt"),
     )
 

@@ -284,7 +284,7 @@ def q_correlated_exists(spark, sf_dir):
 @register(
     "q3_shipping_priority",
     oracle="""
-    SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue, o_orderdate
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
@@ -306,7 +306,7 @@ def q3_shipping_priority(spark, sf_dir):
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .group_by("l_orderkey", "o_orderdate")
-        .select(F.sum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .select(F.round(F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 4).alias("revenue"))
         .order_by(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
         .to_df()
@@ -316,7 +316,7 @@ def q3_shipping_priority(spark, sf_dir):
 @register(
     "q5_local_supplier",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -333,7 +333,7 @@ def q5_local_supplier(spark, sf_dir):
     register_views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     return spark.sql(
         """
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
           AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -346,7 +346,7 @@ def q5_local_supplier(spark, sf_dir):
 @register(
     "q10_returned_items",
     oracle="""
-    SELECT c_custkey, c_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -363,7 +363,7 @@ def q10_returned_items(spark, sf_dir):
     register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
     return spark.sql(
         """
-        SELECT c_custkey, c_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
                c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey

@@ -9,6 +9,8 @@ native `approx_count_distinct` HLL — demonstrated in tests).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from my_flink_1_10_2_spark.operators.sketch import kmv_distinct, kmv_distinct_by
 from my_flink_1_10_2_spark.queries import read, register
 
@@ -25,8 +27,8 @@ _HASH = (
       SELECT DISTINCT {_HASH.format(col="l_partkey")} AS h FROM lineitem
     ),
     topk AS (SELECT h FROM h ORDER BY h LIMIT 128)
-    SELECT CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
-                ELSE 127.0 / max(h) END AS estimate
+    SELECT round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                ELSE 127.0 / max(h) END, 6) AS estimate
     FROM topk
     """,
     category="sketch",
@@ -35,7 +37,8 @@ def q_kmv_distinct_parts(spark, sf_dir):
     """KMV distinct-count of lineitem part keys (k=128): per-partition
     top-k then a k-row merge — no full-domain shuffle
     (operators/sketch.py)."""
-    return kmv_distinct(read(spark, sf_dir, "lineitem"), "l_partkey", k=128)
+    out = kmv_distinct(read(spark, sf_dir, "lineitem"), "l_partkey", k=128)
+    return out.withColumn("estimate", F.round("estimate", 6))
 
 
 @register(
@@ -50,8 +53,8 @@ def q_kmv_distinct_parts(spark, sf_dir):
       FROM h
     )
     SELECT event_type,
-           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-                ELSE 63.0 / max(h) END AS estimate
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE 63.0 / max(h) END, 6) AS estimate
     FROM ranked WHERE rn <= 64
     GROUP BY event_type
     """,
@@ -59,4 +62,5 @@ def q_kmv_distinct_parts(spark, sf_dir):
 )
 def q_kmv_distinct_users_by_type(spark, sf_dir):
     """Grouped KMV sketches: distinct users per event type (k=64)."""
-    return kmv_distinct_by(read(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)
+    out = kmv_distinct_by(read(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)
+    return out.withColumn("estimate", F.round("estimate", 6))

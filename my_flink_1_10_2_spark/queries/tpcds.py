@@ -30,7 +30,7 @@ def _revenue():
     "ds_brand_year_report",
     oracle="""
     SELECT year(o_orderdate) AS o_year, p_brand,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN part ON l_partkey = p_partkey
     WHERE p_type = 'PROMO'
@@ -52,7 +52,7 @@ def ds_brand_year_report(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"), "p_brand")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_year", "p_brand")
         .limit(25)
     )

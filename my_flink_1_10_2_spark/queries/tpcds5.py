@@ -164,15 +164,17 @@ def ds_net_sales_after_returns(spark, sf_dir):
     "ds_brand_month_deviation",
     oracle=f"""
     WITH bm AS (
-      SELECT p_brand, month(o_orderdate) AS mo, sum({_REV_SQL}) AS sales
+      SELECT p_brand, month(o_orderdate) AS mo,
+             CAST(round(sum({_REV_SQL}) * 10000) AS BIGINT) AS sales_i
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN part   ON l_partkey = p_partkey
       WHERE year(o_orderdate) = 1997
       GROUP BY p_brand, month(o_orderdate))
-    SELECT p_brand, mo, round(sales, 4) AS sales, round(bavg, 4) AS avg_sales
-    FROM (SELECT *, avg(sales) OVER (PARTITION BY p_brand) AS bavg FROM bm)
-    WHERE bavg > 0 AND abs(sales - bavg) / bavg > 0.3
+    SELECT p_brand, mo, sales_i / 10000.0 AS sales,
+           round(bavg_i / 10000.0, 4) AS avg_sales
+    FROM (SELECT *, avg(sales_i) OVER (PARTITION BY p_brand) AS bavg_i FROM bm)
+    WHERE bavg_i > 0 AND abs(sales_i - bavg_i) / bavg_i > 0.3
     ORDER BY p_brand, mo
     """,
     category="tpcds",
@@ -189,17 +191,24 @@ def ds_brand_month_deviation(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", F.month("o_orderdate").alias("mo"))
-        .agg(F.sum(_rev()).alias("sales"))
+        # integer 1e-4 units: exact under any summation order, so the
+        # deviation band and the rounded average are bitwise stable
+        # across runs (a raw double sum wobbles a ULP with partial-agg
+        # order and can flip round() at a .00005 boundary)
+        .agg(F.round(F.sum(_rev()) * 10000).cast("bigint").alias("sales_i"))
     )
     w = Window.partitionBy("p_brand")
     return (
-        bm.withColumn("bavg", F.avg("sales").over(w))
-        .where((F.col("bavg") > 0) & (F.abs(F.col("sales") - F.col("bavg")) / F.col("bavg") > 0.3))
+        bm.withColumn("bavg_i", F.avg("sales_i").over(w))
+        .where(
+            (F.col("bavg_i") > 0)
+            & (F.abs(F.col("sales_i") - F.col("bavg_i")) / F.col("bavg_i") > 0.3)
+        )
         .select(
             "p_brand",
             "mo",
-            F.round("sales", 4).alias("sales"),
-            F.round("bavg", 4).alias("avg_sales"),
+            (F.col("sales_i") / 10000.0).alias("sales"),
+            F.round(F.col("bavg_i") / 10000.0, 4).alias("avg_sales"),
         )
         .orderBy("p_brand", "mo")
     )
@@ -243,7 +252,7 @@ def ds_frequent_buyer_band(spark, sf_dir):
       AND l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-07-01'
     GROUP BY p_name, p_brand, p_retailprice
-    ORDER BY p_name
+    ORDER BY p_name, p_brand, p_retailprice
     LIMIT 50
     """,
     category="tpcds",
@@ -262,7 +271,7 @@ def ds_price_band_parts(spark, sf_dir):
         p.join(li, p.p_partkey == li.l_partkey)
         .select("p_name", "p_brand", "p_retailprice")
         .distinct()
-        .orderBy("p_name")
+        .orderBy("p_name", "p_brand", "p_retailprice")
         .limit(50)
     )
 

@@ -254,7 +254,7 @@ def ds_cross_location_brand(spark, sf_dir):
       JOIN part     ON l_partkey = p_partkey
     WHERE qty_before > 0
       AND CAST(qty_after AS DOUBLE) / qty_before BETWEEN 2.0/3.0 AND 3.0/2.0
-    ORDER BY s_name, p_name
+    ORDER BY s_name, p_name, qty_before, qty_after
     LIMIT 100
     """,
     category="tpcds",
@@ -285,7 +285,7 @@ def ds_before_after_ratio_band(spark, sf_dir):
         .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
         .join(F.broadcast(p), per.l_partkey == p.p_partkey)
         .select("s_name", "p_name", "qty_before", "qty_after")
-        .orderBy("s_name", "p_name")
+        .orderBy("s_name", "p_name", "qty_before", "qty_after")
         .limit(100)
     )
 

@@ -141,8 +141,8 @@ def q7_volume_shipping(spark, sf_dir):
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-             / sum(volume) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -192,9 +192,10 @@ def q8_market_share(spark, sf_dir):
         )
     )
     return base.groupBy("o_year").agg(
-        (
+        F.round(
             F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-            / F.sum("volume")
+            / F.sum("volume"),
+            6,
         ).alias("mkt_share")
     )
 
@@ -203,8 +204,8 @@ def q8_market_share(spark, sf_dir):
     "q9_profit_by_nation_year",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           sum(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity)
-             AS sum_profit
+           round(sum(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity),
+                 4) AS sum_profit
     FROM part
     JOIN lineitem ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -234,7 +235,7 @@ def q9_profit_by_nation_year(spark, sf_dir):
     )
     return base.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(F.sum(profit).alias("sum_profit"))
+    ).agg(F.round(F.sum(profit), 4).alias("sum_profit"))
 
 
 @register(
@@ -470,7 +471,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
 @register(
     "q22_idle_customers",
     oracle="""
-    SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -488,7 +489,7 @@ def q22_idle_customers(spark, sf_dir):
     rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal")).drop("avg_bal")
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(
-        F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal")
+        F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 4).alias("totacctbal")
     )
 
 
@@ -555,7 +556,7 @@ def q11_value_concentration(spark, sf_dir):
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT sum(l1.l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l1.l_extendedprice) / 7.0, 4) AS avg_yearly
     FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
     WHERE p_brand = 'Brand#3'
       AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -576,7 +577,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(thresholds, l.l_partkey == thresholds.t_partkey)
         .where(F.col("l_quantity") < F.col("qty_limit"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 

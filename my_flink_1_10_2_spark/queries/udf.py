@@ -91,7 +91,8 @@ def q_flat_aggregate_top2(spark, sf_dir):
     SELECT COALESCE(c.k, s.k) AS nationkey,
            COALESCE(c.n_customers, 0) AS n_customers,
            COALESCE(s.n_suppliers, 0) AS n_suppliers,
-           c.avg_cust_bal, s.avg_supp_bal
+           round(c.avg_cust_bal, 6) AS avg_cust_bal,
+           round(s.avg_supp_bal, 6) AS avg_supp_bal
     FROM (SELECT c_nationkey AS k, count(*) AS n_customers,
                  avg(c_acctbal) AS avg_cust_bal
           FROM customer GROUP BY c_nationkey) c
@@ -128,11 +129,14 @@ def q_cogroup_nation_balance(spark, sf_dir):
             }
         )
 
-    return c.group_by("nationkey").co_group(
+    out = c.group_by("nationkey").co_group(
         s,
         combine,
         "nationkey int, n_customers long, n_suppliers long, avg_cust_bal double, avg_supp_bal double",
     ).df
+    return out.withColumn("avg_cust_bal", F.round("avg_cust_bal", 6)).withColumn(
+        "avg_supp_bal", F.round("avg_supp_bal", 6)
+    )
 
 
 @register(

@@ -6,7 +6,12 @@ regressions before the driver does.
 
 Usage: python tools/exact_sweep.py   (from the repo root)
 """
-import sys, traceback
+import os, sys, traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.chdir(_REPO)
+
 import duckdb
 import numpy as np, pandas as pd
 import __spark_entry__ as e

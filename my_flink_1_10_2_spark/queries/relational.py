@@ -323,3 +323,29 @@ def q_full_sort(spark, sf_dir):
 def q_values_literal(spark, sf_dir):
     """VALUES literal relation (ref: StreamExecValues.scala, ValuesCodeGenerator.scala)."""
     return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, tag string")
+
+
+@register(
+    "q_sql_lateral_table",
+    oracle="""
+    SELECT doc_id, unnest(str_split_regex(text, '\\s+')) AS word
+    FROM documents
+    WHERE doc_id < 5
+    """,
+    category="correlate",
+)
+def q_sql_lateral_table(spark, sf_dir):
+    """Flink SQL correlate spelling — ``CROSS JOIN LATERAL
+    TABLE(udtf(x)) AS T(col)`` (ref: CorrelateITCase.scala,
+    SqlToRelConverter correlate path) — rewritten by engine.sql to
+    Spark's LATERAL VIEW generator form."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "documents")
+    te = TableEnvironment(spark)
+    return te.sql(
+        "SELECT doc_id, word FROM documents "
+        "CROSS JOIN LATERAL TABLE(explode(split(text, '\\\\s+'))) AS T(word) "
+        "WHERE doc_id < 5"
+    ).df

@@ -91,4 +91,20 @@ def rewrite_flink_sql(query: str) -> str:
 
     # PROCTIME() → current_timestamp()
     q = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", q, flags=re.IGNORECASE)
+
+    # Flink correlate: [CROSS JOIN | ,] LATERAL TABLE(fn(args)) AS T(c1, c2)
+    #   → Spark LATERAL VIEW fn(args) T AS c1, c2
+    # (ref: CorrelateITCase.scala; fn must resolve to a Spark generator —
+    # explode/posexplode/inline/stack/json_tuple or a registered UDTF)
+    q = re.sub(
+        r"(?:,|\bCROSS\s+JOIN\b)\s*LATERAL\s+TABLE\s*\(\s*"
+        r"(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s*\)\s*"
+        r"(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
+        lambda m: (
+            f" LATERAL VIEW {m.group(1)}({m.group(2)}) {m.group(3)} "
+            f"AS {', '.join(c.strip() for c in m.group(4).split(','))}"
+        ),
+        q,
+        flags=re.IGNORECASE,
+    )
     return q

@@ -146,3 +146,18 @@ def test_for_system_time_requires_versioned_view(spark):
         env.sql(
             "SELECT p.x FROM probe_t p JOIN plain_t FOR SYSTEM_TIME AS OF p.x AS b ON b.x = p.x"
         )
+
+
+def test_lateral_table_rewrites_to_lateral_view():
+    from my_flink_1_10_2_spark.sql import rewrite_flink_sql
+
+    q = rewrite_flink_sql(
+        "SELECT a, w FROM t CROSS JOIN LATERAL TABLE(explode(split(s, ' '))) AS T(w)"
+    )
+    assert "LATERAL VIEW explode(split(s, ' ')) T AS w" in q
+    q2 = rewrite_flink_sql(
+        "SELECT a, k, v FROM t, LATERAL TABLE(json_tuple(js, 'k', 'v')) AS J(k, v)"
+    )
+    assert "LATERAL VIEW json_tuple(js, 'k', 'v') J AS k, v" in q2
+    # non-Flink SQL passes through untouched
+    assert rewrite_flink_sql("SELECT 1") == "SELECT 1"

@@ -4,6 +4,8 @@ StreamingJoinOperator.java:37): no watermarks, eager outer null-padding,
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -61,6 +63,12 @@ def join_dirs(tmp_path_factory):
             ),
             rdir / f"{i}.parquet",
         )
+    # FileStreamSource admits files in modification-time order; identical
+    # mtimes from fast consecutive writes can reorder batches under load,
+    # making the "late" match arrive first. Pin distinct, increasing mtimes.
+    for base in (ldir, rdir):
+        for i in range(2):
+            os.utime(base / f"{i}.parquet", (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     all_l = [r for rows in l_files for r in rows]
     all_r = [r for rows in r_files for r in rows]
     return str(ldir), str(rdir), all_l, all_r

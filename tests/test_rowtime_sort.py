@@ -3,6 +3,8 @@ RowTimeSortOperator.java): watermark-gated ordered emission + late drop."""
 
 from __future__ import annotations
 
+import os
+
 import datetime as dt
 
 import pyarrow as pa
@@ -50,6 +52,10 @@ def sort_dir(tmp_path_factory):
             ),
             d / f"{i}.parquet",
         )
+        # FileStreamSource admits files in modification-time order; fast
+        # consecutive writes can tie on mtime and invert batch order
+        # under load — pin distinct mtimes so batch i really arrives i-th.
+        os.utime(d / f"{i}.parquet", (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     return str(d)
 
 

@@ -208,7 +208,8 @@ FUNCTION_CATALOG: dict[str, object] = {
     "IS DISTINCT FROM": "op:expr(a IS DISTINCT FROM b)",
     "BETWEEN": "between", "LIKE": "like", "SIMILAR TO": "rlike",
     "IN": "isin", "EXISTS": "op:left_semi join", "CASE": "when",
-    "NULLIF": "nullif", "COALESCE": "coalesce", "IF": if_,
+    "NULLIF": "nullif", "COALESCE": "coalesce", "IFNULL": "nvl", "IF": if_,
+    "GREATEST": "greatest", "LEAST": "least",
     # string (BuiltInFunctionDefinitions.java:230-362)
     "CHAR_LENGTH": "length", "INITCAP": "initcap", "LOWER": "lower", "UPPER": "upper",
     "SUBSTRING": "substring", "LEFT": "left", "RIGHT": "right",
@@ -223,7 +224,7 @@ FUNCTION_CATALOG: dict[str, object] = {
     "UUID": "uuid", "IS_DECIMAL": is_decimal, "IS_DIGIT": is_digit, "IS_ALPHA": is_alpha,
     # math (BuiltInFunctionDefinitions.java:370-596)
     "PLUS": "op:+", "MINUS": "op:-", "TIMES": "op:*", "DIVIDE": "op:/",
-    "MOD": "op:%", "ABS": "abs", "CEIL": "ceil", "FLOOR": "floor",
+    "MOD": "op:%", "ABS": "abs", "CEIL": "ceil", "CEILING": "ceil", "FLOOR": "floor",
     "EXP": "exp", "LN": "log", "LOG": "log", "LOG2": log2, "LOG10": "log10",
     "POWER": "pow", "SQRT": "sqrt",
     "SIN": "sin", "COS": "cos", "TAN": "tan", "COT": "cot",
@@ -234,7 +235,8 @@ FUNCTION_CATALOG: dict[str, object] = {
     "RAND": "rand", "RAND_INTEGER": rand_integer, "BIN": "bin", "HEX": "hex",
     # crypto / hash (BuiltInFunctionDefinitions.java:742-778)
     "MD5": "md5", "SHA1": "sha1", "SHA224": "sha2(224)", "SHA256": "sha2(256)",
-    "SHA384": "sha2(384)", "SHA512": "sha2(512)", "SHA2": "sha2", "HASH_CODE": hash_code,
+    "SHA384": "sha2(384)", "SHA512": "sha2(512)", "SHA2": "sha2", "CRC32": "crc32",
+    "HASH_CODE": hash_code,
     # temporal (BuiltInFunctionDefinitions.java:600-654)
     "EXTRACT": "extract", "YEAR": "year", "QUARTER": "quarter", "MONTH": "month",
     "WEEK": "weekofyear", "DAYOFYEAR": "dayofyear", "DAYOFMONTH": "dayofmonth",

@@ -45,9 +45,33 @@ def zip_with_index(
     with all windows partition-parallel — no single-task global sort.
     Ties on ``key`` would make the index nondeterministic, so ``key``
     must be unique (ids); enforced upstream by the caller.
+
+    NULL keys fail fast: ``floor(NULL/span)`` would land in a NULL
+    bucket and the bucket join would silently drop those rows (a
+    shorter table with no error).  Instead the bounds aggregate also
+    counts NULL keys and poisons ``__lo`` with ``raise_error`` when any
+    exist — the job fails at execution with a clear message, still
+    fully lazy and distributed (no driver-side count).  Callers with
+    nullable keys must filter or fill first; the reference's
+    ``zipWithIndex`` likewise indexes every record, never drops.
     """
     bounds = df.agg(
-        F.min(key).alias("__lo"), F.max(key).alias("__hi")
+        F.min(key).alias("__lo_raw"),
+        F.max(key).alias("__hi"),
+        (F.count(F.lit(1)) - F.count(key)).alias("__nulls"),
+    ).select(
+        F.when(
+            F.col("__nulls") > 0,
+            F.raise_error(
+                F.lit(
+                    f"zip_with_index: NULL values in key column '{key}'"
+                    " — filter or fill them first"
+                )
+            ),
+        )
+        .otherwise(F.col("__lo_raw"))
+        .alias("__lo"),
+        "__hi",
     )
     span = (F.col("__hi") - F.col("__lo") + 1) / n_buckets
     bucketed = df.join(F.broadcast(bounds)).withColumn(

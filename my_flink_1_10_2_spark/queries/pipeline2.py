@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from my_flink_1_10_2_spark.llm import dedup as D
 from my_flink_1_10_2_spark.llm.sampling import bucket_of
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 # DuckDB replay of llm.sampling.bucket_of (seed "" -> prefix "|").
 _BUCKET = "(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
@@ -142,7 +143,7 @@ def q_contamination_check(spark, sf_dir):
     bench_sh = sh.where(F.col("b") >= 90).select("shingle").distinct()
     contam = (
         sh.where(F.col("b") < 80)
-        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .join(dim(bench_sh), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_contam", F.lit(1))

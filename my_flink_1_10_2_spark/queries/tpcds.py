@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _revenue():
@@ -50,7 +51,7 @@ def ds_brand_year_report(spark, sf_dir):
     p = read(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(dim(p), l.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"), "p_brand")
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_year", "p_brand")
@@ -91,9 +92,9 @@ def ds_rollup_geo_report(spark, sf_dir):
     r = read(spark, sf_dir, "region")
     star = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dim(c), o.o_custkey == c.c_custkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(r), n.n_regionkey == r.r_regionkey)
     )
     return star.rollup("r_name", "n_name").agg(
         F.sum(_revenue()).alias("revenue"),
@@ -127,7 +128,7 @@ def ds_yoy_growth(spark, sf_dir):
     p = read(spark, sf_dir, "part")
     yearly = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(dim(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -171,7 +172,7 @@ def ds_revenue_share(spark, sf_dir):
     l = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part")
     base = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .groupBy("p_type", "p_brand")
         .agg(F.sum(_revenue()).alias("revenue"))
     )
@@ -312,7 +313,7 @@ def ds_monthly_deviation(spark, sf_dir):
     p = read(spark, sf_dir, "part")
     monthly = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(dim(p), l.l_partkey == p.p_partkey)
         .groupBy(
             "p_brand",
             F.year("o_orderdate").alias("o_year"),
@@ -381,7 +382,7 @@ def ds_frequent_buyers(spark, sf_dir):
         .agg(F.count("*").alias("n_mid_orders"))
         .where(F.col("n_mid_orders") >= 3)
     )
-    return freq.join(F.broadcast(c), freq.o_custkey == c.c_custkey).select(
+    return freq.join(dim(c), freq.o_custkey == c.c_custkey).select(
         "c_custkey", "c_name", "c_mktsegment", "n_mid_orders"
     )
 
@@ -420,7 +421,7 @@ def ds_returns_above_avg(spark, sf_dir):
     n = read(spark, sf_dir, "nation")
     cust_returns = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
         .agg(F.sum(_revenue()).alias("ret_amt"))
     )
@@ -428,8 +429,8 @@ def ds_returns_above_avg(spark, sf_dir):
         F.avg("ret_amt").alias("avg_ret")
     )
     return (
-        cust_returns.join(F.broadcast(nation_avg), "c_nationkey")
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        cust_returns.join(dim(nation_avg), "c_nationkey")
+        .join(dim(n), F.col("c_nationkey") == n.n_nationkey)
         .where(F.col("ret_amt") > 1.2 * F.col("avg_ret"))
         .select("c_custkey", "n_name", F.round("ret_amt", 4).alias("ret_amt"))
     )
@@ -478,13 +479,13 @@ def ds_frequent_best_items(spark, sf_dir):
     cust_rev = fact.groupBy("o_custkey").agg(F.sum(_revenue()).alias("rev"))
     avg_rev = cust_rev.agg(F.avg("rev").alias("avg_rev"))
     best = (
-        cust_rev.join(F.broadcast(avg_rev))
+        cust_rev.join(dim(avg_rev))
         .where(F.col("rev") > 1.5 * F.col("avg_rev"))
         .select("o_custkey")
     )
     return (
-        fact.join(F.broadcast(frequent), "l_partkey", "left_semi")
-        .join(F.broadcast(best), "o_custkey", "left_semi")
+        fact.join(dim(frequent), "l_partkey", "left_semi")
+        .join(dim(best), "o_custkey", "left_semi")
         .agg(
             F.round(F.sum(_revenue()), 4).alias("total_rev"),
             F.count("*").alias("n_sales"),
@@ -573,10 +574,10 @@ def ds_wide_two_year_join(spark, sf_dir):
             & (F.col("a.ck") == F.col("b.ck"))
             & (F.col("b.rev") > F.col("a.rev")),
         )
-        .join(F.broadcast(p), F.col("a.pk") == p.p_partkey)
-        .join(F.broadcast(c), F.col("a.ck") == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dim(p), F.col("a.pk") == p.p_partkey)
+        .join(dim(c), F.col("a.ck") == c.c_custkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(r), n.n_regionkey == r.r_regionkey)
         .select(
             "p_brand",
             "c_mktsegment",
@@ -697,7 +698,7 @@ def ds_rollup_rank(spark, sf_dir):
     l = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part")
     sales = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .rollup("p_type", "p_brand")
         .agg(F.sum(_revenue()).alias("revenue"))
     )
@@ -740,8 +741,8 @@ def ds_monthly_pivot_matrix(spark, sf_dir):
     n = read(spark, sf_dir, "nation")
     fact = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(c), o.o_custkey == c.c_custkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
     )
     aggs = [
         F.round(
@@ -780,7 +781,7 @@ def ds_cohort_revenue(spark, sf_dir):
         F.min(F.year("o_orderdate")).alias("cohort_year")
     )
     return (
-        o.join(F.broadcast(first), "o_custkey")
+        o.join(dim(first), "o_custkey")
         .groupBy("cohort_year", F.year("o_orderdate").alias("o_year"))
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),

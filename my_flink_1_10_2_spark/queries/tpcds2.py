@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _rev():
@@ -196,7 +197,7 @@ def ds_cumulative_crossover(spark, sf_dir):
     m = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
         .where(F.year("o_orderdate") == 1996)
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("mth"))
         .agg(

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _rev():
@@ -68,8 +69,8 @@ def ds_hierarchy_rank(spark, sf_dir):
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(r), n.n_regionkey == r.r_regionkey)
     )
     agg = base.rollup("r_name", "n_name").agg(
         (F.grouping("r_name") + F.grouping("n_name")).cast("bigint").alias("lochierarchy"),
@@ -110,7 +111,7 @@ def ds_before_after_pivot(spark, sf_dir):
     p = read(spark, sf_dir, "part")
     pivot = F.lit("1998-06-01").cast("timestamp_ntz")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(
@@ -164,7 +165,7 @@ def ds_channel_tolerance(spark, sf_dir):
     per = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(F.when(F.col("c_mktsegment") == "BUILDING", _rev())).alias("rev_a"),
@@ -218,7 +219,7 @@ def ds_min_vs_avg(spark, sf_dir):
     li = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part")
     per_part = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(F.sum(_rev()).alias("rev"))
     )
@@ -335,7 +336,7 @@ def ds_above_type_avg_buyers(spark, sf_dir):
         F.avg("p_retailprice").alias("ap")
     )
     pricey = (
-        p.join(F.broadcast(type_avg), p.p_type == F.col("ty"))
+        p.join(dim(type_avg), p.p_type == F.col("ty"))
         .where(F.col("p_retailprice") >= 1.04 * F.col("ap"))
         .select("p_partkey")
     )
@@ -344,10 +345,10 @@ def ds_above_type_avg_buyers(spark, sf_dir):
     c = read(spark, sf_dir, "customer")
     n = read(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(pricey), li.l_partkey == pricey.p_partkey)
+        li.join(dim(pricey), li.l_partkey == pricey.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.countDistinct("c_custkey").alias("buyers"))
         .where(F.col("buyers") >= 60)
@@ -388,8 +389,8 @@ def ds_quarterly_geo_growth(spark, sf_dir):
     q = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.quarter("o_orderdate").alias("qtr"))
         .agg(F.sum(_rev()).alias("rev"))
     )
@@ -471,7 +472,7 @@ def ds_multi_period_quantity(spark, sf_dir):
     yr = F.year("o_orderdate")
     per = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(F.when(yr == 1996, F.col("l_quantity"))).alias("q1"),

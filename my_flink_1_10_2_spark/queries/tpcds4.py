@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _rev():
@@ -68,7 +69,7 @@ def ds_dow_pivot(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(*aggs)
     )
@@ -240,8 +241,8 @@ def ds_best_worst_performers(spark, sf_dir):
     return (
         best.alias("b")
         .join(worst.alias("w"), "rk")
-        .join(F.broadcast(p.alias("pb")), F.col("b.l_partkey") == F.col("pb.p_partkey"))
-        .join(F.broadcast(p.alias("pw")), F.col("w.l_partkey") == F.col("pw.p_partkey"))
+        .join(dim(p.alias("pb")), F.col("b.l_partkey") == F.col("pb.p_partkey"))
+        .join(dim(p.alias("pw")), F.col("w.l_partkey") == F.col("pw.p_partkey"))
         .select(
             "rk",
             F.col("pb.p_name").alias("best_part"),
@@ -324,7 +325,7 @@ def ds_promo_revenue_ratio(spark, sf_dir):
     li = read(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1997)
     p = read(spark, sf_dir, "part").where(F.col("p_type").like("PROMO%"))
     promo = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim(p), li.l_partkey == p.p_partkey)
         .agg(F.sum(_rev()).alias("rev"))
         .select(F.col("rev").alias("promo_raw"))
     )
@@ -417,7 +418,7 @@ def ds_triple_channel_brand(spark, sf_dir):
     def channel(prios):
         return (
             li.join(o.where(F.col("o_orderpriority").isin(*prios)), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(dim(p), li.l_partkey == p.p_partkey)
             .select("p_brand", _rev().alias("rev"))
         )
 
@@ -461,8 +462,8 @@ def ds_fulfillment_latency_nations(spark, sf_dir):
     lat = F.datediff("l_shipdate", "o_orderdate")
     df = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dim(s), li.l_suppkey == s.s_suppkey)
+        .join(dim(n), s.s_nationkey == n.n_nationkey)
         .withColumn("lat", lat)
     )
     return df.groupBy("n_name").agg(

@@ -22,6 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _rev():
@@ -68,9 +69,9 @@ def ds_city_switch(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), c.c_nationkey == cn.cn_key)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
+        .join(dim(cn), c.c_nationkey == cn.cn_key)
+        .join(dim(s), li.l_suppkey == s.s_suppkey)
+        .join(dim(sn), s.s_nationkey == sn.sn_key)
         .where(F.col("cn_key") != F.col("sn_key"))
         .groupBy("c_name", "o_orderkey", "cust_nation", "supp_nation")
         .agg(F.round(F.sum(_rev()), 4).alias("switch_rev"))
@@ -118,7 +119,7 @@ def ds_above_nation_avg_returns(spark, sf_dir):
     return (
         cr.withColumn("navg", F.avg("ret").over(w))
         .where(F.col("ret") > 1.2 * F.col("navg"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(dim(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "c_name", "c_acctbal", "n_name", F.round("ret", 4).alias("ret_rev")
         )
@@ -303,7 +304,7 @@ def ds_segment_or_filter(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_rev()), 4).alias("rev"))
     )
@@ -337,7 +338,7 @@ def ds_demo_rollup_avgs(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(dim(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _rev():
@@ -72,8 +73,8 @@ def ds_preferred_nation_market(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(preferred), F.col("c_nationkey") == F.col("pref_key"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(dim(preferred), F.col("c_nationkey") == F.col("pref_key"))
+        .join(dim(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(_rev()), 4).alias("market_rev"))
         .orderBy("n_name")
@@ -225,8 +226,8 @@ def ds_cross_location_brand(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(dim(s), li.l_suppkey == s.s_suppkey)
+        .join(dim(p), li.l_partkey == p.p_partkey)
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("p_brand", F.year("o_orderdate").alias("yr"))
         .agg(
@@ -282,8 +283,8 @@ def ds_before_after_ratio_band(spark, sf_dir):
     ratio = F.col("qty_after").cast("double") / F.col("qty_before")
     return (
         per.where((F.col("qty_before") > 0) & ratio.between(2.0 / 3.0, 3.0 / 2.0))
-        .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p), per.l_partkey == p.p_partkey)
+        .join(dim(s), per.l_suppkey == s.s_suppkey)
+        .join(dim(p), per.l_partkey == p.p_partkey)
         .select("s_name", "p_name", "qty_before", "qty_after")
         .orderBy("s_name", "p_name", "qty_before", "qty_after")
         .limit(100)
@@ -318,7 +319,7 @@ def ds_onhand_hierarchy_avg(spark, sf_dir):
         F.grouping("p_brand") + F.grouping("p_type") + F.grouping("p_size")
     ).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim(p), li.l_partkey == p.p_partkey)
         .rollup("p_brand", "p_type", "p_size")
         .agg(F.round(F.avg("l_quantity"), 4).alias("avg_qty"), lvl.alias("lvl"))
         .orderBy(
@@ -335,16 +336,21 @@ def ds_onhand_hierarchy_avg(spark, sf_dir):
     "ds_bought_returned_above_avg",
     oracle=f"""
     WITH per_cust AS (
-      SELECT c_custkey, c_name, sum({_REV_SQL}) AS ret_rev
+      SELECT c_custkey, c_name,
+             CAST(round(sum({_REV_SQL}) * 10000) AS BIGINT) AS ret_rev_i
       FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
       WHERE l_returnflag = 'R'
       GROUP BY c_custkey, c_name
+    ),
+    tot AS (
+      SELECT CAST(sum(ret_rev_i) AS BIGINT) AS total_i, count(*) AS n
+      FROM per_cust
     )
-    SELECT c_custkey, c_name, round(ret_rev, 4) AS ret_rev
-    FROM per_cust
-    WHERE ret_rev > (SELECT 1.2 * avg(ret_rev) FROM per_cust)
+    SELECT c_custkey, c_name, round(ret_rev_i / 10000.0, 4) AS ret_rev
+    FROM per_cust, tot
+    WHERE ret_rev_i > (1.2 * total_i) / n
     ORDER BY ret_rev DESC, c_custkey
     LIMIT 50
     """,
@@ -355,7 +361,13 @@ def ds_bought_returned_above_avg(spark, sf_dir):
     1.2x the average returned revenue over all customers — an
     uncorrelated scalar subquery over the same aggregate. The per-cust
     aggregate is computed once and the scalar average rides a broadcast
-    cross-join (one row), not a second fact scan."""
+    cross-join (one row), not a second fact scan.
+
+    Determinism: per-customer revenue is aggregated in integer 1e-4
+    units (exact under any partial-agg order) and the 1.2x-average
+    threshold is the identical IEEE expression `(1.2*total_i)/n` of two
+    exact integers on both sides — a customer sitting at the boundary
+    cannot flip membership with aggregation order."""
     li = read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
@@ -363,13 +375,19 @@ def ds_bought_returned_above_avg(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(_rev()).alias("ret_rev"))
+        .agg(F.round(F.sum(_rev()) * 10000).cast("bigint").alias("ret_rev_i"))
     )
-    thresh = per.agg((F.avg("ret_rev") * 1.2).alias("thresh"))
+    tot = per.agg(
+        F.sum("ret_rev_i").alias("total_i"), F.count(F.lit(1)).alias("n")
+    )
     return (
-        per.join(F.broadcast(thresh))
-        .where(F.col("ret_rev") > F.col("thresh"))
-        .select("c_custkey", "c_name", F.round("ret_rev", 4).alias("ret_rev"))
+        per.join(dim(tot))
+        .where(F.col("ret_rev_i") > (F.lit(1.2) * F.col("total_i")) / F.col("n"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("ret_rev_i") / 10000.0, 4).alias("ret_rev"),
+        )
         .orderBy(F.col("ret_rev").desc(), "c_custkey")
         .limit(50)
     )
@@ -411,7 +429,7 @@ def ds_channel_net_rollup(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(dim(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .rollup(F.col("o_orderpriority"), F.col("n_name"))
         .agg(
             F.round(F.sum(F.when(~is_ret, rev).otherwise(0)), 4).alias("sales"),
@@ -476,7 +494,7 @@ def ds_returns_reason_report(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .where(bands)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy(F.substring("p_type", 1, 7).alias("reason_prefix"))
         .agg(
             F.count(F.lit(1)).alias("n_returns"),

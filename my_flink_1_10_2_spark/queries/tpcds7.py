@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 @register(
@@ -52,7 +53,7 @@ def ds_late_availability(spark, sf_dir):
     late = F.datediff("l_shipdate", "o_orderdate") > 60
     weekly = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", F.weekofyear("l_shipdate").cast("bigint").alias("wk"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -120,7 +121,7 @@ def ds_three_period_returns(spark, sf_dir):
             & band("q2")
             & band("q3")
         )
-        .join(F.broadcast(p), ret.l_partkey == p.p_partkey)
+        .join(dim(p), ret.l_partkey == p.p_partkey)
         .select(
             "p_name",
             F.col("q1").cast("bigint").alias("q1"),

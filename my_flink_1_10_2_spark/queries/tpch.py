@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
+from my_flink_1_10_2_spark.operators.hints import dim
 
 
 def _revenue():
@@ -122,11 +123,11 @@ def q7_volume_shipping(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(dim(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(dim(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(dim(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -178,13 +179,13 @@ def q8_market_share(spark, sf_dir):
     )
     r = read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     base = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
+        .join(dim(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(dim(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(dim(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(dim(r), F.col("n1_region") == F.col("r_regionkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             _revenue().alias("volume"),
@@ -228,10 +229,10 @@ def q9_profit_by_nation_year(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     base = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
+        .join(dim(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dim(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return base.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -322,7 +323,7 @@ def q14_promo_revenue(spark, sf_dir):
     p = read(spark, sf_dir, "part")
     rev = _revenue()
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .agg(
             (
                 100.0
@@ -363,7 +364,7 @@ def q15_top_supplier(spark, sf_dir):
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = read(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue)
+        revenue.join(dim(max_rev), revenue.total_revenue == max_rev.max_revenue)
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -392,7 +393,7 @@ def q16_part_supplier_count(spark, sf_dir):
     )
     l = read(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -462,7 +463,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .where(cond)
         .agg(F.sum(_revenue()).alias("revenue"))
     )
@@ -486,7 +487,7 @@ def q22_idle_customers(spark, sf_dir):
     c = read(spark, sf_dir, "customer")
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
     o = read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal")).drop("avg_bal")
+    rich = c.join(dim(avg_bal), c.c_acctbal > F.col("avg_bal")).drop("avg_bal")
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 4).alias("totacctbal")
@@ -521,8 +522,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     from pyspark.sql import Window as W
 
     joined = (
-        ps.join(F.broadcast(p), ps.partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        ps.join(dim(p), ps.partkey == p.p_partkey)
+        .join(dim(s), ps.suppkey == s.s_suppkey)
         .withColumn("min_bal", F.min("s_acctbal").over(W.partitionBy("partkey")))
     )
     return joined.where(F.col("s_acctbal") == F.col("min_bal")).select(
@@ -548,7 +549,7 @@ def q11_value_concentration(spark, sf_dir):
     per_part = l.groupBy("l_partkey").agg(F.sum(_revenue()).alias("value"))
     total = l.agg((F.sum(_revenue()) * 0.001).alias("threshold"))
     return (
-        per_part.join(F.broadcast(total), per_part.value > total.threshold)
+        per_part.join(dim(total), per_part.value > total.threshold)
         .select("l_partkey", "value")
     )
 
@@ -574,7 +575,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.avg("l_quantity") * 0.5).alias("qty_limit")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .join(thresholds, l.l_partkey == thresholds.t_partkey)
         .where(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
@@ -607,7 +608,7 @@ def q20_heavy_shippers(spark, sf_dir):
     )
     p = read(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
     heavy = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim(p), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 50)
@@ -681,7 +682,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     s = read(spark, sf_dir, "supplier")
     n = read(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_3", "NATION_7"))
     return (
-        sole_late.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        sole_late.join(dim(s.join(dim(n), s.s_nationkey == n.n_nationkey)),
                        sole_late.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -92,19 +92,72 @@ def rewrite_flink_sql(query: str) -> str:
     # PROCTIME() → current_timestamp()
     q = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", q, flags=re.IGNORECASE)
 
-    # Flink correlate: [CROSS JOIN | ,] LATERAL TABLE(fn(args)) AS T(c1, c2)
-    #   → Spark LATERAL VIEW fn(args) T AS c1, c2
-    # (ref: CorrelateITCase.scala; fn must resolve to a Spark generator —
-    # explode/posexplode/inline/stack/json_tuple or a registered UDTF)
-    q = re.sub(
-        r"(?:,|\bCROSS\s+JOIN\b)\s*LATERAL\s+TABLE\s*\(\s*"
-        r"(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s*\)\s*"
-        r"(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+?)\s*\)",
-        lambda m: (
-            f" LATERAL VIEW {m.group(1)}({m.group(2)}) {m.group(3)} "
-            f"AS {', '.join(c.strip() for c in m.group(4).split(','))}"
-        ),
-        q,
-        flags=re.IGNORECASE,
-    )
+    q = _rewrite_lateral_table(q)
     return q
+
+
+_LATERAL_LEAD = re.compile(
+    r"(?:,|\bCROSS\s+JOIN\b)\s*LATERAL\s+TABLE\s*\(", re.IGNORECASE
+)
+_LATERAL_ALIAS = re.compile(
+    r"\s*(?:AS\s+)?(\w+)\s*(?:\(\s*([\w\s,]+?)\s*\))?", re.IGNORECASE
+)
+_SQL_KEYWORDS = frozenset(
+    "WHERE GROUP ORDER HAVING LIMIT ON JOIN UNION INTERSECT EXCEPT "
+    "SELECT FROM CROSS LATERAL INNER LEFT RIGHT FULL".split()
+)
+
+
+def _rewrite_lateral_table(q: str) -> str:
+    """Flink correlate: [CROSS JOIN | ,] LATERAL TABLE(fn(args)) AS T(c1, c2)
+      → Spark LATERAL VIEW fn(args) T AS c1, c2
+    (ref: CorrelateITCase.scala; fn must resolve to a Spark generator —
+    explode/posexplode/inline/stack/json_tuple or a registered UDTF).
+
+    UDTF arguments are parsed with a balanced-paren scan, so arbitrarily
+    nested calls work; the column list after the alias is optional
+    (Spark defaults the generator's column names).  Any spelling this
+    can't rewrite raises immediately instead of handing Spark's parser
+    an unrewritten `LATERAL TABLE` and an opaque error.
+    """
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _LATERAL_LEAD.search(q, pos)
+        if m is None:
+            break
+        out.append(q[pos : m.start()])
+        # balanced scan from just inside TABLE( to its matching ')'
+        i = m.end()
+        depth, j = 1, i
+        while j < len(q) and depth:
+            if q[j] == "(":
+                depth += 1
+            elif q[j] == ")":
+                depth -= 1
+            j += 1
+        call = q[i : j - 1].strip() if not depth else ""
+        fnm = re.match(r"(\w+)\s*\((.*)\)$", call, re.DOTALL)
+        am = _LATERAL_ALIAS.match(q, j)
+        alias_ok = am and am.group(1).upper() not in _SQL_KEYWORDS
+        if depth or not fnm or not alias_ok:
+            raise ValueError(
+                "unsupported LATERAL TABLE spelling near: "
+                f"{q[m.start() : m.start() + 80]!r} — expected "
+                "LATERAL TABLE(udtf(args)) [AS] alias [(col, ...)]"
+            )
+        fn, args = fnm.group(1), fnm.group(2)
+        alias, cols = am.group(1), am.group(2)
+        piece = f" LATERAL VIEW {fn}({args}) {alias}"
+        if cols:
+            piece += f" AS {', '.join(c.strip() for c in cols.split(','))}"
+        out.append(piece)
+        pos = am.end()
+    out.append(q[pos:])
+    result = "".join(out)
+    if re.search(r"\bLATERAL\s+TABLE\b", result, re.IGNORECASE):
+        raise ValueError(
+            "unsupported LATERAL TABLE spelling (must follow ',' or "
+            "'CROSS JOIN'): " + result
+        )
+    return result

@@ -164,8 +164,13 @@ class Stream:
         """Lookup (dimension) join: stream × static table (ref:
         LookupJoinRunner.java).  Spark re-plans the static side per
         micro-batch — the same freshness model as the reference's
-        per-record lookup with caching; broadcast keeps it shuffle-free."""
-        return Stream(self.df.join(F.broadcast(static_df), on, how))
+        per-record lookup with caching; broadcast keeps it shuffle-free.
+        The hint is size-gated (`operators.hints.dim`) so an
+        unexpectedly large lookup table degrades to a shuffle join
+        instead of an executor OOM."""
+        from my_flink_1_10_2_spark.operators.hints import dim
+
+        return Stream(self.df.join(dim(static_df), on, how))
 
     # -- sinks --------------------------------------------------------------
     def to_memory_sink(

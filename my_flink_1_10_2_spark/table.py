@@ -99,9 +99,17 @@ class Table:
         return Table(self.df.crossJoin(right.df))
 
     def join_with_tiny(self, right: "Table", on=None, how: str = "inner") -> "Table":
-        """Broadcast the right side (ref: DataSet.joinWithTiny:751)."""
+        """Broadcast the right side (ref: DataSet.joinWithTiny:751).
+
+        The hint is size-gated (`operators.hints.dim`): under the
+        threshold Catalyst pins BroadcastHashJoin; over it — the user's
+        "tiny" assertion no longer holds at the current scale factor —
+        the hint is dropped and AQE picks the strategy from real sizes.
+        """
+        from my_flink_1_10_2_spark.operators.hints import dim
+
         cond = _col(on) if isinstance(on, str) else on
-        return Table(self.df.join(F.broadcast(right.df), cond, how))
+        return Table(self.df.join(dim(right.df), cond, how))
 
     def create_temporal_table_function(
         self, time_attr: str, primary_key: str

@@ -322,14 +322,23 @@ def test_ds7_plans(spark):
 
 
 def test_zip_with_index_no_global_window(spark):
-    """zip_with_index must not contain a single-partition global sort:
-    every Sort/Window in the plan is preceded by a hash or range
-    exchange on the bucket, never 'Exchange SinglePartition' feeding a
-    Window. The tiny offsets/bounds sides ride broadcast."""
+    """zip_with_index must not funnel the row data through a
+    single-partition global window: every window over the full input
+    partitions by the bucket column `__b`.  The one intentionally
+    unpartitioned window — the running sum over the ~n_buckets counts
+    table — is whitelisted by its `sum(__n)` expression."""
+    import re
+
     df = _df(spark, "q_zip_with_index")
     txt = df._jdf.queryExecution().executedPlan().toString()
-    import re
-    # every Window node must partition by __b (parallel), so no Window
-    # may sit directly above a SinglePartition exchange
-    assert "windowspecdefinition(__b" in txt or "windowspecdefinition(_b" in txt or plans.broadcast_join_count(df) >= 2
+    specs = re.findall(r"\w*\([^()]*\)?\s*windowspecdefinition\([^)]*\)", txt)
+    assert specs, "expected Window nodes in the zip_with_index plan"
+    row_data_specs = [s for s in specs if "sum(__n" not in s]
+    assert row_data_specs, "expected the bucket-local row_number window"
+    for s in row_data_specs:
+        # partition columns come first, before any 'ASC'/'DESC' sort arg:
+        # windowspecdefinition(__b#22, doc_id#0L ASC NULLS FIRST, ...)
+        assert re.search(r"windowspecdefinition\(__b#\d+,", s), (
+            f"window over row data is not partitioned by __b: {s}"
+        )
     assert plans.python_eval_count(df) == 0

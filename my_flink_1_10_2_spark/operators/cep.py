@@ -7,8 +7,11 @@ StreamExecMatch.scala:69, MatchCodeGenerator.scala) on Spark:
 
   - A :class:`Pattern` is an ordered list of :class:`Step`s, each with a
     name, a per-row predicate, and a quantifier (``1``, ``+``, ``*``,
-    ``?``). Predicates see the candidate row *and* the rows matched so
-    far (giving PREV/LAST/FIRST navigation, ref
+    ``?``, ``{n}``, ``{n,}``, ``{n,m}``, each optionally reluctant with
+    a trailing ``?``), plus negation (``not_next`` / ``not_followed_by``)
+    and loop stop conditions (``until``) — the full algebra of
+    Pattern.java/Quantifier.java. Predicates see the candidate row *and*
+    the rows matched so far (giving PREV/LAST/FIRST navigation, ref
     FlinkSqlOperatorTable.java:989-995).
   - AFTER MATCH SKIP PAST LAST ROW / SKIP TO NEXT ROW
     (ref: cep/aftermatch/AfterMatchSkipStrategy.java).
@@ -30,29 +33,77 @@ are found; rows are processed in event-time order within the buffer.
 
 from __future__ import annotations
 
+import math
+import re
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 RowPredicate = Callable[[pd.Series, dict[str, list[pd.Series]]], bool]
 
+_BASE_QUANT = {"1": (1, 1), "?": (0, 1), "+": (1, math.inf), "*": (0, math.inf)}
+_RANGE_QUANT = re.compile(r"\{(\d+)(,(\d*))?\}$")
+
+
+def _parse_quantifier(q: str) -> tuple[int, float, bool]:
+    """'{n}' / '{n,}' / '{n,m}' / '1?+*' [+ trailing '?' = reluctant]
+    → (min_count, max_count, greedy).  Mirrors the reference's
+    Quantifier.java: times(n) = {n}, timesOrMore(n) = {n,},
+    times(n, m) = {n,m}, oneOrMore = +, optional = ?, greedy flag."""
+    greedy = True
+    if len(q) > 1 and q.endswith("?") and q != "??":
+        q, greedy = q[:-1], False
+    elif q == "??":
+        q, greedy = "?", False
+    if q in _BASE_QUANT:
+        lo, hi = _BASE_QUANT[q]
+        return lo, hi, greedy
+    m = _RANGE_QUANT.fullmatch(q)
+    if not m:
+        raise ValueError(f"unsupported quantifier {q!r}")
+    lo = int(m.group(1))
+    if m.group(2) is None:  # {n}
+        hi: float = lo
+    elif m.group(3) == "":  # {n,}
+        hi = math.inf
+    else:  # {n,m}
+        hi = int(m.group(3))
+    if hi < lo:
+        raise ValueError(f"quantifier upper bound below lower: {q!r}")
+    return lo, hi, greedy
+
 
 @dataclass
 class Step:
-    """One pattern variable (ref: Pattern.java begin/next/where chain)."""
+    """One pattern variable (ref: Pattern.java begin/next/where chain,
+    quantifiers Quantifier.java: times/timesOrMore/oneOrMore/optional/
+    greedy; negation Pattern.notNext/notFollowedBy; stop condition
+    Pattern.until)."""
 
     name: str
     predicate: RowPredicate
-    quantifier: str = "1"  # '1' | '?' | '+' | '*'
+    quantifier: str = "1"  # '1'|'?'|'+'|'*'|'{n}'|'{n,}'|'{n,m}' [+'?']
     contiguity: str = "strict"  # 'strict' (next) | 'relaxed' (followedBy)
+    negated: bool = False  # notNext (strict) / notFollowedBy (relaxed)
+    until_pred: RowPredicate | None = None  # stop condition for loops
+    min_count: int = field(init=False)
+    max_count: float = field(init=False)
+    greedy: bool = field(init=False)
 
     def __post_init__(self):
-        if self.quantifier not in ("1", "?", "+", "*"):
-            raise ValueError(f"unsupported quantifier {self.quantifier!r}")
+        self.min_count, self.max_count, self.greedy = _parse_quantifier(
+            self.quantifier
+        )
         if self.contiguity not in ("strict", "relaxed"):
             raise ValueError(f"unsupported contiguity {self.contiguity!r}")
+        if self.negated and self.quantifier != "1":
+            raise ValueError(
+                "negated steps (notNext/notFollowedBy) take no quantifier"
+            )
+        if self.until_pred is not None and self.max_count <= 1:
+            raise ValueError("until() requires a looping quantifier (+/*/{n,})")
 
 
 class Pattern:
@@ -91,6 +142,70 @@ class Pattern:
         event-time column used for ordering."""
         return Pattern(self.steps, pd.Timedelta(duration))
 
+    def not_next(self, name: str, predicate: RowPredicate) -> "Pattern":
+        """The immediately following row must NOT satisfy `predicate`
+        (ref: Pattern.notNext — a negative step that consumes nothing)."""
+        return Pattern(
+            self.steps + [Step(name, predicate, negated=True)], self.within_td
+        )
+
+    def not_followed_by(self, name: str, predicate: RowPredicate) -> "Pattern":
+        """No row satisfying `predicate` may occur between the previous
+        step's match and the next step's first matched row (ref:
+        Pattern.notFollowedBy).  As the LAST step it requires `within`
+        — the reference likewise rejects a pattern ending in
+        notFollowedBy without a window (Pattern.java checkIfNoNotPattern
+        counterpart in NFACompiler)."""
+        return Pattern(
+            self.steps + [Step(name, predicate, contiguity="relaxed", negated=True)],
+            self.within_td,
+        )
+
+    def _mod_last(self, **changes) -> "Pattern":
+        last = self.steps[-1]
+        new = Step(
+            last.name,
+            last.predicate,
+            changes.get("quantifier", last.quantifier),
+            last.contiguity,
+            last.negated,
+            changes.get("until_pred", last.until_pred),
+        )
+        return Pattern(self.steps[:-1] + [new], self.within_td)
+
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Exactly n (or n..m) repeats of the last step (ref:
+        Pattern.times(int) / times(from, to))."""
+        return self._mod_last(quantifier=f"{{{n}}}" if m is None else f"{{{n},{m}}}")
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least n repeats of the last step (ref: Pattern.timesOrMore)."""
+        return self._mod_last(quantifier=f"{{{n},}}")
+
+    def optional(self) -> "Pattern":
+        """Last step may match zero times (ref: Pattern.optional)."""
+        last = self.steps[-1]
+        lo, hi, greedy = last.min_count, last.max_count, last.greedy
+        hi_s = "" if math.isinf(hi) else int(hi)
+        q = f"{{0,{hi_s}}}" if hi_s != "" else "{0,}"
+        if hi == 1:
+            q = "?"
+        return self._mod_last(quantifier=q if greedy else q + "?")
+
+    def reluctant(self) -> "Pattern":
+        """Last step consumes as FEW rows as possible — the inverse of
+        the default greedy consumption (ref: Quantifier greedy flag;
+        SQL reluctant spellings `+?`, `*?`, `{n,m}?`)."""
+        last = self.steps[-1]
+        q = last.quantifier
+        return self._mod_last(quantifier=q if q.endswith("?") and q != "?" else q + "?")
+
+    def until(self, predicate: RowPredicate) -> "Pattern":
+        """Stop condition for the last (looping) step: consumption stops
+        at the first row satisfying `predicate`; that row is not part of
+        the match (ref: Pattern.until)."""
+        return self._mod_last(until_pred=predicate)
+
 
 def _match_at(
     rows: list[pd.Series],
@@ -114,10 +229,39 @@ def _match_at(
             return True
         return row[ts_col] - first_ts <= within
 
-    def go(i: int, s: int, matched, first_ts):
+    def go(i: int, s: int, matched, first_ts, banned):
+        """`banned`: predicates from preceding notFollowedBy steps —
+        no gap row before the next positive step's first take may
+        satisfy any of them (ref: NFA STOP state semantics)."""
         if s == len(steps):
             return matched if any(matched.values()) else None
         step = steps[s]
+
+        if step.negated:
+            if step.contiguity == "strict":  # notNext
+                if (
+                    i < len(rows)
+                    and in_window(first_ts, rows[i])
+                    and step.predicate(rows[i], matched)
+                ):
+                    return None
+                return go(i, s + 1, matched, first_ts, banned)
+            # notFollowedBy
+            if s == len(steps) - 1:
+                # trailing notFollowedBy: only meaningful with a window
+                # (the reference rejects it without within)
+                if within is None:
+                    raise ValueError(
+                        "pattern may not end in not_followed_by without within()"
+                    )
+                for j in range(i, len(rows)):
+                    if not in_window(first_ts, rows[j]):
+                        break
+                    if step.predicate(rows[j], matched):
+                        return None
+                return matched if any(matched.values()) else None
+            return go(i, s + 1, matched, first_ts, banned + [step.predicate])
+
         binding = dict(matched)
         binding[step.name] = list(matched.get(step.name, []))
 
@@ -134,38 +278,55 @@ def _match_at(
                 return first_ts
             return rows[j][ts_col] if ts_col is not None else None
 
+        def zero_take():
+            # step skipped entirely: position, clock, and bans unchanged
+            return go(i, s + 1, binding, first_ts, banned)
+
+        if step.min_count == 0 and not step.greedy:
+            res = zero_take()
+            if res is not None:
+                return res
+
         if step.contiguity == "relaxed":
-            # IGNORE self-loop: any later start, bounded by the window
-            starts = [j for j in range(i, len(rows)) if in_window(first_ts, rows[j])]
+            starts = range(i, len(rows))
         else:
-            starts = [i] if i < len(rows) else []
+            starts = range(i, i + 1) if i < len(rows) else range(0)
         for i0 in starts:
-            if step.quantifier in ("1", "?"):
-                taken = try_take(binding, i0)
-                if taken is not None:
-                    res = go(i0 + 1, s + 1, taken, first_ts_after(i0))
-                    if res is not None:
-                        return res
-                continue
-            # '+' / '*': consume greedily (strict inside), backtrack on failure
+            if not in_window(first_ts, rows[i0]):
+                break  # rows are event-time sorted: nothing later fits
+            if i0 > i and banned and any(b(rows[i0 - 1], matched) for b in banned):
+                break  # a forbidden row entered the gap — all later starts fail
+            # consume repeats (strict inside the loop), capped by the
+            # quantifier's upper bound and the until() stop condition
             takes: list[dict] = [binding]
             j = i0
-            while j < len(rows):
+            while j < len(rows) and len(takes) - 1 < step.max_count:
+                if step.until_pred is not None and step.until_pred(
+                    rows[j], takes[-1]
+                ):
+                    break
                 taken = try_take(takes[-1], j)
                 if taken is None:
                     break
                 takes.append(taken)
                 j += 1
-            for n in range(len(takes) - 1, 0, -1):
-                res = go(i0 + n, s + 1, takes[n], first_ts_after(i0))
-                if res is not None:
-                    return res
-        if step.quantifier in ("?", "*"):
-            # zero-take: step skipped entirely, position and clock unchanged
-            return go(i, s + 1, binding, first_ts)
+            max_n = len(takes) - 1
+            lo = max(step.min_count, 1)
+            if max_n >= lo:
+                counts = (
+                    range(max_n, lo - 1, -1) if step.greedy else range(lo, max_n + 1)
+                )
+                for n in counts:
+                    res = go(i0 + n, s + 1, takes[n], first_ts_after(i0), [])
+                    if res is not None:
+                        return res
+        if step.min_count == 0 and step.greedy:
+            res = zero_take()
+            if res is not None:
+                return res
         return None
 
-    return go(start, 0, {n.name: [] for n in steps} | {}, None)
+    return go(start, 0, {n.name: [] for n in steps} | {}, None, [])
 
 
 def _run_nfa(

@@ -15,7 +15,8 @@ Supported subset (strict contiguity, the reference's `next` semantics):
       [ONE ROW PER MATCH]
       [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
        | SKIP TO FIRST var | SKIP TO LAST var]
-      PATTERN (A B+ C? ...) [WITHIN INTERVAL '<n>' <unit>]
+      PATTERN (A B+ C? D{n} E{n,} F{n,m} [reluctant: +? *? ?? {n,m}?] ...)
+        [WITHIN INTERVAL '<n>' <unit>]
       DEFINE VAR AS <cond> [AND <cond>]... [, VAR AS ...]
     )
 
@@ -245,7 +246,10 @@ def compile_match_recognize(spark: SparkSession, query: str) -> DataFrame:
     tokens = pat.split()
     var_order = []
     steps: list[Step] = []
-    token_re = re.compile(r"(\w+)([+*?]?)")
+    # quantifiers: + * ? {n} {n,} {n,m}, each optionally reluctant with a
+    # trailing ? (ref: Quantifier.java; SQL spellings per
+    # MatchRecognizeITCase.scala `{n}` tests)
+    token_re = re.compile(r"(\w+)(\{\d+(?:,\d*)?\}\??|[+*]\??|\?\??|)")
     defines: dict[str, list[str]] = {}
     for item in _split_top_level(define_raw, ","):
         dm = re.match(r"(\w+)\s+AS\s+(.*)", item, re.IGNORECASE | re.DOTALL)

@@ -297,3 +297,292 @@ def q_sql_match_within(spark, sf_dir):
         )
         """
     ).df
+
+
+@register(
+    "q_cep_times",
+    oracle="""
+    SELECT user_id, ts AS start_ts, l3 AS top_val
+    FROM (
+      SELECT user_id, ts, value,
+             lead(value, 1) OVER w AS l1,
+             lead(value, 2) OVER w AS l2,
+             lead(value, 3) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE l1 > value AND l2 > l1 AND l3 > l2
+    """,
+    category="cep",
+)
+def q_cep_times(spark, sf_dir):
+    """times(3) — PATTERN (A R{3}): an anchor row followed by exactly
+    three consecutive rises (ref: Pattern.times(int) / Quantifier.java
+    TIMES; SQL `{n}` per MatchRecognizeITCase.scala). SKIP TO NEXT ROW
+    makes every position independently checkable, so the oracle is a
+    three-deep lead() chain — an independent algorithm validating the
+    bounded-loop consumption in the NFA."""
+    events = read(spark, sf_dir, "events")
+    pattern = Pattern.begin("a", lambda row, ctx: True).next(
+        "r",
+        lambda row, ctx: row["value"]
+        > (ctx["r"][-1]["value"] if ctx["r"] else ctx["a"][-1]["value"]),
+        "{3}",
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["a"][0]["user_id"],
+            "start_ts": lambda m: m["a"][0]["ts"],
+            "top_val": lambda m: float(m["r"][-1]["value"]),
+        },
+        output_schema="user_id long, start_ts timestamp_ntz, top_val double",
+        after_match="skip_to_next_row",
+    )
+
+
+@register(
+    "q_cep_times_or_more",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m
+    )
+    SELECT user_id, min(ts) AS start_ts,
+           CAST(count(*) AS INTEGER) AS run_len,
+           min(value) AS low, max(value) AS high
+    FROM runs
+    GROUP BY user_id, run_id
+    HAVING count(*) >= 3
+    """,
+    category="cep",
+)
+def q_cep_times_or_more(spark, sf_dir):
+    """timesOrMore(2) — PATTERN (S R{2,}): maximal rising runs with at
+    least two rises (ref: Pattern.timesOrMore / Quantifier.java; SQL
+    `{n,}`). Greedy unbounded consumption with a lower bound; the
+    gaps-and-islands oracle keeps runs of total length >= 3."""
+    events = read(spark, sf_dir, "events")
+    pattern = Pattern.begin("s", lambda row, ctx: True).next(
+        "r",
+        lambda row, ctx: row["value"]
+        > (ctx["r"][-1]["value"] if ctx["r"] else ctx["s"][-1]["value"]),
+        "{2,}",
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["s"][0]["user_id"],
+            "start_ts": lambda m: m["s"][0]["ts"],
+            "run_len": lambda m: 1 + len(m["r"]),
+            "low": lambda m: float(m["s"][0]["value"]),
+            "high": lambda m: float(m["r"][-1]["value"]),
+        },
+        output_schema=(
+            "user_id long, start_ts timestamp_ntz, run_len int, "
+            "low double, high double"
+        ),
+        after_match="skip_past_last_row",
+    )
+
+
+@register(
+    "q_cep_not_next",
+    oracle="""
+    SELECT user_id, ts AS signup_ts, nxt AS next_type
+    FROM (
+      SELECT user_id, ts, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    WHERE event_type = 'signup' AND nxt IS NOT NULL AND nxt <> 'error'
+    """,
+    category="cep",
+)
+def q_cep_not_next(spark, sf_dir):
+    """notNext — signups whose immediately following event is not an
+    error (ref: Pattern.notNext, a negative step that consumes
+    nothing). The oracle is a lead() check on the adjacent row."""
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("a", lambda row, ctx: row["event_type"] == "signup")
+        .not_next("z", lambda row, ctx: row["event_type"] == "error")
+        .next("b", lambda row, ctx: True)
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["a"][0]["user_id"],
+            "signup_ts": lambda m: m["a"][0]["ts"],
+            "next_type": lambda m: m["b"][0]["event_type"],
+        },
+        output_schema="user_id long, signup_ts timestamp_ntz, next_type string",
+        after_match="skip_to_next_row",
+    )
+
+
+@register(
+    "q_cep_not_followed_by",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), nxt AS (
+      SELECT user_id, ts, event_type, rn,
+             min(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+             min(CASE WHEN event_type = 'error' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ne
+      FROM e
+    )
+    SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+    FROM nxt s JOIN e p ON p.user_id = s.user_id AND p.rn = s.np
+    WHERE s.event_type = 'signup' AND (s.ne IS NULL OR s.np < s.ne)
+    """,
+    category="cep",
+)
+def q_cep_not_followed_by(spark, sf_dir):
+    """notFollowedBy — signup reaching its next purchase with NO error
+    in between (ref: Pattern.notFollowedBy; the NFA's STOP state). The
+    banned predicate prunes every later candidate once an error enters
+    the gap, so a match exists iff the next purchase precedes the next
+    error; the oracle states exactly that with next-occurrence window
+    minima — an independent formulation."""
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("a", lambda row, ctx: row["event_type"] == "signup")
+        .not_followed_by("z", lambda row, ctx: row["event_type"] == "error")
+        .followed_by("c", lambda row, ctx: row["event_type"] == "purchase")
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["a"][0]["user_id"],
+            "signup_ts": lambda m: m["a"][0]["ts"],
+            "purchase_ts": lambda m: m["c"][0]["ts"],
+        },
+        output_schema="user_id long, signup_ts timestamp_ntz, purchase_ts timestamp_ntz",
+        after_match="skip_to_next_row",
+    )
+
+
+@register(
+    "q_cep_until",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <= lag(value) OVER w
+                    OR event_type = 'error' THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM m
+    )
+    SELECT user_id, min(ts) AS start_ts,
+           CAST(count(*) AS INTEGER) AS run_len, max(value) AS high
+    FROM runs
+    GROUP BY user_id, run_id
+    HAVING count(*) >= 2
+    """,
+    category="cep",
+)
+def q_cep_until(spark, sf_dir):
+    """until — rising runs whose loop stops at the first error row; the
+    error row is NOT consumed and seeds the next match (ref:
+    Pattern.until / Quantifier stop condition). The oracle breaks its
+    islands on both run breaks and error rows — the identical cut
+    points, derived independently."""
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("s", lambda row, ctx: True)
+        .next(
+            "r",
+            lambda row, ctx: row["value"]
+            > (ctx["r"][-1]["value"] if ctx["r"] else ctx["s"][-1]["value"]),
+            "+",
+        )
+        .until(lambda row, ctx: row["event_type"] == "error")
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["s"][0]["user_id"],
+            "start_ts": lambda m: m["s"][0]["ts"],
+            "run_len": lambda m: 1 + len(m["r"]),
+            "high": lambda m: float(m["r"][-1]["value"]),
+        },
+        output_schema=(
+            "user_id long, start_ts timestamp_ntz, run_len int, high double"
+        ),
+        after_match="skip_past_last_row",
+    )
+
+
+@register(
+    "q_sql_match_times",
+    oracle="""
+    SELECT user_id, value AS a_val, l2 AS top_val
+    FROM (
+      SELECT user_id, ts, value,
+             lead(value, 1) OVER w AS l1,
+             lead(value, 2) OVER w AS l2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE l1 > value AND l2 > l1
+    """,
+    category="cep",
+)
+def q_sql_match_times(spark, sf_dir):
+    """SQL `{n}` quantifier — PATTERN (A R{2}) through MATCH_RECOGNIZE
+    (ref: MatchRecognizeITCase.scala quantifier tests, Quantifier.java
+    TIMES)."""
+    from my_flink_1_10_2_spark.queries import register_views
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    register_views(spark, sf_dir, "events")
+    te = TableEnvironment(spark)
+    return te.sql(
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.value) AS a_val, LAST(R.value) AS top_val
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A R{2})
+          DEFINE R AS R.value > PREV(R.value)
+        )
+        """
+    ).df

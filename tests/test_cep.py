@@ -107,7 +107,11 @@ def test_multiple_keys_parallel(spark):
 
 def test_invalid_quantifier_rejected():
     with pytest.raises(ValueError):
-        Pattern.begin("a", lambda r, c: True, "{2,3}")
+        Pattern.begin("a", lambda r, c: True, "{3,2}")  # upper < lower
+    with pytest.raises(ValueError):
+        Pattern.begin("a", lambda r, c: True, "{x}")
+    with pytest.raises(ValueError):
+        Pattern.begin("a", lambda r, c: True, "++")
 
 
 def test_sql_match_recognize_plus_quantifier(spark):

@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.llm import sampling as SMP
+from my_flink_1_10_2_spark.operators.hints import dim
 from my_flink_1_10_2_spark.queries import read, register
 
 # DuckDB replay of llm.sampling.bucket_of (seed "" -> prefix "|").
@@ -139,17 +140,32 @@ def q_sample_consistent_topn(spark, sf_dir):
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary building: global token counts, frequency rank, and
     cumulative corpus coverage (the "how many token types cover 95% of
-    the corpus" curve). The token count is a two-phase hash aggregate;
-    only the tiny type-level table (≪ corpus) enters the window."""
+    the corpus" curve). The token count is a two-phase hash aggregate.
+
+    Scale design: only the top 30 survive, so the global rank/cumsum
+    window never sees the full type table (10⁸+ rows at 100 TB through
+    one task). A salted partition-local top-30 prunes first — every
+    global top-30 row is necessarily in its salt bucket's top-30, and
+    the pruned prefix is exactly the global prefix, so rank and
+    cumulative sums are unchanged. The single-task window then runs
+    over ≤ 64×30 rows; the corpus total rides a broadcast scalar."""
     docs = read(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    local = Window.partitionBy("__salt").orderBy(F.col("cnt").desc(), "token")
+    pruned = (
+        counts.withColumn("__salt", F.pmod(F.hash("token"), F.lit(64)))
+        .withColumn("__lrk", F.row_number().over(local))
+        .where(F.col("__lrk") <= 30)
+        .drop("__salt", "__lrk")
+    )
     order = Window.orderBy(F.col("cnt").desc(), "token")
     return (
-        counts.withColumn("rk", F.row_number().over(order).cast("bigint"))
-        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        pruned.withColumn("rk", F.row_number().over(order).cast("bigint"))
         .withColumn("cum", F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)))
         .where(F.col("rk") <= 30)
+        .join(dim(total))
         .select(
             "token",
             "cnt",

@@ -342,3 +342,15 @@ def test_zip_with_index_no_global_window(spark):
             f"window over row data is not partitioned by __b: {s}"
         )
     assert plans.python_eval_count(df) == 0
+
+
+def test_vocab_coverage_no_full_vocab_global_window(spark):
+    """q_vocab_coverage must prune with a salted partition-local top-k
+    BEFORE the single-task rank/cumsum window: the plan shows map-side
+    WindowGroupLimit under a __salt-partitioned window, so the
+    unpartitioned window only ever sees <= 64*30 rows (round-2 verdict
+    scale defect #2)."""
+    df = _df(spark, "q_vocab_coverage")
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in txt
+    assert "windowspecdefinition(__salt" in txt

@@ -13,10 +13,8 @@ from __future__ import annotations
 
 import shutil
 import tempfile
-from collections import Counter
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from my_flink_1_10_2_spark.queries import read, register
 
@@ -36,7 +34,14 @@ def q_retract_join_materialized(spark, sf_dir):
     """Unbounded stream-stream LEFT join with retractions (ref:
     StreamingJoinOperator.java:37), replayed from files in micro-batches;
     the +I/-D changelog is applied to a multiset and must materialize to
-    exactly the batch LEFT JOIN."""
+    exactly the batch LEFT JOIN.
+
+    The changelog materialization is fully distributed — this is the
+    pattern to copy at 100 TB: each micro-batch appends its ±1-weighted
+    rows to a parquet changelog sink (no driver collect), and the final
+    table is groupBy(all columns).sum(weight) with the multiset expanded
+    back by explode(sequence(1, n)) — one hash shuffle on the output
+    key, never a byte through the driver."""
     from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
     from my_flink_1_10_2_spark.streaming.retraction_join import CHANGE_COL
 
@@ -63,30 +68,50 @@ def q_retract_join_materialized(spark, sf_dir):
         ls = env.from_files(f"{work}/l", left.schema, max_files_per_trigger=1)
         rs = env.from_files(f"{work}/r", right.schema, max_files_per_trigger=1)
 
-        acc: Counter = Counter()
-
-        def sink(batch_df, _bid):
-            for row in batch_df.collect():
-                d = row.asDict()
-                change = d.pop(CHANGE_COL)
-                key = tuple(d[c] for c in out_cols)
-                acc[key] += 1 if change == "+I" else -1
-
         out_fields = [f for f in left.schema.fields] + [
             f for f in right.schema.fields
         ]
         out_cols = [f.name for f in out_fields]
+        log_dir = f"{work}/changelog"
+
+        def sink(batch_df, _bid):
+            # distributed per-batch append: +I rows weigh +1, -D rows -1
+            (
+                batch_df.withColumn(
+                    "__w",
+                    F.when(F.col(CHANGE_COL) == "+I", F.lit(1)).otherwise(
+                        F.lit(-1)
+                    ),
+                )
+                .drop(CHANGE_COL)
+                .write.mode("append")
+                .parquet(log_dir)
+            )
+
         rj = ls.retract_join(rs, on=[("l_ck", "ckey")], how="left")
         try:
             rj.run(sink)
         finally:
             rj.cleanup()
 
-        rows = []
-        for key, n in acc.items():
-            assert n >= 0, "negative multiplicity in changelog"
-            rows.extend([key] * n)
-        result = spark.createDataFrame(rows, StructType(out_fields))
-        return result.select("okey", "price", "ckey", "cname")
+        mult = (
+            spark.read.parquet(log_dir)
+            .groupBy(*out_cols)
+            .agg(F.sum("__w").alias("__n"))
+        )
+        assert (
+            mult.where(F.col("__n") < 0).limit(1).count() == 0
+        ), "negative multiplicity in changelog"
+        result = (
+            mult.where(F.col("__n") > 0)
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+            .drop("__i", "__n")
+        )
+        # materialize distributedly before the tempdir vanishes: the
+        # eager localCheckpoint pins the blocks executor-side and cuts
+        # lineage to the temp parquet — no rows through the driver
+        return result.select("okey", "price", "ckey", "cname").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)

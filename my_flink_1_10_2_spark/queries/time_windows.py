@@ -350,3 +350,36 @@ def q_sql_ddl_tumble(spark, sf_dir):
         "       l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty "
         "FROM li_ddl GROUP BY TUMBLE(l_shipdate, INTERVAL '1' DAY), l_returnflag"
     ).df
+
+
+@register(
+    "q_tumble_window_all",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           count(*) AS cnt, sum(value) AS sum_value, avg(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="window",
+)
+def q_tumble_window_all(spark, sf_dir):
+    """Non-keyed TUMBLE — the windowAll surface (ref:
+    DataStream.timeWindowAll:579, AllWindowedStream.java:1). Unlike the
+    reference, which funnels every row through one subtask, the Spark
+    plan keeps the partial aggregation parallel and only |windows| rows
+    cross the final exchange. Runs through the Stream API so the
+    streaming and batch paths share the expression."""
+    from my_flink_1_10_2_spark.streaming.stream import Stream
+
+    events = read(spark, sf_dir, "events")
+    out = (
+        Stream(events)
+        .tumble_all("ts", "1 hour")
+        .aggregate(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    return out.df

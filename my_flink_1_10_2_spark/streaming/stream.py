@@ -106,6 +106,34 @@ class Stream:
     def key_by(self, *keys) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
+    # -- non-keyed (windowAll) windows --------------------------------------
+    # ref: DataStream.windowAll / AllWindowedStream.java:1 — window
+    # assignment without a key.  Spark-first this is simply a groupBy on
+    # the window column alone; unlike the reference (which funnels all
+    # rows through one subtask), the partial aggregation stays
+    # parallel — only |windows| rows cross the final exchange.
+    def tumble_all(self, ts_col: str, size: str) -> "WindowedStream":
+        """Non-keyed tumbling window (ref: DataStream.timeWindowAll:579)."""
+        return WindowedStream(self.df, [], F.window(ts_col, size))
+
+    def hop_all(self, ts_col: str, size: str, slide: str) -> "WindowedStream":
+        """Non-keyed sliding window (ref: DataStream.timeWindowAll(size, slide))."""
+        return WindowedStream(self.df, [], F.window(ts_col, size, slide))
+
+    def session_all(self, ts_col: str, gap: str) -> "WindowedStream":
+        """Non-keyed session window (ref: AllWindowedStream +
+        EventTimeSessionWindows)."""
+        return WindowedStream(self.df, [], F.session_window(ts_col, gap))
+
+    def count_window_all(self, n: int, value_col: str, ts_col: str) -> "Stream":
+        """Non-keyed count window (ref: DataStream.countWindowAll:612 —
+        GlobalWindows + CountTrigger(n)).  Like the reference, the
+        counting is inherently serial, so rows route through a single
+        constant key; use the keyed variant whenever a key exists."""
+        keyed = KeyedStream(self.df.withColumn("__all", F.lit(0)), ["__all"])
+        out = keyed.count_window(n, value_col, ts_col)
+        return Stream(out.df.drop("__all"))
+
     def connect(self, other: "Stream") -> "ConnectedStreams":
         """Pair this stream with another for shared-state co-processing
         (ref: DataStream.connect:257)."""

@@ -670,3 +670,47 @@ def test_streaming_count_window_matches_batch(spark, replay_dir):
     for k, (cnt, sv) in want_map.items():
         assert got_map[k][0] == cnt
         assert got_map[k][1] == pytest.approx(sv)
+
+
+def test_streaming_tumble_all_window(spark, replay_dir):
+    """Non-keyed windowAll aggregate (ref: DataStream.timeWindowAll:579,
+    AllWindowedStream.java:1): finalized global windows match batch."""
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .with_watermark("ts", "10 minutes")
+        .tumble_all("ts", "1 hour")
+        .aggregate(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+        .collect()
+    )
+    expected = {r.window_start: (r.cnt, round(r.sum_value, 4)) for r in batch}
+    max_real = max(expected)
+    got = {
+        r.window_start: (r.cnt, round(r.sum_value, 4))
+        for r in spark.table(name).collect()
+        if r.window_start <= max_real  # drop the far-future sentinel window
+    }
+    assert got == expected
+
+
+def test_count_window_all(spark, replay_dir):
+    """Non-keyed count window (ref: DataStream.countWindowAll:612): one
+    serial counter over the whole stream; sizes and totals match batch."""
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter(F.col("event_type") != "__sentinel__")
+        .count_window_all(500, "value", "ts")
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    rows = spark.table(name).orderBy("w_id").collect()
+    n_events = _batch_events(spark).count()
+    assert [r.cnt for r in rows] == [500] * (n_events // 500)
+    assert set(rows[0].asDict()) == {"w_id", "cnt", "sum_value"}  # key dropped

@@ -137,3 +137,167 @@ class TransactionalForeachBatchSink:
             .option("checkpointLocation", checkpoint)
             .start()
         )
+
+
+# ---------------------------------------------------------------------------
+# Kafka connector shim (ref: flink-connectors/flink-connector-kafka-base/
+# src/main/java/org/apache/flink/streaming/connectors/kafka/
+# FlinkKafkaConsumerBase.java, FlinkKafkaProducerBase.java; Table-API
+# option spellings per flink-connectors/.../KafkaValidator.java).
+#
+# The sandbox has no broker, so the translation layer is a pure function
+# over option dicts — unit-testable without Kafka — and the source/sink
+# constructors just apply it to Spark's `format("kafka")`.
+#
+# Option parity table (Flink → Spark):
+#   topic / topic list                  → subscribe
+#   topic-pattern                       → subscribePattern
+#   properties.bootstrap.servers        → kafka.bootstrap.servers
+#   properties.group.id                 → kafka.group.id
+#   properties.<other consumer props>   → kafka.<prop>
+#   startup-mode=earliest-offset        → startingOffsets=earliest
+#   startup-mode=latest-offset          → startingOffsets=latest
+#   startup-mode=group-offsets          → startingOffsets=latest (see note)
+#   startup-mode=specific-offsets
+#     + specific-offsets
+#       "partition:0,offset:42;..."     → startingOffsets={"t":{"0":42,...}}
+#   startup-mode=timestamp
+#     + startup-timestamp-millis        → startingTimestamp=<millis>
+#   (consumer rate limit)               → maxOffsetsPerTrigger
+#   sink: topic                         → topic
+#   sink: semantic=at-least-once        → (Spark's native guarantee)
+#   sink: semantic=exactly-once        → NotImplementedError (no two-phase
+#                                         Kafka txn sink in Spark; use an
+#                                         idempotent/downstream-dedup sink)
+#
+# NOTE group-offsets: the reference resumes from offsets committed to the
+# consumer group (FlinkKafkaConsumerBase.java STARTUP_MODE group-offsets).
+# Spark does not consume group commits — offset progress lives in the
+# checkpoint, which supersedes them on every restart after the first.
+# First-start behavior is therefore `latest` (Spark's default); pass an
+# explicit startup_mode to pin a different cold-start position.
+# ---------------------------------------------------------------------------
+
+STARTUP_MODES = (
+    "earliest-offset",
+    "latest-offset",
+    "group-offsets",
+    "specific-offsets",
+    "timestamp",
+)
+
+
+def _parse_specific_offsets(spec: str, topic: str) -> str:
+    """Flink 'partition:0,offset:42;partition:1,offset:300' →
+    Spark startingOffsets JSON '{"<topic>":{"0":42,"1":300}}'."""
+    parts: dict[str, int] = {}
+    for entry in filter(None, (p.strip() for p in spec.split(";"))):
+        m = {}
+        for kv in entry.split(","):
+            k, _, v = kv.strip().partition(":")
+            m[k.strip()] = v.strip()
+        if "partition" not in m or "offset" not in m:
+            raise ValueError(
+                f"malformed specific-offsets entry {entry!r} — expected "
+                "'partition:<p>,offset:<o>[;...]'"
+            )
+        parts[m["partition"]] = int(m["offset"])
+    if not parts:
+        raise ValueError(f"empty specific-offsets spec: {spec!r}")
+    return json.dumps({topic: parts})
+
+
+def kafka_source_options(
+    topic: str | list[str] | None = None,
+    *,
+    topic_pattern: str | None = None,
+    properties: dict[str, str] | None = None,
+    startup_mode: str = "group-offsets",
+    specific_offsets: str | None = None,
+    startup_timestamp_millis: int | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Translate Flink Kafka consumer options to Spark `format("kafka")`
+    options (pure function — see the parity table above)."""
+    if (topic is None) == (topic_pattern is None):
+        raise ValueError("exactly one of topic / topic_pattern is required")
+    if startup_mode not in STARTUP_MODES:
+        raise ValueError(
+            f"unknown startup-mode {startup_mode!r}; expected one of {STARTUP_MODES}"
+        )
+    opts: dict[str, str] = {}
+    if topic_pattern is not None:
+        opts["subscribePattern"] = topic_pattern
+    else:
+        topics = [topic] if isinstance(topic, str) else list(topic)
+        opts["subscribe"] = ",".join(topics)
+    for k, v in (properties or {}).items():
+        opts[f"kafka.{k}"] = str(v)
+    if "kafka.bootstrap.servers" not in opts:
+        raise ValueError("properties must include bootstrap.servers")
+    if startup_mode == "earliest-offset":
+        opts["startingOffsets"] = "earliest"
+    elif startup_mode in ("latest-offset", "group-offsets"):
+        opts["startingOffsets"] = "latest"
+    elif startup_mode == "specific-offsets":
+        if specific_offsets is None:
+            raise ValueError("specific-offsets startup mode needs specific_offsets")
+        if topic_pattern is not None or not isinstance(topic, str):
+            raise ValueError("specific-offsets requires a single topic")
+        opts["startingOffsets"] = _parse_specific_offsets(specific_offsets, topic)
+    elif startup_mode == "timestamp":
+        if startup_timestamp_millis is None:
+            raise ValueError(
+                "timestamp startup mode needs startup_timestamp_millis"
+            )
+        opts["startingTimestamp"] = str(int(startup_timestamp_millis))
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return opts
+
+
+def kafka_sink_options(
+    topic: str,
+    *,
+    properties: dict[str, str] | None = None,
+    semantic: str = "at-least-once",
+) -> dict[str, str]:
+    """Translate Flink Kafka producer options to Spark writeStream
+    options (ref: FlinkKafkaProducerBase.java; Semantic enum in
+    FlinkKafkaProducer.java)."""
+    if semantic == "exactly-once":
+        raise NotImplementedError(
+            "Spark's Kafka sink is at-least-once (no two-phase Kafka "
+            "transaction commit); use an idempotent downstream consumer "
+            "or the TransactionalForeachBatchSink for file/table sinks"
+        )
+    if semantic not in ("at-least-once", "none"):
+        raise ValueError(f"unknown producer semantic {semantic!r}")
+    opts = {"topic": topic}
+    for k, v in (properties or {}).items():
+        opts[f"kafka.{k}"] = str(v)
+    if "kafka.bootstrap.servers" not in opts:
+        raise ValueError("properties must include bootstrap.servers")
+    return opts
+
+
+def kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
+    """Kafka source stream (ref: FlinkKafkaConsumerBase.java) — returns
+    the raw Spark kafka schema (key/value binary, topic, partition,
+    offset, timestamp); apply a deserialization projection downstream,
+    the analog of the reference's DeserializationSchema."""
+    return (
+        spark.readStream.format("kafka")
+        .options(**kafka_source_options(**kwargs))
+        .load()
+    )
+
+
+def kafka_sink(df: DataFrame, checkpoint: str, **kwargs):
+    """Kafka sink for a streaming DataFrame with `value` (and optional
+    `key`) columns (ref: FlinkKafkaProducerBase.java)."""
+    return (
+        df.writeStream.format("kafka")
+        .options(**kafka_sink_options(**kwargs))
+        .option("checkpointLocation", checkpoint)
+    )

@@ -213,3 +213,82 @@ def stream_reader(spark: SparkSession, ct: CreateTable) -> DataFrame:
             df = df.withColumn(col, F.col(col).cast("timestamp"))
         df = df.withWatermark(col, delay)
     return df
+
+
+# ---------------------------------------------------------------------------
+# CREATE VIEW / CREATE FUNCTION (ref: flink-sql-parser/.../ddl/
+# SqlCreateView.java, SqlCreateFunction.java; catalog surface
+# flink-table-common/.../catalog/Catalog.java createFunction/createTable)
+# ---------------------------------------------------------------------------
+
+_CV_HEAD = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s*(\(([^)]*)\))?\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CF_HEAD = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+(?:SYSTEM\s+)?)?FUNCTION\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'"
+    r"(?:\s+LANGUAGE\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def contains_create_view(query: str) -> bool:
+    return _CV_HEAD.match(query) is not None
+
+
+def contains_create_function(query: str) -> bool:
+    return _CF_HEAD.match(query) is not None
+
+
+def execute_create_view(env, statement: str) -> str:
+    """``CREATE [TEMPORARY] VIEW name [(col, ...)] AS <query>`` (ref:
+    SqlCreateView.java).  The defining query runs through the full
+    Flink-SQL rewriter (TUMBLE/LATERAL TABLE/MATCH_RECOGNIZE all legal
+    in a view body) and registers a lazy temp view — nothing is
+    materialized, so pushdown/pruning still reach the underlying scans
+    when the view is queried."""
+    m = _CV_HEAD.match(statement)
+    if not m:
+        raise ValueError("not a CREATE VIEW statement")
+    name, cols, body = m.group(1), m.group(3), m.group(4).strip().rstrip(";")
+    df = env.sql_query(body).df
+    if cols:
+        df = df.toDF(*[c.strip() for c in cols.split(",")])
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def execute_create_function(spark: SparkSession, statement: str) -> str:
+    """``CREATE [TEMPORARY] FUNCTION name AS 'module.attr' [LANGUAGE
+    PYTHON]`` (ref: SqlCreateFunction.java — the identifier plays the
+    role of the reference's fully-qualified class name).
+
+    The dotted path resolves to either a ready-made pyspark UDF object
+    (``F.udf``/``pandas_udf`` result — keeps its declared return type;
+    pandas UDFs stay Arrow-vectorized) or a plain callable (registered
+    with Spark's default STRING return type — declare a typed UDF for
+    anything else)."""
+    m = _CF_HEAD.match(statement)
+    if not m:
+        raise ValueError("not a CREATE FUNCTION statement")
+    name, path, lang = m.group(1), m.group(2), (m.group(3) or "PYTHON").upper()
+    if lang != "PYTHON":
+        raise ValueError(
+            f"LANGUAGE {lang} unavailable here — Python UDFs only "
+            "(JVM-side functions come from the built-in catalog)"
+        )
+    import importlib
+
+    mod_name, _, attr = path.rpartition(".")
+    if not mod_name:
+        raise ValueError(
+            f"function identifier {path!r} must be a dotted 'module.attr' path"
+        )
+    try:
+        fn = getattr(importlib.import_module(mod_name), attr)
+    except (ImportError, AttributeError) as ex:
+        raise ValueError(f"cannot resolve function {path!r}: {ex}") from ex
+    spark.udf.register(name, fn)
+    return name

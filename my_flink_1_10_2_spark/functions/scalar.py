@@ -188,6 +188,15 @@ def cardinality(coll) -> Column:
 
 # --- conditional ----------------------------------------------------------
 
+def listagg(col, sep: str = ",") -> Column:
+    """LISTAGG(x [, sep]) (ref: BuiltInFunctionDefinitions LISTAGG;
+    FlinkSqlOperatorTable.java aggregate section).  Element order is
+    sorted for determinism — the reference leaves it undefined, so any
+    fixed order is a valid refinement (and the only oracle-checkable
+    one)."""
+    return F.array_join(F.array_sort(F.collect_list(col)), sep)
+
+
 def if_(cond, then, otherwise) -> Column:
     """IF(cond, a, b) (ref FlinkSqlOperatorTable.java:551)."""
     return F.when(_col(cond) if isinstance(cond, (Column, str)) else cond, then).otherwise(
@@ -257,6 +266,21 @@ FUNCTION_CATALOG: dict[str, object] = {
     "ITEM": "op:col[i] / element_at", "AT": "element_at",
     "FLATTEN": "op:col.getField(*)", "GET": "getField",
     "MULTISET": "op:groupBy+collect_list (map elem→count)",
+    # aggregates (FlinkSqlOperatorTable.java SUM/COUNT/AVG... family;
+    # runtime semantics SURVEY §2.3 — registry queries q_agg_functions,
+    # q_listagg, q_distinct_agg exercise each)
+    "SUM": "sum", "SUM0": "op:coalesce(sum(x), lit(0))", "COUNT": "count",
+    "AVG": "avg", "MIN": "min", "MAX": "max",
+    "STDDEV_POP": "stddev_pop", "STDDEV_SAMP": "stddev_samp", "STDDEV": "stddev_samp",
+    "VAR_POP": "var_pop", "VAR_SAMP": "var_samp", "VARIANCE": "var_samp",
+    "FIRST_VALUE": "first", "LAST_VALUE": "last",
+    "LISTAGG": listagg, "COLLECT": "op:collect_list (multiset: map elem→count)",
+    "MIN_BY": "min_by", "MAX_BY": "max_by",
+    "APPROX_COUNT_DISTINCT": "approx_count_distinct",
+    # OVER-window rank/navigation (FlinkSqlOperatorTable.java:1012-1078)
+    "RANK": "rank", "DENSE_RANK": "dense_rank", "ROW_NUMBER": "row_number",
+    "LEAD": "lead", "LAG": "lag", "CUME_DIST": "cume_dist", "NTILE": "ntile",
+    "PERCENT_RANK": "percent_rank",
     # grouping auxiliaries (FlinkSqlOperatorTable.java:880-882)
     "GROUP_ID": "grouping_id", "GROUPING": "grouping", "GROUPING_ID": "grouping_id",
     # time-attribute / internal (FlinkSqlOperatorTable.java:113-160)

@@ -143,8 +143,12 @@ class TableEnvironment:
 
     def execute_sql(self, statement: str) -> DataFrame:
         from my_flink_1_10_2_spark.ddl import (
+            contains_create_function,
             contains_create_table,
+            contains_create_view,
+            execute_create_function,
             execute_create_table,
+            execute_create_view,
         )
         from my_flink_1_10_2_spark.sql import rewrite_flink_sql
 
@@ -154,6 +158,14 @@ class TableEnvironment:
             # (ref: SqlCreateTable.java:56, SqlWatermark.java)
             ct = execute_create_table(self.spark, statement)
             self._ddl_tables[ct.name] = ct
+            return self.spark.range(0)
+        if contains_create_view(statement):
+            # CREATE VIEW name AS <query> (ref: SqlCreateView.java)
+            execute_create_view(self, statement)
+            return self.spark.range(0)
+        if contains_create_function(statement):
+            # CREATE FUNCTION name AS 'module.attr' (ref: SqlCreateFunction.java)
+            execute_create_function(self.spark, statement)
             return self.spark.range(0)
         return self.spark.sql(rewrite_flink_sql(statement))
 

@@ -102,3 +102,74 @@ def test_ddl_stream_table_applies_watermark_and_windows(spark, tmp_path):
     assert got[(2, base)] == 10.0
     assert got[(2, base + dt.timedelta(minutes=5))] == 35.0
     assert len(got) == 4
+
+
+# module-level so CREATE FUNCTION can resolve 'tests.test_ddl.<attr>'
+def plain_upper(s):
+    return (s or "").upper()
+
+
+def __getattr__(name):
+    # PEP 562 lazy attr: building a pyspark UDF object needs an active
+    # session, so create it only when CREATE FUNCTION resolves the path
+    if name == "typed_double":
+        from pyspark.sql import functions as F
+
+        return F.udf(lambda x: float(x) * 2.0, "double")
+    raise AttributeError(name)
+
+
+def test_create_view_with_flink_sql_body(spark):
+    """CREATE VIEW whose body uses Flink TUMBLE SQL — the rewriter must
+    apply inside the view definition (ref: SqlCreateView.java)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([0, 60, 3600, 3660], unit="s"),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("cv_events")
+    te = TableEnvironment(spark)
+    te.execute_sql(
+        """
+        CREATE TEMPORARY VIEW hourly AS
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, sum(v) AS total
+        FROM cv_events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """
+    )
+    got = {r.ws: r.total for r in spark.table("hourly").collect()}
+    assert list(sorted(got.values())) == [3.0, 7.0]
+    # column-list form renames the projection
+    te.execute_sql("CREATE VIEW hourly2(w, t) AS SELECT * FROM hourly")
+    assert spark.table("hourly2").columns == ["w", "t"]
+
+
+def test_create_function_typed_and_plain(spark):
+    """CREATE FUNCTION AS 'module.attr' — a pyspark UDF object keeps its
+    return type; a plain callable defaults to STRING (ref:
+    SqlCreateFunction.java, catalog createFunction)."""
+    te = TableEnvironment(spark)
+    te.execute_sql(
+        "CREATE TEMPORARY FUNCTION dbl AS 'tests.test_ddl.typed_double'"
+    )
+    te.execute_sql(
+        "CREATE FUNCTION up AS 'tests.test_ddl.plain_upper' LANGUAGE PYTHON"
+    )
+    row = spark.sql("SELECT dbl(21) AS d, up('abc') AS u").first()
+    assert row.d == 42.0 and row.u == "ABC"
+    assert dict(spark.sql("SELECT dbl(1) AS d").dtypes)["d"] == "double"
+
+
+def test_create_function_errors(spark):
+    import pytest
+
+    te = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="resolve"):
+        te.execute_sql("CREATE FUNCTION nope AS 'tests.test_ddl.missing'")
+    with pytest.raises(ValueError, match="dotted"):
+        te.execute_sql("CREATE FUNCTION nope AS 'bare'")
+    with pytest.raises(ValueError, match="LANGUAGE"):
+        te.execute_sql("CREATE FUNCTION j AS 'a.b' LANGUAGE JAVA")

@@ -277,6 +277,51 @@ class Stream:
 
         return self.for_each_batch(handle, checkpoint)
 
+    def for_each_batch_with_punctuated_watermarks(
+        self,
+        wm_col: str,
+        ts_col: str,
+        on_time_fn: Callable[[DataFrame, int], None],
+        late_fn: Callable[[DataFrame, int], None],
+        checkpoint: str | None = None,
+    ):
+        """Punctuated watermarks (ref: AssignerWithPunctuatedWatermarks
+        .java — checkAndGetNextWatermark per record): event time advances
+        only from MARKER rows, not from every element's timestamp.
+
+        ``wm_col`` is a column that is non-null exactly on marker rows
+        and carries the watermark they announce (build it upstream with
+        ``F.when(is_marker, ts)``).  Per micro-batch, rows with
+        ``ts_col`` ≤ the highest watermark announced by any PREVIOUS
+        batch route to ``late_fn`` (side output); then the high-water
+        mark absorbs this batch's markers.  Like the reference, a stream
+        with no markers never advances event time and nothing is late.
+
+        State is one timestamp in the foreachBatch closure — O(1), the
+        same footprint as the bounded-delay variant above.
+        """
+        hwm: dict[str, object] = {"wm": None}
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.persist()
+            try:
+                wm = hwm["wm"]
+                if wm is not None:
+                    late = batch_df.filter(F.col(ts_col) <= F.lit(wm))
+                    on_time = batch_df.filter(F.col(ts_col) > F.lit(wm))
+                else:
+                    late = batch_df.limit(0)
+                    on_time = batch_df
+                late_fn(late, batch_id)
+                on_time_fn(on_time, batch_id)
+                mx = batch_df.agg(F.max(wm_col).alias("m")).first()["m"]
+                if mx is not None and (wm is None or mx > wm):
+                    hwm["wm"] = mx
+            finally:
+                batch_df.unpersist()
+
+        return self.for_each_batch(handle, checkpoint)
+
     def rowtime_sort(
         self,
         ts_col: str,

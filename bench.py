@@ -55,6 +55,14 @@ HEADLINE = [
     "q_pii_pseudonymize",
     "ds_channel_net_rollup",
     "ds_active_customer_demo",
+    # round-3 additions: heaviest DS shapes, a second Gelly iteration,
+    # the salted vocab window, and a variable-length CEP quantifier
+    "ds_bought_returned_above_avg",
+    "ds_best_worst_performers",
+    "ds_monthly_pivot_matrix",
+    "q_sssp",
+    "q_vocab_coverage",
+    "q_cep_times_or_more",
 ]
 
 

@@ -99,14 +99,76 @@ def _load_all_modules() -> None:
 # CEP/windows/graph/LLM ops with local-only evidence).
 # q_math_functions leads: it was round 1's only red row.
 _FLAGSHIP_ORDER = [
+    # ---- round-3 rotation: the driver grades the first 50 registry
+    # entries each round, so this prefix is exactly the queries with no
+    # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered
+    # by op family so a truncated sample still covers every family:
+    # new round-3 CEP algebra
+    "q_cep_times",
+    "q_cep_times_or_more",
+    "q_cep_not_next",
+    "q_cep_not_followed_by",
+    "q_cep_until",
+    "q_sql_match_times",
+    "q_sql_match_recognize",
+    # windows still unsampled (incl. new windowAll)
+    "q_tumble_window_all",
+    "q_hop_window",
+    "q_sql_hop_window",
+    "q_session_window_dynamic_gap",
+    "q_purging_count_trigger_window",
+    "q_time_evictor_window",
+    # UDF / correlate / join-family gaps
+    "q_flat_aggregate_top2",
+    "q_async_enrich",
+    "q_cogroup_nation_balance",
+    "q_sql_lateral_table",
+    "q_collection_functions",
+    "q_str_to_map",
+    "q_zip_with_index",
+    # TPC-H without driver rows
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_value_concentration",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # Gelly without driver rows
+    "q_local_clustering",
+    "q_vertex_metrics",
+    "q_triadic_census",
+    "q_adamic_adar",
+    "q_graph_summarization",
+    # LLM / pipeline without driver rows
+    "q_shingles",
+    "q_sample_uniform_hash",
+    "q_sample_consistent_topn",
+    "q_bigram_topk",
+    "q_doc_length_buckets",
+    "q_repetition_ratio",
+    "q_source_quality_report",
+    "q_mixture_weights",
+    "q_blocklist_filter",
+    "q_multimodal_features",
+    # ---- previously sampled (green in r1/r2) keep their r2 order below
     "q_math_functions",
-    # CEP / MATCH_RECOGNIZE
     "q_cep_v_shape",
     "q_cep_rally",
     "q_sql_match_skip_to_first",
     "q_sql_match_within",
     "q_cep_funnel_within",
-    # event-time windows + temporal joins
     "q_tumble_window",
     "q_session_window",
     "q_count_window",
@@ -117,7 +179,6 @@ _FLAGSHIP_ORDER = [
     "q_count_trigger_window",
     "q_early_fire_window",
     "q_count_evictor_window",
-    # graph / iterations
     "q_pagerank",
     "q_sssp",
     "q_hits",
@@ -127,7 +188,6 @@ _FLAGSHIP_ORDER = [
     "q_connected_components_delta",
     "q_connected_components",
     "q_embedding_neardup",
-    # LLM dedup / similarity
     "q_dedup_exact",
     "q_ngram_jaccard",
     "q_minhash_signatures",
@@ -135,17 +195,14 @@ _FLAGSHIP_ORDER = [
     "q_simhash",
     "q_embedding_topk",
     "q_embedding_topk_ivf_fixed",
-    # text analysis + multimodal
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
     "q_fingerprint",
     "q_token_count",
     "q_multimodal_metadata",
-    # sketches
     "q_kmv_distinct_parts",
     "q_kmv_distinct_users_by_type",
-    # training-data pipeline (sampling / splits / vocab / quantization)
     "q_sample_stratified",
     "q_train_test_split",
     "q_vocab_coverage",
@@ -154,23 +211,13 @@ _FLAGSHIP_ORDER = [
     "q_contamination_check",
     "q_pii_pseudonymize",
     "q_dedup_representative",
-    # streaming changelog
     "q_retract_join_materialized",
-    # UDF surface
     "q_udaf_median",
-    "q_flat_aggregate_top2",
-    "q_async_enrich",
-    "q_cogroup_nation_balance",
-    # TPC-H / TPC-DS shapes without round-1 driver rows
-    "q6_forecast_revenue",
-    "q9_profit_by_nation_year",
-    "q18_large_volume_customer",
     "ds_returns_above_avg",
     "ds_hour_bucket_pivot",
     "ds_wide_two_year_join",
     "ds_rollup_rank",
     "ds_monthly_pivot_matrix",
-    # relational core representatives (green in round 1, keep a sample)
     "q1_pricing_summary",
     "q_join_inner",
     "q_window_rank",

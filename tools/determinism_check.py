@@ -41,7 +41,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
     bad = []
-    names = list(qs)
+    # optional CLI args: only check the named queries
+    names = sys.argv[1:] if len(sys.argv) > 1 else list(qs)
     for i, name in enumerate(names):
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "32")

@@ -63,6 +63,7 @@ class CreateTable:
     watermark: tuple[str, str] | None  # (col, delay e.g. "5 seconds")
     primary_key: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
+    partition_keys: list[str] = field(default_factory=list)  # PARTITIONED BY
 
 
 def contains_create_table(query: str) -> bool:
@@ -141,12 +142,28 @@ def parse_create_table(query: str) -> CreateTable:
             raise ValueError(f"unsupported column definition: {item!r}")
         columns.append((cm.group(1), _flink_type(cm.group(2))))
 
+    # PARTITIONED BY (col, ...) between the column list and WITH
+    # (ref: SqlCreateTable.java:293 unparse "PARTITIONED BY")
+    partition_keys: list[str] = []
+    pb = re.search(
+        r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.IGNORECASE
+    )
+    if pb:
+        partition_keys = [c.strip() for c in pb.group(1).split(",") if c.strip()]
+        declared = {c for c, _ in columns}
+        missing = [k for k in partition_keys if k not in declared]
+        if missing:
+            raise ValueError(
+                f"PARTITIONED BY columns {missing} not in the column list "
+                "(the reference requires partition keys to be declared columns)"
+            )
+
     options: dict[str, str] = {}
     wm_with = re.search(r"WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
     if wm_with:
         for om in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", wm_with.group(1)):
             options[om.group(1)] = om.group(2)
-    return CreateTable(name, columns, watermark, primary_key, options)
+    return CreateTable(name, columns, watermark, primary_key, options, partition_keys)
 
 
 def _batch_reader(spark: SparkSession, ct: CreateTable) -> DataFrame:
@@ -160,23 +177,33 @@ def _batch_reader(spark: SparkSession, ct: CreateTable) -> DataFrame:
             f"table {ct.name}: connector {connector!r} unavailable in this "
             "environment (filesystem only; ref SURVEY §7.3 external connectors)"
         )
-    schema = ", ".join(f"{c} {t}" for c, t in ct.columns)
+    # With PARTITIONED BY, partition columns live in hive-style `col=value`
+    # directory names (ref: SqlCreateTable.java:293; the filesystem
+    # connector's partition layout) — Spark's source discovers them at scan
+    # time, so a filter on a partition key prunes whole directories from
+    # the file listing (plan shows PartitionFilters, the 100 TB win).
+    file_cols = [(c, t) for c, t in ct.columns if c not in ct.partition_keys]
+    schema = ", ".join(f"{c} {t}" for c, t in file_cols)
     if fmt == "parquet":
         df = spark.read.parquet(path)
         # project + cast to the declared shape (parquet is self-describing,
-        # the DDL wins on types)
+        # the DDL wins on types; discovered partition cols cast the same way)
         if ct.columns:
             df = df.select(
                 [F.col(c).cast(t).alias(c) for c, t in ct.columns]
             )
         return df
     if fmt == "csv":
-        return spark.read.schema(schema).option(
+        df = spark.read.schema(schema).option(
             "header", ct.options.get("csv.header", "false")
         ).csv(path)
-    if fmt == "json":
-        return spark.read.schema(schema).json(path)
-    raise ValueError(f"table {ct.name}: unsupported format {fmt!r}")
+    elif fmt == "json":
+        df = spark.read.schema(schema).json(path)
+    else:
+        raise ValueError(f"table {ct.name}: unsupported format {fmt!r}")
+    if ct.partition_keys:
+        df = df.select([F.col(c).cast(t).alias(c) for c, t in ct.columns])
+    return df
 
 
 def execute_create_table(spark: SparkSession, query: str) -> CreateTable:
@@ -292,3 +319,165 @@ def execute_create_function(spark: SparkSession, statement: str) -> str:
         raise ValueError(f"cannot resolve function {path!r}: {ex}") from ex
     spark.udf.register(name, fn)
     return name
+
+
+# ---------------------------------------------------------------------------
+# Catalog statements: CREATE/DROP DATABASE, USE, SHOW ..., DROP TABLE/VIEW,
+# ALTER TABLE RENAME, DESCRIBE (ref: flink-sql-parser/.../ddl/
+# SqlCreateDatabase.java, SqlDropDatabase.java, SqlDropTable.java,
+# SqlAlterTableRename.java; dql/SqlShowDatabases.java, SqlShowTables.java;
+# executed against the catalog SPI Catalog.java)
+# ---------------------------------------------------------------------------
+
+_CATALOG_STMT = re.compile(
+    r"^\s*(CREATE\s+DATABASE|DROP\s+DATABASE|USE|SHOW\s+DATABASES|"
+    r"SHOW\s+TABLES|SHOW\s+VIEWS|SHOW\s+FUNCTIONS|SHOW\s+PARTITIONS|"
+    r"DROP\s+TABLE|DROP\s+VIEW|ALTER\s+TABLE|DESCRIBE|DESC)\b",
+    re.IGNORECASE,
+)
+
+
+def contains_catalog_statement(query: str) -> bool:
+    return _CATALOG_STMT.match(query) is not None
+
+
+def execute_catalog_statement(env, statement: str):
+    """Route one catalog statement to the in-memory catalog
+    (:class:`my_flink_1_10_2_spark.flink_catalog.GenericInMemoryCatalog`)
+    and/or Spark's temp-view registry.  SHOW/DESCRIBE return a DataFrame
+    (like the reference's ``TableResult``); mutations return an empty one.
+
+    Everything here is driver-side metadata — listing databases over a
+    100 TB warehouse is O(#names), no data is touched.
+    """
+    from pyspark.sql import Row
+
+    spark = env.spark
+    cat = env.catalog
+    db = env.current_database
+    s = statement.strip().rstrip(";")
+
+    def empty():
+        return spark.range(0)
+
+    m = re.match(
+        r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+        r"(?:\s+COMMENT\s+'([^']*)')?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        from my_flink_1_10_2_spark.flink_catalog import CatalogDatabase
+
+        cat.create_database(
+            m.group(2),
+            CatalogDatabase(comment=m.group(3) or ""),
+            ignore_if_exists=bool(m.group(1)),
+        )
+        return empty()
+
+    m = re.match(
+        r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(CASCADE|RESTRICT)?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        cat.drop_database(
+            m.group(2),
+            ignore_if_not_exists=bool(m.group(1)),
+            cascade=(m.group(3) or "").upper() == "CASCADE",
+        )
+        return empty()
+
+    m = re.match(r"USE\s+([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        if not cat.database_exists(m.group(1)):
+            raise ValueError(f"database {m.group(1)} does not exist")
+        env.current_database = m.group(1)
+        return empty()
+
+    if re.match(r"SHOW\s+DATABASES\s*$", s, re.IGNORECASE):
+        return spark.createDataFrame(
+            [Row(database_name=d) for d in cat.list_databases()]
+        )
+
+    if re.match(r"SHOW\s+TABLES\s*$", s, re.IGNORECASE):
+        return spark.createDataFrame(
+            [Row(table_name=t) for t in cat.list_tables(db)] or [],
+            schema="table_name string",
+        )
+
+    if re.match(r"SHOW\s+VIEWS\s*$", s, re.IGNORECASE):
+        return spark.createDataFrame(
+            [Row(view_name=v) for v in cat.list_views(db)] or [],
+            schema="view_name string",
+        )
+
+    if re.match(r"SHOW\s+FUNCTIONS\s*$", s, re.IGNORECASE):
+        return spark.createDataFrame(
+            [Row(function_name=f) for f in cat.list_functions(db)] or [],
+            schema="function_name string",
+        )
+
+    m = re.match(r"SHOW\s+PARTITIONS\s+([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        d, t = _split_object_path(m.group(1), db)
+        parts = cat.list_partitions(d, t)
+        return spark.createDataFrame(
+            [Row(partition=p.path_suffix()) for p in parts] or [],
+            schema="partition string",
+        )
+
+    m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        d, t = _split_object_path(m.group(2), db)
+        cat.drop_table(d, t, ignore_if_not_exists=bool(m.group(1)))
+        env._ddl_tables.pop(t, None)
+        spark.catalog.dropTempView(t)
+        return empty()
+
+    m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        d, t = _split_object_path(m.group(2), db)
+        if cat.table_exists(d, t):
+            cat.drop_table(d, t)
+        dropped = spark.catalog.dropTempView(t)
+        if not dropped and not m.group(1):
+            raise ValueError(f"view {t} does not exist")
+        return empty()
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", s, re.IGNORECASE
+    )
+    if m:
+        d, t = _split_object_path(m.group(1), db)
+        _, new = _split_object_path(m.group(2), db)
+        cat.rename_table(d, t, new)
+        if spark.catalog.tableExists(t):
+            spark.table(t).createOrReplaceTempView(new)
+            spark.catalog.dropTempView(t)
+        if t in env._ddl_tables:
+            env._ddl_tables[new] = env._ddl_tables.pop(t)
+        return empty()
+
+    m = re.match(r"(?:DESCRIBE|DESC)\s+([\w.]+)\s*$", s, re.IGNORECASE)
+    if m:
+        d, t = _split_object_path(m.group(1), db)
+        if cat.table_exists(d, t):
+            df = cat.get_table(d, t).reader()
+        else:
+            df = spark.table(t)
+        return spark.createDataFrame(
+            [Row(name=f.name, type=f.dataType.simpleString()) for f in df.schema],
+            schema="name string, type string",
+        )
+
+    raise ValueError(f"unsupported catalog statement: {statement!r}")
+
+
+def _split_object_path(name: str, current_db: str) -> tuple[str, str]:
+    """``[db.]table`` → (db, table) (ref: ObjectPath.java:1)."""
+    if "." in name:
+        d, _, t = name.rpartition(".")
+        return d, t
+    return current_db, name

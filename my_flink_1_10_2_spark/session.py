@@ -86,9 +86,16 @@ class TableEnvironment:
     """
 
     def __init__(self, spark: SparkSession | None = None):
+        from my_flink_1_10_2_spark.flink_catalog import GenericInMemoryCatalog
+
         self.spark = tune_session(spark or get_spark())
         self._versioned: dict[str, tuple[str, str]] = {}
         self._ddl_tables: dict[str, object] = {}
+        # ref: TableEnvironment.registerCatalog/useDatabase
+        # (TableEnvironmentImpl.java:463); one in-memory catalog by default,
+        # the same shape as the reference's GenericInMemoryCatalog
+        self.catalog = GenericInMemoryCatalog("default_catalog", "default")
+        self.current_database = "default"
 
     # -- source registration (ref: SqlCreateTable.java:56) ------------------
     def register_parquet(self, name: str, path: str) -> "Table":
@@ -143,9 +150,11 @@ class TableEnvironment:
 
     def execute_sql(self, statement: str) -> DataFrame:
         from my_flink_1_10_2_spark.ddl import (
+            contains_catalog_statement,
             contains_create_function,
             contains_create_table,
             contains_create_view,
+            execute_catalog_statement,
             execute_create_function,
             execute_create_table,
             execute_create_view,
@@ -153,21 +162,66 @@ class TableEnvironment:
         from my_flink_1_10_2_spark.sql import rewrite_flink_sql
 
         if contains_create_table(statement):
-            # CREATE TABLE ... WITH (...) [+ WATERMARK FOR] — registers a
-            # lazy batch view and records the spec for stream_table()
-            # (ref: SqlCreateTable.java:56, SqlWatermark.java)
+            # CREATE TABLE ... WITH (...) [+ WATERMARK FOR / PARTITIONED BY]
+            # — registers a lazy batch view, records the spec for
+            # stream_table(), and files the table in the catalog
+            # (ref: SqlCreateTable.java:56, SqlWatermark.java, Catalog.java)
             ct = execute_create_table(self.spark, statement)
             self._ddl_tables[ct.name] = ct
+            self._register_in_catalog(ct)
             return self.spark.range(0)
+        if contains_catalog_statement(statement):
+            # CREATE/DROP DATABASE, USE, SHOW ..., DROP TABLE/VIEW,
+            # ALTER TABLE RENAME, DESCRIBE (ref: Catalog.java SPI)
+            return execute_catalog_statement(self, statement)
         if contains_create_view(statement):
             # CREATE VIEW name AS <query> (ref: SqlCreateView.java)
-            execute_create_view(self, statement)
+            vname = execute_create_view(self, statement)
+            from my_flink_1_10_2_spark.flink_catalog import CatalogTable
+
+            spark = self.spark
+            self.catalog.create_table(
+                self.current_database,
+                vname,
+                CatalogTable(reader=lambda: spark.table(vname), is_view=True),
+                ignore_if_exists=True,
+            )
             return self.spark.range(0)
         if contains_create_function(statement):
             # CREATE FUNCTION name AS 'module.attr' (ref: SqlCreateFunction.java)
-            execute_create_function(self.spark, statement)
+            fname = execute_create_function(self.spark, statement)
+            from my_flink_1_10_2_spark.flink_catalog import CatalogFunction
+
+            self.catalog.create_function(
+                self.current_database,
+                fname,
+                CatalogFunction(class_name=statement),
+                ignore_if_exists=True,
+            )
             return self.spark.range(0)
         return self.spark.sql(rewrite_flink_sql(statement))
+
+    def _register_in_catalog(self, ct) -> None:
+        """File a DDL-created table in the in-memory catalog (lazy reader
+        thunk + partition keys; hive-layout partitions auto-discovered so
+        SHOW PARTITIONS works immediately)."""
+        from my_flink_1_10_2_spark.ddl import _batch_reader
+        from my_flink_1_10_2_spark.flink_catalog import CatalogTable
+
+        spark = self.spark
+        entry = CatalogTable(
+            reader=lambda: _batch_reader(spark, ct),
+            partition_keys=list(ct.partition_keys),
+            options=dict(ct.options),
+        )
+        self.catalog.create_table(
+            self.current_database, ct.name, entry, ignore_if_exists=True
+        )
+        if ct.partition_keys:
+            try:
+                self.catalog.discover_partitions(self.current_database, ct.name)
+            except OSError:
+                pass  # path not listable (e.g. remote fs) — partitions stay lazy
 
     def stream_table(self, name: str) -> DataFrame:
         """Streaming read of a DDL-registered source: same path/format

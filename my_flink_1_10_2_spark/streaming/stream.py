@@ -403,6 +403,61 @@ class Stream:
         an upsert keyed on the grouping columns (__change='+U')."""
         return Stream(self.df.withColumn("__change", F.lit("+U")))
 
+    def iterate(
+        self,
+        step: Callable[[DataFrame], DataFrame],
+        feedback_predicate,
+        emit_fn: Callable[[DataFrame, int], None],
+        max_iterations: int = 1000,
+        checkpoint: str | None = None,
+    ):
+        """Streaming iterations (ref: DataStream.iterate() DataStream.java:534,
+        IterativeStream.closeWith IterativeStream.java:1): records produced
+        by ``step`` that satisfy ``feedback_predicate`` re-enter the loop
+        head; the rest leave the iteration and reach ``emit_fn``.
+
+        Structured Streaming's plan is an acyclic DAG, so the feedback edge
+        is driven per micro-batch: each arriving batch runs ``step``
+        repeatedly — matching rows feed back, non-matching rows are emitted
+        — until the feedback set is empty or ``max_iterations`` is hit
+        (the reference bounds loops with a feedback *timeout* instead;
+        a superstep cap is the deterministic spelling of the same guard).
+
+        Scale: the loop body is ordinary distributed DataFrame work; each
+        superstep persists its feedback set (usually a small, shrinking
+        fraction of the batch) and nothing ever collects to the driver.
+        Lineage is cut every few supersteps with ``localCheckpoint`` —
+        the same guard the batch iterators use (operators/iterate.py).
+        """
+        pred = (
+            F.expr(feedback_predicate)
+            if isinstance(feedback_predicate, str)
+            else feedback_predicate
+        )
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            current = batch_df
+            for superstep in range(max_iterations):
+                if current.isEmpty():
+                    break
+                out = step(current)
+                fb = out.filter(pred)
+                exits = out.filter(~pred)
+                if superstep % 5 == 4:
+                    # cut the per-superstep lineage growth (plan depth is
+                    # O(supersteps) otherwise — the iterate.py guard)
+                    fb = fb.localCheckpoint(eager=True)
+                emit_fn(exits, batch_id)
+                current = fb
+            else:
+                if not current.isEmpty():
+                    raise RuntimeError(
+                        f"iteration did not converge within {max_iterations} "
+                        "supersteps (reference analog: feedback timeout)"
+                    )
+
+        return self.for_each_batch(handle, checkpoint)
+
 
 class BroadcastConnectedStream:
     """Control-stream broadcast (ref: DataStream.broadcast(stateDesc)

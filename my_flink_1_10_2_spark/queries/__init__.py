@@ -90,6 +90,7 @@ def _load_all_modules() -> None:
         pipeline2,
         streaming_q,
         triggers_q,
+        ddl_q,
     )
 
 

@@ -1,0 +1,84 @@
+"""Driver-graded queries for the catalog / DDL surface.
+
+Reference: flink-sql-parser/.../ddl/SqlCreateTable.java:293 (PARTITIONED
+BY), flink-table-common/.../catalog/Catalog.java (partition SPI).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.queries import read, register
+
+
+@register(
+    "q_sql_ddl_partitioned",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+    category="ddl",
+)
+def q_sql_ddl_partitioned(spark, sf_dir):
+    """CREATE TABLE ... PARTITIONED BY over a hive-layout parquet copy of
+    orders, queried with a filter on the partition column (ref:
+    SqlCreateTable.java:293; Catalog.java partition SPI).
+
+    The filter on ``o_orderpriority`` must prune at the *directory* level
+    — the plan carries PartitionFilters, so at 100 TB the scan lists and
+    reads only the 2 matching partitions out of 5, never touching the
+    other files.  Revenue is aggregated in integer cents so the result is
+    exact under any partial-aggregation order.
+    """
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    work = tempfile.mkdtemp(prefix="fl_ddl_part_")
+    try:
+        (
+            read(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(os.path.join(work, "orders_part"))
+        )
+        env = TableEnvironment(spark)
+        env.execute_sql(
+            f"""CREATE TABLE orders_part (
+                  o_orderkey BIGINT,
+                  o_totalprice DOUBLE,
+                  o_orderpriority STRING
+                ) PARTITIONED BY (o_orderpriority) WITH (
+                  'connector' = 'filesystem',
+                  'path' = '{os.path.join(work, "orders_part")}',
+                  'format' = 'parquet'
+                )"""
+        )
+        # partition discovery filed all 5 priorities in the catalog
+        n_parts = env.execute_sql("SHOW PARTITIONS orders_part").count()
+        assert n_parts == 5, f"expected 5 discovered partitions, got {n_parts}"
+        result = env.sql_query(
+            """
+            SELECT o_orderpriority AS prio,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+            FROM orders_part
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority
+            ORDER BY prio
+            """
+        ).df
+        # materialize before the tempdir vanishes (same pattern as the
+        # streaming registry queries)
+        out = spark.createDataFrame(result.collect(), result.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -115,3 +115,62 @@ def q_retract_join_materialized(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_iterate",
+    oracle="""
+    SELECT event_id,
+           vi - 97 * ((vi + 96) // 97) AS residue
+    FROM (
+      SELECT event_id, CAST(ceil(value) AS BIGINT) AS vi
+      FROM events WHERE event_id % 200 = 0
+    )
+    """,
+    category="streaming",
+)
+def q_stream_iterate(spark, sf_dir):
+    """Streaming iteration fixpoint (ref: DataStream.iterate()
+    DataStream.java:534, IterativeStream.java; the reference's
+    IterateExample decrements until the value leaves the loop).
+
+    Events are replayed as micro-batches; each batch loops through the
+    feedback edge subtracting 97 until the value turns non-positive, and
+    exiting rows append to a distributed parquet sink.  The oracle is the
+    closed form of that loop — ``vi - 97*ceil(vi/97)`` in pure integer
+    arithmetic, so repeated subtraction and the one-shot formula agree
+    bitwise.  All loop work is distributed DataFrame ops; exits append to
+    parquet, never the driver.
+    """
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 200 == 0)
+        .select(
+            "event_id", F.ceil("value").cast("bigint").alias("vi")
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_iter_q_")
+    try:
+        src.repartition(2).write.mode("overwrite").parquet(f"{work}/src")
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/src", src.schema, max_files_per_trigger=1)
+
+        out_dir = f"{work}/exits"
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream.iterate(
+            step=lambda df: df.withColumn("vi", F.col("vi") - F.lit(97)),
+            feedback_predicate="vi > 0",
+            emit_fn=sink,
+            max_iterations=16,
+        )
+        result = spark.read.parquet(out_dir).select(
+            "event_id", F.col("vi").alias("residue")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,114 @@
+"""ES / Kinesis option-translation shims (ref:
+ElasticsearchSinkBase.java bulk-flush options; FlinkKinesisConsumer.java +
+ConsumerConfigConstants.java initial positions).  No cluster needed — the
+mapping is the contract, mirroring tests/test_kafka_shim.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from my_flink_1_10_2_spark.sources.connectors import (
+    elasticsearch_sink_options,
+    kinesis_source_options,
+)
+
+# -- Elasticsearch ----------------------------------------------------------
+
+
+def test_es_hosts_and_resource():
+    opts = elasticsearch_sink_options(
+        "http://es1:9200;https://es2:9200", "docs", document_type="page"
+    )
+    assert opts["es.nodes"] == "es1:9200,es2:9200"
+    assert opts["es.resource"] == "docs/page"
+    # default failure handler 'fail' disables retries
+    assert opts["es.batch.write.retry.count"] == "0"
+
+
+def test_es_hosts_list_form_and_default_type():
+    opts = elasticsearch_sink_options(["http://h:9200"], "idx")
+    assert opts["es.resource"] == "idx/_doc"
+
+
+def test_es_upsert_mode_maps_key():
+    opts = elasticsearch_sink_options("http://h:9200", "idx", key_field="user_id")
+    assert opts["es.mapping.id"] == "user_id"
+    assert opts["es.write.operation"] == "upsert"
+
+
+def test_es_bulk_flush_options():
+    opts = elasticsearch_sink_options(
+        "http://h:9200",
+        "idx",
+        failure_handler="retry-rejected",
+        bulk_flush_max_actions=500,
+        bulk_flush_max_size_mb=5,
+        bulk_flush_backoff_max_retries=3,
+        bulk_flush_backoff_delay_millis=250,
+    )
+    assert opts["es.batch.size.entries"] == "500"
+    assert opts["es.batch.size.bytes"] == "5mb"
+    assert opts["es.batch.write.retry.count"] == "3"
+    assert opts["es.batch.write.retry.wait"] == "250ms"
+
+
+def test_es_rejects_silent_drop_and_bad_handler():
+    with pytest.raises(NotImplementedError):
+        elasticsearch_sink_options("http://h:9200", "i", failure_handler="ignore")
+    with pytest.raises(ValueError):
+        elasticsearch_sink_options("http://h:9200", "i", failure_handler="boom")
+    with pytest.raises(ValueError):
+        elasticsearch_sink_options("", "i")
+
+
+# -- Kinesis ----------------------------------------------------------------
+
+
+def test_kinesis_region_endpoint_and_position():
+    opts = kinesis_source_options("clicks", region="eu-west-1")
+    assert opts["streamName"] == "clicks"
+    assert opts["endpointUrl"] == "https://kinesis.eu-west-1.amazonaws.com"
+    assert opts["startingPosition"] == "latest"
+
+
+def test_kinesis_explicit_endpoint_wins():
+    opts = kinesis_source_options(
+        "s", region="us-east-1", endpoint="http://localstack:4566"
+    )
+    assert opts["endpointUrl"] == "http://localstack:4566"
+
+
+def test_kinesis_initial_positions():
+    assert (
+        kinesis_source_options("s", region="r", initial_position="TRIM_HORIZON")[
+            "startingPosition"
+        ]
+        == "trim_horizon"
+    )
+    opts = kinesis_source_options(
+        "s", region="r", initial_position="AT_TIMESTAMP", initial_timestamp=1700000000.0
+    )
+    assert opts["startingPosition"] == "at_timestamp"
+    assert opts["startingTimestamp"] == "1700000000.0"
+    with pytest.raises(ValueError):
+        kinesis_source_options("s", region="r", initial_position="AT_TIMESTAMP")
+    with pytest.raises(ValueError):
+        kinesis_source_options("s", region="r", initial_timestamp=5.0)
+    with pytest.raises(ValueError):
+        kinesis_source_options("s", region="r", initial_position="MIDDLE")
+
+
+def test_kinesis_credentials_pairing():
+    opts = kinesis_source_options(
+        "s", region="r", access_key_id="AK", secret_key="SK"
+    )
+    assert opts["awsAccessKeyId"] == "AK" and opts["awsSecretKey"] == "SK"
+    with pytest.raises(ValueError):
+        kinesis_source_options("s", region="r", access_key_id="AK")
+    with pytest.raises(ValueError):
+        kinesis_source_options("s")  # neither region nor endpoint
+
+
+def test_kinesis_throttle_mapping():
+    opts = kinesis_source_options("s", region="r", max_records_per_shard=5000)
+    assert opts["maxFetchRecordsPerShard"] == "5000"

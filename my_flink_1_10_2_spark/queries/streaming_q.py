@@ -174,3 +174,198 @@ def q_stream_iterate(spark, sf_dir):
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_lookup_join_stream",
+    oracle="""
+    SELECT o.o_orderkey AS okey,
+           c.c_name AS cname,
+           n.n_name AS nname
+    FROM (SELECT * FROM orders WHERE o_orderkey % 100 < 2) o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    category="streaming",
+)
+def q_lookup_join_stream(spark, sf_dir):
+    """Streaming lookup join (ref: LookupableTableSource.java,
+    LookupJoinITCase.scala): each micro-batch of the probe stream is
+    enriched against a static dimension with a broadcast hash join — the
+    Spark spelling of the reference's per-record lookup with an LRU cache.
+
+    The dimension (customer⋈nation, filtered) is size-gated broadcast
+    (operators/hints.dim), so at 100 TB an oversized dim degrades to a
+    shuffle join instead of an executor OOM.  Batch exits append to
+    parquet — nothing through the driver.
+    """
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    probe = (
+        read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < 2)
+        .select(F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ck"))
+    )
+    dim_df = (
+        read(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .join(
+            read(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("ck_dim"),
+            F.col("c_name").alias("cname"),
+            F.col("n_name").alias("nname"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_lkp_q_")
+    try:
+        probe.repartition(3).write.mode("overwrite").parquet(f"{work}/probe")
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/probe", probe.schema, max_files_per_trigger=1)
+        out_dir = f"{work}/out"
+        enriched = stream.lookup_join(
+            dim_df, on=F.col("ck") == F.col("ck_dim"), how="left"
+        )
+        enriched.for_each_batch(
+            lambda bdf, _bid: bdf.select("okey", "cname", "nname")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_side_output_split",
+    oracle="""
+    SELECT tag, count(*) AS n,
+           sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_e4
+    FROM (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'main' ELSE 'side' END AS tag,
+             value
+      FROM events WHERE event_id % 20 = 0
+    )
+    GROUP BY tag
+    ORDER BY tag
+    """,
+    category="streaming",
+)
+def q_side_output_split(spark, sf_dir):
+    """Side outputs (ref: DataStream.getSideOutput / OutputTag.java,
+    ProcessFunction.Context.output): one pass over the stream routes
+    purchase events to the main output and everything else to the tagged
+    side output, each landing in its own sink.
+
+    Spark spelling: the micro-batch is persisted once and filter-split —
+    the two sinks share a single scan per batch (the reference's
+    one-pass guarantee).  Values aggregate in integer 1e-4 units so the
+    final rollup is exact under any partial-agg order.
+    """
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    work = tempfile.mkdtemp(prefix="fl_sideout_q_")
+    try:
+        src.repartition(3).write.mode("overwrite").parquet(f"{work}/src")
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/src", src.schema, max_files_per_trigger=1)
+        main_dir, side_dir = f"{work}/main", f"{work}/side"
+
+        def sink(batch_df, _bid):
+            batch_df = batch_df.persist()
+            try:
+                batch_df.filter(F.col("event_type") == "purchase").write.mode(
+                    "append"
+                ).parquet(main_dir)
+                batch_df.filter(F.col("event_type") != "purchase").write.mode(
+                    "append"
+                ).parquet(side_dir)
+            finally:
+                batch_df.unpersist()
+
+        stream.for_each_batch(sink)
+
+        def rollup(path, tag):
+            return (
+                spark.read.parquet(path)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias(
+                        "sum_value_e4"
+                    ),
+                )
+                .select(F.lit(tag).alias("tag"), "n", "sum_value_e4")
+            )
+
+        result = rollup(main_dir, "main").unionAll(rollup(side_dir, "side")).orderBy("tag")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_connected_streams_comap",
+    oracle="""
+    SELECT event_id, amount
+    FROM (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS amount
+      FROM events WHERE event_id % 40 = 0
+      UNION ALL
+      SELECT o_orderkey AS event_id,
+             CAST(round(o_totalprice * -100) AS BIGINT) AS amount
+      FROM orders WHERE o_orderkey % 200 = 0
+    )
+    """,
+    category="streaming",
+)
+def q_connected_streams_comap(spark, sf_dir):
+    """ConnectedStreams CoMap (ref: ConnectedStreams.java:1 map(map1,
+    map2), DataStream.connect:257): two differently-typed streams share
+    one downstream operator; each element is transformed by its side's
+    map function (credits scaled +, debits scaled −) into a common shape.
+
+    The Spark spelling tags each side, unions by name, and applies the
+    per-side expression in one pass — a single streaming DAG, one sink,
+    no state (integer cents keep the oracle exact)."""
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    credits = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 40 == 0)
+        .select("event_id", F.col("value").alias("raw"))
+    )
+    debits = (
+        read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 200 == 0)
+        .select(F.col("o_orderkey").alias("event_id"), F.col("o_totalprice").alias("raw"))
+    )
+    work = tempfile.mkdtemp(prefix="fl_comap_q_")
+    try:
+        credits.repartition(2).write.mode("overwrite").parquet(f"{work}/a")
+        debits.repartition(2).write.mode("overwrite").parquet(f"{work}/b")
+        env = StreamExecutionEnvironment(spark)
+        sa = env.from_files(f"{work}/a", credits.schema, max_files_per_trigger=1)
+        sb = env.from_files(f"{work}/b", debits.schema, max_files_per_trigger=1)
+        out = sa.connect(sb).map(
+            fn_first=F.round(F.col("raw") * 100).cast("bigint"),
+            fn_second=F.round(F.col("raw") * -100).cast("bigint"),
+        )
+        out_dir = f"{work}/out"
+        out.for_each_batch(
+            lambda bdf, _bid: bdf.select(
+                "event_id", F.col("co_mapped").alias("amount")
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -332,7 +332,7 @@ def execute_create_function(spark: SparkSession, statement: str) -> str:
 _CATALOG_STMT = re.compile(
     r"^\s*(CREATE\s+DATABASE|DROP\s+DATABASE|USE|SHOW\s+DATABASES|"
     r"SHOW\s+TABLES|SHOW\s+VIEWS|SHOW\s+FUNCTIONS|SHOW\s+PARTITIONS|"
-    r"DROP\s+TABLE|DROP\s+VIEW|ALTER\s+TABLE|DESCRIBE|DESC)\b",
+    r"DROP\s+TABLE|DROP\s+VIEW|ALTER\s+TABLE|DESCRIBE|DESC|ANALYZE\s+TABLE)\b",
     re.IGNORECASE,
 )
 
@@ -459,6 +459,25 @@ def execute_catalog_statement(env, statement: str):
         if t in env._ddl_tables:
             env._ddl_tables[new] = env._ddl_tables.pop(t)
         return empty()
+
+    m = re.match(
+        r"ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*$", s, re.IGNORECASE
+    )
+    if m:
+        # ref: Catalog.java alterTableStatistics + catalog/stats/
+        # CatalogTableStatistics.java — row count feeds the planner's CBO
+        # (the same role the reference's statistics play in join reordering).
+        # One distributed count job; only the scalar reaches the driver.
+        d, t = _split_object_path(m.group(1), db)
+        df = (
+            cat.get_table(d, t).reader()
+            if cat.table_exists(d, t)
+            else spark.table(t)
+        )
+        n = df.count()
+        if cat.table_exists(d, t):
+            cat.alter_table_statistics(d, t, {"rowCount": n})
+        return spark.createDataFrame([Row(rowCount=n)], schema="rowCount bigint")
 
     m = re.match(r"(?:DESCRIBE|DESC)\s+([\w.]+)\s*$", s, re.IGNORECASE)
     if m:

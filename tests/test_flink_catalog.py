@@ -253,3 +253,19 @@ def test_partitioned_table_read_prune_discover(spark, tmp_path):
     # SHOW PARTITIONS sees the auto-discovered hive layout
     parts = [r.partition for r in env.execute_sql("SHOW PARTITIONS sales").collect()]
     assert parts == ["region=eu/day=1", "region=eu/day=2", "region=us/day=1", "region=us/day=2"]
+
+
+def test_analyze_table_statistics(spark, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS files the row count in the
+    catalog (ref: Catalog.java alterTableStatistics,
+    stats/CatalogTableStatistics.java)."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "t_an")
+    spark.range(7).write.mode("overwrite").parquet(path)
+    env.execute_sql(
+        f"""CREATE TABLE t_an (id BIGINT)
+        WITH ('connector'='filesystem','path'='{path}','format'='parquet')"""
+    )
+    out = env.execute_sql("ANALYZE TABLE t_an COMPUTE STATISTICS")
+    assert out.collect()[0].rowCount == 7
+    assert env.catalog.get_table_statistics("default", "t_an") == {"rowCount": 7}

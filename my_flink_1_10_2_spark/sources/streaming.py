@@ -77,19 +77,23 @@ def streaming_file_sink(
     checkpoint: str,
     fmt: str = "parquet",
     output_mode: str = "append",
+    available_now: bool = False,
 ):
     """Exactly-once file sink (ref: StreamingFileSink.java bucketing +
     part-file lifecycle). Structured Streaming's file sink keeps a
     _spark_metadata WAL of committed files — readers see only committed
     data, the same guarantee the reference builds from pending/committed
-    part files."""
-    return (
+    part files.  ``available_now`` drains the source then stops (the
+    bounded-replay spelling used by tests and backfills)."""
+    writer = (
         df.writeStream.format(fmt)
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 class TransactionalForeachBatchSink:

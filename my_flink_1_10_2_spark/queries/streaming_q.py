@@ -501,3 +501,54 @@ def q_broadcast_state_filter(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_queryable_state",
+    oracle="""
+    SELECT user_id,
+           count(*) AS cnt,
+           sum(CAST(round(value * 10000) AS BIGINT)) AS total_e4
+    FROM events
+    WHERE event_id % 5 = 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="streaming",
+)
+def q_queryable_state(spark, sf_dir):
+    """Queryable state (ref: KeyedStream.asQueryableState:1005,
+    flink-queryable-state/): the latest per-key streaming aggregate is
+    exposed for point lookups; once the replay drains, the queryable
+    snapshot must equal the batch aggregate exactly (integer 1e-4 units
+    keep the sum order-insensitive).
+
+    The snapshot read is the whole state table (complete-mode sink);
+    point lookups against it are tested in tests/test_streaming.py."""
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"))
+    )
+    work = tempfile.mkdtemp(prefix="fl_qstate_q_")
+    try:
+        src.repartition(3).write.mode("overwrite").parquet(f"{work}/src")
+        env = StreamExecutionEnvironment(spark)
+        keyed = env.from_files(
+            f"{work}/src", src.schema, max_files_per_trigger=1
+        ).key_by("user_id")
+        handle = keyed.as_queryable_state(
+            "q_qstate_reg",
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v_e4").alias("total_e4"),
+        )
+        try:
+            handle.query.processAllAvailable()
+            snap = handle.snapshot().orderBy("user_id")
+            return spark.createDataFrame(snap.collect(), snap.schema)
+        finally:
+            handle.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -83,6 +83,32 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Fixed calibration workload (pure Spark, no engine code): hash-agg +
+    # sort over lineitem.  Round-over-round query deltas should be read
+    # relative to this number — it moves only with the machine (CPU
+    # speed, contention), never with engine changes, so a round where
+    # every query slows by the same ratio as the calibration is a slower
+    # host, not a plan regression.
+    def _calibrate() -> float:
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                df.groupBy("l_orderkey")
+                .count()
+                .orderBy("count", "l_orderkey")
+                .limit(100)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            samples.append(time.perf_counter() - t0)
+        return round(sorted(samples)[1], 3)
+
+    calibration = _calibrate()
+    print(f"# calibration (fixed lineitem hash-agg): {calibration}s", file=sys.stderr)
+
     # Median of 3 runs per query: machine noise is ±40% run-to-run, so
     # single-run numbers can't support round-over-round comparisons.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -111,6 +137,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
     print(json.dumps(result))
 

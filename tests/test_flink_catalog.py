@@ -269,3 +269,25 @@ def test_analyze_table_statistics(spark, tmp_path):
     out = env.execute_sql("ANALYZE TABLE t_an COMPUTE STATISTICS")
     assert out.collect()[0].rowCount == 7
     assert env.catalog.get_table_statistics("default", "t_an") == {"rowCount": 7}
+
+
+def test_db_qualified_names_and_unsupported_alter(spark, tmp_path):
+    """[db.]table resolution (ref: ObjectPath.java) + a clear error for
+    catalog statements outside the supported grammar."""
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE db9")
+    path = str(tmp_path / "tq")
+    spark.range(3).write.mode("overwrite").parquet(path)
+    env.execute_sql("USE db9")
+    env.execute_sql(
+        f"""CREATE TABLE tq (id BIGINT)
+        WITH ('connector'='filesystem','path'='{path}','format'='parquet')"""
+    )
+    env.execute_sql("USE default")
+    # qualified DESCRIBE + DROP from another current database
+    desc = {r.name for r in env.execute_sql("DESCRIBE db9.tq").collect()}
+    assert desc == {"id"}
+    env.execute_sql("DROP TABLE db9.tq")
+    assert env.catalog.list_tables("db9") == []
+    with pytest.raises(ValueError, match="unsupported catalog statement"):
+        env.execute_sql("ALTER TABLE t SET ('k'='v')")

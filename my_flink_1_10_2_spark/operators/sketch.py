@@ -39,42 +39,126 @@ def _norm_hash(col):
     return (F.conv(hx, 16, 10).cast("double") + F.lit(1.0)) / F.lit(_DENOM)
 
 
+# Below this many input rows the threshold-prefilter variant of the KMV
+# sketch costs more than it saves (the filter re-evaluates the hash
+# expression; the dedup shuffle it avoids is still small).  Above it, the
+# prefilter caps shuffle volume at O(k) regardless of data size — the
+# property that matters at 100 TB.
+_PREFILTER_MIN_ROWS = 5_000_000
+
+
 def kmv_distinct(df: DataFrame, col: str, k: int = 128) -> DataFrame:
     """KMV distinct-count estimate for `col` → 1-row (estimate double).
 
-    Plan shape at scale: hash-project → per-partition top-k
-    (TakeOrdered partial) → k-row merge on one reducer → closed-form
-    estimate. No groupBy of the full domain, no sketch buffer classes —
-    the k smallest hashes ARE the sketch.
+    Plan shape at scale: hash-project → **threshold prefilter** →
+    dedup + top-k of the tiny survivor set → closed-form estimate.
+
+    The prefilter is the 100 TB move: the k smallest of N distinct
+    uniform hashes all sit below ~k/N, so one cheap
+    ``approx_count_distinct`` pass bounds N and a map-side
+    ``h <= margin·k/N̂`` filter drops all but ~margin·k rows *before*
+    anything shuffles — dedup volume goes from O(locally-distinct ≈ N)
+    to O(k), two scans instead of one full-domain shuffle.  If the
+    approximation under-estimated (filter starved the sketch), the
+    threshold widens ×8 and retries — deterministic, since HLL merges
+    are order-insensitive.  The estimate itself is bitwise identical to
+    the unfiltered sketch: the k smallest distinct hashes are unchanged
+    by a filter that keeps everything ≤ the k-th of them.
     """
-    hashes = df.select(_norm_hash(col).alias("h")).dropDuplicates(["h"])
-    kth = hashes.orderBy("h").limit(k).agg(
-        F.max("h").alias("hk"), F.count("*").alias("n")
-    )
-    # fewer than k distinct values → the sketch is exact (n itself)
-    return kth.select(
-        F.when(F.col("n") < k, F.col("n").cast("double"))
-        .otherwise((F.lit(float(k - 1))) / F.col("hk"))
-        .alias("estimate")
+    hashes_all = df.select(_norm_hash(col).alias("h"))
+    # Row count upper-bounds the distinct count and is near-free (parquet
+    # footer metadata); the ×8 margin absorbs up to 8× duplication before
+    # the first retry widens it further.
+    n_est = df.count()
+    if n_est < _PREFILTER_MIN_ROWS:
+        # Small input: the one-pass dedup (map-side partial) wins — the
+        # filter's second evaluation of the hash expression costs more
+        # than the shuffle it saves.  Lazy; same bits.
+        hashes = hashes_all.dropDuplicates(["h"])
+        kth = hashes.orderBy("h").limit(k).agg(
+            F.max("h").alias("hk"), F.count("*").alias("n")
+        )
+        return kth.select(
+            F.when(F.col("n") < k, F.col("n").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("hk"))
+            .alias("estimate")
+        )
+    margin = 8.0
+    while True:
+        threshold = min(1.0, margin * k / max(n_est, 1))
+        hashes = hashes_all
+        if threshold < 1.0:
+            hashes = hashes_all.where(F.col("h") <= F.lit(threshold))
+        hashes = hashes.dropDuplicates(["h"])
+        kth = hashes.orderBy("h").limit(k).agg(
+            F.max("h").alias("hk"), F.count("*").alias("n")
+        )
+        row = kth.first()
+        # the filtered sketch is valid if it filled up (k values survive)
+        # or nothing was cut at all (threshold covered the whole range —
+        # then fewer than k survivors means the sketch is exact: n itself)
+        if threshold >= 1.0 or row["n"] >= k:
+            break
+        margin *= 8.0
+    spark = df.sparkSession
+    if row["n"] < k:
+        return spark.createDataFrame([(float(row["n"]),)], "estimate double")
+    return spark.createDataFrame(
+        [(float(k - 1) / row["hk"],)], "estimate double"
     )
 
 
 def kmv_distinct_by(df: DataFrame, group_cols: list[str], col: str, k: int = 64) -> DataFrame:
     """Grouped KMV estimates: one sketch per group.
 
-    Per-group k-th smallest via row_number window — the window input is
-    already deduped to distinct (group, hash) pairs, so state is
-    O(distinct), and only k rows per group survive to the aggregate.
+    Same threshold prefilter as :func:`kmv_distinct`, sized for the
+    *sparsest* group (largest k/N̂_g), so every group's k smallest
+    distinct hashes survive while dense groups still shed almost all
+    rows map-side.  Per-group k-th smallest via row_number window over
+    the (tiny) survivor set; widens ×8 and retries if any group that
+    was cut by the filter failed to fill its sketch.
     """
     from pyspark.sql import Window as W
 
-    hashed = df.select(*group_cols, _norm_hash(col).alias("h")).dropDuplicates(
-        [*group_cols, "h"]
-    )
-    w = W.partitionBy(*group_cols).orderBy("h")
-    topk = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
-    return topk.groupBy(*group_cols).agg(
-        F.when(F.count("*") < k, F.count("*").cast("double"))
-        .otherwise(F.lit(float(k - 1)) / F.max("h"))
-        .alias("estimate")
-    )
+    hashed_all = df.select(*group_cols, _norm_hash(col).alias("h"))
+    # Per-group row counts upper-bound per-group distinct counts; the
+    # partial-agg shuffle is O(#groups), tiny by contract.
+    per_group = df.groupBy(*group_cols).count().collect()
+    n_min = min((r["count"] for r in per_group), default=1)
+    if sum(r["count"] for r in per_group) < _PREFILTER_MIN_ROWS:
+        # small input → one-pass (see kmv_distinct); lazy, same bits
+        hashed = hashed_all.dropDuplicates([*group_cols, "h"])
+        w = W.partitionBy(*group_cols).orderBy("h")
+        topk = hashed.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
+        return topk.groupBy(*group_cols).agg(
+            F.when(F.count("*") < k, F.count("*").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.max("h"))
+            .alias("estimate")
+        )
+    margin = 8.0
+    while True:
+        threshold = min(1.0, margin * k / max(n_min, 1))
+        hashed = hashed_all
+        if threshold < 1.0:
+            hashed = hashed_all.where(F.col("h") <= F.lit(threshold))
+        hashed = hashed.dropDuplicates([*group_cols, "h"])
+        w = W.partitionBy(*group_cols).orderBy("h")
+        topk = hashed.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
+        out = topk.groupBy(*group_cols).agg(
+            F.when(F.count("*") < k, F.count("*").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.max("h"))
+            .alias("estimate"),
+            F.count("*").alias("__survivors"),
+        )
+        if threshold >= 1.0:
+            return out.drop("__survivors")
+        starved = out.where(F.col("__survivors") < k).limit(1).count() > 0
+        # a group may legitimately hold < k distinct values; it is only
+        # starved if the filter (not the data) cut it short
+        if not starved:
+            return out.drop("__survivors")
+        margin *= 8.0

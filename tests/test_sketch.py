@@ -54,3 +54,44 @@ def test_native_hll_agrees(spark, lineitem):
     true = lineitem.select("l_partkey").distinct().count()
     hll = lineitem.agg(F.approx_count_distinct("l_partkey", rsd=0.05).alias("e")).first().e
     assert abs(hll - true) / true < 0.15
+
+
+def test_kmv_prefilter_path_matches_one_pass(spark, monkeypatch):
+    """Above the size gate the threshold-prefiltered sketch must produce
+    bitwise the same estimate as the one-pass dedup (the k smallest
+    distinct hashes are invariant under a filter that keeps them all);
+    exercised by forcing the gate to zero."""
+    import my_flink_1_10_2_spark.operators.sketch as sk
+
+    df = spark.range(0, 20000).selectExpr("cast(id % 7919 as string) AS v")
+    baseline = sk.kmv_distinct(df, "v", k=64).collect()[0].estimate
+    monkeypatch.setattr(sk, "_PREFILTER_MIN_ROWS", 1)
+    filtered = sk.kmv_distinct(df, "v", k=64).collect()[0].estimate
+    assert filtered == baseline
+
+    grouped = spark.range(0, 30000).selectExpr(
+        "cast(id % 3 as string) AS g", "cast(id % 4999 as string) AS v"
+    )
+    monkeypatch.setattr(sk, "_PREFILTER_MIN_ROWS", 10**12)
+    base_rows = {
+        r.g: r.estimate for r in sk.kmv_distinct_by(grouped, ["g"], "v").collect()
+    }
+    monkeypatch.setattr(sk, "_PREFILTER_MIN_ROWS", 1)
+    filt_rows = {
+        r.g: r.estimate for r in sk.kmv_distinct_by(grouped, ["g"], "v").collect()
+    }
+    assert filt_rows == base_rows
+
+
+def test_kmv_prefilter_retry_on_starvation(spark, monkeypatch):
+    """A heavily-duplicated column defeats the row-count bound (first
+    threshold starves the sketch) — the retry must widen and still land
+    on the exact same estimate."""
+    import my_flink_1_10_2_spark.operators.sketch as sk
+
+    # 50k rows but only ~100 distinct values → duplication factor 500 ≫ 8
+    df = spark.range(0, 50000).selectExpr("cast(id % 100 as string) AS v")
+    baseline = sk.kmv_distinct(df, "v", k=64).collect()[0].estimate
+    monkeypatch.setattr(sk, "_PREFILTER_MIN_ROWS", 1)
+    filtered = sk.kmv_distinct(df, "v", k=64).collect()[0].estimate
+    assert filtered == baseline

@@ -195,3 +195,132 @@ def kinesis_source(spark: SparkSession, **kwargs) -> DataFrame:
             "Kinesis connector jar (spark-sql-kinesis) not on the "
             "classpath — add it with spark.jars.packages"
         ) from ex
+
+
+# ---------------------------------------------------------------------------
+# HBase source/sink (ref: flink-connectors/flink-hbase/src/main/java/org/
+# apache/flink/addons/hbase/HBaseTableSource.java, HBaseTableSchema.java,
+# HBaseOptions.java — table name + zookeeper quorum + a rowkey/column-
+# family schema)
+#
+# Option parity table (Flink → hbase-spark options):
+#   table-name + zookeeper quorum        → catalog JSON "table" entry +
+#                                          hbase.zookeeper.quorum conf
+#   rowkey field (HBaseTableSchema
+#     .setRowKey)                        → catalog "rowkey" + column with
+#                                          cf "rowkey"
+#   addColumn(family, qualifier, type)   → catalog "columns" entry
+#                                          {"cf": family, "col": qualifier,
+#                                           "type": <spark type>}
+# ---------------------------------------------------------------------------
+
+_HBASE_TYPES = {
+    "STRING": "string",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+    "BYTES": "binary",
+}
+
+
+def hbase_catalog_json(
+    table: str,
+    rowkey_field: str,
+    rowkey_type: str,
+    columns: list[tuple[str, str, str, str]],
+    namespace: str = "default",
+) -> str:
+    """Build the hbase-spark ``catalog`` option from the reference's
+    HBaseTableSchema surface (ref: HBaseTableSchema.java setRowKey /
+    addColumn).  ``columns`` entries are (field_name, family, qualifier,
+    flink_type); pure function, unit-testable without a cluster."""
+    import json as _json
+
+    def _t(flink_type: str) -> str:
+        t = flink_type.upper()
+        if t not in _HBASE_TYPES:
+            raise ValueError(f"unsupported HBase column type {flink_type!r}")
+        return _HBASE_TYPES[t]
+
+    cols: dict[str, dict[str, str]] = {
+        rowkey_field: {"cf": "rowkey", "col": "key", "type": _t(rowkey_type)}
+    }
+    for field, family, qualifier, flink_type in columns:
+        if field in cols:
+            raise ValueError(f"duplicate field {field!r} in HBase schema")
+        cols[field] = {"cf": family, "col": qualifier, "type": _t(flink_type)}
+    return _json.dumps(
+        {
+            "table": {"namespace": namespace, "name": table},
+            "rowkey": "key",
+            "columns": cols,
+        }
+    )
+
+
+def hbase_source(spark: SparkSession, zookeeper_quorum: str, **kwargs) -> DataFrame:
+    """HBase scan source (ref: HBaseTableSource.java).  Requires the
+    hbase-spark connector jar; raises a clear error when absent."""
+    catalog = hbase_catalog_json(**kwargs)
+    try:
+        return (
+            spark.read.format("org.apache.hadoop.hbase.spark")
+            .option("catalog", catalog)
+            .option("hbase.zookeeper.quorum", zookeeper_quorum)
+            .load()
+        )
+    except Exception as ex:  # pragma: no cover - jar-gated
+        raise RuntimeError(
+            "HBase connector jar (hbase-spark) not on the classpath — "
+            "add it with spark.jars.packages"
+        ) from ex
+
+
+# ---------------------------------------------------------------------------
+# Cassandra sink (ref: flink-connectors/flink-connector-cassandra/.../
+# CassandraSink.java, CassandraRowSink.java — contact points + keyspace.table)
+#
+# Option parity table (Flink → spark-cassandra-connector options):
+#   setHost(host[, port])               → spark.cassandra.connection.host/port
+#   INSERT INTO ks.tbl (query target)   → keyspace= / table= options
+#   setMaxConcurrentRequests            → spark.cassandra.output.concurrent.writes
+#   enableWriteAheadLog (exactly-once)  → NotImplementedError (Spark's
+#                                         Cassandra writes are at-least-once;
+#                                         idempotent upserts by primary key
+#                                         are the supported dedup path)
+# ---------------------------------------------------------------------------
+
+
+def cassandra_sink_options(
+    host: str,
+    keyspace: str,
+    table: str,
+    *,
+    port: int | None = None,
+    max_concurrent_requests: int | None = None,
+    write_ahead_log: bool = False,
+) -> dict[str, str]:
+    """Translate Flink Cassandra sink settings to spark-cassandra-connector
+    options (pure function — see the parity table above)."""
+    if write_ahead_log:
+        raise NotImplementedError(
+            "Cassandra write-ahead-log (exactly-once) has no Spark analog; "
+            "rely on idempotent primary-key upserts (at-least-once)"
+        )
+    if not host:
+        raise ValueError("a Cassandra contact host is required")
+    opts = {
+        "spark.cassandra.connection.host": host,
+        "keyspace": keyspace,
+        "table": table,
+    }
+    if port is not None:
+        opts["spark.cassandra.connection.port"] = str(int(port))
+    if max_concurrent_requests is not None:
+        opts["spark.cassandra.output.concurrent.writes"] = str(
+            int(max_concurrent_requests)
+        )
+    return opts

@@ -112,3 +112,67 @@ def test_kinesis_credentials_pairing():
 def test_kinesis_throttle_mapping():
     opts = kinesis_source_options("s", region="r", max_records_per_shard=5000)
     assert opts["maxFetchRecordsPerShard"] == "5000"
+
+
+# -- HBase ------------------------------------------------------------------
+
+
+def test_hbase_catalog_json():
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import hbase_catalog_json
+
+    cat = json.loads(
+        hbase_catalog_json(
+            "users",
+            rowkey_field="user_id",
+            rowkey_type="BIGINT",
+            columns=[
+                ("name", "info", "n", "STRING"),
+                ("balance", "acct", "bal", "DOUBLE"),
+            ],
+            namespace="prod",
+        )
+    )
+    assert cat["table"] == {"namespace": "prod", "name": "users"}
+    assert cat["rowkey"] == "key"
+    assert cat["columns"]["user_id"] == {"cf": "rowkey", "col": "key", "type": "bigint"}
+    assert cat["columns"]["name"] == {"cf": "info", "col": "n", "type": "string"}
+    assert cat["columns"]["balance"] == {"cf": "acct", "col": "bal", "type": "double"}
+
+
+def test_hbase_catalog_rejects_bad_schema():
+    import pytest as _pytest
+
+    from my_flink_1_10_2_spark.sources.connectors import hbase_catalog_json
+
+    with _pytest.raises(ValueError, match="unsupported HBase column type"):
+        hbase_catalog_json("t", "k", "DECIMAL(10,2)", [])
+    with _pytest.raises(ValueError, match="duplicate field"):
+        hbase_catalog_json(
+            "t", "k", "STRING", [("k", "cf", "q", "STRING")]
+        )
+
+
+# -- Cassandra --------------------------------------------------------------
+
+
+def test_cassandra_sink_options():
+    from my_flink_1_10_2_spark.sources.connectors import cassandra_sink_options
+
+    opts = cassandra_sink_options(
+        "cass1.internal", "ks", "events", port=9043, max_concurrent_requests=128
+    )
+    assert opts["spark.cassandra.connection.host"] == "cass1.internal"
+    assert opts["spark.cassandra.connection.port"] == "9043"
+    assert opts["keyspace"] == "ks" and opts["table"] == "events"
+    assert opts["spark.cassandra.output.concurrent.writes"] == "128"
+
+
+def test_cassandra_sink_rejects_wal_and_empty_host():
+    from my_flink_1_10_2_spark.sources.connectors import cassandra_sink_options
+
+    with pytest.raises(NotImplementedError):
+        cassandra_sink_options("h", "ks", "t", write_ahead_log=True)
+    with pytest.raises(ValueError):
+        cassandra_sink_options("", "ks", "t")

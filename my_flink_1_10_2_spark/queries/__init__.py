@@ -91,6 +91,7 @@ def _load_all_modules() -> None:
         streaming_q,
         triggers_q,
         ddl_q,
+        formats,
     )
 
 

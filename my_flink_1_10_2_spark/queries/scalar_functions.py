@@ -329,3 +329,45 @@ def q_str_to_map(spark, sf_dir):
     return events.select(
         "event_id", "event_type", F.element_at(m, "uid").alias("uid_str")
     )
+
+
+@register(
+    "q_sql_flink_functions",
+    oracle="""
+    SELECT doc_id,
+           str_split(source, 'c')[2] AS src_tail,
+           regexp_matches(CAST(n_chars AS VARCHAR), '^[0-9]+$') AS chars_digit,
+           regexp_matches(lang, '^[A-Za-z]+$') AS lang_alpha,
+           sha256(lang) AS lang_sha,
+           to_base64(encode(source)) AS src_b64,
+           CASE WHEN n_chars / 7.0 >= 0
+                THEN floor(n_chars / 7.0 * 100) / 100
+                ELSE ceil(n_chars / 7.0 * 100) / 100 END AS sevenths_trunc
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category="scalar",
+)
+def q_sql_flink_functions(spark, sf_dir):
+    """Flink-only function names used from SQL TEXT — SPLIT_INDEX,
+    IS_DIGIT, IS_ALPHA, SHA256, TO_BASE64, TRUNCATE (ref:
+    FlinkSqlOperatorTable.java; registered by
+    functions/sql_functions.py as Spark SQL scalar functions, which
+    Catalyst inlines to native JVM expressions — no Python UDFs)."""
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    env = TableEnvironment(spark)
+    read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return env.sql_query(
+        """
+        SELECT doc_id,
+               SPLIT_INDEX(source, 'c', 1) AS src_tail,
+               IS_DIGIT(CAST(n_chars AS STRING)) AS chars_digit,
+               IS_ALPHA(lang) AS lang_alpha,
+               SHA256(lang) AS lang_sha,
+               TO_BASE64(source) AS src_b64,
+               TRUNCATE(n_chars / 7.0, 2) AS sevenths_trunc
+        FROM documents
+        ORDER BY doc_id
+        """
+    ).df

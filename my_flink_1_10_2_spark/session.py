@@ -87,8 +87,14 @@ class TableEnvironment:
 
     def __init__(self, spark: SparkSession | None = None):
         from my_flink_1_10_2_spark.flink_catalog import GenericInMemoryCatalog
+        from my_flink_1_10_2_spark.functions.sql_functions import (
+            register_flink_sql_functions,
+        )
 
         self.spark = tune_session(spark or get_spark())
+        # Flink-only scalar names (SPLIT_INDEX, IS_DECIMAL, ...) resolve
+        # in sql_query as native SQL scalar functions (JVM-inlined).
+        register_flink_sql_functions(self.spark)
         self._versioned: dict[str, tuple[str, str]] = {}
         self._ddl_tables: dict[str, object] = {}
         # ref: TableEnvironment.registerCatalog/useDatabase

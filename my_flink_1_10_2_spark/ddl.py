@@ -184,6 +184,15 @@ def _batch_reader(spark: SparkSession, ct: CreateTable) -> DataFrame:
     # the file listing (plan shows PartitionFilters, the 100 TB win).
     file_cols = [(c, t) for c, t in ct.columns if c not in ct.partition_keys]
     schema = ", ".join(f"{c} {t}" for c, t in file_cols)
+    # Sink-first workflow: CREATE TABLE before any INSERT — the path does
+    # not exist yet, so the table reads as empty with the declared schema
+    # (the reference's filesystem connector behaves the same; the view is
+    # re-registered after each INSERT, picking up the real files).
+    import os as _os
+
+    if not _os.path.exists(path):
+        full = ", ".join(f"{c} {t}" for c, t in ct.columns)
+        return spark.createDataFrame([], schema=full)
     if fmt == "parquet":
         df = spark.read.parquet(path)
         # project + cast to the declared shape (parquet is self-describing,
@@ -500,3 +509,105 @@ def _split_object_path(name: str, current_db: str) -> tuple[str, str]:
         d, _, t = name.rpartition(".")
         return d, t
     return current_db, name
+
+
+# ---------------------------------------------------------------------------
+# INSERT INTO / INSERT OVERWRITE (ref: flink-sql-parser/.../dml — Flink
+# 1.10's sqlUpdate("INSERT ...") path, planned by
+# StreamExecSink/BatchExecSink; column matching is positional)
+# ---------------------------------------------------------------------------
+
+_INS_HEAD = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+    r"(?:\(([^)]*)\))?\s*(SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def contains_insert(query: str) -> bool:
+    return _INS_HEAD.match(query) is not None
+
+
+def execute_insert(env, statement: str) -> DataFrame:
+    """Run an INSERT statement against a DDL-registered filesystem table
+    or a Spark catalog table.
+
+    - the SELECT part goes through the full Flink-SQL rewriter (group
+      windows, LATERAL TABLE, MATCH_RECOGNIZE all legal in the source
+      query);
+    - columns match positionally and are cast to the target's declared
+      types (the reference's SinkCodeGenerator inserts the same implicit
+      casts);
+    - INTO appends, OVERWRITE replaces (ref: SqlInsert overwrite flag) —
+      for partitioned filesystem tables OVERWRITE is dynamic per
+      partition (spark.sql.sources.partitionOverwriteMode=dynamic), the
+      100 TB-safe semantics: only partitions present in the new data are
+      rewritten, never the whole table;
+    - temp views and other unwritable relations get a clear error.
+
+    Returns a 1-row DataFrame with the written row count (the analog of
+    the reference's JobExecutionResult).
+    """
+    m = _INS_HEAD.match(statement)
+    if not m:
+        raise ValueError(f"not an INSERT statement: {statement!r}")
+    mode_kw, target, col_list, query = m.groups()
+    overwrite = mode_kw.upper() == "OVERWRITE"
+    if query.upper().startswith("VALUES"):
+        query = f"SELECT * FROM ({query})"
+    df = env.sql_query(query).df
+
+    _, tname = _split_object_path(target, env.current_database)
+    ct = env._ddl_tables.get(tname)
+    if ct is None:
+        # not DDL-registered: a real Spark catalog table still works
+        # (temp views pass tableExists but are read-only relations)
+        try:
+            is_view = env.spark.catalog.getTable(target).tableType == "TEMPORARY"
+        except Exception:
+            is_view = False
+        if not is_view and env.spark.catalog.tableExists(target):
+            n = df.count()
+            df.write.insertInto(target, overwrite=overwrite)
+            return env.spark.createDataFrame([(n,)], schema="rows_written bigint")
+        raise ValueError(
+            f"INSERT target {target!r} is not a DDL-registered table or a "
+            "catalog table (temp views are read-only relations)"
+        )
+
+    declared = ct.columns
+    if col_list:
+        names = [c.strip() for c in col_list.split(",") if c.strip()]
+        declared = [c for c in ct.columns if c[0] in names]
+        if len(declared) != len(names):
+            unknown = set(names) - {c for c, _ in ct.columns}
+            raise ValueError(f"INSERT column list references unknown columns {unknown}")
+    if len(df.columns) != len(declared):
+        raise ValueError(
+            f"INSERT has {len(df.columns)} columns, target expects {len(declared)}"
+        )
+    aligned = df.select(
+        *[F.col(src).cast(t).alias(name) for src, (name, t) in zip(df.columns, declared)]
+    )
+    fmt = ct.options.get("format", "parquet").lower()
+    path = ct.options.get("path")
+    if not path:
+        raise ValueError(f"DDL table {tname!r} has no 'path' option to write to")
+    writer = aligned.write.mode("overwrite" if overwrite else "append")
+    if ct.partition_keys:
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *ct.partition_keys
+        )
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", ct.options.get("csv.header", "false")).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+    # the old temp view snapshotted the file listing — re-register so
+    # subsequent queries see the new files
+    _batch_reader(env.spark, ct).createOrReplaceTempView(ct.name)
+    n = env.spark.table(ct.name).count()
+    return env.spark.createDataFrame([(n,)], schema="rows_total bigint")

@@ -82,3 +82,58 @@ def q_sql_ddl_partitioned(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_sql_insert_select",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+    category="ddl",
+)
+def q_sql_insert_select(spark, sf_dir):
+    """INSERT INTO a DDL-registered parquet sink, then read it back (ref:
+    Flink 1.10 TableEnvironment.sqlUpdate("INSERT ...") + execute() →
+    BatchExecSink; positional column matching with implicit casts).
+
+    Exercises the full job cycle: CREATE TABLE (empty, schema-first) →
+    buffered sqlUpdate INSERT → execute() → query the sink.  Integer
+    cents keep the equality exact under any partial-agg order."""
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    work = tempfile.mkdtemp(prefix="fl_insert_q_")
+    try:
+        env = TableEnvironment(spark)
+        read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+        env.execute_sql(
+            f"""CREATE TABLE prio_rollup (
+                  prio STRING,
+                  n_orders BIGINT,
+                  revenue_cents BIGINT
+                ) WITH (
+                  'connector' = 'filesystem',
+                  'path' = '{os.path.join(work, "prio_rollup")}',
+                  'format' = 'parquet'
+                )"""
+        )
+        env.sql_update(
+            """INSERT INTO prio_rollup
+               SELECT o_orderpriority,
+                      count(*),
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               FROM orders
+               GROUP BY o_orderpriority"""
+        )
+        env.execute("rollup_job")
+        result = env.sql_query(
+            "SELECT prio, n_orders, revenue_cents FROM prio_rollup ORDER BY prio"
+        ).df
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

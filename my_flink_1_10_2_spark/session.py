@@ -21,6 +21,7 @@ partitions.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -205,7 +206,55 @@ class TableEnvironment:
                 ignore_if_exists=True,
             )
             return self.spark.range(0)
+        from my_flink_1_10_2_spark.ddl import contains_insert, execute_insert
+
+        if contains_insert(statement):
+            # INSERT INTO / INSERT OVERWRITE (ref: Flink 1.10
+            # sqlUpdate("INSERT ...") → StreamExecSink/BatchExecSink)
+            return execute_insert(self, statement)
+        if re.match(r"^\s*EXPLAIN\b", statement, re.IGNORECASE):
+            # EXPLAIN <query> (ref: TableEnvironment.explain
+            # TableEnvironmentImpl.java:463 — AST + optimized plan text)
+            body = re.sub(r"^\s*EXPLAIN\s+(PLAN\s+FOR\s+)?", "", statement, flags=re.IGNORECASE)
+            return self.spark.createDataFrame(
+                [(self.explain_sql(body),)], schema="plan string"
+            )
         return self.spark.sql(rewrite_flink_sql(statement))
+
+    # -- updates / jobs (ref: TableEnvironment.sqlUpdate + execute —
+    # Flink 1.10 buffers INSERT jobs until env.execute(jobName)) -----------
+    def sql_update(self, statement: str) -> None:
+        """Flink-1.10 ``sqlUpdate``: DDL runs eagerly; ``INSERT``
+        statements are buffered and run by :meth:`execute` (the
+        reference's deferred-job semantics; ref:
+        TableEnvironmentImpl.sqlUpdate)."""
+        from my_flink_1_10_2_spark.ddl import contains_insert
+
+        if contains_insert(statement):
+            if not hasattr(self, "_pending_inserts"):
+                self._pending_inserts: list[str] = []
+            self._pending_inserts.append(statement)
+            return
+        self.execute_sql(statement)
+
+    def execute(self, job_name: str = "job") -> list[DataFrame]:
+        """Run every buffered INSERT (ref: StreamExecutionEnvironment
+        .execute / TableEnvironment.execute — one job per call).  Returns
+        the per-insert result frames (row counts)."""
+        from my_flink_1_10_2_spark.ddl import execute_insert
+
+        pending = getattr(self, "_pending_inserts", [])
+        self._pending_inserts = []
+        return [execute_insert(self, stmt) for stmt in pending]
+
+    def explain_sql(self, query: str) -> str:
+        """Plan text for a query (ref: TableEnvironment.explain)."""
+        df = self.sql_query(query).df
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
 
     def _register_in_catalog(self, ct) -> None:
         """File a DDL-created table in the in-memory catalog (lazy reader

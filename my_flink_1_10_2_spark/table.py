@@ -228,6 +228,20 @@ class Table:
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
 
+    def insert_into(self, env, table_name: str, overwrite: bool = False) -> DataFrame:
+        """Write this table into a DDL-registered or catalog table (ref:
+        Table.insertInto Table.java:1056 — Flink 1.10's sink path; here
+        eager, returning the row-count frame from the INSERT)."""
+        view = f"__insert_src_{abs(self.df.semanticHash())}"
+        self.df.createOrReplaceTempView(view)
+        try:
+            kw = "OVERWRITE" if overwrite else "INTO"
+            return env.execute_sql(
+                f"INSERT {kw} {table_name} SELECT * FROM {view}"
+            )
+        finally:
+            self.df.sparkSession.catalog.dropTempView(view)
+
 
 class GroupedTable:
     """Result of ``Table.group_by`` (ref: Table.java groupBy)."""

@@ -228,6 +228,34 @@ class Table:
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
 
+    def map_with_broadcast(
+        self, fn, schema, broadcast_sets: dict[str, "Table"]
+    ) -> "Table":
+        """Rich map with broadcast sets (ref: DataSet.withBroadcastSet
+        SingleInputUdfOperator.java:94; RuntimeContext.getBroadcastVariable
+        RuntimeContext.java:202).
+
+        Each named set is collected to the driver and broadcast to every
+        executor ONCE (torrent broadcast) — the same dimension-small
+        contract as the reference, where broadcast sets are materialized
+        into each task's memory.  ``fn(pdf, bc)`` runs per Arrow batch
+        (mapInPandas — vectorized, not per-row) with ``bc`` a dict of
+        name → list[dict] exactly like ``getBroadcastVariable``'s List<T>.
+        """
+        sc = self.df.sparkSession.sparkContext
+        payload = {
+            name: [r.asDict(recursive=True) for r in t.df.collect()]
+            for name, t in broadcast_sets.items()
+        }
+        bc = sc.broadcast(payload)
+
+        def runner(batches):
+            sets = bc.value
+            for pdf in batches:
+                yield fn(pdf, sets)
+
+        return Table(self.df.mapInPandas(runner, schema))
+
     def insert_into(self, env, table_name: str, overwrite: bool = False) -> DataFrame:
         """Write this table into a DDL-registered or catalog table (ref:
         Table.insertInto Table.java:1056 — Flink 1.10's sink path; here

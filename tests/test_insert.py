@@ -127,3 +127,30 @@ def test_explain_statement(env_with_sink):
     plan = env.execute_sql("EXPLAIN SELECT k, count(*) FROM sink_t GROUP BY k").collect()[0].plan
     assert "Physical Plan" in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_map_with_broadcast_set(spark):
+    """ref: DataSet.withBroadcastSet SingleInputUdfOperator.java:94 —
+    rich function reads a broadcast dimension inside the UDF."""
+    from my_flink_1_10_2_spark.table import Table
+
+    rates = Table(
+        spark.createDataFrame([("EUR", 1.1), ("GBP", 1.3)], "ccy string, rate double")
+    )
+    tx = Table(
+        spark.createDataFrame(
+            [(1, "EUR", 100.0), (2, "GBP", 50.0), (3, "USD", 10.0)],
+            "id bigint, ccy string, amount double",
+        )
+    )
+
+    def to_usd(pdf, bc):
+        lookup = {r["ccy"]: r["rate"] for r in bc["rates"]}
+        pdf["usd"] = pdf["amount"] * pdf["ccy"].map(lambda c: lookup.get(c, 1.0))
+        return pdf[["id", "usd"]]
+
+    out = tx.map_with_broadcast(
+        to_usd, "id bigint, usd double", {"rates": rates}
+    )
+    got = {r.id: round(r.usd, 6) for r in out.df.collect()}
+    assert got == {1: 110.0, 2: 65.0, 3: 10.0}

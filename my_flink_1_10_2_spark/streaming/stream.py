@@ -114,16 +114,16 @@ class Stream:
     # parallel — only |windows| rows cross the final exchange.
     def tumble_all(self, ts_col: str, size: str) -> "WindowedStream":
         """Non-keyed tumbling window (ref: DataStream.timeWindowAll:579)."""
-        return WindowedStream(self.df, [], F.window(ts_col, size))
+        return WindowedStream(self.df, [], F.window(ts_col, size), ts_col)
 
     def hop_all(self, ts_col: str, size: str, slide: str) -> "WindowedStream":
         """Non-keyed sliding window (ref: DataStream.timeWindowAll(size, slide))."""
-        return WindowedStream(self.df, [], F.window(ts_col, size, slide))
+        return WindowedStream(self.df, [], F.window(ts_col, size, slide), ts_col)
 
     def session_all(self, ts_col: str, gap: str) -> "WindowedStream":
         """Non-keyed session window (ref: AllWindowedStream +
         EventTimeSessionWindows)."""
-        return WindowedStream(self.df, [], F.session_window(ts_col, gap))
+        return WindowedStream(self.df, [], F.session_window(ts_col, gap), ts_col)
 
     def count_window_all(self, n: int, value_col: str, ts_col: str) -> "Stream":
         """Non-keyed count window (ref: DataStream.countWindowAll:612 —
@@ -540,13 +540,13 @@ class KeyedStream:
         return Stream(self.df.groupBy(*self.keys).agg(*[_col(e) for e in agg_exprs]))
 
     def tumble(self, ts_col: str, size: str) -> "WindowedStream":
-        return WindowedStream(self.df, self.keys, F.window(ts_col, size))
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size), ts_col)
 
     def hop(self, ts_col: str, size: str, slide: str) -> "WindowedStream":
-        return WindowedStream(self.df, self.keys, F.window(ts_col, size, slide))
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size, slide), ts_col)
 
     def session(self, ts_col: str, gap: str) -> "WindowedStream":
-        return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
+        return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap), ts_col)
 
     def running_agg(
         self, value_col: str, ts_col: str, how: str = "sum"
@@ -766,10 +766,13 @@ class QueryableStateHandle:
 class WindowedStream:
     """Keyed windowed stream (ref: WindowedStream.java)."""
 
-    def __init__(self, df: DataFrame, keys: list[str], window_col: Column):
+    def __init__(
+        self, df: DataFrame, keys: list[str], window_col: Column, ts_col: str | None = None
+    ):
         self.df = df
         self.keys = keys
         self.window_col = window_col.alias("w")
+        self.ts_col = ts_col
 
     def aggregate(self, *agg_exprs) -> Stream:
         agg = self.df.groupBy(self.window_col, *self.keys).agg(
@@ -781,3 +784,79 @@ class WindowedStream:
             *[c for c in agg.columns if c != "w"],
         )
         return Stream(flat)
+
+    def _grouped(self):
+        return self.df.withColumn("w", self.window_col).groupBy("w", *self.keys)
+
+    def reduce(self, fn) -> Stream:
+        """ReduceFunction over the window's rows (ref: WindowedStream.java
+        reduce — pairwise fold in arrival order; here event-time order by
+        the window's `ts_col`, the deterministic refinement).  `fn(a, b)`
+        takes and returns row dicts with the input schema; output is one
+        row per (key, window) plus window_start/window_end.
+
+        Scale: applyInPandas per (key, window) group — groups are bounded
+        by the window size, shuffled once on their natural grouping key.
+        """
+        import functools
+
+        data_cols = self.df.columns
+        ts = self.ts_col
+        out_schema = ", ".join(
+            ["window_start timestamp", "window_end timestamp"]
+            + [f"{c} {t}" for c, t in self.df.dtypes]
+        )
+
+        def run(key, pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ts) if ts else pdf.sort_values(data_cols)
+            rows = pdf[data_cols].to_dict("records")
+            acc = functools.reduce(fn, rows)
+            acc = {"window_start": pdf["w"].iloc[0]["start"],
+                   "window_end": pdf["w"].iloc[0]["end"], **acc}
+            return pd.DataFrame([acc])
+
+        return Stream(self._grouped().applyInPandas(run, out_schema))
+
+    def fold(self, initial: dict, fn, schema: str) -> Stream:
+        """Deprecated-in-reference fold (WindowedStream.java fold):
+        ``fn(acc, row) -> acc`` starting from ``initial``; output columns
+        = ``schema`` plus window bounds."""
+        data_cols = self.df.columns
+        ts = self.ts_col
+
+        def run(key, pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ts) if ts else pdf.sort_values(data_cols)
+            acc = dict(initial)
+            for row in pdf[data_cols].to_dict("records"):
+                acc = fn(acc, row)
+            acc = {"window_start": pdf["w"].iloc[0]["start"],
+                   "window_end": pdf["w"].iloc[0]["end"], **acc}
+            return pd.DataFrame([acc])
+
+        out_schema = f"window_start timestamp, window_end timestamp, {schema}"
+        return Stream(self._grouped().applyInPandas(run, out_schema))
+
+    def process(self, fn, schema: str) -> Stream:
+        """ProcessWindowFunction (ref: WindowedStream.java process,
+        ProcessWindowFunction.java — the whole window's rows as an
+        iterable plus the window metadata).  ``fn(keys: tuple, window:
+        dict[start,end], pdf) -> pdf`` may emit any number of rows;
+        ``schema`` describes the output columns."""
+        n_keys = len(self.keys)
+
+        def run(key, pdf):
+            w = pdf["w"].iloc[0]
+            window = {"start": w["start"], "end": w["end"]}
+            return fn(tuple(key[1 : n_keys + 1]), window, pdf.drop(columns=["w"]))
+
+        return Stream(self._grouped().applyInPandas(run, schema))
+
+    def apply(self, fn, schema: str) -> Stream:
+        """WindowFunction (ref: WindowedStream.java apply) — same contract
+        as :meth:`process` without timer access (none exists in either
+        engine's window path)."""
+        return self.process(fn, schema)

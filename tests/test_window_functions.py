@@ -1,0 +1,85 @@
+"""WindowedStream.reduce / fold / process / apply (ref:
+flink-streaming-java/.../datastream/WindowedStream.java — ReduceFunction,
+FoldFunction, ProcessWindowFunction, WindowFunction over keyed windows).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+
+from my_flink_1_10_2_spark.streaming.stream import Stream
+
+
+def _events(spark):
+    base = datetime.datetime(2021, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(seconds=s), v)
+        for k, s, v in [
+            ("a", 0, 1.0), ("a", 30, 2.0), ("a", 70, 10.0),
+            ("b", 10, 5.0), ("b", 65, 7.0), ("b", 80, 3.0),
+        ]
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_window_reduce_matches_sum(spark):
+    df = _events(spark)
+    ws = Stream(df).key_by("k").tumble("ts", "1 minute")
+
+    def add(a, b):
+        return {"k": a["k"], "ts": b["ts"], "v": a["v"] + b["v"]}
+
+    got = {
+        (r.k, r.window_start.minute, r.v) for r in ws.reduce(add).df.collect()
+    }
+    assert got == {("a", 0, 3.0), ("a", 1, 10.0), ("b", 0, 5.0), ("b", 1, 10.0)}
+
+
+def test_window_fold_with_initial(spark):
+    df = _events(spark)
+    ws = Stream(df).key_by("k").tumble("ts", "1 minute")
+
+    def fold_fn(acc, row):
+        return {"n": acc["n"] + 1, "total": acc["total"] + row["v"]}
+
+    out = ws.fold({"n": 0, "total": 100.0}, fold_fn, "n int, total double")
+    got = {(r.n, r.total) for r in out.df.collect()}
+    assert got == {(2, 103.0), (1, 110.0), (1, 105.0), (2, 110.0)}
+
+
+def test_process_window_function_emits_many(spark):
+    df = _events(spark)
+    ws = Stream(df).key_by("k").tumble("ts", "1 minute")
+
+    def topk(keys, window, pdf):
+        out = pdf.nlargest(1, "v")[["k", "v"]].copy()
+        out["window_end"] = window["end"]
+        return out
+
+    out = ws.process(topk, "k string, v double, window_end timestamp")
+    got = {(r.k, r.v) for r in out.df.collect()}
+    assert got == {("a", 2.0), ("a", 10.0), ("b", 5.0), ("b", 7.0)}
+
+
+def test_apply_is_process_alias(spark):
+    df = _events(spark)
+    ws = Stream(df).key_by("k").tumble("ts", "1 minute")
+
+    def count_fn(keys, window, pdf):
+        return pd.DataFrame([{"k": keys[0], "n": len(pdf)}])
+
+    got = {(r.k, r.n) for r in ws.apply(count_fn, "k string, n long").df.collect()}
+    assert got == {("a", 2), ("a", 1), ("b", 1), ("b", 2)}
+
+
+def test_windowall_reduce_no_key(spark):
+    df = _events(spark)
+    ws = Stream(df).tumble_all("ts", "1 minute")
+
+    def add(a, b):
+        return {"k": a["k"], "ts": b["ts"], "v": a["v"] + b["v"]}
+
+    got = {(r.window_start.minute, r.v) for r in ws.reduce(add).df.collect()}
+    assert got == {(0, 8.0), (1, 20.0)}

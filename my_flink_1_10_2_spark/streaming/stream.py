@@ -93,6 +93,50 @@ class Stream:
     def union(self, other: "Stream") -> "Stream":
         return Stream(self.df.unionByName(other.df))
 
+    def project(self, *fields) -> "Stream":
+        """Positional or named projection (ref: DataStream.project:1278 —
+        the reference selects tuple fields by index)."""
+        cols = [
+            self.df.columns[f] if isinstance(f, int) else f for f in fields
+        ]
+        return Stream(self.df.select(*cols))
+
+    # -- physical partitioning (ref: DataStream.java shuffle:1212,
+    # rebalance:1246, rescale:1270, global:1297, forward:1224,
+    # partitionCustom:1137; Spark exchanges are the direct analogs) -------
+    def shuffle(self, num_partitions: int | None = None) -> "Stream":
+        """Random redistribution (ref: DataStream.shuffle:1212).  Spark's
+        keyless repartition is round-robin rather than random — the same
+        uniform-balance contract without the RNG."""
+        df = self.df.repartition(num_partitions) if num_partitions else self.df.repartition()
+        return Stream(df)
+
+    def rebalance(self, num_partitions: int | None = None) -> "Stream":
+        """Round-robin redistribution (ref: DataStream.rebalance:1246)."""
+        return self.shuffle(num_partitions)
+
+    def rescale(self, num_partitions: int) -> "Stream":
+        """Local scale-down (ref: DataStream.rescale:1270) — `coalesce`
+        merges partitions without a full shuffle, the same
+        locality-preserving contract."""
+        return Stream(self.df.coalesce(num_partitions))
+
+    def global_(self) -> "Stream":
+        """Everything to one task (ref: DataStream.global:1297).  The
+        single-partition bottleneck is intentional there and here —
+        prefer keyed ops at scale."""
+        return Stream(self.df.repartition(1))
+
+    def forward(self) -> "Stream":
+        """Identity partitioning (ref: DataStream.forward:1224) — a
+        no-op: Spark already chains narrow stages without an exchange."""
+        return self
+
+    def partition_custom(self, expr, num_partitions: int) -> "Stream":
+        """Partition by an expression's hash (ref:
+        DataStream.partitionCustom:1137)."""
+        return Stream(self.df.repartition(num_partitions, _col(expr)))
+
     # -- event time ---------------------------------------------------------
     def assign_timestamps_and_watermarks(self, ts_col: str, max_out_of_orderness: str) -> "Stream":
         """Bounded out-of-orderness watermark (ref:
@@ -101,6 +145,12 @@ class Stream:
         return Stream(self.df.withWatermark(ts_col, max_out_of_orderness))
 
     with_watermark = assign_timestamps_and_watermarks
+
+    def assign_ascending_timestamps(self, ts_col: str) -> "Stream":
+        """Monotonic event time (ref: DataStream.assignAscendingTimestamps
+        :894 / AscendingTimestampExtractor.java) — a zero-delay
+        watermark."""
+        return Stream(self.df.withWatermark(ts_col, "0 seconds"))
 
     # -- keyed ops ----------------------------------------------------------
     def key_by(self, *keys) -> "KeyedStream":
@@ -538,6 +588,28 @@ class KeyedStream:
         """Unbounded per-key running aggregate (ref: GroupAggFunction.java:44)
         — run in ``update``/``complete`` output mode."""
         return Stream(self.df.groupBy(*self.keys).agg(*[_col(e) for e in agg_exprs]))
+
+    def _rolling_by(self, value_col: str, ts_col: str, agg) -> Stream:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        best = agg(F.struct(*self.df.columns), F.col(value_col)).over(w)
+        return Stream(self.df.select(best.alias("__best")).select("__best.*"))
+
+    def min_by(self, value_col: str, ts_col: str) -> Stream:
+        """Rolling minBy (ref: KeyedStream.minBy:1129 — for every input
+        record, emit the element whose `value_col` is minimal so far).
+        One window-shuffle on the keys; the frame is computed JVM-side
+        (native `min_by` over a running frame)."""
+        return self._rolling_by(value_col, ts_col, F.min_by)
+
+    def max_by(self, value_col: str, ts_col: str) -> Stream:
+        """Rolling maxBy (ref: KeyedStream.maxBy:1163)."""
+        return self._rolling_by(value_col, ts_col, F.max_by)
 
     def tumble(self, ts_col: str, size: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, F.window(ts_col, size), ts_col)

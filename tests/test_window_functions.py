@@ -83,3 +83,38 @@ def test_windowall_reduce_no_key(spark):
 
     got = {(r.window_start.minute, r.v) for r in ws.reduce(add).df.collect()}
     assert got == {(0, 8.0), (1, 20.0)}
+
+
+def test_partitioning_primitives(spark):
+    s = Stream(spark.range(100).toDF("id"))
+    assert s.shuffle(8).df.rdd.getNumPartitions() == 8
+    assert s.rebalance(4).df.rdd.getNumPartitions() == 4
+    assert s.rescale(2).df.rdd.getNumPartitions() == 2
+    assert s.global_().df.rdd.getNumPartitions() == 1
+    assert s.forward() is s
+    assert s.partition_custom("id", 5).df.rdd.getNumPartitions() == 5
+    assert s.project(0).df.columns == ["id"]
+
+
+def test_rolling_min_by_max_by(spark):
+    rows = [
+        ("a", 1, 5.0), ("a", 2, 3.0), ("a", 3, 9.0),
+        ("b", 1, 2.0), ("b", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    ks = Stream(df).key_by("k")
+    mins = sorted(
+        (r.k, r.seq, r.v) for r in ks.min_by("v", "seq").df.collect()
+    )
+    # per input record, the row with min v so far
+    assert mins == [
+        ("a", 1, 5.0), ("a", 2, 3.0), ("a", 2, 3.0),
+        ("b", 1, 2.0), ("b", 1, 2.0),
+    ]
+    maxs = sorted(
+        (r.k, r.seq, r.v) for r in ks.max_by("v", "seq").df.collect()
+    )
+    assert maxs == [
+        ("a", 1, 5.0), ("a", 1, 5.0), ("a", 3, 9.0),
+        ("b", 1, 2.0), ("b", 2, 7.0),
+    ]

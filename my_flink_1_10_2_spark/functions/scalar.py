@@ -197,6 +197,20 @@ def listagg(col, sep: str = ",") -> Column:
     return F.array_join(F.array_sort(F.collect_list(col)), sep)
 
 
+def between_symmetric(x, a, b) -> Column:
+    """x BETWEEN SYMMETRIC a AND b (ref FlinkSqlOperatorTable BETWEEN
+    SYMMETRIC): bounds order-insensitive."""
+    xa, xb = _col(a) if isinstance(a, (Column, str)) else F.lit(a), (
+        _col(b) if isinstance(b, (Column, str)) else F.lit(b)
+    )
+    return _col(x).between(F.least(xa, xb), F.greatest(xa, xb))
+
+
+def is_unknown(b) -> Column:
+    """b IS UNKNOWN (ref :924): the boolean expression is NULL."""
+    return _col(b).isNull()
+
+
 def if_(cond, then, otherwise) -> Column:
     """IF(cond, a, b) (ref FlinkSqlOperatorTable.java:551)."""
     return F.when(_col(cond) if isinstance(cond, (Column, str)) else cond, then).otherwise(
@@ -215,13 +229,15 @@ FUNCTION_CATALOG: dict[str, object] = {
     "IS NULL": "isNull", "IS NOT NULL": "isNotNull",
     "IS TRUE": "op:== lit(True)", "IS FALSE": "op:== lit(False)",
     "IS DISTINCT FROM": "op:expr(a IS DISTINCT FROM b)",
-    "BETWEEN": "between", "LIKE": "like", "SIMILAR TO": "rlike",
+    "BETWEEN": "between", "BETWEEN SYMMETRIC": between_symmetric,
+    "IS UNKNOWN": is_unknown, "IS NOT UNKNOWN": "op:~is_unknown",
+    "LIKE": "like", "SIMILAR TO": "rlike",
     "IN": "isin", "EXISTS": "op:left_semi join", "CASE": "when",
     "NULLIF": "nullif", "COALESCE": "coalesce", "IFNULL": "nvl", "IF": if_,
     "GREATEST": "greatest", "LEAST": "least",
     # string (BuiltInFunctionDefinitions.java:230-362)
     "CHAR_LENGTH": "length", "INITCAP": "initcap", "LOWER": "lower", "UPPER": "upper",
-    "SUBSTRING": "substring", "LEFT": "left", "RIGHT": "right",
+    "SUBSTRING": "substring", "SUBSTR": "substring", "LEFT": "left", "RIGHT": "right",
     "POSITION": "position", "LOCATE": locate, "INSTR": instr, "OVERLAY": "overlay",
     "CONCAT": "concat", "CONCAT_WS": "concat_ws", "LPAD": "lpad", "RPAD": "rpad",
     "LTRIM": "ltrim", "RTRIM": "rtrim", "TRIM": "trim", "REPEAT": "repeat",

@@ -135,3 +135,14 @@ def test_catalog_pyspark_names_resolve():
                 "when", "getField", "position", "extract", "replace", "cot",
                 "left", "right", "nullif", "now", "localtimestamp",
             }, f"{ref_name} -> {impl} does not resolve"
+
+
+def test_between_symmetric_and_is_unknown(spark):
+    from my_flink_1_10_2_spark.functions.scalar import between_symmetric, is_unknown
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(5,), (15,)], "x int")
+    got = [r[0] for r in df.select(between_symmetric("x", 10, 1)).collect()]
+    assert got == [True, False]  # bounds given in reversed order
+    df2 = spark.createDataFrame([(None,), (True,)], "b boolean")
+    assert [r[0] for r in df2.select(is_unknown("b")).collect()] == [True, False]

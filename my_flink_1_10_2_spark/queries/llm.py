@@ -500,3 +500,54 @@ def q_embedding_topk_ivf_fixed(spark, sf_dir):
         emb, queries, k=5, n_centroids=8, n_probe=4, iterations=0
     )
     return out.withColumn("sim", F.round("sim", 9))
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH docs(doc_id, text) AS (VALUES
+      (1, 'HEADER' || chr(10) || 'alpha beta' || chr(10) || 'FOOTER'),
+      (2, 'HEADER' || chr(10) || 'gamma delta' || chr(10) || 'FOOTER'),
+      (3, 'HEADER' || chr(10) || 'alpha beta' || chr(10) || 'epsilon'),
+      (4, 'HEADER' || chr(10) || 'FOOTER')
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs
+    ),
+    freq AS (SELECT line, count(*) AS n FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN f.n <= 1 THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS text,
+           CAST(sum(CASE WHEN f.n <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept,
+           CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_dropped
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    category="llm_dedup",
+)
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup (pipeline brief: the C4/Gopher
+    boilerplate-removal step — drop lines repeated across documents,
+    reassemble in order; `llm/lines.py::line_dedup`).  The corpus is a
+    fixed literal (the driver's synthetic documents are single-line), so
+    both engines process identical multi-line inputs; 'alpha beta'
+    repeats across docs 1 and 3 and is dropped like the HEADER/FOOTER
+    chrome, doc 4 collapses to empty text."""
+    from my_flink_1_10_2_spark.llm.lines import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha beta\nFOOTER"),
+            (2, "HEADER\ngamma delta\nFOOTER"),
+            (3, "HEADER\nalpha beta\nepsilon"),
+            (4, "HEADER\nFOOTER"),
+        ],
+        "doc_id int, text string",
+    )
+    return line_dedup(docs).orderBy("doc_id")

@@ -90,3 +90,36 @@ def test_kmeans_centroids_deterministic(spark):
     assert [c for c, _ in a] == [0, 1, 2, 3]
     for (_, va), (_, vb) in zip(a, b):
         assert va == vb
+
+
+def test_line_dedup_operator(spark):
+    """llm/lines.py::line_dedup — corpus-wide boilerplate removal with
+    order-preserving reassembly; plan stays hash-shuffle only (no global
+    window, no collect)."""
+    from my_flink_1_10_2_spark.llm.lines import explode_lines, line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nunique one\nfooter"),
+            (2, "nav\nunique two\nfooter"),
+            (3, "nav\nunique three\nfooter\nextra"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+           for r in line_dedup(docs).collect()}
+    assert out == {
+        1: ("unique one", 1, 2),
+        2: ("unique two", 1, 2),
+        3: ("unique three\nextra", 2, 2),
+    }
+    # keep-threshold 3 keeps everything
+    all_kept = {r.doc_id: r.n_lines_dropped
+                for r in line_dedup(docs, max_occurrences=3).collect()}
+    assert all_kept == {1: 0, 2: 0, 3: 0}
+    # position preservation survives unordered input
+    lines = explode_lines(docs)
+    assert lines.where("doc_id = 3").count() == 4
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" not in plan
+    assert "Window" not in plan  # reassembly is a grouped agg, not a window

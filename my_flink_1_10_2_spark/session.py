@@ -133,6 +133,51 @@ class TableEnvironment:
 
         return Table(self.spark.table(name))
 
+    # -- DataStream ↔ Table bridge (ref: flink-table-api-java-bridge
+    # StreamTableEnvironment.java:192 fromDataStream, :325 toAppendStream,
+    # :408 toRetractStream) -------------------------------------------------
+    def from_data_stream(self, stream, *fields) -> "Table":
+        """Wrap a Stream as a Table, optionally renaming columns
+        positionally (ref: StreamTableEnvironment.java:192/:211 — the
+        `"a, b"` field-rename form)."""
+        from my_flink_1_10_2_spark.table import Table
+
+        df = stream.df
+        if fields:
+            df = df.toDF(*fields)
+        return Table(df)
+
+    def to_append_stream(self, table_or_df) -> "Stream":
+        """Insert-only conversion (ref: StreamTableEnvironment.java:325).
+        Valid for pipelines whose result never updates — Spark's append
+        output mode enforces the same contract at run time."""
+        from my_flink_1_10_2_spark.streaming.stream import Stream
+
+        df = table_or_df.df if hasattr(table_or_df, "df") else table_or_df
+        return Stream(df)
+
+    def to_retract_stream(self, table_or_df) -> "Stream":
+        """Changelog conversion (ref: StreamTableEnvironment.java:408 —
+        Tuple2<Boolean, Row>; True = accumulate, False = retract).  The
+        boolean rides in an ``__change`` column: materialized/batch
+        results are insert-only (all True); the unbounded retraction
+        join (`streaming/retraction_join.py`) and update-mode sinks
+        produce genuine False retractions."""
+        from my_flink_1_10_2_spark.streaming.stream import Stream
+
+        df = table_or_df.df if hasattr(table_or_df, "df") else table_or_df
+        if "__change" not in df.columns:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("__change", F.lit(True))
+        else:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "__change", ~F.col("__change").cast("string").startswith("-")
+            )
+        return Stream(df)
+
     # -- query entry (ref: TableEnvironmentImpl.sqlQuery :463) --------------
     def sql_query(self, query: str) -> "Table":
         from my_flink_1_10_2_spark.operators.cep_sql import (

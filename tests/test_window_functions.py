@@ -118,3 +118,28 @@ def test_rolling_min_by_max_by(spark):
         ("a", 1, 5.0), ("a", 1, 5.0), ("a", 3, 9.0),
         ("b", 1, 2.0), ("b", 2, 7.0),
     ]
+
+
+def test_table_stream_bridge(spark):
+    """ref: StreamTableEnvironment.java:192/:325/:408 — fromDataStream /
+    toAppendStream / toRetractStream."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    env = TableEnvironment(spark)
+    s = Stream(spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string"))
+    t = env.from_data_stream(s, "k", "v")
+    assert t.df.columns == ["k", "v"]
+
+    back = env.to_append_stream(t)
+    assert back.df.collect() == t.df.collect()
+
+    r = env.to_retract_stream(t)
+    assert r.df.columns == ["k", "v", "__change"]
+    assert all(row["__change"] for row in r.df.collect())
+
+    # existing string-convention flags map to the boolean contract
+    flagged = t.df.withColumn("__change", F.lit("-D"))
+    r2 = env.to_retract_stream(flagged)
+    assert all(row["__change"] is False for row in r2.df.collect())

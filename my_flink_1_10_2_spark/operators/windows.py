@@ -61,3 +61,168 @@ def count_tumble_window(df: DataFrame, keys: list[str], order_by, count: int) ->
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("w_id", ((F.row_number().over(w) - F.lit(1)) / count).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Fluent Table API window descriptors (ref: flink-table-api-java
+# org/apache/flink/table/api/Tumble.java:47, Slide.java:51,
+# Session.java:47; consumed by Table.window → GroupWindowedTable →
+# WindowGroupedTable, Table.java window()):
+#
+#   table.window(Tumble.over("10.minutes").on("ts").alias("w"))
+#        .group_by("w", "k")
+#        .select(...aggs..., "w.start", "w.end")
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_DUR_RE = _re.compile(r"^\s*(\d+)\s*[. ]\s*(milli|second|minute|hour|day)s?\s*$", _re.IGNORECASE)
+
+
+def parse_duration(expr: str) -> str:
+    """Flink interval literal ('10.minutes', '30.seconds') → Spark
+    duration string ('10 minutes')."""
+    m = _DUR_RE.match(str(expr))
+    if not m:
+        raise ValueError(f"unparseable window duration: {expr!r}")
+    unit = m.group(2).lower()
+    unit = {"milli": "milliseconds"}.get(unit, unit + "s")
+    return f"{m.group(1)} {unit}"
+
+
+class GroupWindow:
+    """A fully-specified window descriptor (kind + sizes + time attr +
+    alias)."""
+
+    def __init__(self, kind: str, size: str, slide_or_gap: str | None = None):
+        self.kind = kind
+        self.size = size
+        self.slide_or_gap = slide_or_gap
+        self.ts: str | None = None
+        self.name: str | None = None
+
+    def on(self, ts_col) -> "GroupWindow":
+        self.ts = str(ts_col).lstrip("$").strip("'\"")
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self.name = name
+        return self
+
+    as_ = alias  # Flink spells it .as(); Python reserves `as`
+
+    def column(self):
+        if self.ts is None or self.name is None:
+            raise ValueError("window needs .on(<time attr>) and .alias(<name>)")
+        if self.kind == "tumble":
+            col = F.window(self.ts, self.size)
+        elif self.kind == "slide":
+            col = F.window(self.ts, self.size, self.slide_or_gap)
+        else:
+            col = F.session_window(self.ts, self.size)
+        return col.alias(self.name)
+
+
+class Tumble:
+    """ref: Tumble.java:47 — Tumble.over("10.minutes").on($("ts")).as("w")."""
+
+    @staticmethod
+    def over(size: str) -> GroupWindow:
+        return GroupWindow("tumble", parse_duration(size))
+
+
+class Slide:
+    """ref: Slide.java:51 — Slide.over("10.minutes").every("5.minutes")."""
+
+    @staticmethod
+    def over(size: str) -> "_SlideBuilder":
+        return _SlideBuilder(parse_duration(size))
+
+
+class _SlideBuilder:
+    def __init__(self, size: str):
+        self._size = size
+
+    def every(self, slide: str) -> GroupWindow:
+        return GroupWindow("slide", self._size, parse_duration(slide))
+
+
+class Session:
+    """ref: Session.java:47 — Session.withGap("30.minutes")."""
+
+    @staticmethod
+    def with_gap(gap: str) -> GroupWindow:
+        return GroupWindow("session", parse_duration(gap))
+
+
+class GroupWindowedTable:
+    """ref: org.apache.flink.table.api.GroupWindowedTable (Table.window)."""
+
+    def __init__(self, df: DataFrame, gw: GroupWindow):
+        self.df = df
+        self.gw = gw
+
+    def group_by(self, *fields: str) -> "WindowGroupedTable":
+        if self.gw.ts is None or self.gw.name is None:
+            raise ValueError("window needs .on(<time attr>) and .alias(<name>)")
+        names = [str(f).lstrip("$").strip("'\"") for f in fields]
+        if self.gw.name not in names:
+            raise ValueError(
+                f"group_by must include the window alias {self.gw.name!r}"
+            )
+        keys = [f for f in names if f != self.gw.name]
+        return WindowGroupedTable(self.df, self.gw, keys)
+
+
+class WindowGroupedTable:
+    """ref: org.apache.flink.table.api.WindowGroupedTable — select() may
+    mix keys, aggregates and `w.start` / `w.end` (TUMBLE_START/_END
+    analogs; `w.rowtime` maps to the window end, the watermark-safe
+    choice the SQL rewriter also makes)."""
+
+    def __init__(self, df: DataFrame, gw: GroupWindow, keys: list[str]):
+        self.df = df
+        self.gw = gw
+        self.keys = keys
+
+    def select(self, *exprs):
+        from my_flink_1_10_2_spark.table import Table
+
+        name = self.gw.name
+        win_ref = _re.compile(
+            rf"^\s*{_re.escape(name)}\.(start|end|rowtime|proctime)\s*"
+            r"(?:AS\s+(\w+))?\s*$",
+            _re.IGNORECASE,
+        )
+        agg_list, plan = [], []
+        for e in exprs:
+            if isinstance(e, str):
+                e_str = e.lstrip("$").strip()
+                m = win_ref.match(e_str)
+                if m:
+                    field = {"rowtime": "end", "proctime": "end"}.get(
+                        m.group(1).lower(), m.group(1).lower()
+                    )
+                    plan.append(("win", field, m.group(2) or f"{name}_{field}"))
+                    continue
+                if e_str in self.keys:
+                    plan.append(("key", e_str))
+                    continue
+                col = F.expr(e_str)
+            else:
+                col = e
+            plan.append(("agg", len(agg_list)))
+            agg_list.append(col)
+        if not agg_list:
+            raise ValueError("window select needs at least one aggregate")
+        agg_df = self.df.groupBy(self.gw.column(), *self.keys).agg(*agg_list)
+        agg_out = agg_df.columns[1 + len(self.keys):]
+        sel = []
+        for p in plan:
+            if p[0] == "win":
+                sel.append(F.col(f"{name}.{p[1]}").alias(p[2]))
+            elif p[0] == "key":
+                sel.append(F.col(p[1]))
+            else:
+                sel.append(F.col(agg_out[p[1]]))
+        return Table(agg_df.select(*sel))

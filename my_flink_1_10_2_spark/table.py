@@ -323,3 +323,19 @@ class TemporalTableFunction:
         self.table = table
         self.time_attr = time_attr
         self.primary_key = primary_key
+
+
+def _table_window(self, group_window) -> "object":
+    """Fluent group-window spelling (ref: Table.window Table.java;
+    Tumble.java:47, Slide.java:51, Session.java:47):
+
+        table.window(Tumble.over("10.minutes").on("ts").alias("w"))
+             .group_by("w", "k")
+             .select("sum(v) AS total", "w.start", "w.end")
+    """
+    from my_flink_1_10_2_spark.operators.windows import GroupWindowedTable
+
+    return GroupWindowedTable(self.df, group_window)
+
+
+Table.window = _table_window

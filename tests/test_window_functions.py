@@ -143,3 +143,68 @@ def test_table_stream_bridge(spark):
     flagged = t.df.withColumn("__change", F.lit("-D"))
     r2 = env.to_retract_stream(flagged)
     assert all(row["__change"] is False for row in r2.df.collect())
+
+
+def test_fluent_table_window_api(spark):
+    """ref: Table.window + Tumble.java:47 / Slide.java:51 /
+    Session.java:47 — the fluent Table-API group-window spelling."""
+    import datetime
+
+    from my_flink_1_10_2_spark.operators.windows import Session, Slide, Tumble
+    from my_flink_1_10_2_spark.table import Table
+
+    base = datetime.datetime(2021, 1, 1)
+    t = Table(
+        spark.createDataFrame(
+            [
+                ("a", base + datetime.timedelta(seconds=s), v)
+                for s, v in [(0, 1.0), (30, 2.0), (70, 10.0)]
+            ],
+            "k string, ts timestamp, v double",
+        )
+    )
+    out = (
+        t.window(Tumble.over("1.minute").on("ts").alias("w"))
+        .group_by("w", "k")
+        .select("sum(v) AS total", "k", "w.start", "w.end AS wend")
+    )
+    rows = sorted(out.to_df().collect(), key=lambda r: r.w_start)
+    assert [r.total for r in rows] == [3.0, 10.0]
+    assert rows[0].wend.minute == 1 and out.to_df().columns == [
+        "total", "k", "w_start", "wend",
+    ]
+
+    # sliding window: 1-minute windows every 30s — events at 0s/30s/70s
+    # populate the [-30,30) [0,60) [30,90) [60,120) windows
+    slid = (
+        t.window(Slide.over("1.minute").every("30.seconds").on("ts").alias("w"))
+        .group_by("w", "k")
+        .select("count(v) AS n", "w.start")
+    )
+    assert slid.to_df().count() == 4
+
+    sess = (
+        t.window(Session.with_gap("35.seconds").on("ts").alias("w"))
+        .group_by("w", "k")
+        .select("sum(v) AS total", "w.start")
+    )
+    assert sorted(r.total for r in sess.to_df().collect()) == [3.0, 10.0]
+
+
+def test_window_descriptor_validation(spark):
+    import pytest
+
+    from my_flink_1_10_2_spark.operators.windows import Tumble, parse_duration
+    from my_flink_1_10_2_spark.table import Table
+
+    assert parse_duration("10.minutes") == "10 minutes"
+    assert parse_duration("1.hour") == "1 hours"
+    assert parse_duration("500 millis") == "500 milliseconds"
+    with pytest.raises(ValueError, match="unparseable"):
+        parse_duration("ten minutes")
+
+    t = Table(spark.range(1).selectExpr("current_timestamp() AS ts", "1.0 AS v"))
+    with pytest.raises(ValueError, match="window alias"):
+        t.window(Tumble.over("1.minute").on("ts").alias("w")).group_by("k")
+    with pytest.raises(ValueError, match="on\\(|alias\\(|needs"):
+        t.window(Tumble.over("1.minute")).group_by("w").select("sum(v) AS s")

@@ -226,3 +226,139 @@ class WindowGroupedTable:
             else:
                 sel.append(F.col(agg_out[p[1]]))
         return Table(agg_df.select(*sel))
+
+
+# ---------------------------------------------------------------------------
+# Fluent Table API OVER windows (ref: flink-table-api-java
+# org/apache/flink/table/api/Over.java:48 — Over.partitionBy("k")
+# .orderBy("rowtime").preceding(UNBOUNDED_RANGE).as("w"), consumed by
+# Table.window(OverWindow) + select("sum(v) OVER w")).
+# ---------------------------------------------------------------------------
+
+UNBOUNDED_RANGE = "unbounded_range"
+UNBOUNDED_ROW = "unbounded_row"
+CURRENT_RANGE = "current_range"
+CURRENT_ROW = "current_row"
+
+
+class OverWindow:
+    def __init__(self):
+        self.partition: list[str] = []
+        self.order: str | None = None
+        self.preceding_spec: str = UNBOUNDED_RANGE
+        self.following_spec: str | None = None
+        self.name: str | None = None
+
+    def order_by(self, col) -> "OverWindow":
+        self.order = str(col).lstrip("$").strip("'\"")
+        return self
+
+    def preceding(self, spec) -> "OverWindow":
+        self.preceding_spec = str(spec)
+        return self
+
+    def following(self, spec) -> "OverWindow":
+        self.following_spec = str(spec)
+        return self
+
+    def alias(self, name: str) -> "OverWindow":
+        self.name = name
+        return self
+
+    as_ = alias
+
+    def spec(self):
+        """Build the Spark WindowSpec.  Row-count frames map to
+        rowsBetween; RANGE and time-interval frames map to rangeBetween
+        (time intervals order by epoch seconds, the same engine-side
+        trick StreamExecOverAggregate's range frames use)."""
+        from pyspark.sql import Window
+
+        if self.order is None or self.name is None:
+            raise ValueError("over window needs .order_by(...) and .alias(...)")
+
+        def bound(spec_str, default):
+            if spec_str is None:
+                return default, "either"
+            ss = spec_str.strip().lower()
+            if ss in (UNBOUNDED_RANGE, UNBOUNDED_ROW):
+                kind = "range" if ss == UNBOUNDED_RANGE else "rows"
+                return Window.unboundedPreceding, kind
+            if ss in (CURRENT_RANGE, CURRENT_ROW):
+                return Window.currentRow, "range" if ss == CURRENT_RANGE else "rows"
+            m = _re.fullmatch(r"(\d+)\s*[. ]\s*rows?", ss)
+            if m:
+                return int(m.group(1)), "rows"
+            # time interval → seconds over an epoch-ordered range frame
+            dur = parse_duration(ss)
+            n, unit = dur.split(" ", 1)
+            secs = {"milliseconds": 0.001, "seconds": 1, "minutes": 60,
+                    "hours": 3600, "days": 86400}[unit]
+            return int(int(n) * secs), "range_time"
+        lo, lo_kind = bound(self.preceding_spec, None)
+        hi, hi_kind = bound(self.following_spec, Window.currentRow)
+        kinds = {k for k in (lo_kind, hi_kind) if k != "either"}
+        if kinds <= {"rows"}:
+            frame_rows = True
+        elif kinds <= {"range", "range_time"}:
+            frame_rows = False
+        else:
+            raise ValueError(
+                f"mixed ROWS/RANGE frame bounds: {self.preceding_spec!r} / "
+                f"{self.following_spec!r}"
+            )
+        lo = -lo if isinstance(lo, int) and lo > 0 else lo
+        w = Window.partitionBy(*self.partition) if self.partition else Window.partitionBy()
+        if frame_rows:
+            return w.orderBy(self.order).rowsBetween(lo, hi)
+        if "range_time" in kinds:
+            # interval frame: order by epoch seconds
+            return w.orderBy(
+                F.col(self.order).cast("timestamp").cast("long")
+            ).rangeBetween(lo, hi)
+        return w.orderBy(self.order).rangeBetween(lo, hi)
+
+
+class Over:
+    """ref: Over.java:48."""
+
+    @staticmethod
+    def partition_by(*cols) -> OverWindow:
+        ow = OverWindow()
+        ow.partition = [str(c).lstrip("$").strip("'\"") for c in cols]
+        return ow
+
+    @staticmethod
+    def order_by(col) -> OverWindow:
+        return OverWindow().order_by(col)
+
+
+class OverWindowedTable:
+    """ref: OverWindowedTable (Table.window(OverWindow...)); select
+    entries spelled ``<agg expr> OVER <alias> [AS name]`` are applied
+    over the window; everything else projects as usual."""
+
+    def __init__(self, df: DataFrame, ow: OverWindow):
+        self.df = df
+        self.ow = ow
+
+    def select(self, *exprs):
+        from my_flink_1_10_2_spark.table import Table
+
+        spec = self.ow.spec()
+        over_re = _re.compile(
+            rf"^(.*?)\s+OVER\s+{_re.escape(self.ow.name)}\s*(?:AS\s+(\w+))?\s*$",
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        out = []
+        for i, e in enumerate(exprs):
+            if isinstance(e, str):
+                m = over_re.match(e.strip())
+                if m:
+                    col = F.expr(m.group(1)).over(spec)
+                    out.append(col.alias(m.group(2) or f"over_{i}"))
+                    continue
+                out.append(F.expr(e))
+            else:
+                out.append(e)
+        return Table(self.df.select(*out))

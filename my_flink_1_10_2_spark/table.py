@@ -333,8 +333,14 @@ def _table_window(self, group_window) -> "object":
              .group_by("w", "k")
              .select("sum(v) AS total", "w.start", "w.end")
     """
-    from my_flink_1_10_2_spark.operators.windows import GroupWindowedTable
+    from my_flink_1_10_2_spark.operators.windows import (
+        GroupWindowedTable,
+        OverWindow,
+        OverWindowedTable,
+    )
 
+    if isinstance(group_window, OverWindow):
+        return OverWindowedTable(self.df, group_window)
     return GroupWindowedTable(self.df, group_window)
 
 

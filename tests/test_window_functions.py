@@ -208,3 +208,51 @@ def test_window_descriptor_validation(spark):
         t.window(Tumble.over("1.minute").on("ts").alias("w")).group_by("k")
     with pytest.raises(ValueError, match="on\\(|alias\\(|needs"):
         t.window(Tumble.over("1.minute")).group_by("w").select("sum(v) AS s")
+
+
+def test_fluent_over_window_api(spark):
+    """ref: Over.java:48 — Over.partitionBy().orderBy().preceding() with
+    select('sum(v) OVER w')."""
+    from my_flink_1_10_2_spark.operators.windows import UNBOUNDED_ROW, Over
+    from my_flink_1_10_2_spark.table import Table
+
+    t = Table(
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 4.0), ("b", 1, 10.0)],
+            "k string, seq long, v double",
+        )
+    )
+    out = (
+        t.window(
+            Over.partition_by("k").order_by("seq").preceding(UNBOUNDED_ROW).alias("w")
+        ).select("k", "seq", "sum(v) OVER w AS run", "avg(v) OVER w AS mean")
+    )
+    rows = {(r.k, r.seq): (r.run, round(r.mean, 4)) for r in out.to_df().collect()}
+    assert rows[("a", 3)] == (7.0, round(7 / 3, 4))
+    assert rows[("b", 1)] == (10.0, 10.0)
+
+    # bounded rows frame: last 2 rows
+    out2 = (
+        t.window(Over.partition_by("k").order_by("seq").preceding("1.rows").alias("w"))
+        .select("k", "seq", "sum(v) OVER w AS run2")
+    )
+    rows2 = {(r.k, r.seq): r.run2 for r in out2.to_df().collect()}
+    assert rows2[("a", 3)] == 6.0  # rows 2 and 3
+
+    # time-interval range frame
+    import datetime
+
+    base = datetime.datetime(2021, 1, 1)
+    tt = Table(
+        spark.createDataFrame(
+            [("a", base + datetime.timedelta(seconds=s), 1.0) for s in (0, 10, 40)],
+            "k string, ts timestamp, v double",
+        )
+    )
+    out3 = (
+        tt.window(
+            Over.partition_by("k").order_by("ts").preceding("15.seconds").alias("w")
+        ).select("k", "ts", "count(v) OVER w AS n")
+    )
+    by_sec = {r.ts.second: r.n for r in out3.to_df().collect()}
+    assert by_sec == {0: 1, 10: 2, 40: 1}

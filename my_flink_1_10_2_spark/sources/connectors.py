@@ -324,3 +324,56 @@ def cassandra_sink_options(
             int(max_concurrent_requests)
         )
     return opts
+
+
+# ---------------------------------------------------------------------------
+# Connectors with NO structured-streaming analog in the Spark ecosystem.
+# Honest capability gates (not silent no-ops): each raises immediately
+# with the closest supported migration path, so a ported program fails
+# loudly at build time instead of silently dropping a source.
+# ---------------------------------------------------------------------------
+
+
+def rabbitmq_source(*_args, **_kwargs):
+    """ref: flink-connectors/flink-connector-rabbitmq/.../RMQSource.java.
+    No maintained Spark structured-streaming RabbitMQ source exists.
+    Migration paths: bridge the queue into Kafka (RabbitMQ shovel /
+    MirrorMaker) and use `kafka_source`, or emit lines over TCP and use
+    `socket_text_stream` for tests."""
+    raise NotImplementedError(
+        "RabbitMQ has no Spark structured-streaming connector; bridge to "
+        "Kafka (kafka_source) or a socket source instead"
+    )
+
+
+def nifi_source(*_args, **_kwargs):
+    """ref: flink-connectors/flink-connector-nifi/.../NiFiSource.java.
+    Use NiFi's PublishKafka processor and `kafka_source`, or NiFi's
+    PutFile + a file-stream source on the landing directory."""
+    raise NotImplementedError(
+        "NiFi has no Spark connector; route the NiFi flow to Kafka "
+        "(PublishKafka -> kafka_source) or to files (PutFile -> "
+        "file_stream_source)"
+    )
+
+
+def pubsub_source(*_args, **_kwargs):
+    """ref: flink-connectors/flink-connector-gcp-pubsub/.../PubSubSource.java.
+    No first-party Spark connector; Google's supported pattern is
+    Pub/Sub -> Kafka bridge or Pub/Sub Lite's Spark connector jar (not
+    bundled here)."""
+    raise NotImplementedError(
+        "GCP Pub/Sub has no bundled Spark connector; bridge to Kafka or "
+        "attach the pubsublite-spark jar and use format('pubsublite')"
+    )
+
+
+def twitter_source(*_args, **_kwargs):
+    """ref: flink-connectors/flink-connector-twitter/.../TwitterSource.java.
+    The sample-stream API the reference wraps is retired; ingest tweets
+    out-of-band and replay via `file_stream_source` or Kafka."""
+    raise NotImplementedError(
+        "the Twitter streaming connector has no Spark analog (and the "
+        "upstream API is retired); replay captured data via "
+        "file_stream_source or Kafka"
+    )

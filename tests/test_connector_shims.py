@@ -176,3 +176,25 @@ def test_cassandra_sink_rejects_wal_and_empty_host():
         cassandra_sink_options("h", "ks", "t", write_ahead_log=True)
     with pytest.raises(ValueError):
         cassandra_sink_options("", "ks", "t")
+
+
+def test_unbridgeable_connectors_fail_loudly():
+    """RabbitMQ / NiFi / PubSub / Twitter have no Spark analog — the
+    shims must raise with a migration path, never silently no-op."""
+    import pytest
+
+    from my_flink_1_10_2_spark.sources.connectors import (
+        nifi_source,
+        pubsub_source,
+        rabbitmq_source,
+        twitter_source,
+    )
+
+    for fn, hint in [
+        (rabbitmq_source, "Kafka"),
+        (nifi_source, "Kafka"),
+        (pubsub_source, "Kafka"),
+        (twitter_source, "file_stream_source"),
+    ]:
+        with pytest.raises(NotImplementedError, match=hint):
+            fn()

@@ -383,3 +383,42 @@ def q_tumble_window_all(spark, sf_dir):
         )
     )
     return out.df
+
+
+@register(
+    "q_table_api_fluent_window",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                AS TIMESTAMP) AS w_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_e4
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="window",
+)
+def q_table_api_fluent_window(spark, sf_dir):
+    """The fluent Table-API group-window spelling end-to-end (ref:
+    Tumble.java:47, Table.window → GroupWindowedTable →
+    WindowGroupedTable): Tumble.over('30.minutes').on('ts').alias('w')
+    with a select mixing w.start, a key and aggregates.  Integer 1e-4
+    units keep the sum exact under any partial-agg order."""
+    from my_flink_1_10_2_spark.operators.windows import Tumble
+    from my_flink_1_10_2_spark.table import Table
+
+    events = Table(read(spark, sf_dir, "events"))
+    return (
+        events.window(Tumble.over("30.minutes").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .select(
+            "w.start AS w_start",
+            "event_type",
+            "count(*) AS cnt",
+            "CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4",
+        )
+        .order_by("w_start", "event_type")
+        .to_df()
+    )

@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 RowPredicate = Callable[[pd.Series, dict[str, list[pd.Series]]], bool]
 
@@ -479,3 +480,55 @@ def match_recognize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class PatternStream:
+    """ref: flink-cep PatternStream.java:51 — the result of
+    CEP.pattern(); ``select`` runs the NFA and shapes one output row per
+    match."""
+
+    def __init__(self, df, partition_by, order_by, pattern: "Pattern"):
+        self.df = df
+        self.partition_by = list(partition_by)
+        self.order_by = list(order_by)
+        self.pattern = pattern
+
+    def select(
+        self,
+        measures: dict,
+        output_schema: str,
+        after_match: str = "skip_past_last_row",
+    ) -> DataFrame:
+        """ref: PatternStream.select:128 (PatternSelectFunction — here
+        the measures dict, same contract as match_recognize)."""
+        return match_recognize(
+            self.df,
+            self.partition_by,
+            self.order_by,
+            self.pattern,
+            measures,
+            output_schema,
+            after_match=after_match,
+        )
+
+
+class CEP:
+    """ref: flink-cep CEP.java:29."""
+
+    @staticmethod
+    def pattern(stream_or_df, pattern: "Pattern", key_by=None, order_by=None) -> PatternStream:
+        """ref: CEP.java:38 — pair an input with a Pattern.  `key_by`
+        defaults to no partitioning columns only if the caller really
+        has a global sequence; pass the key columns for keyed patterns
+        (the reference requires a keyed stream for parallel CEP too)."""
+        df = stream_or_df.df if hasattr(stream_or_df, "df") else stream_or_df
+        keys = [key_by] if isinstance(key_by, str) else list(key_by or [])
+        order = [order_by] if isinstance(order_by, str) else list(order_by or [])
+        if not order:
+            raise ValueError("CEP.pattern needs order_by (the event-time column)")
+        if not keys:
+            # global pattern: single constant key, same serial semantics
+            # as the reference's non-keyed CEP (one NFA instance)
+            df = df.withColumn("__cep_key", F.lit(0))
+            keys = ["__cep_key"]
+        return PatternStream(df, keys, order, pattern)

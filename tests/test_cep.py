@@ -248,3 +248,46 @@ def test_skip_to_first_of_leading_var_raises(spark):
     pat = Pattern.begin("a", lambda r, c: True).next("b", lambda r, c: True)
     with _pytest.raises(Exception):
         _run(df, pat, after=("skip_to_first", "a"))
+
+
+def test_cep_facade_matches_match_recognize(spark):
+    """ref: CEP.java:38 + PatternStream.select:128 — the fluent facade
+    must produce exactly what match_recognize produces."""
+    from my_flink_1_10_2_spark.operators.cep import CEP, Pattern, match_recognize
+
+    rows = [
+        ("a", 1, 5.0), ("a", 2, 3.0), ("a", 3, 7.0),
+        ("b", 1, 9.0), ("b", 2, 2.0), ("b", 3, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    # down-then-up V shape
+    pat = (
+        Pattern.begin("down", lambda r, c: c["down"] == [] or r["v"] < c["down"][-1]["v"])
+        .followed_by("up", lambda r, c: r["v"] > c["down"][-1]["v"])
+    )
+    measures = {
+        "k": lambda g: g["down"][0]["k"],
+        "bottom": lambda g: min(r["v"] for r in g["down"]),
+        "rebound": lambda g: g["up"][-1]["v"],
+    }
+    schema = "k string, bottom double, rebound double"
+    via_facade = CEP.pattern(df, pat, key_by="k", order_by="seq").select(measures, schema)
+    direct = match_recognize(df, ["k"], ["seq"], pat, measures, schema)
+    assert sorted(map(tuple, via_facade.collect())) == sorted(map(tuple, direct.collect()))
+    assert len(via_facade.collect()) > 0
+
+
+def test_cep_facade_global_pattern(spark):
+    from my_flink_1_10_2_spark.operators.cep import CEP, Pattern
+
+    df = spark.createDataFrame([(1, 1.0), (2, 5.0), (3, 2.0)], "seq long, v double")
+    pat = Pattern.begin("spike", lambda r, c: r["v"] >= 5.0)
+    out = CEP.pattern(df, pat, order_by="seq").select(
+        {"v": lambda g: g["spike"][0]["v"]}, "v double"
+    )
+    assert [r.v for r in out.collect()] == [5.0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="order_by"):
+        CEP.pattern(df, pat)

@@ -205,6 +205,10 @@ def _batch_reader(spark: SparkSession, ct: CreateTable) -> DataFrame:
     if fmt == "csv":
         df = spark.read.schema(schema).option(
             "header", ct.options.get("csv.header", "false")
+        ).option(
+            "delimiter", ct.options.get("csv.field-delimiter", ",")
+        ).option(
+            "mode", ct.options.get("csv.mode", "PERMISSIVE")
         ).csv(path)
     elif fmt == "json":
         df = spark.read.schema(schema).json(path)
@@ -601,7 +605,9 @@ def execute_insert(env, statement: str) -> DataFrame:
     if fmt == "parquet":
         writer.parquet(path)
     elif fmt == "csv":
-        writer.option("header", ct.options.get("csv.header", "false")).csv(path)
+        writer.option("header", ct.options.get("csv.header", "false")).option(
+            "delimiter", ct.options.get("csv.field-delimiter", ",")
+        ).csv(path)
     elif fmt == "json":
         writer.json(path)
     else:

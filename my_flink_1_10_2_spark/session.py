@@ -133,6 +133,35 @@ class TableEnvironment:
 
         return Table(self.spark.table(name))
 
+    # -- connect() descriptor API (ref: pyflink table_environment.py:682;
+    # descriptors lowered onto the DDL machinery) ---------------------------
+    def connect(self, connector_descriptor):
+        from my_flink_1_10_2_spark.descriptors import ConnectTableDescriptor
+
+        return ConnectTableDescriptor(self, connector_descriptor)
+
+    def register_table_source(self, name: str, source) -> None:
+        """ref: pyflink TableEnvironment.register_table_source
+        (sources.py CsvTableSource:35)."""
+        from my_flink_1_10_2_spark.ddl import _batch_reader
+
+        ct = source.to_create_table(name)
+        self._ddl_tables[name] = ct
+        _batch_reader(self.spark, ct).createOrReplaceTempView(name)
+        self._register_in_catalog(ct)
+
+    def register_table_sink(self, name: str, sink) -> None:
+        """ref: pyflink TableEnvironment.register_table_sink (sinks.py
+        CsvTableSink:40) — the name becomes a valid INSERT INTO target."""
+        from my_flink_1_10_2_spark.ddl import _batch_reader
+
+        ct = sink.to_create_table(name)
+        if "csv.field-delimiter" not in ct.options and getattr(sink, "delimiter", ",") != ",":
+            ct.options["csv.field-delimiter"] = sink.delimiter
+        self._ddl_tables[name] = ct
+        _batch_reader(self.spark, ct).createOrReplaceTempView(name)
+        self._register_in_catalog(ct)
+
     # -- DataStream ↔ Table bridge (ref: flink-table-api-java-bridge
     # StreamTableEnvironment.java:192 fromDataStream, :325 toAppendStream,
     # :408 toRetractStream) -------------------------------------------------

@@ -104,6 +104,30 @@ class TableEnvironment:
         self.catalog = GenericInMemoryCatalog("default_catalog", "default")
         self.current_database = "default"
 
+    @classmethod
+    def create(
+        cls,
+        environment_settings=None,
+        table_config=None,
+        spark: SparkSession | None = None,
+    ) -> "TableEnvironment":
+        """ref: pyflink table_environment.py:1127/:1255 —
+        TableEnvironment.create(EnvironmentSettings[, TableConfig])."""
+        env = cls(spark)
+        if environment_settings is not None:
+            from my_flink_1_10_2_spark.flink_catalog import GenericInMemoryCatalog
+
+            env.catalog = GenericInMemoryCatalog(
+                environment_settings.get_built_in_catalog_name(),
+                environment_settings.get_built_in_database_name(),
+            )
+            env.current_database = environment_settings.get_built_in_database_name()
+            env.in_streaming_mode = environment_settings.is_streaming_mode()
+        if table_config is not None:
+            env.config = table_config
+            table_config.apply(env.spark)
+        return env
+
     # -- source registration (ref: SqlCreateTable.java:56) ------------------
     def register_parquet(self, name: str, path: str) -> "Table":
         df = self.spark.read.parquet(path)

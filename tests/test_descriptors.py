@@ -134,3 +134,40 @@ def test_descriptor_validation_errors(spark):
         ).create_temporary_table("z")
     # Avro descriptor carries the format through
     assert Avro().avro_schema('{"type":"record"}').to_properties()["format.type"] == "avro"
+
+
+def test_environment_settings_and_table_config(spark):
+    """ref: environment_settings.py:23, table_config.py:29,
+    TableEnvironment.create table_environment.py:1255."""
+    import datetime
+
+    from my_flink_1_10_2_spark.config import EnvironmentSettings, TableConfig
+
+    settings = (
+        EnvironmentSettings.new_instance()
+        .use_blink_planner()
+        .in_batch_mode()
+        .with_built_in_catalog_name("cat1")
+        .with_built_in_database_name("db1")
+        .build()
+    )
+    assert not settings.is_streaming_mode()
+
+    cfg = TableConfig()
+    cfg.set_local_timezone("UTC")
+    cfg.set_null_check(False)
+    cfg.set_idle_state_retention_time(
+        datetime.timedelta(hours=1), datetime.timedelta(hours=2)
+    )
+    assert cfg.get_min_idle_state_retention_time() == 3_600_000
+    assert cfg.get_max_idle_state_retention_time() == 7_200_000
+
+    env = TableEnvironment.create(settings, cfg, spark=spark)
+    assert env.catalog.name == "cat1"
+    assert env.current_database == "db1"
+    assert env.in_streaming_mode is False
+    assert env.config.get_null_check() is False
+    assert env.sql_query("SELECT 1 AS one").df.collect()[0].one == 1
+
+    with pytest.raises(NotImplementedError):
+        EnvironmentSettings.new_instance().use_old_planner()

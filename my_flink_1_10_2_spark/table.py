@@ -207,6 +207,12 @@ class Table:
         return Table(self.df.sortWithinPartitions(*_cols(fields)))
 
     # -- sinks / materialization (ref: DataStream print:1001, writeAsCsv:1117) --
+    def get_schema(self):
+        """ref: Table.getSchema Table.java / pyflink Table.get_schema —
+        the Spark StructType (field names + types, same information as
+        the reference's TableSchema)."""
+        return self.df.schema
+
     def to_df(self) -> DataFrame:
         return self.df
 

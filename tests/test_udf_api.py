@@ -69,3 +69,10 @@ def test_datatypes_construct_spark_types():
     assert row["ts"].dataType == T.TimestampNTZType()
     assert row["ltz"].dataType == T.TimestampType()
     assert row["amount"].dataType == T.DecimalType(12, 2)
+
+
+def test_table_get_schema(spark):
+    t = Table(spark.range(2).selectExpr("id", "CAST(id AS STRING) AS s"))
+    schema = t.get_schema()
+    assert [f.name for f in schema.fields] == ["id", "s"]
+    assert schema["s"].dataType == T.StringType()

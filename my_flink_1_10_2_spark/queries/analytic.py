@@ -268,3 +268,69 @@ def q_percentile_native(spark, sf_dir):
         F.percentile("l_extendedprice", 0.9).alias("p90"),
         F.percentile("l_extendedprice", 0.99).alias("p99"),
     )
+
+
+@register(
+    "q_table_api_over_window",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS run_cents,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS last3
+    FROM orders
+    WHERE o_custkey <= 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+    category="analytic",
+)
+def q_table_api_over_window(spark, sf_dir):
+    """The fluent Table-API OVER-window spelling end-to-end (ref:
+    Over.java:48, OverWindowedTable; select('agg OVER w')) — running
+    integer-cents sum (UNBOUNDED_ROW) and a bounded 3-row count frame,
+    both planned as native JVM window functions."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.windows import UNBOUNDED_ROW, Over
+    from my_flink_1_10_2_spark.table import Table
+
+    orders = Table(
+        read(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 200)
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+        )
+    )
+    run = (
+        orders.window(
+            Over.partition_by("o_custkey")
+            .order_by("o_orderkey")
+            .preceding(UNBOUNDED_ROW)
+            .alias("w")
+        ).select(
+            "o_custkey",
+            "o_orderkey",
+            "sum(cents) OVER w AS run_cents",
+        )
+    )
+    bounded = (
+        orders.window(
+            Over.partition_by("o_custkey")
+            .order_by("o_orderkey")
+            .preceding("2.rows")
+            .alias("w")
+        ).select("o_custkey AS ck", "o_orderkey AS ok", "count(*) OVER w AS last3")
+    )
+    return (
+        run.df.join(
+            bounded.df,
+            (F.col("o_custkey") == F.col("ck")) & (F.col("o_orderkey") == F.col("ok")),
+        )
+        .select("o_custkey", "o_orderkey", "run_cents", "last3")
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -161,3 +161,39 @@ def test_lateral_table_rewrites_to_lateral_view():
     assert "LATERAL VIEW json_tuple(js, 'k', 'v') J AS k, v" in q2
     # non-Flink SQL passes through untouched
     assert rewrite_flink_sql("SELECT 1") == "SELECT 1"
+
+
+def test_rewriter_passthrough_property():
+    """Property (hypothesis): SQL text without Flink-only constructs
+    passes through rewrite_flink_sql byte-identical — the rewriter must
+    never corrupt ordinary queries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from my_flink_1_10_2_spark.sql import rewrite_flink_sql
+
+    ident = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+    )
+    frag = st.one_of(
+        ident,
+        st.sampled_from(
+            [
+                "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "JOIN",
+                "ON", "AND", "OR", "sum(x)", "count(*)", "over (partition by k)",
+                "window(ts, '1 hour')", "'a string literal'", "1.5", "(", ")", ",",
+            ]
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, max_size=20))
+    def check(parts):
+        q = " ".join(parts)
+        # exclude spellings the rewriter is SUPPOSED to transform
+        for kw in ("TUMBLE", "HOP", "SESSION", "PROCTIME", "LATERAL TABLE", "MATCH_RECOGNIZE"):
+            if kw in q.upper():
+                return
+        assert rewrite_flink_sql(q) == q
+
+    check()

@@ -93,6 +93,21 @@ class Stream:
     def union(self, other: "Stream") -> "Stream":
         return Stream(self.df.unionByName(other.df))
 
+    def join(self, other: "Stream") -> "JoinedStreams":
+        """Fluent windowed stream join (ref: DataStream.join →
+        JoinedStreams.java:128 where/equalTo, :170 window, :272 apply):
+
+            a.join(b).where("uid").equal_to("user_id")
+             .window("ts", "ts2", "1 minute").apply("uid", "a.v", "b.v")
+        """
+        return JoinedStreams(self, other)
+
+    def co_group(self, other: "Stream") -> "CoGroupedStreams":
+        """Fluent windowed coGroup (ref: DataStream.coGroup →
+        CoGroupedStreams.java:1 — per key+window, BOTH groups are handed
+        to the apply function, including one-sided groups)."""
+        return CoGroupedStreams(self, other)
+
     def project(self, *fields) -> "Stream":
         """Positional or named projection (ref: DataStream.project:1278 —
         the reference selects tuple fields by index)."""
@@ -932,3 +947,102 @@ class WindowedStream:
         as :meth:`process` without timer access (none exists in either
         engine's window path)."""
         return self.process(fn, schema)
+
+
+class JoinedStreams:
+    """ref: JoinedStreams.java:128 (where), :170 (window), :272 (apply)
+    — inner equi-join of two streams within the same tumbling/sliding
+    window, expressed as a native join on (key, window) so Catalyst
+    plans an ordinary shuffled/broadcast hash join (plus watermark-state
+    bounds when the inputs are streaming)."""
+
+    def __init__(self, left: Stream, right: Stream):
+        self.left = left
+        self.right = right
+        self.left_keys: list[str] = []
+        self.right_keys: list[str] = []
+        self._win: tuple[str, str, str, str | None] | None = None
+
+    def where(self, *cols: str) -> "JoinedStreams":
+        self.left_keys = list(cols)
+        return self
+
+    def equal_to(self, *cols: str) -> "JoinedStreams":
+        self.right_keys = list(cols)
+        return self
+
+    def window(
+        self, left_ts: str, right_ts: str, size: str, slide: str | None = None
+    ) -> "JoinedStreams":
+        self._win = (left_ts, right_ts, size, slide)
+        return self
+
+    def apply(self, *select_exprs) -> Stream:
+        if not self.left_keys or len(self.left_keys) != len(self.right_keys):
+            raise ValueError("join needs where(...) and equal_to(...) of equal arity")
+        if self._win is None:
+            raise ValueError("join needs window(left_ts, right_ts, size)")
+        lts, rts, size, slide = self._win
+        # window assignment happens as a projection on each side (the
+        # reference assigns windows before the join too); the join is
+        # then a plain equi-join on (keys..., window struct), which
+        # Catalyst plans as an ordinary hash join.
+        wl = F.window(lts, size, slide) if slide else F.window(lts, size)
+        wr = F.window(rts, size, slide) if slide else F.window(rts, size)
+        a = self.left.df.withColumn("__wa", wl).alias("a")
+        b = self.right.df.withColumn("__wb", wr).alias("b")
+        cond = F.col("a.__wa") == F.col("b.__wb")
+        for lk, rk in zip(self.left_keys, self.right_keys):
+            cond = cond & (F.col(f"a.{lk}") == F.col(f"b.{rk}"))
+        joined = a.join(b, cond)
+        if select_exprs:
+            joined = joined.select(*[_col(e) for e in select_exprs])
+        else:
+            joined = joined.drop("__wa", "__wb")
+        return Stream(joined)
+
+
+class CoGroupedStreams:
+    """ref: CoGroupedStreams.java:1 — unlike join, BOTH per-key window
+    groups reach the apply function, including one-sided ones; backed by
+    Spark's native cogroup + applyInPandas."""
+
+    def __init__(self, left: Stream, right: Stream):
+        self._j = JoinedStreams(left, right)
+
+    def where(self, *cols: str) -> "CoGroupedStreams":
+        self._j.where(*cols)
+        return self
+
+    def equal_to(self, *cols: str) -> "CoGroupedStreams":
+        self._j.equal_to(*cols)
+        return self
+
+    def window(
+        self, left_ts: str, right_ts: str, size: str, slide: str | None = None
+    ) -> "CoGroupedStreams":
+        self._j.window(left_ts, right_ts, size, slide)
+        return self
+
+    def apply(self, fn, schema: str) -> Stream:
+        """``fn(key: tuple, left_pdf, right_pdf) -> pdf`` per (key,
+        window) pair; `key` ends with the window Row (start/end)."""
+        j = self._j
+        if not j.left_keys or len(j.left_keys) != len(j.right_keys):
+            raise ValueError("co_group needs where(...) and equal_to(...) of equal arity")
+        if j._win is None:
+            raise ValueError("co_group needs window(left_ts, right_ts, size)")
+        lts, rts, size, slide = j._win
+        wl = F.window(lts, size, slide) if slide else F.window(lts, size)
+        wr = F.window(rts, size, slide) if slide else F.window(rts, size)
+        lg = j.left.df.withColumn("__w", wl).groupBy(*j.left_keys, "__w")
+        rg = j.right.df.withColumn("__w", wr).groupBy(*j.right_keys, "__w")
+
+        def run(key, l_pdf, r_pdf):
+            return fn(
+                tuple(key),
+                l_pdf.drop(columns=["__w"], errors="ignore"),
+                r_pdf.drop(columns=["__w"], errors="ignore"),
+            )
+
+        return Stream(lg.cogroup(rg).applyInPandas(run, schema))

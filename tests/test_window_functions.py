@@ -256,3 +256,63 @@ def test_fluent_over_window_api(spark):
     )
     by_sec = {r.ts.second: r.n for r in out3.to_df().collect()}
     assert by_sec == {0: 1, 10: 2, 40: 1}
+
+
+def test_joined_streams_fluent_window_join(spark):
+    """ref: JoinedStreams.java:128/:170/:272 — windowed equi-join."""
+    import datetime
+
+    base = datetime.datetime(2021, 1, 1)
+    a = Stream(spark.createDataFrame(
+        [("u1", base, 1.0), ("u2", base + datetime.timedelta(seconds=70), 2.0)],
+        "uid string, ts timestamp, v double",
+    ))
+    b = Stream(spark.createDataFrame(
+        [("u1", base + datetime.timedelta(seconds=10), 10.0),
+         ("u2", base + datetime.timedelta(seconds=20), 20.0)],  # different window than u2's left row
+        "user string, ts2 timestamp, w double",
+    ))
+    out = (
+        a.join(b).where("uid").equal_to("user")
+        .window("ts", "ts2", "1 minute")
+        .apply("uid", "v", "w")
+    )
+    rows = [(r.uid, r.v, r.w) for r in out.df.collect()]
+    # only u1 pairs up: u2's events fall in different 1-minute windows
+    assert rows == [("u1", 1.0, 10.0)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="equal_to"):
+        a.join(b).where("uid").window("ts", "ts2", "1 minute").apply()
+    with pytest.raises(ValueError, match="window"):
+        a.join(b).where("uid").equal_to("user").apply()
+
+
+def test_cogrouped_streams_sees_one_sided_groups(spark):
+    """ref: CoGroupedStreams.java:1 — unlike join, one-sided groups
+    reach the apply function."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.datetime(2021, 1, 1)
+    a = Stream(spark.createDataFrame(
+        [("u1", base, 1.0), ("u3", base, 3.0)], "uid string, ts timestamp, v double",
+    ))
+    b = Stream(spark.createDataFrame(
+        [("u1", base, 10.0), ("u2", base, 20.0)], "uid string, ts timestamp, w double",
+    ))
+
+    def summarize(key, left, right):
+        return pd.DataFrame(
+            [{"uid": key[0], "n_left": len(left), "n_right": len(right)}]
+        )
+
+    out = (
+        a.co_group(b).where("uid").equal_to("uid")
+        .window("ts", "ts", "1 minute")
+        .apply(summarize, "uid string, n_left long, n_right long")
+    )
+    got = {r.uid: (r.n_left, r.n_right) for r in out.df.collect()}
+    assert got == {"u1": (1, 1), "u2": (0, 1), "u3": (1, 0)}

@@ -385,3 +385,12 @@ class TableEnvironment:
         if name not in self._ddl_tables:
             raise ValueError(f"{name} was not registered via CREATE TABLE DDL")
         return stream_reader(self.spark, self._ddl_tables[name])
+
+
+# Import-parity aliases (ref: pyflink.table.StreamTableEnvironment /
+# BatchTableEnvironment — table_environment.py:1127/:1255).  One unified
+# environment serves both modes here (Spark's batch/streaming split is
+# per-read, not per-environment); `EnvironmentSettings.in_batch_mode()`
+# records the caller's intent.
+StreamTableEnvironment = TableEnvironment
+BatchTableEnvironment = TableEnvironment

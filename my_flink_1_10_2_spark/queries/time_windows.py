@@ -422,3 +422,61 @@ def q_table_api_fluent_window(spark, sf_dir):
         .order_by("w_start", "event_type")
         .to_df()
     )
+
+
+@register(
+    "q_fluent_window_join",
+    oracle="""
+    WITH a AS (SELECT event_type, ts, value FROM events WHERE event_id <= 300),
+         b AS (SELECT event_type, ts, value FROM events
+               WHERE event_id > 300 AND event_id <= 600)
+    SELECT a.event_type,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(round((a.value + b.value) * 10000) AS BIGINT)) AS BIGINT)
+             AS pair_sum_e4
+    FROM a JOIN b
+      ON a.event_type = b.event_type
+     AND floor(epoch(a.ts) / 1800) = floor(epoch(b.ts) / 1800)
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+    category="join",
+)
+def q_fluent_window_join(spark, sf_dir):
+    """The fluent DataStream windowed-join spelling end-to-end (ref:
+    JoinedStreams.java:128 where/equalTo, :170 window, :272 apply):
+    two event slices joined per (event_type, 30-minute tumbling window),
+    then rolled up.  The join is a plain equi-join on (key, window
+    struct) — hash join, no range condition."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.streaming.stream import Stream
+
+    events = read(spark, sf_dir, "events")
+    a = Stream(events.where("event_id <= 300").select("event_type", "ts", "value"))
+    b = Stream(
+        events.where("event_id > 300 AND event_id <= 600")
+        .select(
+            F.col("event_type").alias("event_type_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("value").alias("value_b"),
+        )
+    )
+    joined = (
+        a.join(b)
+        .where("event_type")
+        .equal_to("event_type_b")
+        .window("ts", "ts_b", "30 minutes")
+        .apply(
+            "event_type",
+            "CAST(round((value + value_b) * 10000) AS BIGINT) AS pair_e4",
+        )
+    )
+    return (
+        joined.df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("pair_e4").cast("bigint").alias("pair_sum_e4"),
+        )
+        .orderBy("event_type")
+    )

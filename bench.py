@@ -63,6 +63,10 @@ HEADLINE = [
     "q_sssp",
     "q_vocab_coverage",
     "q_cep_times_or_more",
+    # round-3 second wave: the fluent-API paths over full sf data
+    "q_table_api_fluent_window",
+    "q_fluent_window_join",
+    "q_table_api_over_window",
 ]
 
 

@@ -354,3 +354,27 @@ def test_vocab_coverage_no_full_vocab_global_window(spark):
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in txt
     assert "windowspecdefinition(__salt" in txt
+
+
+def test_fluent_window_join_is_hash_join_no_python(spark):
+    """The fluent JoinedStreams chain must plan a hash-family equi-join
+    on (key, window) — never BroadcastNestedLoopJoin (a range-condition
+    formulation would) — and stay fully JVM-side."""
+    df = _df(spark, "q_fluent_window_join")
+    plan = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        plans.broadcast_join_count(df) + plans.sort_merge_join_count(df) >= 1
+        or "ShuffledHashJoin" in plan
+    )
+    assert plans.python_eval_count(df) == 0
+
+
+def test_fluent_group_and_over_windows_stay_jvm(spark):
+    """Fluent Tumble/Over spellings compile to native window aggregation
+    / window functions — zero Python eval nodes."""
+    for name in ("q_table_api_fluent_window", "q_table_api_over_window"):
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+    # the OVER path carries a native Window node
+    assert "Window" in plans.explain_str(_df(spark, "q_table_api_over_window"))

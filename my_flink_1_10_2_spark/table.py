@@ -142,18 +142,45 @@ class Table:
         )
 
     def join_lateral(self, udtf_expr, outer: bool = False) -> "Table":
-        """LATERAL TABLE(udtf(x)) (ref: StreamExecCorrelate.scala).
+        """LATERAL TABLE(udtf(x)) (ref: StreamExecCorrelate.scala;
+        Table.joinLateral/leftOuterJoinLateral Table.java:476-637).
 
         ``udtf_expr`` must be a generator expression (``explode``/
         ``posexplode``/``inline``...); implemented with Spark's native
-        generator support so it stays JVM-side.
+        generator support so it stays JVM-side.  With ``outer=True`` the
+        generator is rewritten to its ``*_outer`` variant so rows whose
+        generator yields nothing survive with NULLs (the reference's
+        leftOuterJoinLateral contract) — pass the expression as a string
+        for that rewrite.
         """
+        import re as _re
+
+        if outer:
+            if not isinstance(udtf_expr, str):
+                raise ValueError(
+                    "outer lateral needs a string generator expression "
+                    "(e.g. 'explode(arr) AS x') so it can be rewritten to "
+                    "the *_outer variant"
+                )
+            rewritten, n = _re.subn(
+                r"^\s*(explode|posexplode|inline)\s*\(",
+                lambda m: f"{m.group(1)}_outer(",
+                udtf_expr,
+                count=1,
+                flags=_re.IGNORECASE,
+            )
+            if not n:
+                raise ValueError(
+                    f"outer lateral supports explode/posexplode/inline, got {udtf_expr!r}"
+                )
+            udtf_expr = rewritten
         gen = _col(udtf_expr)
         star = [F.col(c) for c in self.df.columns]
-        if outer:
-            # left-outer lateral: keep rows whose generator yields nothing
-            return Table(self.df.select(*star, gen))
         return Table(self.df.select(*star, gen))
+
+    def left_outer_join_lateral(self, udtf_expr) -> "Table":
+        """ref: Table.leftOuterJoinLateral Table.java:637."""
+        return self.join_lateral(udtf_expr, outer=True)
 
     # -- set operations (ref: Table.java:655-742; §2.7) ---------------------
     def union(self, other: "Table") -> "Table":
@@ -207,6 +234,16 @@ class Table:
         return Table(self.df.sortWithinPartitions(*_cols(fields)))
 
     # -- sinks / materialization (ref: DataStream print:1001, writeAsCsv:1117) --
+    def alias(self, *fields: str) -> "Table":
+        """Positional column rename (ref: Table.as / pyflink
+        Table.alias — `t.alias("a", "b")`)."""
+        names = [f.strip() for part in fields for f in part.split(",")]
+        return Table(self.df.toDF(*names))
+
+    def print_schema(self) -> None:
+        """ref: pyflink Table.print_schema."""
+        self.df.printSchema()
+
     def get_schema(self):
         """ref: Table.getSchema Table.java / pyflink Table.get_schema —
         the Spark StructType (field names + types, same information as
@@ -351,3 +388,4 @@ def _table_window(self, group_window) -> "object":
 
 
 Table.window = _table_window
+Table.over_window = _table_window  # pyflink spelling for OVER windows

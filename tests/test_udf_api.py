@@ -76,3 +76,25 @@ def test_table_get_schema(spark):
     schema = t.get_schema()
     assert [f.name for f in schema.fields] == ["id", "s"]
     assert schema["s"].dataType == T.StringType()
+
+
+def test_table_alias_and_outer_lateral(spark):
+    t = Table(
+        spark.createDataFrame(
+            [(1, ["a", "b"]), (2, [])], "id long, tags array<string>"
+        )
+    )
+    renamed = t.alias("k, arr")
+    assert renamed.df.columns == ["k", "arr"]
+
+    inner = t.join_lateral("explode(tags) AS tag")
+    assert inner.count() == 2  # row with the empty array is dropped
+
+    outer = t.left_outer_join_lateral("explode(tags) AS tag")
+    rows = sorted((r.id, r.tag) for r in outer.df.collect())
+    assert rows == [(1, "a"), (1, "b"), (2, None)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outer lateral"):
+        t.join_lateral("my_udtf(tags) AS x", outer=True)

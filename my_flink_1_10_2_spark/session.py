@@ -157,6 +157,109 @@ class TableEnvironment:
 
         return Table(self.spark.table(name))
 
+    # -- catalog navigation (ref: pyflink table_environment.py
+    # register_catalog/get_catalog/use_catalog/use_database/list_*;
+    # TableEnvironmentImpl.java catalog manager surface) --------------------
+    def register_catalog(self, name: str, catalog) -> None:
+        if not hasattr(self, "_catalogs"):
+            self._catalogs: dict[str, object] = {}
+        self._catalogs.setdefault(self.catalog.name, self.catalog)
+        self._catalogs[name] = catalog
+
+    def get_catalog(self, name: str):
+        if name == self.catalog.name:
+            return self.catalog
+        return getattr(self, "_catalogs", {})[name]
+
+    def list_catalogs(self) -> list[str]:
+        return sorted({self.catalog.name, *getattr(self, "_catalogs", {})})
+
+    def get_current_catalog(self) -> str:
+        return self.catalog.name
+
+    def use_catalog(self, name: str) -> None:
+        if name != self.catalog.name:
+            self.catalog = self.get_catalog(name)
+            self.current_database = self.catalog.default_database
+
+    def get_current_database(self) -> str:
+        return self.current_database
+
+    def use_database(self, name: str) -> None:
+        self.execute_sql(f"USE {name}")
+
+    def list_databases(self) -> list[str]:
+        return self.catalog.list_databases()
+
+    def list_tables(self) -> list[str]:
+        return self.catalog.list_tables(self.current_database)
+
+    def list_temporary_views(self) -> list[str]:
+        return sorted(
+            t.name for t in self.spark.catalog.listTables() if t.tableType == "TEMPORARY"
+        )
+
+    list_temporary_tables = list_temporary_views
+
+    def list_functions(self) -> list[str]:
+        return self.catalog.list_functions(self.current_database)
+
+    def list_user_defined_functions(self) -> list[str]:
+        return self.list_functions()
+
+    def get_config(self):
+        """ref: pyflink TableEnvironment.get_config."""
+        if not hasattr(self, "config"):
+            from my_flink_1_10_2_spark.config import TableConfig
+
+            self.config = TableConfig()
+        return self.config
+
+    # -- registration/entry aliases (ref: pyflink register_table, scan,
+    # from_table_source, register_function, insert_into, drop_temporary_*) --
+    def register_table(self, name: str, table) -> None:
+        self.create_temporary_view(name, table)
+
+    def scan(self, *path: str) -> "Table":
+        """ref: TableEnvironment.scan — resolve a registered table by
+        (db-qualified) name."""
+        return self.from_path(".".join(path))
+
+    def from_table_source(self, source) -> "Table":
+        from my_flink_1_10_2_spark.ddl import _batch_reader
+        from my_flink_1_10_2_spark.table import Table
+
+        return Table(_batch_reader(self.spark, source.to_create_table("__anon")))
+
+    def register_function(self, name: str, function) -> None:
+        """Register a Python UDF for SQL use (ref: pyflink
+        register_function; built ones from functions/udf_api.udf)."""
+        self.spark.udf.register(name, function)
+
+    def insert_into(self, target: str, table) -> DataFrame:
+        """Eagerly insert a Table into a registered sink (ref: pyflink
+        TableEnvironment.insert_into)."""
+        from my_flink_1_10_2_spark.table import Table as _T
+
+        t = table if isinstance(table, _T) else _T(table)
+        return t.insert_into(self, target)
+
+    def drop_temporary_view(self, name: str) -> bool:
+        return self.spark.catalog.dropTempView(name)
+
+    drop_temporary_table = drop_temporary_view
+
+    def explain(self, table_or_sql) -> str:
+        """ref: TableEnvironment.explain (TableEnvironmentImpl.java:463)."""
+        if isinstance(table_or_sql, str):
+            return self.explain_sql(table_or_sql)
+        df = table_or_sql.df if hasattr(table_or_sql, "df") else table_or_sql
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
     # -- connect() descriptor API (ref: pyflink table_environment.py:682;
     # descriptors lowered onto the DDL machinery) ---------------------------
     def connect(self, connector_descriptor):

@@ -171,3 +171,51 @@ def test_environment_settings_and_table_config(spark):
 
     with pytest.raises(NotImplementedError):
         EnvironmentSettings.new_instance().use_old_planner()
+
+
+def test_table_environment_navigation_surface(spark, tmp_path):
+    """ref: pyflink table_environment.py — register_catalog/get_catalog/
+    use_catalog, list_*, register_table/scan, register_function,
+    insert_into, drop_temporary_view, explain, get_config."""
+    from my_flink_1_10_2_spark.flink_catalog import GenericInMemoryCatalog
+    from my_flink_1_10_2_spark.functions.udf_api import udf
+    from my_flink_1_10_2_spark.table import Table
+    from my_flink_1_10_2_spark.types import DataTypes
+
+    env = TableEnvironment(spark)
+    assert env.get_current_catalog() == "default_catalog"
+    other = GenericInMemoryCatalog("other_cat", "odb")
+    env.register_catalog("other_cat", other)
+    assert env.list_catalogs() == ["default_catalog", "other_cat"]
+    env.use_catalog("other_cat")
+    assert env.get_current_catalog() == "other_cat"
+    assert env.get_current_database() == "odb"
+    assert env.list_databases() == ["odb"]
+    # switching back works — the original catalog stays registered
+    env.use_catalog("default_catalog")
+    assert env.get_current_catalog() == "default_catalog"
+
+    env2 = TableEnvironment(spark)
+    t = Table(spark.createDataFrame([(1, "a")], "id long, s string"))
+    env2.register_table("reg_t", t)
+    assert "reg_t" in env2.list_temporary_views()
+    assert env2.scan("reg_t").count() == 1
+
+    double_it = udf(lambda s: s * 2, result_type=DataTypes.BIGINT())
+    env2.register_function("dbl", double_it)
+    assert env2.sql_query("SELECT dbl(id) AS d FROM reg_t").df.collect()[0].d == 2
+
+    env2.execute_sql(
+        f"""CREATE TABLE nav_sink (id BIGINT, s STRING) WITH (
+          'connector'='filesystem', 'path'='{tmp_path / "nav_sink"}',
+          'format'='parquet')"""
+    )
+    env2.insert_into("nav_sink", t)
+    assert env2.sql_query("SELECT count(*) AS n FROM nav_sink").df.collect()[0].n == 1
+
+    plan = env2.explain(t)
+    assert "Physical Plan" in plan
+    assert env2.explain("SELECT 1 AS x")
+
+    assert env2.get_config().get_local_timezone() == "UTC"
+    assert env2.drop_temporary_view("reg_t") is True

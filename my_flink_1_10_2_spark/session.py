@@ -215,6 +215,31 @@ class TableEnvironment:
             self.config = TableConfig()
         return self.config
 
+    # -- python dependency shipping (ref: pyflink table_environment.py
+    # add_python_file / add_python_archive / set_python_requirements) -------
+    def add_python_file(self, file_path: str) -> None:
+        """Ship a .py/.zip/.egg to every executor's import path (ref:
+        pyflink add_python_file → here SparkContext.addPyFile, the same
+        torrent-distributed mechanism)."""
+        self.spark.sparkContext.addPyFile(file_path)
+
+    def add_python_archive(self, archive_path: str, target_dir: str | None = None) -> None:
+        """Ship an archive, extracted on each executor (ref: pyflink
+        add_python_archive → SparkContext.addArchive).  Spark names the
+        extraction dir after the archive file; a custom ``target_dir``
+        can be requested with the `#alias` fragment."""
+        path = f"{archive_path}#{target_dir}" if target_dir else archive_path
+        self.spark.sparkContext.addArchive(path)
+
+    def set_python_requirements(self, *_args, **_kwargs) -> None:
+        """The reference pip-installs into per-node Beam sidecars; Spark
+        has no per-job pip step — bake requirements into the executor
+        image/conda env, or ship wheels via add_python_file."""
+        raise NotImplementedError(
+            "per-job pip requirements have no Spark analog; bake the env "
+            "or ship wheels with add_python_file"
+        )
+
     # -- registration/entry aliases (ref: pyflink register_table, scan,
     # from_table_source, register_function, insert_into, drop_temporary_*) --
     def register_table(self, name: str, table) -> None:

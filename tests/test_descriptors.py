@@ -219,3 +219,26 @@ def test_table_environment_navigation_surface(spark, tmp_path):
 
     assert env2.get_config().get_local_timezone() == "UTC"
     assert env2.drop_temporary_view("reg_t") is True
+
+
+def test_add_python_file_reaches_executors(spark, tmp_path):
+    """ref: pyflink add_python_file → SparkContext.addPyFile: the module
+    must be importable inside executor-side functions."""
+    mod = tmp_path / "shipped_helper_mod.py"
+    mod.write_text("def triple(x):\n    return 3 * x\n")
+    env = TableEnvironment(spark)
+    env.add_python_file(str(mod))
+
+    def apply_it(it):
+        import shipped_helper_mod
+
+        for row in it:
+            yield (row.id, shipped_helper_mod.triple(row.id))
+
+    got = dict(spark.range(4).rdd.mapPartitions(apply_it).collect())
+    assert got == {0: 0, 1: 3, 2: 6, 3: 9}
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="wheels|bake"):
+        env.set_python_requirements("requirements.txt")

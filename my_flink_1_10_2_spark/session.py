@@ -261,6 +261,16 @@ class TableEnvironment:
         register_function; built ones from functions/udf_api.udf)."""
         self.spark.udf.register(name, function)
 
+    def register_java_function(self, name: str, class_name: str, return_type=None) -> None:
+        """ref: pyflink register_java_function — a JVM UDF class on the
+        classpath, registered through Spark's native Java-UDF hook."""
+        self.spark.udf.registerJavaFunction(name, class_name, return_type)
+
+    def list_modules(self) -> list[str]:
+        """ref: pyflink list_modules — one built-in module (`core`),
+        same as the reference's default module manager."""
+        return ["core"]
+
     def insert_into(self, target: str, table) -> DataFrame:
         """Eagerly insert a Table into a registered sink (ref: pyflink
         TableEnvironment.insert_into)."""

@@ -571,32 +571,57 @@ def execute_insert(env, statement: str) -> DataFrame:
         except Exception:
             is_view = False
         if not is_view and env.spark.catalog.tableExists(target):
-            n = df.count()
-            df.write.insertInto(target, overwrite=overwrite)
+            # persist so the source query runs ONCE (the count reads the
+            # materialized cache the write produced, not a re-execution
+            # — matters for expensive or non-deterministic sources)
+            df = df.persist()
+            try:
+                df.write.insertInto(target, overwrite=overwrite)
+                n = df.count()
+            finally:
+                df.unpersist()
             return env.spark.createDataFrame([(n,)], schema="rows_written bigint")
         raise ValueError(
             f"INSERT target {target!r} is not a DDL-registered table or a "
             "catalog table (temp views are read-only relations)"
         )
 
-    declared = ct.columns
+    types = dict(ct.columns)
     if col_list:
+        # The column list matches the SELECT output in the USER's order
+        # (ref: SqlInsert column list semantics); unlisted columns are
+        # null-filled so the table schema stays intact.
         names = [c.strip() for c in col_list.split(",") if c.strip()]
-        declared = [c for c in ct.columns if c[0] in names]
-        if len(declared) != len(names):
-            unknown = set(names) - {c for c, _ in ct.columns}
+        unknown = set(names) - set(types)
+        if unknown:
             raise ValueError(f"INSERT column list references unknown columns {unknown}")
+        declared = [(n, types[n]) for n in names]
+    else:
+        declared = list(ct.columns)
     if len(df.columns) != len(declared):
         raise ValueError(
             f"INSERT has {len(df.columns)} columns, target expects {len(declared)}"
         )
+    # rename positionally first — SELECT outputs can carry names like
+    # `2.5` that column resolution would mis-parse as a nested path
+    df = df.toDF(*[f"__src{i}" for i in range(len(df.columns))])
+    provided = {
+        name: F.col(f"__src{i}").cast(t) for i, (name, t) in enumerate(declared)
+    }
+    # emit in full table-column order, nulls for unlisted columns
     aligned = df.select(
-        *[F.col(src).cast(t).alias(name) for src, (name, t) in zip(df.columns, declared)]
+        *[
+            provided.get(name, F.lit(None).cast(t)).alias(name)
+            for name, t in ct.columns
+        ]
     )
     fmt = ct.options.get("format", "parquet").lower()
     path = ct.options.get("path")
     if not path:
         raise ValueError(f"DDL table {tname!r} has no 'path' option to write to")
+    # persist: the source query executes once (write + count share the
+    # materialization); avoids re-reading the whole table post-insert
+    aligned = aligned.persist()
     writer = aligned.write.mode("overwrite" if overwrite else "append")
     if ct.partition_keys:
         writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
@@ -612,8 +637,9 @@ def execute_insert(env, statement: str) -> DataFrame:
         writer.json(path)
     else:
         raise ValueError(f"unsupported sink format {fmt!r}")
+    n = aligned.count()
+    aligned.unpersist()
     # the old temp view snapshotted the file listing — re-register so
     # subsequent queries see the new files
     _batch_reader(env.spark, ct).createOrReplaceTempView(ct.name)
-    n = env.spark.table(ct.name).count()
-    return env.spark.createDataFrame([(n,)], schema="rows_total bigint")
+    return env.spark.createDataFrame([(n,)], schema="rows_written bigint")

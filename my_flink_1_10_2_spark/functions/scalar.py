@@ -59,8 +59,11 @@ def _col(c) -> Column:
 
 def split_index(s, delimiter: str, index: int) -> Column:
     """SPLIT_INDEX(s, d, i) — i is 0-based in Flink (ref
-    SqlFunctionUtils.splitIndex); element_at is 1-based."""
-    return F.element_at(F.split(_col(s), delimiter), index + 1)
+    SqlFunctionUtils.splitIndex); element_at is 1-based.  Negative or
+    out-of-range indices return NULL (the reference's contract)."""
+    if index < 0:
+        return F.lit(None).cast("string")
+    return F.try_element_at(F.split(_col(s), delimiter), F.lit(index + 1))
 
 
 def str_to_map(s, pair_delim: str = ",", kv_delim: str = "=") -> Column:

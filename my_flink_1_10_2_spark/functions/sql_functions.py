@@ -27,7 +27,9 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "SPLIT_INDEX": (
         "s STRING, d STRING, i INT",
         "STRING",
-        "try_element_at(split(s, d), i + 1)",
+        # negative index -> NULL (the reference's contract), and never a
+        # Spark negative-index lookup
+        "CASE WHEN i < 0 THEN NULL ELSE try_element_at(split(s, d), i + 1) END",
     ),
     # ref :276-292 — character-class predicates
     "IS_DECIMAL": (
@@ -64,18 +66,16 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "SHA512": ("s STRING", "STRING", "sha2(s, 512)"),
 }
 
-_REGISTERED: set[int] = set()
-
-
 def register_flink_sql_functions(spark: SparkSession, force: bool = False) -> None:
     """Register every Flink-only SQL function name on `spark` as a
-    temporary SQL scalar function (idempotent per session)."""
-    key = id(spark)
-    if key in _REGISTERED and not force:
+    temporary SQL scalar function (idempotent per session).  The marker
+    lives ON the session object, so a recycled id() of a dead session
+    can never skip registration for a fresh one."""
+    if getattr(spark, "_graft_flink_sql_functions", False) and not force:
         return
     for name, (params, ret, body) in _SQL_FUNCTIONS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"
         )
-    _REGISTERED.add(key)
+    spark._graft_flink_sql_functions = True

@@ -277,26 +277,32 @@ class OverWindow:
         if self.order is None or self.name is None:
             raise ValueError("over window needs .order_by(...) and .alias(...)")
 
-        def bound(spec_str, default):
+        def bound(spec_str, default, direction):
             if spec_str is None:
                 return default, "either"
             ss = spec_str.strip().lower()
             if ss in (UNBOUNDED_RANGE, UNBOUNDED_ROW):
                 kind = "range" if ss == UNBOUNDED_RANGE else "rows"
-                return Window.unboundedPreceding, kind
+                edge = (
+                    Window.unboundedPreceding
+                    if direction == "preceding"
+                    else Window.unboundedFollowing
+                )
+                return edge, kind
             if ss in (CURRENT_RANGE, CURRENT_ROW):
                 return Window.currentRow, "range" if ss == CURRENT_RANGE else "rows"
             m = _re.fullmatch(r"(\d+)\s*[. ]\s*rows?", ss)
             if m:
                 return int(m.group(1)), "rows"
-            # time interval → seconds over an epoch-ordered range frame
+            # time interval → epoch-MILLIS-ordered range frame (millis
+            # precision so sub-second frames are exact, never truncated)
             dur = parse_duration(ss)
             n, unit = dur.split(" ", 1)
-            secs = {"milliseconds": 0.001, "seconds": 1, "minutes": 60,
-                    "hours": 3600, "days": 86400}[unit]
-            return int(int(n) * secs), "range_time"
-        lo, lo_kind = bound(self.preceding_spec, None)
-        hi, hi_kind = bound(self.following_spec, Window.currentRow)
+            millis = {"milliseconds": 1, "seconds": 1000, "minutes": 60_000,
+                      "hours": 3_600_000, "days": 86_400_000}[unit]
+            return int(n) * millis, "range_time"
+        lo, lo_kind = bound(self.preceding_spec, None, "preceding")
+        hi, hi_kind = bound(self.following_spec, Window.currentRow, "following")
         kinds = {k for k in (lo_kind, hi_kind) if k != "either"}
         if kinds <= {"rows"}:
             frame_rows = True
@@ -307,14 +313,16 @@ class OverWindow:
                 f"mixed ROWS/RANGE frame bounds: {self.preceding_spec!r} / "
                 f"{self.following_spec!r}"
             )
-        lo = -lo if isinstance(lo, int) and lo > 0 else lo
+        if lo_kind in ("rows", "range_time") and isinstance(lo, int) and lo > 0:
+            lo = -lo  # "n preceding" is a negative offset in Spark frames
         w = Window.partitionBy(*self.partition) if self.partition else Window.partitionBy()
         if frame_rows:
             return w.orderBy(self.order).rowsBetween(lo, hi)
         if "range_time" in kinds:
-            # interval frame: order by epoch seconds
+            # interval frame: order by epoch millis (exact for ms frames)
             return w.orderBy(
-                F.col(self.order).cast("timestamp").cast("long")
+                (F.col(self.order).cast("timestamp").cast("double") * 1000)
+                .cast("long")
             ).rangeBetween(lo, hi)
         return w.orderBy(self.order).rangeBetween(lo, hi)
 

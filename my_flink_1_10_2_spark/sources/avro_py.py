@@ -114,7 +114,15 @@ def encode_value(buf: io.BytesIO, schema, value) -> None:
         if logical == "date":
             value = (value - _EPOCH_DATE).days
         elif logical == "timestamp-millis":
-            value = int(value.replace(tzinfo=None).timestamp() * 1000) if isinstance(value, datetime.datetime) else int(value)
+            # naive-delta arithmetic (UTC-naive) on BOTH encode and
+            # decode — never host-local `datetime.timestamp()`
+            if isinstance(value, datetime.datetime):
+                delta = value.replace(tzinfo=None) - _EPOCH_TS
+                value = (
+                    delta.days * 86400_000
+                    + delta.seconds * 1000
+                    + delta.microseconds // 1000
+                )
         elif logical == "timestamp-micros":
             if isinstance(value, datetime.datetime):
                 delta = value.replace(tzinfo=None) - _EPOCH_TS

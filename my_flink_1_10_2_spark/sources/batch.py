@@ -85,8 +85,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     granularity the reference uses for unsplittable compressed blocks."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception:
-        pass  # datasource jar absent — use the spec fallback below
+    except Exception as exc:
+        if not _is_missing_avro_datasource(exc):
+            raise  # real read error from the native path — surface it
     from . import avro_py
 
     import glob as _glob
@@ -110,6 +111,19 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         .map(lambda d: tuple(d[c] for c in cols))
     )
     return spark.createDataFrame(rdd, schema=spark_schema)
+
+
+def _is_missing_avro_datasource(exc: Exception) -> bool:
+    """True only for the 'spark-avro jar not on the classpath' error —
+    anything else (corrupt file, permissions, disk full) must surface,
+    not silently fall through to the Python codec."""
+    msg = str(exc)
+    return "avro" in msg.lower() and (
+        "Failed to find" in msg
+        or "FAILED_FIND_DATA_SOURCE" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or "Please find packages" in msg
+    )
 
 
 def _peek_avro_schema(header_bytes: bytes):
@@ -145,8 +159,9 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "
     try:
         df.write.mode(mode).format("avro").save(path)
         return
-    except Exception:
-        pass
+    except Exception as exc:
+        if not _is_missing_avro_datasource(exc):
+            raise  # real write error from the native path — surface it
     import os as _os
     import shutil as _shutil
 
@@ -172,6 +187,12 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "
         return iter(())
 
     df.rdd.mapPartitionsWithIndex(_write_part).count()
+    if not any(f.endswith(".avro") for f in _os.listdir(path)):
+        # empty input: write a rows-less container so read_avro returns
+        # an empty frame with the right schema (parquet-like behavior)
+        avro_py.write_container(
+            _os.path.join(path, "part-00000.avro"), avro_schema, [], codec=codec
+        )
 
 
 def _write(df: DataFrame, mode: str, partition_by):

@@ -995,6 +995,12 @@ class JoinedStreams:
         for lk, rk in zip(self.left_keys, self.right_keys):
             cond = cond & (F.col(f"a.{lk}") == F.col(f"b.{rk}"))
         joined = a.join(b, cond)
+        # keys are equal by construction — drop the right-side copies so
+        # the common Flink pattern where("uid").equal_to("uid") (same
+        # column name on both sides) yields unambiguous output
+        for lk, rk in zip(self.left_keys, self.right_keys):
+            if lk == rk:
+                joined = joined.drop(F.col(f"b.{rk}"))
         if select_exprs:
             joined = joined.select(*[_col(e) for e in select_exprs])
         else:

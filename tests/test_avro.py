@@ -177,3 +177,29 @@ def test_nested_struct_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.meta.k, r.meta.v) for r in back.collect()) == sorted(
         (r.id, r.meta.k, r.meta.v) for r in df.collect()
     )
+
+
+def test_write_read_empty_dataframe(spark, tmp_path):
+    """Regression: an empty write leaves a schema-carrying container so
+    read-back returns an empty frame (parquet-like), not an error."""
+    df = spark.range(5).where("id > 100").withColumn("s", F.lit("x"))
+    path = str(tmp_path / "empty_avro")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "s"}
+
+
+def test_timestamp_millis_is_utc_naive():
+    """Regression: millis encoding must use naive-delta arithmetic, not
+    host-local datetime.timestamp()."""
+    import io
+
+    schema = {"type": "long", "logicalType": "timestamp-millis"}
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    buf = io.BytesIO()
+    avro_py.encode_value(buf, schema, ts)
+    buf.seek(0)
+    raw = avro_py._read_long(buf)
+    # exact epoch millis for 2024-01-01T12:00:00 (timezone-independent)
+    assert raw == 1704110400000

@@ -36,7 +36,7 @@ def test_insert_into_appends(env_with_sink):
     r1 = env.execute_sql("INSERT INTO sink_t VALUES (1, 'a'), (2, 'b')")
     assert r1.collect()[0][0] == 2
     r2 = env.execute_sql("INSERT INTO sink_t SELECT 3, 'c'")
-    assert r2.collect()[0][0] == 3  # total rows after append
+    assert r2.collect()[0][0] == 1  # rows written by THIS insert
     got = sorted((r.k, r.v) for r in env.sql_query("SELECT * FROM sink_t").df.collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
@@ -154,3 +154,22 @@ def test_map_with_broadcast_set(spark):
     )
     got = {r.id: round(r.usd, 6) for r in out.df.collect()}
     assert got == {1: 110.0, 2: 65.0, 3: 10.0}
+
+
+def test_insert_column_list_order_and_null_fill(spark, tmp_path):
+    """Regression: the column list matches the SELECT in USER order, and
+    unlisted columns are null-filled (never dropped)."""
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"""CREATE TABLE ord_t (a BIGINT, b STRING, c DOUBLE) WITH (
+              'connector' = 'filesystem',
+              'path' = '{tmp_path / "ord_t"}',
+              'format' = 'parquet')"""
+    )
+    # reversed column list: 'x' -> b, 7 -> a; c null-filled
+    env.execute_sql("INSERT INTO ord_t (b, a) SELECT 'x', 7")
+    got = [(r.a, r.b, r.c) for r in env.sql_query("SELECT * FROM ord_t").df.collect()]
+    assert got == [(7, "x", None)]
+    # and the table stays readable with the full 3-column schema
+    env.execute_sql("INSERT INTO ord_t (a, b, c) SELECT 1, 'y', 2.5")
+    assert env.sql_query("SELECT count(*) AS n FROM ord_t").df.collect()[0].n == 2

@@ -56,3 +56,21 @@ def test_sql_function_plan_is_native(spark):
     df = spark.range(100).selectExpr("SPLIT_INDEX(CAST(id AS STRING), '5', 0) AS p")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_index_negative_returns_null(spark):
+    """Regression: negative index -> NULL (the reference's contract),
+    both in SQL and in the Table-API builder."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.functions.scalar import split_index
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    env = TableEnvironment(spark)
+    r = env.sql_query(
+        "SELECT SPLIT_INDEX('a,b', ',', -1) AS m1, SPLIT_INDEX('a,b', ',', -2) AS m2"
+    ).df.collect()[0]
+    assert r.m1 is None and r.m2 is None
+    df = spark.createDataFrame([("a,b",)], "s string")
+    assert df.select(split_index("s", ",", -2)).collect()[0][0] is None
+    assert df.select(split_index("s", ",", 1)).collect()[0][0] == "b"

@@ -316,3 +316,65 @@ def test_cogrouped_streams_sees_one_sided_groups(spark):
     )
     got = {r.uid: (r.n_left, r.n_right) for r in out.df.collect()}
     assert got == {"u1": (1, 1), "u2": (0, 1), "u3": (1, 0)}
+
+
+def test_joined_streams_same_key_name_unambiguous(spark):
+    """Regression: where('uid').equal_to('uid') — identical key names on
+    both sides (the normal Flink pattern) must yield unambiguous output."""
+    import datetime
+
+    base = datetime.datetime(2021, 1, 1)
+    a = Stream(spark.createDataFrame(
+        [("u1", base, 1.0)], "uid string, ts timestamp, v double"))
+    b = Stream(spark.createDataFrame(
+        [("u1", base, 9.0)], "uid string, ts timestamp, w double"))
+    out = (
+        a.join(b).where("uid").equal_to("uid")
+        .window("ts", "ts", "1 minute")
+        .apply("uid", "v", "w")
+    )
+    assert [(r.uid, r.v, r.w) for r in out.df.collect()] == [("u1", 1.0, 9.0)]
+    # default output (no select) also carries no duplicate names
+    out2 = (
+        a.join(b).where("uid").equal_to("uid").window("ts", "ts", "1 minute").apply()
+    )
+    assert out2.df.columns.count("uid") == 1
+
+
+def test_over_window_following_unbounded(spark):
+    """Regression: following(UNBOUNDED_ROW) must mean UNBOUNDED FOLLOWING."""
+    from my_flink_1_10_2_spark.operators.windows import CURRENT_ROW, UNBOUNDED_ROW, Over
+    from my_flink_1_10_2_spark.table import Table
+
+    t = Table(spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 4.0)], "k string, seq long, v double"))
+    out = (
+        t.window(
+            Over.partition_by("k").order_by("seq")
+            .preceding(CURRENT_ROW).following(UNBOUNDED_ROW).alias("w")
+        ).select("seq", "sum(v) OVER w AS rest")
+    )
+    got = {r.seq: r.rest for r in out.to_df().collect()}
+    assert got == {1: 7.0, 2: 6.0, 3: 4.0}
+
+
+def test_over_window_subsecond_interval_frame(spark):
+    """Regression: sub-second interval frames are exact (epoch-millis
+    range ordering), not truncated to whole seconds."""
+    import datetime
+
+    from my_flink_1_10_2_spark.operators.windows import Over
+    from my_flink_1_10_2_spark.table import Table
+
+    base = datetime.datetime(2021, 1, 1)
+    t = Table(spark.createDataFrame(
+        [("a", base + datetime.timedelta(milliseconds=ms), 1.0)
+         for ms in (0, 300, 900)],
+        "k string, ts timestamp, v double"))
+    out = (
+        t.window(Over.partition_by("k").order_by("ts").preceding("500 millis").alias("w"))
+        .select("ts", "count(v) OVER w AS n")
+    )
+    got = {r.ts.microsecond // 1000: r.n for r in out.to_df().collect()}
+    # 300ms frame [-200,300] sees rows at 0+300; 900ms frame [400,900] sees only itself
+    assert got == {0: 1, 300: 2, 900: 1}

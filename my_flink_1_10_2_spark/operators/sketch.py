@@ -108,6 +108,83 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 128) -> DataFrame:
     )
 
 
+def _cms_bucket(col: str, j: int, width: int):
+    """Row j's bucket for value `col`: md5("j:value") → 60-bit int → mod
+    width.  Same seeded-md5 idiom as :func:`_norm_hash`, so DuckDB can
+    replay the identical bucket assignment."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"{j}:"), F.col(col).cast("string"))), 1, 15
+    )
+    return F.conv(hx, 16, 10).cast("bigint") % F.lit(width)
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Min sketch of `col` frequencies → (j, bucket, cnt) rows.
+
+    The reference's approximate-aggregate surface is HLL-only
+    (FlinkSqlOperatorTable APPROX_COUNT_DISTINCT); CMS is the matching
+    *frequency* sketch a 100 TB pipeline needs for heavy-hitter mining
+    (Cormode & Muthukrishnan, "An improved data stream summary: the
+    count-min sketch and its applications", J. Algorithms 2005).
+
+    100 TB shape: one projection emits `depth` (j, bucket) pairs per row;
+    the groupBy is map-side partially aggregated, so the shuffle carries
+    at most `partitions x depth x width` pre-merged cells — O(config),
+    not O(rows).  The sketch itself is <= depth*width rows by
+    construction, mergeable by cell-wise addition.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.bucket")
+    return pairs.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a CMS for every row of `keys` → (key_col, estimate).
+
+    estimate(v) = min over the `depth` rows of the bucket count v hashes
+    into (never under-counts; over-counts only on bucket collisions).
+
+    The sketch side is broadcast unconditionally: it is <= depth*width
+    rows *by construction* (a config constant, not a function of data
+    size), so this is the rare broadcast that is always safe at 100 TB.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(key_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.j", "p.bucket")
+    joined = probes.join(F.broadcast(cms), on=["j", "bucket"], how="left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
+    )
+
+
 def kmv_distinct_by(df: DataFrame, group_cols: list[str], col: str, k: int = 64) -> DataFrame:
     """Grouped KMV estimates: one sketch per group.
 

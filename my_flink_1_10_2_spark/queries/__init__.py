@@ -153,7 +153,11 @@ _FLAGSHIP_ORDER = [
     "q_triadic_census",
     "q_adamic_adar",
     "q_graph_summarization",
-    # LLM / pipeline without driver rows
+    # LLM / pipeline without driver rows (incl. new round-3 operators:
+    # Count-Min heavy hitters, embedding centroids, TF-IDF)
+    "q_cms_supplier_counts",
+    "q_embedding_centroids",
+    "q_tfidf_top_terms",
     "q_shingles",
     "q_sample_uniform_hash",
     "q_sample_consistent_topn",

@@ -551,3 +551,130 @@ def q_line_dedup(spark, sf_dir):
         "doc_id int, text string",
     )
     return line_dedup(docs).orderBy("doc_id")
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(list_transform(
+               embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT))) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(sum(u) / count(*) / 1000000.0, 6) AS centroid
+    FROM u GROUP BY label, pos ORDER BY label, pos
+    """,
+    category="llm_similarity",
+)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label element-wise embedding centroids in long (label, pos,
+    value) form — the k-means/IVF seeding primitive.
+
+    Float discipline: elements are quantized to 1e-6 integer units
+    *before* summing, so partial-aggregation order cannot wobble the
+    mean (bigint sums are associative); both engines divide the exact
+    integer sum once at the end.  100 TB shape: posexplode → one
+    partially-aggregated shuffle of (label, pos) cells — O(labels x dim)
+    groups regardless of row count."""
+    emb = read(spark, sf_dir, "embeddings")
+    units = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            )
+        ).alias("pos", "u"),
+    )
+    cent = units.groupBy("label", "pos").agg(
+        F.sum("u").alias("su"), F.count("*").alias("n")
+    )
+    return cent.select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("su") / F.col("n") / 1e6, 6).alias("centroid"),
+    ).orderBy("label", "pos")
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(str_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM words WHERE term != '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df) * 1000000)
+                          AS BIGINT) AS score_i
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, score_i,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_i DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+           round(score_i / 1000000.0, 6) AS tfidf
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+    category="llm_text",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic distributed
+    keyword-extraction kernel (ref exposes the same shape through its
+    WordCount/relational examples; this is the weighted variant a
+    training-data pipeline uses for topic tagging).
+
+    Float discipline: idf = ln(N/df) is computed once per distinct df
+    and quantized to 1e-6 integer units; scores are exact bigint
+    products, so ranking is reproducible across engines and partition
+    orders.  100 TB shape: explode → (doc, term) partial-agg shuffle,
+    vocab-sized df shuffle, then a per-doc top-k window — no global
+    single-task stage."""
+    docs = read(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n").cast("double") / F.col("df")) * 1e6)
+                .cast("bigint")
+            ).alias("score_i"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score_i").desc(), "term")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.round(F.col("score_i") / 1e6, 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from my_flink_1_10_2_spark.operators.sketch import kmv_distinct, kmv_distinct_by
+from my_flink_1_10_2_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    kmv_distinct,
+    kmv_distinct_by,
+)
 from my_flink_1_10_2_spark.queries import read, register
 
 _HASH = (
@@ -64,3 +69,53 @@ def q_kmv_distinct_users_by_type(spark, sf_dir):
     """Grouped KMV sketches: distinct users per event type (k=64)."""
     out = kmv_distinct_by(read(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)
     return out.withColumn("estimate", F.round("estimate", 6))
+
+
+_CMS_BUCKET = (
+    "('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST({col} AS VARCHAR)), 1, 15))"
+    "::BIGINT % 1024"
+)
+
+
+@register(
+    "q_cms_supplier_counts",
+    oracle=f"""
+    WITH digits AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cms AS (
+      SELECT j, {_CMS_BUCKET.format(col="l_suppkey")} AS bucket, count(*) AS cnt
+      FROM lineitem, digits
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT s_suppkey, j, {_CMS_BUCKET.format(col="s_suppkey")} AS bucket
+      FROM supplier, digits
+    ),
+    est AS (
+      SELECT s_suppkey, min(coalesce(cnt, 0)) AS est_count
+      FROM probes LEFT JOIN cms USING (j, bucket)
+      GROUP BY s_suppkey
+    )
+    SELECT s_suppkey, CAST(est_count AS BIGINT) AS est_count
+    FROM est ORDER BY est_count DESC, s_suppkey LIMIT 10
+    """,
+    category="sketch",
+)
+def q_cms_supplier_counts(spark, sf_dir):
+    """Count-Min heavy hitters: top-10 suppliers by estimated lineitem
+    frequency (depth 4 x width 1024, seeded-md5 buckets — both engines
+    replay the identical sketch).  Build shuffles O(depth*width) merged
+    cells; probe broadcasts the fixed-size sketch
+    (operators/sketch.py::cms_build/cms_estimate)."""
+    li = read(spark, sf_dir, "lineitem")
+    sup = read(spark, sf_dir, "supplier")
+    cms = cms_build(li, "l_suppkey", depth=4, width=1024)
+    est = cms_estimate(
+        cms, sup.select("s_suppkey"), "s_suppkey", depth=4, width=1024
+    )
+    return (
+        est.select(
+            "s_suppkey", F.col("estimate").cast("bigint").alias("est_count")
+        )
+        .orderBy(F.col("est_count").desc(), "s_suppkey")
+        .limit(10)
+    )

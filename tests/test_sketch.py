@@ -95,3 +95,47 @@ def test_kmv_prefilter_retry_on_starvation(spark, monkeypatch):
     monkeypatch.setattr(sk, "_PREFILTER_MIN_ROWS", 1)
     filtered = sk.kmv_distinct(df, "v", k=64).collect()[0].estimate
     assert filtered == baseline
+
+
+def test_cms_never_undercounts_and_is_tight(spark, lineitem):
+    """CMS point estimates dominate the exact counts (one-sided error)
+    and, at width 1024 >> #distinct suppliers, are exact for nearly all
+    keys."""
+    from my_flink_1_10_2_spark.operators.sketch import cms_build, cms_estimate
+
+    cms = cms_build(lineitem, "l_suppkey", depth=4, width=1024)
+    keys = lineitem.select(F.col("l_suppkey").alias("k")).distinct()
+    est = {
+        r.k: r.estimate
+        for r in cms_estimate(cms, keys, "k", depth=4, width=1024).collect()
+    }
+    exact = {
+        r.l_suppkey: r.n
+        for r in lineitem.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    exact_frac = sum(est[k] == exact[k] for k in exact) / len(exact)
+    assert exact_frac > 0.9, f"too many collisions: {exact_frac}"
+
+
+def test_cms_absent_key_estimates_near_zero(spark, lineitem):
+    """Keys never inserted get min-over-rows of collision mass only —
+    bounded by 2N/width w.h.p.; with a left join the empty buckets
+    coalesce to 0."""
+    from my_flink_1_10_2_spark.operators.sketch import cms_build, cms_estimate
+
+    n = lineitem.count()
+    cms = cms_build(lineitem, "l_suppkey", depth=4, width=1024)
+    missing = spark.range(10_000_000, 10_000_050).select(F.col("id").alias("k"))
+    rows = cms_estimate(cms, missing, "k", depth=4, width=1024).collect()
+    assert len(rows) == 50
+    assert all(r.estimate <= 4 * n / 1024 for r in rows)
+
+
+def test_cms_sketch_is_config_bounded(spark, lineitem):
+    """The sketch relation never exceeds depth*width rows — the property
+    that makes its unconditional broadcast scale-safe."""
+    from my_flink_1_10_2_spark.operators.sketch import cms_build
+
+    assert cms_build(lineitem, "l_suppkey", depth=4, width=64).count() <= 4 * 64

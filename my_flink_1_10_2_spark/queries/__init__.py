@@ -158,6 +158,7 @@ _FLAGSHIP_ORDER = [
     "q_cms_supplier_counts",
     "q_embedding_centroids",
     "q_tfidf_top_terms",
+    "q_unigram_logprob",
     "q_shingles",
     "q_sample_uniform_hash",
     "q_sample_consistent_topn",

@@ -678,3 +678,62 @@ def q_tfidf_top_terms(spark, sf_dir):
         )
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "q_unigram_logprob",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(str_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM words WHERE term != ''),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(cnt / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lp_i
+      FROM vocab, tot
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(sum(lp.lp_i) / count(*) / 1000000.0, 6) AS mean_logprob
+    FROM tok t JOIN lp ON t.term = lp.term
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    category="llm_text",
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram language-model score per document (CCNet-style
+    perplexity-proxy quality filter): mean ln p(token) under the
+    corpus's own unigram distribution — low scores flag gibberish /
+    boilerplate for the cleaning funnel.
+
+    Float discipline: ln p is quantized to 1e-6 integer units once per
+    vocab entry; per-doc sums are exact bigint, divided once at the end.
+    100 TB shape: tokenize scan → vocab partial-agg shuffle → token⋈vocab
+    hash join (AQE broadcasts the vocab side only when genuinely small)
+    → per-doc partial-agg shuffle.  No driver-side state, no global
+    window."""
+    docs = read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("cnt") / F.col("total").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("lp_i"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lp_i") / F.count("*") / 1e6, 6).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -126,6 +126,14 @@ def main() -> None:
             # (count() would let Catalyst prune projection-only work)
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        # Drop any blocks the query left persisted (iterative operators
+        # free superseded checkpoints themselves, but the final state
+        # and lazily-consumed graph kernels keep theirs) so queries are
+        # measured in isolation, not under the previous queries' block-
+        # manager pressure.
+        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            r.unpersist()
+        spark.catalog.clearCache()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         print(

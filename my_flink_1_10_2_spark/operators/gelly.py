@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from my_flink_1_10_2_spark.operators.iterate import iterate
+from my_flink_1_10_2_spark.operators.iterate import (
+    checkpoint_tracked,
+    free_checkpoints,
+    iterate,
+)
 
 
 def _nodes(e: DataFrame, src: str, dst: str) -> DataFrame:
@@ -45,10 +49,10 @@ def pagerank(
     scalar count — the only driver-side value in the loop.
     """
     e = edges.select(src, dst).distinct()
-    nodes = _nodes(e, src, dst).localCheckpoint(eager=True)
+    nodes, nodes_ids = checkpoint_tracked(_nodes(e, src, dst))
     n_nodes = nodes.count()
     deg = e.groupBy(src).agg(F.count("*").alias("__deg"))
-    e_deg = e.join(deg, src).localCheckpoint(eager=True)
+    e_deg, e_ids = checkpoint_tracked(e.join(deg, src))
 
     init = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
@@ -71,7 +75,9 @@ def pagerank(
             ).alias("rank"),
         )
 
-    return iterate(init, step, iterations)
+    out = iterate(init, step, iterations)
+    free_checkpoints(edges.sparkSession, nodes_ids | e_ids)
+    return out
 
 
 def label_propagation(
@@ -85,12 +91,11 @@ def label_propagation(
     most frequent label among its neighbors' current labels, ties broken
     by the smallest label; isolated vertices keep their label. Labels
     start as the vertex id. Returns (node, label)."""
-    sym = (
+    sym, sym_ids = checkpoint_tracked(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
         .filter(F.col("e_src") != F.col("e_dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     init = _nodes(sym, "e_src", "e_dst").withColumn("label", F.col("node"))
 
@@ -110,7 +115,9 @@ def label_propagation(
             .select("node", F.coalesce("__new", "label").alias("label"))
         )
 
-    return iterate(init, step, iterations)
+    out = iterate(init, step, iterations)
+    free_checkpoints(edges.sparkSession, sym_ids)
+    return out
 
 
 def sssp(
@@ -131,9 +138,13 @@ def sssp(
     from the output, as in the reference (Double.MAX_VALUE filtered).
     """
     w = F.col(weight) if weight else F.lit(1.0)
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.cast("double").alias("__w")
-    ).localCheckpoint(eager=True)
+    e, e_ids = checkpoint_tracked(
+        edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            w.cast("double").alias("__w"),
+        )
+    )
     init = (
         _nodes(e, "__s", "__d")
         .filter(F.col("node") == source)
@@ -146,7 +157,9 @@ def sssp(
         )
         return d.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
 
-    return iterate(init, step, iterations)
+    out = iterate(init, step, iterations)
+    free_checkpoints(edges.sparkSession, e_ids)
+    return out
 
 
 def hits(
@@ -164,7 +177,7 @@ def hits(
     crossJoin-ed back (broadcast of one row) — no driver collect in the
     loop.
     """
-    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    e, e_ids = checkpoint_tracked(edges.select(src, dst).distinct())
     nodes = _nodes(e, src, dst)
     init = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
 
@@ -200,7 +213,9 @@ def hits(
         )
         return hub.join(auth, "node").select("node", "hub", "authority")
 
-    return iterate(init, step, iterations)
+    out = iterate(init, step, iterations)
+    free_checkpoints(edges.sparkSession, e_ids)
+    return out
 
 
 def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:

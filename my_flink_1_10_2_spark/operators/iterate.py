@@ -16,6 +16,13 @@ driver-side loop over DataFrames. Two things make that correct at scale:
     analog of the reference's convergence criterion; it costs one extra
     job over the (already checkpointed) labels, not a recompute of the
     whole lineage.
+  - **Eager release of superseded checkpoints**: ``DataFrame.unpersist``
+    does NOT free localCheckpoint blocks (they live on the RDD, not in
+    the cache manager), so a naive loop leaks one materialized copy of
+    the state per superstep — at 100 TB that evicts genuinely hot data
+    from the block manager long before the loop converges.  The helpers
+    below track the RDD ids each checkpoint persists and free them the
+    moment the next superstep is materialized.
 """
 
 from __future__ import annotations
@@ -26,6 +33,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint(eager=True)`` that also reports which RDD ids
+    the checkpoint persisted, so :func:`free_checkpoints` can release
+    them once a later superstep supersedes this state."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_rdd_ids(spark) - before
+
+
+def free_checkpoints(spark, ids: set[int]) -> None:
+    """Release the blocks of previously tracked checkpoints.  Safe only
+    when everything derived from them has itself been eagerly
+    materialized (localCheckpoint truncates lineage, so freed blocks
+    cannot be recomputed)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            r.unpersist()
+
+
 def iterate(
     initial: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
@@ -34,13 +67,18 @@ def iterate(
 ) -> DataFrame:
     """Bulk iteration (ref: DataSet.java:1156). Runs ``step`` up to
     `max_iterations` times; stops early when ``converged(prev, new)``
-    returns True. Each superstep is localCheckpoint-ed."""
-    current = initial.localCheckpoint(eager=True)
+    returns True. Each superstep is localCheckpoint-ed; the previous
+    superstep's blocks are freed as soon as the new one is materialized
+    (only the final state stays resident)."""
+    spark = initial.sparkSession
+    current, cur_ids = checkpoint_tracked(initial)
     for i in range(max_iterations):
-        new = step(current, i).localCheckpoint(eager=True)
-        if converged is not None and converged(current, new):
-            return new
-        current = new
+        new, new_ids = checkpoint_tracked(step(current, i))
+        done = converged is not None and converged(current, new)
+        free_checkpoints(spark, cur_ids)
+        current, cur_ids = new, new_ids
+        if done:
+            break
     return current
 
 
@@ -66,20 +104,22 @@ def iterate_delta(
     algorithms the workset collapses geometrically after the first few
     rounds. Pass ``superstep_sizes`` (a list) to observe the shrink.
     """
-    def chk(df: DataFrame) -> DataFrame:
+    spark = solution.sparkSession
+
+    def chk(df: DataFrame) -> tuple[DataFrame, set[int]]:
         # Re-alias BEFORE checkpointing: localCheckpoint keeps its input
         # plan's attribute ids, so two checkpoints of related plans
         # (solution/workset/delta all derive from one another) would
         # expose identical ids and break later self-joins with an
         # internal "key not found" error. The alias projection mints
         # fresh ids, so every checkpoint leaf is unique.
-        return df.select(
-            [F.col(c).alias(c) for c in df.columns]
-        ).localCheckpoint(eager=True)
+        return checkpoint_tracked(
+            df.select([F.col(c).alias(c) for c in df.columns])
+        )
 
     key = key or solution.columns[0]
-    solution = chk(solution)
-    workset = chk(workset)
+    solution, sol_ids = chk(solution)
+    workset, ws_ids = chk(workset)
     for i in range(max_iterations):
         ws_count = workset.count()
         if superstep_sizes is not None:
@@ -87,12 +127,12 @@ def iterate_delta(
         if ws_count == 0:
             break
         delta, new_ws = step(solution, workset, i)
-        delta = chk(delta)
+        delta, delta_ids = chk(delta)
         # merge = left join + per-column coalesce (delta wins). One
         # shuffle on `key`, no Union node (Union constraint rewriting
         # trips over checkpointed plans in Spark's optimizer).
         value_cols = [c for c in solution.columns if c != key]
-        solution = chk(
+        new_solution, new_sol_ids = chk(
             solution.alias("s")
             .join(delta.alias("d"), key, "left")
             .select(
@@ -103,7 +143,13 @@ def iterate_delta(
                 ],
             )
         )
-        workset = chk(new_ws)
+        new_workset, new_ws_ids = chk(new_ws)
+        # everything below is eagerly materialized now — release the
+        # superseded round's blocks (solution, workset, delta)
+        free_checkpoints(spark, sol_ids | ws_ids | delta_ids)
+        solution, sol_ids = new_solution, new_sol_ids
+        workset, ws_ids = new_workset, new_ws_ids
+    free_checkpoints(spark, ws_ids)
     return solution
 
 
@@ -123,11 +169,10 @@ def connected_components_delta(
     Same (node, component) contract and fixpoint as
     :func:`connected_components`.
     """
-    sym = (
+    sym, sym_ids = checkpoint_tracked(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("e_src").alias("node")).distinct()
     if vertices is not None:
@@ -152,10 +197,12 @@ def connected_components_delta(
             .select("node", F.col("c.component").alias("component"))
         )
         return delta, delta
-    return iterate_delta(
+    out = iterate_delta(
         labels, labels, step, max_iterations, key="node",
         superstep_sizes=superstep_sizes,
     )
+    free_checkpoints(edges.sparkSession, sym_ids)
+    return out
 
 
 def connected_components(
@@ -181,7 +228,7 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym, sym_ids = checkpoint_tracked(sym)
 
     nodes = sym.select(F.col("e_src").alias("node")).distinct()
     if vertices is not None:
@@ -235,4 +282,8 @@ def connected_components(
         state["prev_sum"] = new_sum
         return new_sum == prev_sum
 
-    return iterate(labels, step, max_iterations, converged)
+    out = iterate(labels, step, max_iterations, converged)
+    # the result checkpoint is self-contained — the edge relation's
+    # blocks can go
+    free_checkpoints(edges.sparkSession, sym_ids)
+    return out

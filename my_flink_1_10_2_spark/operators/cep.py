@@ -86,7 +86,10 @@ class Step:
     name: str
     predicate: RowPredicate
     quantifier: str = "1"  # '1'|'?'|'+'|'*'|'{n}'|'{n,}'|'{n,m}' [+'?']
-    contiguity: str = "strict"  # 'strict' (next) | 'relaxed' (followedBy)
+    # 'strict' (next) | 'relaxed' (followedBy) | 'relaxed_any'
+    # (followedByAny — non-deterministic: EVERY viable position yields a
+    # match, not just the first)
+    contiguity: str = "strict"
     negated: bool = False  # notNext (strict) / notFollowedBy (relaxed)
     until_pred: RowPredicate | None = None  # stop condition for loops
     min_count: int = field(init=False)
@@ -97,7 +100,7 @@ class Step:
         self.min_count, self.max_count, self.greedy = _parse_quantifier(
             self.quantifier
         )
-        if self.contiguity not in ("strict", "relaxed"):
+        if self.contiguity not in ("strict", "relaxed", "relaxed_any"):
             raise ValueError(f"unsupported contiguity {self.contiguity!r}")
         if self.negated and self.quantifier != "1":
             raise ValueError(
@@ -134,6 +137,20 @@ class Pattern:
         stay strict (= reference ``followedBy(...).consecutive()``)."""
         return Pattern(
             self.steps + [Step(name, predicate, quantifier, contiguity="relaxed")],
+            self.within_td,
+        )
+
+    def followed_by_any(
+        self, name: str, predicate: RowPredicate, quantifier: str = "1"
+    ) -> "Pattern":
+        """Non-deterministic relaxed contiguity (ref: Pattern.followedByAny
+        — NFA takes the IGNORE edge even after a successful TAKE, so every
+        viable position for this step produces its own match).  Requires
+        ``after_match='skip_to_next_row'`` downstream: the reference's
+        skip-past strategies are ill-defined over overlapping match sets."""
+        return Pattern(
+            self.steps
+            + [Step(name, predicate, quantifier, contiguity="relaxed_any")],
             self.within_td,
         )
 
@@ -208,16 +225,23 @@ class Pattern:
         return self._mod_last(until_pred=predicate)
 
 
-def _match_at(
+def _iter_matches_at(
     rows: list[pd.Series],
     start: int,
     steps: list[Step],
     ts_col: str | None = None,
     within: "pd.Timedelta | None" = None,
-) -> dict[str, list[pd.Series]] | None:
-    """Backtracking NFA: try to match `steps` starting at rows[start].
-    Returns {step_name: [rows]} or None. Greedy quantifiers, like the
-    reference NFA's default greedy consumption (Quantifier.java).
+):
+    """Backtracking NFA as a generator: yields every complete binding
+    {step_name: [rows]} for a match starting at rows[start], in
+    deterministic exploration order.  For patterns without any
+    ``followed_by_any`` step, the FIRST yield is exactly the greedy
+    deterministic match (Quantifier.java's default consumption) and
+    deterministic steps cut exploration after their first viable choice
+    — so ``next(gen, None)`` reproduces single-match semantics at the
+    original cost.  ``relaxed_any`` steps keep exploring, yielding one
+    match per viable (position, repeat-count) — the reference NFA's
+    IGNORE-after-TAKE edge (Pattern.followedByAny).
 
     `within` (with `ts_col`) rejects taking any row later than
     first-taken-row + within — and, because rows are event-time sorted,
@@ -235,7 +259,9 @@ def _match_at(
         no gap row before the next positive step's first take may
         satisfy any of them (ref: NFA STOP state semantics)."""
         if s == len(steps):
-            return matched if any(matched.values()) else None
+            if any(matched.values()):
+                yield matched
+            return
         step = steps[s]
 
         if step.negated:
@@ -245,8 +271,9 @@ def _match_at(
                     and in_window(first_ts, rows[i])
                     and step.predicate(rows[i], matched)
                 ):
-                    return None
-                return go(i, s + 1, matched, first_ts, banned)
+                    return
+                yield from go(i, s + 1, matched, first_ts, banned)
+                return
             # notFollowedBy
             if s == len(steps) - 1:
                 # trailing notFollowedBy: only meaningful with a window
@@ -259,12 +286,16 @@ def _match_at(
                     if not in_window(first_ts, rows[j]):
                         break
                     if step.predicate(rows[j], matched):
-                        return None
-                return matched if any(matched.values()) else None
-            return go(i, s + 1, matched, first_ts, banned + [step.predicate])
+                        return
+                if any(matched.values()):
+                    yield matched
+                return
+            yield from go(i, s + 1, matched, first_ts, banned + [step.predicate])
+            return
 
         binding = dict(matched)
         binding[step.name] = list(matched.get(step.name, []))
+        any_mode = step.contiguity == "relaxed_any"
 
         def try_take(count_matched: dict, j: int):
             row = rows[j]
@@ -281,14 +312,17 @@ def _match_at(
 
         def zero_take():
             # step skipped entirely: position, clock, and bans unchanged
-            return go(i, s + 1, binding, first_ts, banned)
+            yield from go(i, s + 1, binding, first_ts, banned)
 
         if step.min_count == 0 and not step.greedy:
-            res = zero_take()
-            if res is not None:
-                return res
+            emitted = False
+            for res in zero_take():
+                emitted = True
+                yield res
+            if emitted and not any_mode:
+                return
 
-        if step.contiguity == "relaxed":
+        if step.contiguity in ("relaxed", "relaxed_any"):
             starts = range(i, len(rows))
         else:
             starts = range(i, i + 1) if i < len(rows) else range(0)
@@ -318,16 +352,33 @@ def _match_at(
                     range(max_n, lo - 1, -1) if step.greedy else range(lo, max_n + 1)
                 )
                 for n in counts:
-                    res = go(i0 + n, s + 1, takes[n], first_ts_after(i0), [])
-                    if res is not None:
-                        return res
+                    got = False
+                    for res in go(i0 + n, s + 1, takes[n], first_ts_after(i0), []):
+                        got = True
+                        yield res
+                    if got and not any_mode:
+                        # deterministic step: first viable (position,
+                        # count) wins — later alternatives exist only as
+                        # backtracking fallbacks
+                        return
         if step.min_count == 0 and step.greedy:
-            res = zero_take()
-            if res is not None:
-                return res
-        return None
+            yield from zero_take()
 
-    return go(start, 0, {n.name: [] for n in steps} | {}, None, [])
+    yield from go(start, 0, {n.name: [] for n in steps} | {}, None, [])
+
+
+def _match_at(
+    rows: list[pd.Series],
+    start: int,
+    steps: list[Step],
+    ts_col: str | None = None,
+    within: "pd.Timedelta | None" = None,
+) -> dict[str, list[pd.Series]] | None:
+    """First (greedy deterministic) match starting at rows[start], or
+    None — the single-match view of :func:`_iter_matches_at`."""
+    return next(
+        _iter_matches_at(rows, start, steps, ts_col=ts_col, within=within), None
+    )
 
 
 def _run_nfa(
@@ -348,6 +399,21 @@ def _run_nfa(
     # reference's AfterMatchSkipStrategy.java explicitly forbids).
     for idx, row in enumerate(rows):
         row["__rowidx"] = idx
+    if any(st.contiguity == "relaxed_any" for st in steps):
+        # followedByAny produces overlapping matches; the skip-past
+        # strategies are ill-defined over them (which match's last row?)
+        # — the reference couples non-determinism with no-skip too.
+        if after_match != "skip_to_next_row":
+            raise ValueError(
+                "followed_by_any requires after_match='skip_to_next_row'"
+            )
+        out_any: list[dict] = []
+        for i in range(len(rows)):
+            for m in _iter_matches_at(
+                rows, i, steps, ts_col=ts_col, within=within
+            ):
+                out_any.append({k: fn(m) for k, fn in measures.items()})
+        return pd.DataFrame(out_any)
     out: list[dict] = []
     i = 0
     while i < len(rows):

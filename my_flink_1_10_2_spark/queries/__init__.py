@@ -113,6 +113,7 @@ _FLAGSHIP_ORDER = [
     "q_cep_until",
     "q_sql_match_times",
     "q_sql_match_recognize",
+    "q_cep_followed_by_any",
     # windows still unsampled (incl. new windowAll)
     "q_tumble_window_all",
     "q_hop_window",

@@ -586,3 +586,51 @@ def q_sql_match_times(spark, sf_dir):
         )
         """
     ).df
+
+
+@register(
+    "q_cep_followed_by_any",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events s JOIN events p
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase'
+     AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+     AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    WHERE s.event_type = 'signup'
+    ORDER BY s.user_id, signup_id, purchase_id
+    """,
+    category="cep",
+)
+def q_cep_followed_by_any(spark, sf_dir):
+    """followedByAny (ref: Pattern.followedByAny — non-deterministic
+    relaxed contiguity, the NFA's IGNORE-after-TAKE edge): every
+    purchase within 30 minutes of a signup yields its OWN match, so the
+    full (signup, purchase) fan is emitted — unlike followedBy, which
+    binds only the earliest.  SQL-expressible as the time-bounded join
+    of all qualifying pairs, which is exactly what makes the semantics
+    oracle-checkable."""
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("s", lambda row, ctx: row["event_type"] == "signup")
+        .followed_by_any("p", lambda row, ctx: row["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["s"][0]["user_id"],
+            "signup_id": lambda m: m["s"][0]["event_id"],
+            "purchase_id": lambda m: m["p"][0]["event_id"],
+            "purchase_value": lambda m: m["p"][0]["value"],
+        },
+        output_schema=(
+            "user_id long, signup_id long, purchase_id long,"
+            " purchase_value double"
+        ),
+        after_match="skip_to_next_row",
+    ).orderBy("user_id", "signup_id", "purchase_id")

@@ -206,3 +206,77 @@ def test_sql_times_quantifier(spark):
     # a=2 has (5,4) not rising twice
     assert list(out["a_val"]) == [1.0]
     assert list(out["top_val"]) == [5.0]
+
+
+# ---------------------------------------------------------------------------
+# followedByAny — non-deterministic relaxed contiguity
+# ---------------------------------------------------------------------------
+
+
+def _is(t):
+    return lambda r, c: r["event_type"] == t
+
+
+def test_followed_by_any_emits_every_viable_position():
+    """a followedByAny b over [a, b, b]: both b's produce a match
+    (ref: Pattern.followedByAny — the NFA's IGNORE-after-TAKE edge);
+    plain followedBy keeps only the first."""
+    pdf = _pdf([1, 2, 3], types=["a", "b", "b"])
+    meas = {"bi": lambda m: m["b"][0]["i"]}
+    p_any = Pattern.begin("a", _is("a")).followed_by_any("b", _is("b"))
+    out = _run_nfa(pdf, p_any.steps, meas, "skip_to_next_row")
+    assert sorted(out["bi"]) == [1, 2]
+    p_det = Pattern.begin("a", _is("a")).followed_by("b", _is("b"))
+    out = _run_nfa(pdf, p_det.steps, meas, "skip_to_next_row")
+    assert sorted(out["bi"]) == [1]
+
+
+def test_followed_by_any_combines_with_later_steps():
+    """a fAny b next c: each b branch must find its own strictly-next
+    c — [a, b, c, b, x] yields only the first (b, c) pair."""
+    pdf = _pdf([1, 2, 3, 4, 5], types=["a", "b", "c", "b", "x"])
+    meas = {"bi": lambda m: m["b"][0]["i"], "ci": lambda m: m["c"][0]["i"]}
+    p = (
+        Pattern.begin("a", _is("a"))
+        .followed_by_any("b", _is("b"))
+        .next("c", _is("c"))
+    )
+    out = _run_nfa(pdf, p.steps, meas, "skip_to_next_row")
+    assert sorted(zip(out["bi"], out["ci"])) == [(1, 2)]
+    # make the second branch viable too
+    pdf2 = _pdf([1, 2, 3, 4, 5], types=["a", "b", "c", "b", "c"])
+    out2 = _run_nfa(pdf2, p.steps, meas, "skip_to_next_row")
+    assert sorted(zip(out2["bi"], out2["ci"])) == [(1, 2), (3, 4)]
+
+
+def test_followed_by_any_multiple_starts():
+    """Every a start contributes its own fan of b matches."""
+    pdf = _pdf([1, 2, 3, 4], types=["a", "a", "b", "b"])
+    meas = {
+        "ai": lambda m: m["a"][0]["i"],
+        "bi": lambda m: m["b"][0]["i"],
+    }
+    p = Pattern.begin("a", _is("a")).followed_by_any("b", _is("b"))
+    out = _run_nfa(pdf, p.steps, meas, "skip_to_next_row")
+    assert sorted(zip(out["ai"], out["bi"])) == [(0, 2), (0, 3), (1, 2), (1, 3)]
+
+
+def test_followed_by_any_rejects_skip_past():
+    p = Pattern.begin("a", _is("a")).followed_by_any("b", _is("b"))
+    with pytest.raises(ValueError, match="skip_to_next_row"):
+        _run_nfa(
+            _pdf([1, 2], types=["a", "b"]),
+            p.steps,
+            _measure_counts("a"),
+            "skip_past_last_row",
+        )
+
+
+def test_followed_by_any_respects_within():
+    """The match window still bounds how far the any-branches reach."""
+    pdf = _pdf([1, 2, 3], types=["a", "b", "b"])
+    pdf["ts"] = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00"])
+    meas = {"bi": lambda m: m["b"][0]["i"]}
+    p = Pattern.begin("a", _is("a")).followed_by_any("b", _is("b")).within("1 hour")
+    out = _run_nfa(pdf, p.steps, meas, "skip_to_next_row", ts_col="ts", within=p.within_td)
+    assert sorted(out["bi"]) == [1]

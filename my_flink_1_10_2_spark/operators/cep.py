@@ -92,6 +92,12 @@ class Step:
     contiguity: str = "strict"
     negated: bool = False  # notNext (strict) / notFollowedBy (relaxed)
     until_pred: RowPredicate | None = None  # stop condition for loops
+    # contiguity BETWEEN repeats of a looping quantifier (ref:
+    # Quantifier.ConsumingStrategy): 'strict' (= .consecutive(), the
+    # default here), 'relaxed' (skip-till-next: non-matching gap rows are
+    # ignored), 'any' (= .allowCombinations(): every subset choice forks
+    # its own match — combinatorial, like the reference)
+    repeats: str = "strict"
     min_count: int = field(init=False)
     max_count: float = field(init=False)
     greedy: bool = field(init=False)
@@ -108,6 +114,8 @@ class Step:
             )
         if self.until_pred is not None and self.max_count <= 1:
             raise ValueError("until() requires a looping quantifier (+/*/{n,})")
+        if self.repeats not in ("strict", "relaxed", "any"):
+            raise ValueError(f"unsupported repeat contiguity {self.repeats!r}")
 
 
 class Pattern:
@@ -188,6 +196,7 @@ class Pattern:
             last.contiguity,
             last.negated,
             changes.get("until_pred", last.until_pred),
+            changes.get("repeats", last.repeats),
         )
         return Pattern(self.steps[:-1] + [new], self.within_td)
 
@@ -217,6 +226,27 @@ class Pattern:
         last = self.steps[-1]
         q = last.quantifier
         return self._mod_last(quantifier=q if q.endswith("?") and q != "?" else q + "?")
+
+    def consecutive(self) -> "Pattern":
+        """Strict contiguity between repeats of the last (looping) step
+        (ref: Pattern.consecutive).  This is already the default here, so
+        the call is a documentation no-op kept for API parity."""
+        return self._mod_last(repeats="strict")
+
+    def relaxed_repeats(self) -> "Pattern":
+        """Skip-till-next between repeats: non-matching rows inside the
+        loop are ignored (ref: Quantifier.ConsumingStrategy
+        SKIP_TILL_NEXT — the reference's *default* for followedBy
+        loops; here opt-in to keep the strict default stable)."""
+        return self._mod_last(repeats="relaxed")
+
+    def allow_combinations(self) -> "Pattern":
+        """Non-deterministic repeats: every increasing subset of
+        matching rows forks its own match (ref:
+        Pattern.allowCombinations / ConsumingStrategy SKIP_TILL_ANY).
+        Combinatorial by design; requires
+        ``after_match='skip_to_next_row'`` like followed_by_any."""
+        return self._mod_last(repeats="any")
 
     def until(self, predicate: RowPredicate) -> "Pattern":
         """Stop condition for the last (looping) step: consumption stops
@@ -295,7 +325,10 @@ def _iter_matches_at(
 
         binding = dict(matched)
         binding[step.name] = list(matched.get(step.name, []))
-        any_mode = step.contiguity == "relaxed_any"
+        # non-deterministic step: every viable alternative produces its
+        # own match (followedByAny positions, allowCombinations subsets)
+        nondet = step.contiguity == "relaxed_any" or step.repeats == "any"
+        lo = max(step.min_count, 1)
 
         def try_take(count_matched: dict, j: int):
             row = rows[j]
@@ -314,12 +347,79 @@ def _iter_matches_at(
             # step skipped entirely: position, clock, and bans unchanged
             yield from go(i, s + 1, binding, first_ts, banned)
 
+        def options(i0: int):
+            """(n, state, resume_pos) alternatives for this step's
+            repeats, first take pinned at i0 (outer contiguity already
+            chose it).  'strict' repeats: prefixes of the contiguous
+            run (greedy order honors the quantifier flag); 'relaxed':
+            skip-till-next chain — non-matching gap rows are ignored
+            (the reference's default ConsumingStrategy for loops);
+            'any': DFS over every increasing subset of matching rows
+            (Quantifier.allowCombinations)."""
+            if step.until_pred is not None and step.until_pred(rows[i0], binding):
+                return
+            first = try_take(binding, i0)
+            if first is None:
+                return
+            if step.repeats == "any" and step.max_count > 1:
+                if 1 >= lo:
+                    yield (1, first, i0 + 1)
+
+                def dfs(state, last, count):
+                    for j in range(last + 1, len(rows)):
+                        row = rows[j]
+                        if not in_window(first_ts, row):
+                            return
+                        if step.until_pred is not None and step.until_pred(
+                            row, state
+                        ):
+                            return
+                        t = try_take(state, j)
+                        if t is None:
+                            continue
+                        if count + 1 >= lo:
+                            yield (count + 1, t, j + 1)
+                        if count + 1 < step.max_count:
+                            yield from dfs(t, j, count + 1)
+
+                yield from dfs(first, i0, 1)
+                return
+            takes = [binding, first]
+            positions = [i0]
+            j = i0 + 1
+            while j < len(rows) and len(takes) - 1 < step.max_count:
+                row = rows[j]
+                if not in_window(first_ts, row):
+                    break
+                if step.until_pred is not None and step.until_pred(
+                    row, takes[-1]
+                ):
+                    break
+                t = try_take(takes[-1], j)
+                if t is None:
+                    if step.repeats == "relaxed":
+                        j += 1
+                        continue
+                    break
+                takes.append(t)
+                positions.append(j)
+                j += 1
+            max_n = len(positions)
+            if max_n >= lo:
+                ns = (
+                    range(max_n, lo - 1, -1)
+                    if step.greedy
+                    else range(lo, max_n + 1)
+                )
+                for n in ns:
+                    yield (n, takes[n], positions[n - 1] + 1)
+
         if step.min_count == 0 and not step.greedy:
             emitted = False
             for res in zero_take():
                 emitted = True
                 yield res
-            if emitted and not any_mode:
+            if emitted and not nondet:
                 return
 
         if step.contiguity in ("relaxed", "relaxed_any"):
@@ -331,36 +431,16 @@ def _iter_matches_at(
                 break  # rows are event-time sorted: nothing later fits
             if i0 > i and banned and any(b(rows[i0 - 1], matched) for b in banned):
                 break  # a forbidden row entered the gap — all later starts fail
-            # consume repeats (strict inside the loop), capped by the
-            # quantifier's upper bound and the until() stop condition
-            takes: list[dict] = [binding]
-            j = i0
-            while j < len(rows) and len(takes) - 1 < step.max_count:
-                if step.until_pred is not None and step.until_pred(
-                    rows[j], takes[-1]
-                ):
-                    break
-                taken = try_take(takes[-1], j)
-                if taken is None:
-                    break
-                takes.append(taken)
-                j += 1
-            max_n = len(takes) - 1
-            lo = max(step.min_count, 1)
-            if max_n >= lo:
-                counts = (
-                    range(max_n, lo - 1, -1) if step.greedy else range(lo, max_n + 1)
-                )
-                for n in counts:
-                    got = False
-                    for res in go(i0 + n, s + 1, takes[n], first_ts_after(i0), []):
-                        got = True
-                        yield res
-                    if got and not any_mode:
-                        # deterministic step: first viable (position,
-                        # count) wins — later alternatives exist only as
-                        # backtracking fallbacks
-                        return
+            for n, state_n, resume in options(i0):
+                got = False
+                for res in go(resume, s + 1, state_n, first_ts_after(i0), []):
+                    got = True
+                    yield res
+                if got and not nondet:
+                    # deterministic step: first viable (position, count)
+                    # wins — later alternatives exist only as
+                    # backtracking fallbacks
+                    return
         if step.min_count == 0 and step.greedy:
             yield from zero_take()
 
@@ -399,13 +479,17 @@ def _run_nfa(
     # reference's AfterMatchSkipStrategy.java explicitly forbids).
     for idx, row in enumerate(rows):
         row["__rowidx"] = idx
-    if any(st.contiguity == "relaxed_any" for st in steps):
-        # followedByAny produces overlapping matches; the skip-past
-        # strategies are ill-defined over them (which match's last row?)
-        # — the reference couples non-determinism with no-skip too.
+    if any(
+        st.contiguity == "relaxed_any" or st.repeats == "any" for st in steps
+    ):
+        # followedByAny/allowCombinations produce overlapping matches;
+        # the skip-past strategies are ill-defined over them (which
+        # match's last row?) — the reference couples non-determinism
+        # with no-skip too.
         if after_match != "skip_to_next_row":
             raise ValueError(
-                "followed_by_any requires after_match='skip_to_next_row'"
+                "followed_by_any/allow_combinations require"
+                " after_match='skip_to_next_row'"
             )
         out_any: list[dict] = []
         for i in range(len(rows)):

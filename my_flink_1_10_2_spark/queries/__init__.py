@@ -114,6 +114,7 @@ _FLAGSHIP_ORDER = [
     "q_sql_match_times",
     "q_sql_match_recognize",
     "q_cep_followed_by_any",
+    "q_cep_allow_combinations",
     # windows still unsampled (incl. new windowAll)
     "q_tumble_window_all",
     "q_hop_window",

@@ -634,3 +634,51 @@ def q_cep_followed_by_any(spark, sf_dir):
         ),
         after_match="skip_to_next_row",
     ).orderBy("user_id", "signup_id", "purchase_id")
+
+
+@register(
+    "q_cep_allow_combinations",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id,
+           p1.event_id AS p1_id, p2.event_id AS p2_id
+    FROM events s
+    JOIN events p1 ON p1.user_id = s.user_id AND p1.event_type = 'purchase'
+     AND (p1.ts > s.ts OR (p1.ts = s.ts AND p1.event_id > s.event_id))
+     AND p1.ts <= s.ts + INTERVAL 6 HOUR
+    JOIN events p2 ON p2.user_id = s.user_id AND p2.event_type = 'purchase'
+     AND (p2.ts > p1.ts OR (p2.ts = p1.ts AND p2.event_id > p1.event_id))
+     AND p2.ts <= s.ts + INTERVAL 6 HOUR
+    WHERE s.event_type = 'signup'
+    ORDER BY s.user_id, signup_id, p1_id, p2_id
+    """,
+    category="cep",
+)
+def q_cep_allow_combinations(spark, sf_dir):
+    """allowCombinations (ref: Pattern.allowCombinations /
+    Quantifier.ConsumingStrategy SKIP_TILL_ANY): signup followed by
+    purchase{2} where the two purchases may be ANY increasing pair
+    within the 6-hour window — every subset forks its own match.
+    The oracle enumerates the same pairs as a time-bounded triple
+    self-join."""
+    events = read(spark, sf_dir, "events")
+    pattern = (
+        Pattern.begin("s", lambda row, ctx: row["event_type"] == "signup")
+        .followed_by("p", lambda row, ctx: row["event_type"] == "purchase")
+        .times(2)
+        .allow_combinations()
+        .within("6 hours")
+    )
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: m["s"][0]["user_id"],
+            "signup_id": lambda m: m["s"][0]["event_id"],
+            "p1_id": lambda m: m["p"][0]["event_id"],
+            "p2_id": lambda m: m["p"][1]["event_id"],
+        },
+        output_schema="user_id long, signup_id long, p1_id long, p2_id long",
+        after_match="skip_to_next_row",
+    ).orderBy("user_id", "signup_id", "p1_id", "p2_id")

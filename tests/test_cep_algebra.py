@@ -280,3 +280,72 @@ def test_followed_by_any_respects_within():
     p = Pattern.begin("a", _is("a")).followed_by_any("b", _is("b")).within("1 hour")
     out = _run_nfa(pdf, p.steps, meas, "skip_to_next_row", ts_col="ts", within=p.within_td)
     assert sorted(out["bi"]) == [1]
+
+
+# ---------------------------------------------------------------------------
+# repeat contiguity: consecutive (default) / relaxed / allowCombinations
+# ---------------------------------------------------------------------------
+
+
+def test_relaxed_repeats_skip_gap_rows():
+    """b+ with relaxed repeats over [b, x, b, x, b]: one match of three
+    b's (gap rows ignored — ref ConsumingStrategy SKIP_TILL_NEXT);
+    strict default stops at the first gap."""
+    pdf = _pdf([1, 2, 3, 4, 5], types=["b", "x", "b", "x", "b"])
+    p_rel = Pattern.begin("b", _is("b"), "+").relaxed_repeats()
+    out = _run_nfa(pdf, p_rel.steps, _measure_counts("b"), "skip_past_last_row")
+    assert _lens(out, "b") == [3]
+    p_strict = Pattern.begin("b", _is("b"), "+")
+    out = _run_nfa(pdf, p_strict.steps, _measure_counts("b"), "skip_past_last_row")
+    assert _lens(out, "b") == [1, 1, 1]
+
+
+def test_relaxed_repeats_respect_until():
+    """until() cuts the relaxed chain at the stop row."""
+    pdf = _pdf([1, 2, 3, 9, 4], types=["b", "x", "b", "s", "b"])
+    p = (
+        Pattern.begin("b", _is("b"), "+")
+        .relaxed_repeats()
+        .until(lambda r, c: r["event_type"] == "s")
+    )
+    out = _run_nfa(pdf, p.steps, _measure_counts("b"), "skip_past_last_row")
+    # chain stops before the 's' row: only the two b's preceding it,
+    # then the final b matches separately
+    assert _lens(out, "b") == [2, 1]
+
+
+def test_allow_combinations_enumerates_subsets():
+    """a then b{2} with allowCombinations over [a, b, b, b]: every
+    2-subset of the three b's is its own match (ref:
+    Pattern.allowCombinations)."""
+    pdf = _pdf([1, 2, 3, 4], types=["a", "b", "b", "b"])
+    p = (
+        Pattern.begin("a", _is("a"))
+        .followed_by("b", _is("b"))
+        .times(2)
+        .allow_combinations()
+    )
+    meas = {
+        "b0": lambda m: m["b"][0]["i"],
+        "b1": lambda m: m["b"][1]["i"],
+    }
+    out = _run_nfa(pdf, p.steps, meas, "skip_to_next_row")
+    assert sorted(zip(out["b0"], out["b1"])) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_allow_combinations_rejects_skip_past():
+    p = Pattern.begin("b", _is("b"), "+").allow_combinations()
+    with pytest.raises(ValueError, match="skip_to_next_row"):
+        _run_nfa(
+            _pdf([1, 2], types=["b", "b"]),
+            p.steps,
+            _measure_counts("b"),
+            "skip_past_last_row",
+        )
+
+
+def test_consecutive_is_default_noop():
+    pdf = _pdf([1, 2, 3], types=["b", "x", "b"])
+    p = Pattern.begin("b", _is("b"), "+").consecutive()
+    out = _run_nfa(pdf, p.steps, _measure_counts("b"), "skip_past_last_row")
+    assert _lens(out, "b") == [1, 1]

@@ -451,3 +451,110 @@ def triangle_enumerate(
             F.col("e2.b").alias("v3"),
         )
     )
+
+
+def community_detection(
+    edges: DataFrame,
+    delta: float = 0.5,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection with hop attenuation (ref: flink-gelly
+    library/CommunityDetection.java — Leung et al.,
+    arxiv.org/pdf/0808.2633). Vertices start with (label=id, score=1.0)
+    and every superstep, over the UNDIRECTED edge set:
+
+    - each vertex receives (label, score) from every neighbor;
+    - it adopts the label with the highest SUM of received scores
+      (ties -> smallest label, the reference's ordered-TreeMap + strict
+      ``>`` loop);
+    - the new score is the highest SINGLE received score of the chosen
+      label, minus ``delta / superstep`` if the label changed (hop
+      attenuation); vertices with no messages keep their state.
+
+    Scores are kept in integer micro-units (1.0 = 1_000_000) so the
+    per-label sums are exact under any partial-aggregation order — the
+    per-superstep attenuation constant round(delta*1e6/step) is
+    precomputed driver-side and injected as a literal, which lets a SQL
+    oracle replay the run bitwise. Unweighted edges (weight 1).
+
+    Scale shape: one |E| shuffle join + one (node,label) hash agg per
+    superstep; vertex state stays |V|-sized. Returns (node, label).
+    """
+    sym, sym_ids = checkpoint_tracked(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        .filter(F.col("e_src") != F.col("e_dst"))
+        .distinct()
+    )
+    init = (
+        _nodes(sym, "e_src", "e_dst")
+        .withColumn("label", F.col("node"))
+        .withColumn("score", F.lit(1_000_000).cast("bigint"))
+    )
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        att = int(round(delta * 1_000_000 / (i + 1)))  # superstep is 1-based
+        msgs = sym.join(st, sym.e_src == st.node).select(
+            F.col("e_dst").alias("node"), "label", "score"
+        )
+        agg = msgs.groupBy("node", "label").agg(
+            F.sum("score").alias("__tot"), F.max("score").alias("__best")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("__tot").desc(), F.col("label"))
+        pick = (
+            agg.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"), "__best")
+        )
+        return st.join(pick, "node", "left").select(
+            "node",
+            F.coalesce("__new", "label").alias("label"),
+            F.when(F.col("__new").isNull(), F.col("score"))
+            .when(F.col("__new") == F.col("label"), F.col("__best"))
+            .otherwise(F.col("__best") - F.lit(att))
+            .cast("bigint")
+            .alias("score"),
+        )
+
+    out = iterate(init, step, iterations)
+    free_checkpoints(edges.sparkSession, sym_ids)
+    return out.select("node", "label")
+
+
+def checksum_hash_code(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Graph checksum (ref: flink-gelly library/metric/ChecksumHashCode
+    .java — a convergence/debug metric: count + sum of element hashes
+    over vertices and edges). The hash is a deterministic arithmetic
+    mix (md5-derived 48-bit value) so any engine reproduces it; one
+    row out: (vertex_count, edge_count, checksum)."""
+    vhash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("v#"), F.col("node").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    ehash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(src).cast("string"), F.lit("#e#"), F.col(dst).cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    e = edges.select(src, dst).distinct()
+    v = _nodes(e, src, dst)
+    vs = v.agg(F.count("*").alias("vertex_count"), F.sum(vhash).alias("__vh"))
+    es = e.agg(F.count("*").alias("edge_count"), F.sum(ehash).alias("__eh"))
+    return vs.join(es).select(
+        "vertex_count",
+        "edge_count",
+        (F.col("__vh") + F.col("__eh")).alias("checksum"),
+    )

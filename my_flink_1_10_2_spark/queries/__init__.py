@@ -150,6 +150,8 @@ _FLAGSHIP_ORDER = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     # Gelly without driver rows
+    "q_community_detection",
+    "q_graph_checksum",
     "q_local_clustering",
     "q_vertex_metrics",
     "q_triadic_census",

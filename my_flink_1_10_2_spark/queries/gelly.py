@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.operators.gelly import (
     adamic_adar,
+    checksum_hash_code,
+    community_detection,
     hits,
     jaccard_index,
     label_propagation,
@@ -428,3 +430,77 @@ def q_connected_components_delta(spark, sf_dir):
     return connected_components_delta(
         edges, vertices=emb.select("vec_id"), max_iterations=30
     )
+
+
+_CD_ITERS, _CD_DELTA = 3, 0.5
+
+
+def _cd_oracle() -> str:
+    """Community-detection oracle: the scatter-gather run unrolled to a
+    fixed-depth CTE chain with the identical integer-micro-unit scores
+    and injected per-superstep attenuation literals."""
+    sql = f"""
+    WITH edges0 AS ({_EDGE_SQL}),
+    sym AS (SELECT src AS e_src, dst AS e_dst FROM edges0
+            UNION SELECT dst, src FROM edges0),
+    s0 AS (SELECT DISTINCT e_src AS node, e_src AS label,
+                  CAST(1000000 AS BIGINT) AS score FROM sym)"""
+    for i in range(1, _CD_ITERS + 1):
+        att = int(round(_CD_DELTA * 1_000_000 / i))
+        sql += f""",
+    m{i} AS (
+      SELECT sym.e_dst AS node, s.label, s.score
+      FROM sym JOIN s{i - 1} s ON sym.e_src = s.node),
+    a{i} AS (
+      SELECT node, label, SUM(score) AS tot, MAX(score) AS best
+      FROM m{i} GROUP BY node, label),
+    p{i} AS (
+      SELECT node, label AS new_label, best FROM (
+        SELECT node, label, best,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY tot DESC, label) AS rn
+        FROM a{i}) WHERE rn = 1),
+    s{i} AS (
+      SELECT s.node,
+             COALESCE(p.new_label, s.label) AS label,
+             CAST(CASE WHEN p.new_label IS NULL THEN s.score
+                       WHEN p.new_label = s.label THEN p.best
+                       ELSE p.best - {att} END AS BIGINT) AS score
+      FROM s{i - 1} s LEFT JOIN p{i} p ON p.node = s.node)"""
+    return sql + f"\n    SELECT node, label FROM s{_CD_ITERS}"
+
+
+@register("q_community_detection", oracle=_cd_oracle(), category="graph")
+def q_community_detection(spark, sf_dir):
+    """Community detection with hop attenuation (ref: flink-gelly
+    library/CommunityDetection.java — Leung et al. 0808.2633): adopt
+    the neighbor label with the highest summed score, re-score with
+    -delta/superstep on change. Integer micro-unit scores make every
+    superstep bitwise-replayable by the unrolled CTE oracle."""
+    return community_detection(
+        _edges(spark, sf_dir), delta=_CD_DELTA, iterations=_CD_ITERS
+    )
+
+
+@register(
+    "q_graph_checksum",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    v AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    vs AS (SELECT count(*) AS vertex_count,
+                  CAST(SUM(('0x' || substr(md5('v#' || CAST(node AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT) AS vh
+           FROM v),
+    es AS (SELECT count(*) AS edge_count,
+                  CAST(SUM(('0x' || substr(md5(CAST(src AS VARCHAR) || '#e#' || CAST(dst AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT) AS eh
+           FROM edges)
+    SELECT vertex_count, edge_count, vh + eh AS checksum FROM vs, es
+    """,
+    category="graph",
+)
+def q_graph_checksum(spark, sf_dir):
+    """Graph checksum metric (ref: flink-gelly library/metric/
+    ChecksumHashCode.java): element counts plus a deterministic
+    md5-derived hash sum over vertices and edges — the debug/regression
+    fingerprint for iterative jobs. One row; both engines replay the
+    identical 48-bit hashes."""
+    return checksum_hash_code(_edges(spark, sf_dir))

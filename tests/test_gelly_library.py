@@ -106,3 +106,44 @@ def test_summarization_groups(spark):
         for r in superedges.collect()
     }
     assert se == {("even", "odd"): 4}
+
+
+def test_community_detection_two_cliques(spark):
+    # two triangles bridged by one edge — deterministic hand-traced
+    # state after 2 supersteps (scores in micro-units, ties → smallest
+    # label): clique A has collapsed onto 0, clique B still carries 2/3.
+    # (By superstep 4 label 0 floods the whole graph via the bridge —
+    # the documented min-label tie-break of Leung-style attenuated LPA.)
+    from my_flink_1_10_2_spark.operators.gelly import community_detection
+
+    e = _edges(
+        spark,
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+    )
+    out = {r["node"]: r["label"] for r in community_detection(e, iterations=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 2, 5: 2}
+    flooded = {
+        r["node"]: r["label"] for r in community_detection(e, iterations=4).collect()
+    }
+    assert set(flooded.values()) == {0}
+
+
+def test_community_detection_tie_prefers_smallest_label(spark):
+    # path 0-1-2: vertex 1 receives labels {0, 2} with equal summed
+    # score in superstep 1 → adopts 0 (ordered-map strict-> semantics).
+    from my_flink_1_10_2_spark.operators.gelly import community_detection
+
+    e = _edges(spark, [(0, 1), (1, 2)])
+    out = {r["node"]: r["label"] for r in community_detection(e, iterations=1).collect()}
+    assert out[1] == 0
+
+
+def test_checksum_hash_code_counts(spark):
+    from my_flink_1_10_2_spark.operators.gelly import checksum_hash_code
+
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2)])
+    row = checksum_hash_code(e).collect()[0]
+    assert row["vertex_count"] == 3 and row["edge_count"] == 3
+    # deterministic across runs
+    again = checksum_hash_code(e).collect()[0]
+    assert again["checksum"] == row["checksum"]

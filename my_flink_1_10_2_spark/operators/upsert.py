@@ -1,0 +1,75 @@
+"""Upsert-changelog materialization (ref: flink-table/flink-table-api-
+java-bridge/src/main/java/org/apache/flink/table/sinks/
+UpsertStreamTableSink.java — a keyed changelog of (upsert, delete)
+messages whose final state is "latest message per key wins; a trailing
+delete removes the key").
+
+The reference hands `Tuple2<Boolean, Row>` to the sink (true = upsert,
+false = delete) with `setKeyFields` defining the unique key.  Here the
+changelog is an ordinary DataFrame with explicit key / order / op
+columns, and materialization is one window shuffle partitioned by the
+key — no per-key state on the driver, so the same plan runs on a
+1000-executor cluster: the only data movement is the hash exchange on
+the upsert key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_materialize(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a keyed upsert/delete changelog to its final snapshot.
+
+    For every distinct ``keys`` tuple, the row with the greatest
+    ``order_col`` (version / rowtime / offset) wins; if that winning
+    row's ``op_col`` equals ``delete_op`` the key is absent from the
+    snapshot.  ``(keys, order_col)`` must be unique — ties would make
+    "latest" ambiguous, so they are broken deterministically by the
+    remaining columns to keep the operator's output stable, but callers
+    should treat duplicates as an upstream bug (the reference requires a
+    unique key + monotone version per key as well).
+
+    Returns the snapshot without ``op_col``.
+    """
+    keys = list(keys)
+    others = [c for c in changelog.columns if c not in (*keys, order_col, op_col)]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in others]
+    )
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .drop("__rn", op_col)
+    )
+
+
+def apply_upsert_batch(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply one changelog micro-batch to an existing snapshot (the
+    incremental form a ``foreachBatch`` upsert sink uses): rows of
+    ``batch`` replace same-key rows of ``snapshot``; delete rows remove
+    them.  ``batch`` must contain at most one message per key (collapse
+    with :func:`upsert_materialize` first if not).
+
+    One left-anti join (drop replaced/deleted keys) + one union — both
+    key-partitioned, nothing driver-side.
+    """
+    keys = list(keys)
+    survivors = snapshot.join(batch.select(*keys), keys, "left_anti")
+    additions = batch.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    return survivors.unionByName(additions)

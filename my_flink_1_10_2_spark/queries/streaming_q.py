@@ -552,3 +552,41 @@ def q_queryable_state(spark, sf_dir):
             handle.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_upsert_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS cust, o_orderkey AS version,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price, o_orderdate AS odate
+      FROM orders),
+    latest AS (
+      SELECT cust, version, op, price, odate,
+             row_number() OVER (PARTITION BY cust ORDER BY version DESC) AS rn
+      FROM log)
+    SELECT cust, version, price, odate
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    category="streaming",
+)
+def q_upsert_snapshot(spark, sf_dir):
+    """Upsert-changelog materialization (ref: UpsertStreamTableSink.java
+    — keyed upsert/delete messages, latest-per-key wins, trailing delete
+    removes the key).  The changelog derives deterministically from
+    `orders`: key = o_custkey, version = o_orderkey, every 7th order is
+    a delete.  One window shuffle on the key — the scale-safe MERGE
+    pattern."""
+    from my_flink_1_10_2_spark.operators.upsert import upsert_materialize
+
+    log = read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    return upsert_materialize(log, keys=["cust"], order_col="version")

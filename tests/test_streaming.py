@@ -762,3 +762,37 @@ def test_punctuated_watermarks(spark, replay_dir):
     # batch late; batch 0 itself was on time
     assert len(seen2) + len(late2) == total
     assert len(late2) > 0 and len(seen2) > 0
+
+
+def test_upsert_materialize_semantics(spark):
+    """UpsertStreamTableSink semantics: latest message per key wins and a
+    trailing delete removes the key (ref: UpsertStreamTableSink.java)."""
+    from my_flink_1_10_2_spark.operators.upsert import (
+        apply_upsert_batch,
+        upsert_materialize,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "U", "a"),
+            (1, 20, "U", "b"),   # key 1 → latest upsert "b"
+            (2, 10, "U", "c"),
+            (2, 30, "D", None),  # key 2 → deleted
+            (3, 5, "D", None),
+            (3, 6, "U", "d"),    # delete then re-insert → present
+        ],
+        "k int, v int, op string, payload string",
+    )
+    snap = {
+        r["k"]: r["payload"]
+        for r in upsert_materialize(log, ["k"], "v").collect()
+    }
+    assert snap == {1: "b", 3: "d"}
+
+    # incremental application batch-by-batch (each batch has at most one
+    # message per key) reaches the same snapshot
+    state = spark.createDataFrame([], "k int, v int, payload string")
+    for cond in ["v <= 5", "v > 5 AND v <= 10", "v > 10"]:
+        state = apply_upsert_batch(state, log.where(cond), ["k"])
+    got = {r["k"]: r["payload"] for r in state.collect()}
+    assert got == {1: "b", 3: "d"}

@@ -159,6 +159,8 @@ _FLAGSHIP_ORDER = [
     "q_graph_summarization",
     # LLM / pipeline without driver rows (incl. new round-3 operators:
     # Count-Min heavy hitters, embedding centroids, TF-IDF)
+    "q_chunk_documents",
+    "q_upsert_snapshot",
     "q_cms_supplier_counts",
     "q_embedding_centroids",
     "q_tfidf_top_terms",

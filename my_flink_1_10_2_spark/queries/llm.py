@@ -737,3 +737,46 @@ def q_unigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1) AS n_chunks
+      FROM t),
+    c AS (
+      SELECT doc_id, n_chunks, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS chunk_len
+    FROM c
+    """,
+    category="llm",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (64-token chunks, 16-token overlap):
+    the prepare-for-pretraining / RAG-indexing explode.  Map-only —
+    no shuffle, whole-stage codegen end to end; every token lands in
+    >= 1 chunk, chunk k starts at 48*k.  Oracle replays the identical
+    slice arithmetic with DuckDB list functions."""
+    from my_flink_1_10_2_spark.llm.chunking import chunk_documents
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        "chunk_text",
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+    )

@@ -123,3 +123,43 @@ def test_line_dedup_operator(spark):
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CollectLimit" not in plan
     assert "Window" not in plan  # reassembly is a grouped agg, not a window
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Every token appears in >=1 chunk; consecutive chunks overlap by
+    exactly `overlap` tokens; short docs yield one chunk."""
+    from my_flink_1_10_2_spark.llm.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "only")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, stride 2 -> ceil((10-2)/2)=4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(c1) == 4 and all(r["n_chunks"] == 4 for r in c1)
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert c1[3]["chunk_text"] == "t6 t7 t8 t9"
+    # all 10 tokens covered
+    covered = set(t for r in c1 for t in r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # short docs: single chunk, full text
+    assert by_doc[2][0]["chunk_text"] == "a b" and by_doc[2][0]["n_chunks"] == 1
+    assert by_doc[3][0]["chunk_len"] == 1
+
+
+def test_chunk_documents_no_shuffle_no_python(spark):
+    from my_flink_1_10_2_spark.llm.chunking import chunk_documents
+    from my_flink_1_10_2_spark import plans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = chunk_documents(docs)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt, "chunking must be map-only"
+    assert plans.python_eval_count(df) == 0

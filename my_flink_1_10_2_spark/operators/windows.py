@@ -63,6 +63,42 @@ def count_tumble_window(df: DataFrame, keys: list[str], order_by, count: int) ->
     return df.withColumn("w_id", ((F.row_number().over(w) - F.lit(1)) / count).cast("bigint"))
 
 
+
+def count_slide_window(
+    df: DataFrame,
+    keys: list[str],
+    order_by,
+    size: int,
+    slide: int,
+    value_col: str,
+) -> DataFrame:
+    """Sliding count window: fire every ``slide`` records per key over
+    the last ``size`` records (ref: KeyedStream.countWindow(size, slide)
+    KeyedStream.java:653 — GlobalWindows + CountEvictor(size) +
+    CountTrigger(slide)).
+
+    Batch formulation: per-key ``row_number`` plus a
+    ``ROWS BETWEEN size-1 PRECEDING AND CURRENT ROW`` frame, filtered to
+    rows where ``rn % slide == 0`` — exactly the evictor+trigger
+    semantics on bounded data (early partial windows with < size rows
+    fire too, as in the reference). One hash shuffle on the keys.
+
+    Returns (keys..., fire_seq, cnt, sum_value).
+    """
+    from pyspark.sql import Window
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    frame = w.rowsBetween(-(size - 1), 0)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(frame))
+        .withColumn("sum_value", F.sum(value_col).over(frame))
+        .where(F.col("__rn") % slide == 0)
+        .select(*keys, F.col("__rn").alias("fire_seq"), "cnt", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fluent Table API window descriptors (ref: flink-table-api-java
 # org/apache/flink/table/api/Tumble.java:47, Slide.java:51,

@@ -120,6 +120,7 @@ _FLAGSHIP_ORDER = [
     "q_hop_window",
     "q_sql_hop_window",
     "q_session_window_dynamic_gap",
+    "q_count_window_slide",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

@@ -480,3 +480,38 @@ def q_fluent_window_join(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_count_window_slide",
+    oracle="""
+    SELECT user_id, fire_seq, cnt, sum_v_e4 FROM (
+      SELECT user_id,
+             row_number() OVER w AS fire_seq,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_v_e4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE fire_seq % 2 = 0
+    """,
+    category="window",
+)
+def q_count_window_slide(spark, sf_dir):
+    """Sliding count window — fire every 2 records over the last 5 per
+    key (ref: KeyedStream.countWindow(size, slide) KeyedStream.java:653,
+    GlobalWindows + CountEvictor + CountTrigger). Integer 1e-4 value
+    units keep the 5-row frame sums exact; one key shuffle."""
+    from my_flink_1_10_2_spark.operators.windows import count_slide_window
+
+    events = read(spark, sf_dir, "events").withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("bigint")
+    )
+    out = count_slide_window(
+        events, ["user_id"], ["ts", "event_id"], size=5, slide=2, value_col="v_e4"
+    )
+    return out.select(
+        "user_id", "fire_seq", "cnt", F.col("sum_value").cast("bigint").alias("sum_v_e4")
+    )

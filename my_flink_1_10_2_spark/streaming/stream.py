@@ -739,6 +739,56 @@ class KeyedStream:
             )
         )
 
+    def count_window_slide(
+        self, size: int, slide: int, value_col: str, ts_col: str
+    ) -> Stream:
+        """Sliding count window (ref: KeyedStream.countWindow(size,
+        slide) KeyedStream.java:653 — GlobalWindows + CountEvictor(size)
+        + CountTrigger(slide)): every ``slide`` records per key, emit an
+        aggregate over the last ``size`` records.
+
+        State per key is the ring buffer of the newest ``size-1`` values
+        plus the record counter — O(size), the same bound as the
+        reference's CountEvictor.  Emits (keys..., fire_seq, cnt,
+        sum_value); early windows with < size rows fire too.
+        """
+        import pandas as _pd
+
+        keys = self.keys
+        key_fields = ", ".join(
+            f"{k} {self.df.schema[k].dataType.simpleString()}" for k in keys
+        )
+        out_schema = f"{key_fields}, fire_seq long, cnt long, sum_value double"
+
+        def fn(key, pdf_iter, state):
+            pos, buf = state.get if state.exists else (0, [])
+            buf = list(buf or [])
+            rows = _pd.concat(list(pdf_iter), ignore_index=True)
+            rows = rows.sort_values(ts_col, kind="mergesort")
+            out = []
+            for v in rows[value_col].astype("float64"):
+                buf.append(float(v))
+                if len(buf) > size:
+                    buf.pop(0)
+                pos += 1
+                if pos % slide == 0:
+                    out.append((*key, pos, len(buf), sum(buf)))
+            state.update((pos, buf))
+            if out:
+                yield _pd.DataFrame(
+                    out, columns=[*keys, "fire_seq", "cnt", "sum_value"]
+                )
+
+        return Stream(
+            self.df.groupBy(*keys).applyInPandasWithState(
+                fn,
+                out_schema,
+                "pos long, buf array<double>",
+                "append",
+                "NoTimeout",
+            )
+        )
+
     def as_queryable_state(
         self, name: str, *agg_exprs
     ) -> "QueryableStateHandle":

@@ -796,3 +796,32 @@ def test_upsert_materialize_semantics(spark):
         state = apply_upsert_batch(state, log.where(cond), ["k"])
     got = {r["k"]: r["payload"] for r in state.collect()}
     assert got == {1: "b", 3: "d"}
+
+
+def test_streaming_count_window_slide_matches_batch(spark, replay_dir):
+    """Sliding count window (ref: KeyedStream.countWindow(size, slide)
+    KeyedStream.java:653): per-key firings every 2 records over the last
+    5 match the batch frame formulation — including early partial
+    windows — when replay order equals event-time order."""
+    from my_flink_1_10_2_spark.operators.windows import count_slide_window
+
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .key_by("user_id")
+        .count_window_slide(5, 2, value_col="value", ts_col="ts")
+    )
+    _, name = stream.to_memory_sink(output_mode="append")
+    got = {
+        (r.user_id, r.fire_seq): (r.cnt, round(r.sum_value, 4))
+        for r in spark.table(name).collect()
+    }
+    batch = count_slide_window(
+        _batch_events(spark), ["user_id"], ["ts", "event_id"], 5, 2, "value"
+    )
+    want = {
+        (r.user_id, r.fire_seq): (r.cnt, round(r.sum_value, 4))
+        for r in batch.collect()
+    }
+    assert got == want

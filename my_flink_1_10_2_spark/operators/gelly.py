@@ -558,3 +558,58 @@ def checksum_hash_code(
         "edge_count",
         (F.col("__vh") + F.col("__eh")).alias("checksum"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    vertices with (undirected) degree < k until a fixpoint — the
+    surviving subgraph is the k-core.  Beyond the reference's shipped
+    library but the standard companion to its clustering metrics
+    (vertex_metrics/clustering use the same symmetrized degree).
+
+    Each peel round is one degree aggregation + one semi-join on the
+    (checkpointed) edge set — the edge relation shrinks monotonically,
+    so at 100 TB the rounds get cheaper as the periphery peels away.
+    Converges in <= max_rounds (stops early when no vertex was removed;
+    the final round's count doubles as the convergence action).
+
+    Returns the k-core's (node, degree) with degrees measured in the
+    core subgraph.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur, cur_ids = checkpoint_tracked(sym)
+    spark = edges.sparkSession
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count("*").alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("a")
+        )
+        nxt, nxt_ids = checkpoint_tracked(
+            cur.join(keep, "a", "left_semi").join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+        )
+        n_edges = nxt.count()
+        free_checkpoints(spark, cur_ids)
+        cur, cur_ids = nxt, nxt_ids
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    out = cur.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return out

@@ -153,6 +153,7 @@ _FLAGSHIP_ORDER = [
     # Gelly without driver rows
     "q_community_detection",
     "q_graph_checksum",
+    "q_k_core",
     "q_local_clustering",
     "q_vertex_metrics",
     "q_triadic_census",

@@ -504,3 +504,68 @@ def q_graph_checksum(spark, sf_dir):
     fingerprint for iterative jobs. One row; both engines replay the
     identical 48-bit hashes."""
     return checksum_hash_code(_edges(spark, sf_dir))
+
+
+_KCORE_K, _KCORE_UNROLL = 2, 10
+
+# k-core needs degree heterogeneity to be interesting: a dense 12-node
+# core plus an 8-edge pendant chain.  With k=2 the chain peels exactly
+# one node per round from the free end (a genuine 9-round cascade), the
+# core survives untouched — exercising both the fixpoint and the early
+# termination.
+_KCORE_EDGE_SQL = """
+    SELECT DISTINCT src, dst FROM (
+      SELECT c_custkey %% 12 AS src, (c_custkey // 5) %% 12 AS dst
+      FROM customer WHERE c_custkey <= 600
+      UNION ALL
+      SELECT 11 + (c_custkey %% 8) AS src, 12 + (c_custkey %% 8) AS dst
+      FROM customer WHERE c_custkey <= 600
+    ) WHERE src <> dst
+"""
+
+
+def _kcore_edges(spark, sf_dir):
+    c = read(spark, sf_dir, "customer").filter("c_custkey <= 600")
+    core = c.select(
+        (F.col("c_custkey") % 12).alias("src"),
+        F.expr("(c_custkey div 5) % 12").alias("dst"),
+    )
+    chain = c.select(
+        (F.lit(11) + F.col("c_custkey") % 8).alias("src"),
+        (F.lit(12) + F.col("c_custkey") % 8).alias("dst"),
+    )
+    return core.unionAll(chain).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _kcore_oracle() -> str:
+    """k-core peel unrolled to a fixed CTE depth; the Spark operator
+    runs to fixpoint, so parity also proves the peel converges within
+    the unrolled depth on this graph (9 cascade rounds)."""
+    # Each peel level references the previous one three times; DuckDB
+    # inlines plain CTEs, which would expand the base scan 3^depth
+    # times — AS MATERIALIZED keeps the unroll linear.
+    sql = f"""
+    WITH edges0 AS MATERIALIZED ({_KCORE_EDGE_SQL.replace('%%', '%')}),
+    e0 AS MATERIALIZED (SELECT a, b FROM (
+             SELECT src AS a, dst AS b FROM edges0
+             UNION SELECT dst, src FROM edges0) s WHERE a <> b)"""
+    for i in range(1, _KCORE_UNROLL + 1):
+        sql += f""",
+    k{i} AS MATERIALIZED (SELECT a FROM (SELECT a, count(*) AS c FROM e{i - 1} GROUP BY a)
+             WHERE c >= {_KCORE_K}),
+    e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i - 1} e
+             JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)"""
+    return sql + f"""
+    SELECT a AS node, count(*) AS degree FROM e{_KCORE_UNROLL} GROUP BY a"""
+
+
+@register("q_k_core", oracle=_kcore_oracle(), category="graph")
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (iterative peel to fixpoint): vertices of
+    the maximal subgraph with min degree >= k, with their in-core
+    degrees. Each round = degree agg + two semi-joins; the edge set
+    shrinks monotonically, and the pendant chain in the fixture graph
+    forces a 9-round one-node-per-round cascade."""
+    from my_flink_1_10_2_spark.operators.gelly import k_core
+
+    return k_core(_kcore_edges(spark, sf_dir), k=_KCORE_K)

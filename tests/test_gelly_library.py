@@ -147,3 +147,16 @@ def test_checksum_hash_code_counts(spark):
     # deterministic across runs
     again = checksum_hash_code(e).collect()[0]
     assert again["checksum"] == row["checksum"]
+
+
+def test_k_core_pendant_chain_cascade(spark):
+    # triangle core + pendant chain 2-10-11-12: with k=2 the chain peels
+    # one node per round from the free end; the triangle survives with
+    # in-core degrees 2.
+    from my_flink_1_10_2_spark.operators.gelly import k_core
+
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 10), (10, 11), (11, 12)])
+    out = {r["node"]: r["degree"] for r in k_core(e, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+    # k=3: even the triangle dies
+    assert k_core(e, k=3).count() == 0

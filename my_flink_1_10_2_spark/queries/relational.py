@@ -349,3 +349,43 @@ def q_sql_lateral_table(spark, sf_dir):
         "CROSS JOIN LATERAL TABLE(explode(split(text, '\\\\s+'))) AS T(word) "
         "WHERE doc_id < 5"
     ).df
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    category="scan",
+)
+def q_profile_table(spark, sf_dir):
+    """Column statistics profiling (ref: CatalogColumnStatisticsData* —
+    nullCount/min/max/ndv feeding the CBO, the ANALYZE TABLE surface).
+    One aggregation job for every column (Catalyst plans the
+    multi-distinct via Expand), then a driver-free stack unpivot."""
+    from my_flink_1_10_2_spark.operators.profile import profile_table
+
+    return profile_table(
+        read(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )

@@ -75,3 +75,18 @@ def test_pii_pseudonymize_suppresses_small_groups(spark):
     for r in out:
         assert r.n_events >= 70  # k-anonymity threshold
         assert len(r.pseudo_id) == 64 and set(r.pseudo_id) <= set("0123456789abcdef")
+
+
+def test_profile_table_null_and_ndv_semantics(spark):
+    """NULLs counted in n_nulls, excluded from n_distinct (ndv), min/max
+    rendered as strings (ref: CatalogColumnStatisticsData holders)."""
+    from my_flink_1_10_2_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "x int, s string"
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 2
+    assert out["x"]["min_value"] == "1" and out["x"]["max_value"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2

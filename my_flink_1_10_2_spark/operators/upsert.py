@@ -73,3 +73,54 @@ def apply_upsert_batch(
     survivors = snapshot.join(batch.select(*keys), keys, "left_anti")
     additions = batch.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
     return survivors.unionByName(additions)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the changelog between two snapshot versions of a keyed
+    table — the inverse of :func:`upsert_materialize` and the batch
+    analog of the reference's retract-stream conversion
+    (ref: StreamTableEnvironment.toRetractStream — a snapshot pair
+    (v_old, v_new) differs into exactly the +I/-D/+U messages a
+    changelog consumer would need to move between them).
+
+    Output = one row per key present in either side whose payload
+    changed: ``op_col`` is ``I`` (insert: key only in ``new``), ``D``
+    (delete: key only in ``old``) or ``U`` (update: both present,
+    any non-key column differs).  Unchanged keys are absent.  Column
+    set: keys..., op, old_<payload>..., new_<payload>... .
+
+    One full-outer hash join on the key — the scale-safe snapshot-diff
+    shape (no driver-side comparison).
+    """
+    keys = list(keys)
+    payload = [c for c in old.columns if c not in keys]
+    if payload != [c for c in new.columns if c not in keys]:
+        raise ValueError("old/new payload columns must match")
+    # presence flags must not rely on nullable payloads: use a literal
+    # marker column per side
+    o2 = old.withColumn("__o", F.lit(1)).alias("o")
+    n2 = new.withColumn("__n", F.lit(1)).alias("n")
+    joined = o2.join(n2, keys, "full_outer")
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~(F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")))
+    op = (
+        F.when(F.col("o.__o").isNull(), F.lit("I"))
+        .when(F.col("n.__n").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *keys,
+            op_col,
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in payload],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in payload],
+        )
+    )

@@ -163,6 +163,7 @@ _FLAGSHIP_ORDER = [
     # Count-Min heavy hitters, embedding centroids, TF-IDF)
     "q_chunk_documents",
     "q_upsert_snapshot",
+    "q_table_diff",
     "q_profile_table",
     "q_cms_supplier_counts",
     "q_embedding_centroids",

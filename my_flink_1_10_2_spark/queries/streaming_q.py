@@ -590,3 +590,64 @@ def q_upsert_snapshot(spark, sf_dir):
         F.col("o_orderdate").alias("odate"),
     )
     return upsert_materialize(log, keys=["cust"], order_col="version")
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) * 11 / 10.0) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_c,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT COALESCE(o.k, n.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D'
+                WHEN o.price_c IS DISTINCT FROM n.price_c
+                  OR o.status IS DISTINCT FROM n.status THEN 'U' END AS op,
+           o.price_c AS old_price_c, o.status AS old_status,
+           n.price_c AS new_price_c, n.status AS new_status
+    FROM old o FULL JOIN new n ON o.k = n.k
+    WHERE (CASE WHEN o.k IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D'
+                WHEN o.price_c IS DISTINCT FROM n.price_c
+                  OR o.status IS DISTINCT FROM n.status THEN 'U' END) IS NOT NULL
+    """,
+    category="streaming",
+)
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff -> changelog (the inverse of upsert materialization;
+    ref: toRetractStream semantics): one full-outer hash join on the key
+    classifies every key as I / D / U, unchanged keys drop out.  Old =
+    orders minus every 5th key; new = orders minus every 7th key with a
+    10% price bump on every 3rd.  Prices ride in integer cents (the
+    repo's integer-unit float discipline) so the bump arithmetic is
+    engine-exact."""
+    from my_flink_1_10_2_spark.operators.upsert import table_diff
+
+    base = read(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    old = base.where(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        "price_c",
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = base.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.floor(F.col("price_c") * 11 / 10.0).cast("bigint"),
+        )
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return table_diff(old, new, keys=["k"])

@@ -825,3 +825,26 @@ def test_streaming_count_window_slide_matches_batch(spark, replay_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_table_diff_roundtrip_with_upsert(spark):
+    """table_diff ∘ apply = identity: applying the derived changelog to
+    the old snapshot reproduces the new snapshot exactly."""
+    from my_flink_1_10_2_spark.operators.upsert import apply_upsert_batch, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "k int, payload string"
+    )
+    diff = table_diff(old, new, ["k"])
+    got = {(r["k"], r["op"]) for r in diff.collect()}
+    assert got == {(1, "D"), (3, "U"), (4, "I")}
+    batch = diff.select(
+        "k", F.col("new_payload").alias("payload"), "op"
+    )
+    rebuilt = apply_upsert_batch(old, batch, ["k"])
+    assert {(r["k"], r["payload"]) for r in rebuilt.collect()} == {
+        (2, "b"), (3, "C"), (4, "d")
+    }

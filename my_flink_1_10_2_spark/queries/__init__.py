@@ -165,6 +165,10 @@ _FLAGSHIP_ORDER = [
     "q_upsert_snapshot",
     "q_table_diff",
     "q_profile_table",
+    "q_text_normalize",
+    "q_provenance",
+    "ds_tri_channel_intersect",
+    "ds_channel_except_count",
     "q_cms_supplier_counts",
     "q_embedding_centroids",
     "q_tfidf_top_terms",

@@ -780,3 +780,55 @@ def q_chunk_documents(spark, sf_dir):
         "chunk_text",
         F.col("chunk_len").cast("bigint").alias("chunk_len"),
     )
+
+
+@register(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+    category="llm_text",
+)
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization for dedup keys: lowercase, strip
+    non-alphanumerics, collapse runs of spaces, trim — the transform
+    upstream of every fuzzy-dedup fingerprint.  Pure regexp_replace
+    chain (JVM codegen, map-only); identical regexes replay in DuckDB."""
+    docs = read(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))
+
+
+@register(
+    "q_provenance",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    category="pipeline",
+)
+def q_provenance(spark, sf_dir):
+    """Provenance rollup: per-source document counts, id ranges and
+    volume — the audit table a training-data pipeline keeps so every
+    example traces back to its origin (the `source` column is the
+    fixture's provenance tag; at scale `input_file_name()` extends the
+    same rollup to physical files)."""
+    docs = read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n_chars").alias("total_chars"),
+    )

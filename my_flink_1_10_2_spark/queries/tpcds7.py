@@ -130,3 +130,66 @@ def ds_three_period_returns(spark, sf_dir):
         )
         .orderBy("p_name")
     )
+
+
+@register(
+    "ds_tri_channel_intersect",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+    ) t JOIN customer c ON c.c_custkey = t.o_custkey
+    ORDER BY c.c_custkey LIMIT 100
+    """,
+    category="tpcds",
+)
+def ds_tri_channel_intersect(spark, sf_dir):
+    """TPC-DS Q38 shape: customers active in ALL THREE channels
+    (INTERSECT chain -> semi-join cascade; ref:
+    ReplaceIntersectWithSemiJoinRule.scala).  Channels = order-priority
+    classes over the shared orders fact; each leg is a distinct
+    projection of the same scan, so Catalyst reuses the exchange."""
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+
+    def leg(p):
+        return o.where(F.col("o_orderpriority") == p).select("o_custkey").distinct()
+
+    tri = (
+        leg("1-URGENT").intersect(leg("2-HIGH")).intersect(leg("3-MEDIUM"))
+    )
+    return (
+        tri.join(c, tri.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "ds_channel_except_count",
+    oracle="""
+    SELECT count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+    ) t
+    """,
+    category="tpcds",
+)
+def ds_channel_except_count(spark, sf_dir):
+    """TPC-DS Q87 shape: customers exclusive to the first channel
+    (EXCEPT chain -> anti-join cascade; ref:
+    ReplaceMinusWithAntiJoinRule.scala)."""
+    o = read(spark, sf_dir, "orders")
+
+    def leg(p):
+        return o.where(F.col("o_orderpriority") == p).select("o_custkey").distinct()
+
+    out = leg("1-URGENT").exceptAll(leg("2-HIGH")).exceptAll(leg("3-MEDIUM"))
+    return out.agg(F.count(F.lit(1)).alias("n"))

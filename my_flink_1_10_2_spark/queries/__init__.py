@@ -167,6 +167,7 @@ _FLAGSHIP_ORDER = [
     "q_profile_table",
     "q_text_normalize",
     "q_provenance",
+    "q_embedding_normalize",
     "ds_tri_channel_intersect",
     "ds_channel_except_count",
     "q_cms_supplier_counts",

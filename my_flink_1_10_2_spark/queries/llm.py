@@ -832,3 +832,31 @@ def q_provenance(spark, sf_dir):
         F.max("doc_id").alias("last_doc"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q_embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(
+             list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+             x -> round(x / sqrt(list_sum(
+                    list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+           ) AS unit_head
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+    category="llm_similarity",
+)
+def q_embedding_normalize(spark, sf_dir):
+    """L2-normalize embeddings and keep the leading 4 dims (the
+    matryoshka-truncation serving trick: normalize on the FULL vector,
+    then slice).  Pure array higher-order functions — JVM-side,
+    map-only; both engines fold the square sum left-to-right over
+    doubles, so 6-dp rounding is engine-exact."""
+    emb = read(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x))
+    head = F.transform(
+        F.slice(dbl, 1, 4), lambda x: F.round(x / norm, 6)
+    )
+    return emb.select("vec_id", head.alias("unit_head"))

@@ -124,3 +124,26 @@ def table_diff(
             *[F.col(f"n.{c}").alias(f"new_{c}") for c in payload],
         )
     )
+
+
+def collapse_batch(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a changelog slice to its latest message per key,
+    KEEPING the op column (unlike :func:`upsert_materialize`, which
+    resolves deletes away) — the per-micro-batch pre-step before
+    :func:`apply_upsert_batch`, mirroring the reference's per-bundle
+    key dedup in MiniBatch upsert sinks."""
+    keys = list(keys)
+    others = [c for c in changelog.columns if c not in (*keys, order_col, op_col)]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in others]
+    )
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

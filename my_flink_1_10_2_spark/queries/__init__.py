@@ -164,6 +164,7 @@ _FLAGSHIP_ORDER = [
     "q_chunk_documents",
     "q_upsert_snapshot",
     "q_table_diff",
+    "q_upsert_stream_materialized",
     "q_profile_table",
     "q_text_normalize",
     "q_provenance",

@@ -651,3 +651,122 @@ def q_table_diff(spark, sf_dir):
         F.col("o_orderstatus").alias("status"),
     )
     return table_diff(old, new, keys=["k"])
+
+
+@register(
+    "q_upsert_stream_materialized",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS cust, o_orderkey AS version,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price
+      FROM orders WHERE o_custkey % 3 = 0),
+    latest AS (
+      SELECT cust, version, op, price,
+             row_number() OVER (PARTITION BY cust ORDER BY version DESC) AS rn
+      FROM log)
+    SELECT cust, version, price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    category="streaming",
+)
+def q_upsert_stream_materialized(spark, sf_dir):
+    """STREAMING upsert sink (ref: UpsertStreamTableSink.java): the
+    changelog replays through Structured Streaming micro-batches and a
+    foreachBatch sink maintains the keyed snapshot incrementally —
+    collapse the batch to its latest message per key, anti-join out the
+    replaced/deleted keys, union the upserts, swap snapshot versions
+    (ping-pong parquet dirs; at scale the same shape lands on any
+    atomically-swappable table format).  The converged snapshot must
+    equal the batch window formulation exactly.
+
+    Versions are assigned so later micro-batches carry strictly later
+    versions (replay order = version order, the reference's assumption
+    for ordered upsert streams)."""
+    from my_flink_1_10_2_spark.operators.upsert import (
+        apply_upsert_batch,
+        collapse_batch,
+    )
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    log = (
+        read(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 3 == 0)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("version"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_upsert_stream_")
+    try:
+        # split by version so replay order == version order
+        bounds = [0, 3000, 6000, 9000, 12000, 10**9]
+        for i in range(len(bounds) - 1):
+            (
+                log.where(
+                    (F.col("version") >= bounds[i])
+                    & (F.col("version") < bounds[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{work}/log/b{i:03d}")
+            )
+        # one flat dir of one file per range, named in replay order
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        _os.makedirs(f"{work}/replay")
+        import time as _time
+
+        base_ts = _time.time() - 3600
+        seq = 0
+        for i in range(len(bounds) - 1):
+            parts = _glob.glob(f"{work}/log/b{i:03d}/part-*.parquet")
+            for j, p in enumerate(sorted(parts)):
+                dst = f"{work}/replay/part-{i:03d}-{j}.parquet"
+                _shutil.copy(p, dst)
+                # strictly increasing mtimes: the file source orders
+                # micro-batches by modification time, and copy mtimes can
+                # collide within one clock tick
+                seq += 1
+                _os.utime(dst, (base_ts + seq, base_ts + seq))
+
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(
+            f"{work}/replay", log.schema, max_files_per_trigger=1
+        )
+        snap_dirs = [f"{work}/snap_a", f"{work}/snap_b"]
+        state = {"cur": None, "flip": 0}
+
+        def sink(batch_df, _bid):
+            if batch_df.isEmpty():
+                return
+            b = collapse_batch(batch_df, ["cust"], "version")
+            if state["cur"] is None:
+                snapshot = spark.createDataFrame(
+                    [], "cust bigint, version bigint, price double"
+                )
+            else:
+                snapshot = spark.read.parquet(state["cur"])
+            new_snap = apply_upsert_batch(snapshot, b, ["cust"])
+            target = snap_dirs[state["flip"]]
+            new_snap.write.mode("overwrite").parquet(target)
+            state["cur"], state["flip"] = target, 1 - state["flip"]
+
+        q = stream.df.writeStream.foreachBatch(sink).trigger(
+            availableNow=True
+        ).option(
+            "checkpointLocation", f"{work}/ckpt"
+        ).start()
+        q.awaitTermination()
+        result = spark.read.parquet(state["cur"])
+        return result.select("cust", "version", "price").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

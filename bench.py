@@ -67,6 +67,10 @@ HEADLINE = [
     "q_table_api_fluent_window",
     "q_fluent_window_join",
     "q_table_api_over_window",
+    # round-3 third wave: chunking (map-only explode) and k-core
+    # (shrinking-edge-set iteration)
+    "q_chunk_documents",
+    "q_k_core",
 ]
 
 

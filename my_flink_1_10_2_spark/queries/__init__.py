@@ -169,6 +169,8 @@ _FLAGSHIP_ORDER = [
     "q_text_normalize",
     "q_provenance",
     "q_embedding_normalize",
+    "q_group_quantiles",
+    "q_pipeline_normalize_dedup_chunk",
     "ds_tri_channel_intersect",
     "ds_channel_except_count",
     "q_cms_supplier_counts",

@@ -334,3 +334,31 @@ def q_table_api_over_window(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "run_cents", "last3")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q_group_quantiles",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="analytic",
+)
+def q_group_quantiles(spark, sf_dir):
+    """Per-group exact percentiles (linear interpolation, the SQL
+    PERCENTILE_CONT semantics): one hash shuffle on the group key, the
+    per-group sort happens inside the aggregate buffer.  At 100 TB
+    prefer percentile_approx (KLL sketch, mergeable, bounded memory) —
+    the exact form is the correctness oracle for it."""
+    li = read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

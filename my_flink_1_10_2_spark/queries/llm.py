@@ -860,3 +860,62 @@ def q_embedding_normalize(spark, sf_dir):
         F.slice(dbl, 1, 4), lambda x: F.round(x / norm, 6)
     )
     return emb.select("vec_id", head.alias("unit_head"))
+
+
+@register(
+    "q_pipeline_normalize_dedup_chunk",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents),
+    keep AS (
+      SELECT doc_id, source, norm_text FROM (
+        SELECT doc_id, source, norm_text,
+               row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+        FROM norm) WHERE rn = 1),
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(norm_text, '\s+'), x -> x <> '') AS t
+      FROM keep),
+    chunks AS (
+      SELECT source,
+             unnest(generate_series(0, GREATEST(CAST(ceil((len(t) - 16) / 48.0) AS INT), 1) - 1)) AS cid,
+             t
+      FROM toks)
+    SELECT source,
+           count(*) AS n_chunks,
+           CAST(sum(len(list_slice(t, cid * 48 + 1, cid * 48 + 64))) AS BIGINT) AS total_tokens
+    FROM chunks GROUP BY source
+    """,
+    category="llm",
+)
+def q_pipeline_normalize_dedup_chunk(spark, sf_dir):
+    """End-to-end mini pipeline composing three proven operators:
+    normalize (regexp chain) -> exact dedup keep-first on the normalized
+    text digest -> context-window chunking -> per-source chunk rollup.
+    One digest shuffle + one source shuffle; everything between is
+    map-only.  The oracle recomposes the same three SQL pieces."""
+    from my_flink_1_10_2_spark.llm.chunking import chunk_documents
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    normed = docs.select("doc_id", "source", norm.alias("norm_text"))
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    keep = (
+        normed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    chunks = chunk_documents(keep, text_col="norm_text", chunk_tokens=64, overlap=16)
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("total_tokens"),
+    )

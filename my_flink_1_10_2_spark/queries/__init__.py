@@ -170,6 +170,8 @@ _FLAGSHIP_ORDER = [
     "q_provenance",
     "q_embedding_normalize",
     "q_group_quantiles",
+    "q_mixture_apply",
+    "q_safe_union_evolution",
     "q_pipeline_normalize_dedup_chunk",
     "ds_tri_channel_intersect",
     "ds_channel_except_count",

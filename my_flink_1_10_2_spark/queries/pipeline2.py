@@ -327,3 +327,78 @@ def q_zip_with_index(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents").select("doc_id", "source")
     return zip_with_index(docs, "doc_id").select("doc_id", "source", "idx")
+
+
+@register(
+    "q_mixture_apply",
+    oracle=r"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_tokens,
+             round(LEAST(1.0,
+               ((SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s) / (SELECT count(*) FROM s))
+               / CAST(n_tokens AS DOUBLE)), 6) AS rate
+      FROM s),
+    kept AS (
+      SELECT d.source, d.doc_id,
+             len(list_filter(regexp_split_to_array(d.text, '\s+'), x -> x <> '')) AS tok
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+            / 1152921504606846976.0 <= r.rate)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(tok) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    category="pipeline",
+)
+def q_mixture_apply(spark, sf_dir):
+    """Apply the domain-mixture weights: downsample each over-represented
+    source to the uniform token target with a deterministic md5
+    acceptance test (hash01(doc_id) <= rate) — retry-stable and
+    exactly replayable, the same consistent-sampling idiom as the
+    sampling/KMV operators.
+
+    The rate table is one row per source (broadcast); acceptance is a
+    scan-time filter — no shuffle beyond the final per-source rollup.
+    Rates are ratios of exact integer token counts rounded to 6dp, so
+    both engines compute bit-identical doubles."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    with_tok = docs.select("doc_id", "source", toks.alias("tok"))
+    s = with_tok.groupBy("source").agg(F.sum("tok").cast("bigint").alias("n_tokens"))
+    tot = s.agg(
+        F.sum("n_tokens").cast("double").alias("__tot"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    rates = s.join(dim(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("__tot") / F.col("__k")) / F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    hash01 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    kept = with_tok.join(dim(rates), "source").where(hash01 <= F.col("rate"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("tok").cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -389,3 +389,39 @@ def q_profile_table(spark, sf_dir):
         read(spark, sf_dir, "orders"),
         ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
     )
+
+
+@register(
+    "q_safe_union_evolution",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderstatus AS status, CAST(NULL AS VARCHAR) AS priority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE),
+           CAST(NULL AS VARCHAR), o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    category="setop",
+)
+def q_safe_union_evolution(spark, sf_dir):
+    """Schema-evolution union across drifted snapshots (ref: flink-avro
+    schema resolution / Avro type promotion): snapshot A has
+    (k, price double, status), snapshot B has (k, price bigint,
+    priority).  safe_union name-aligns, widens bigint->double and fills
+    the missing column with NULLs — every input stays a plain pruned
+    scan."""
+    from my_flink_1_10_2_spark.operators.schema_evolution import safe_union
+
+    o = read(spark, sf_dir, "orders")
+    snap_a = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    snap_b = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice").cast("bigint").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return safe_union(snap_a, snap_b)

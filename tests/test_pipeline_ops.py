@@ -90,3 +90,21 @@ def test_profile_table_null_and_ndv_semantics(spark):
     assert out["x"]["n_distinct"] == 2
     assert out["x"]["min_value"] == "1" and out["x"]["max_value"] == "2"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+
+
+def test_safe_union_widening_and_nulls(spark):
+    from my_flink_1_10_2_spark.operators.schema_evolution import safe_union
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, 10)], "k int, v int")
+    b = spark.createDataFrame([(2, 2.5, "x")], "k bigint, v double, extra string")
+    out = safe_union(a, b)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double", "string",
+    ]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert rows == {1: (10.0, None), 2: (2.5, "x")}
+    # incompatible non-numeric conflict raises, no silent stringification
+    c = spark.createDataFrame([("s",)], "v string")
+    with _pytest.raises(ValueError):
+        safe_union(a, c)

@@ -64,3 +64,53 @@ def chunk_documents(
             F.size(chunk).alias("chunk_len"),
         )
     )
+
+
+def fim_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle (PSM) pretraining transform: deterministically
+    split each document's token stream into (prefix, middle, suffix) so
+    the trainer can emit ``prefix ⊕ suffix ⊕ middle`` with sentinel
+    tokens.  Cut points derive from two salted md5 hashes of the id —
+    retry-stable, uniformly distributed, and exactly replayable by a SQL
+    oracle (0 <= p1 <= p2 <= n via nested modulos).
+
+    Map-only: no shuffle, no Python; returns the input id with
+    (n_tokens, p1, p2, prefix, middle, suffix) as space-joined strings.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+    def hash_int(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    n = F.size(toks)
+    p1 = hash_int("fim1:") % (n + 1)
+    with_cuts = docs.select(
+        id_col,
+        toks.alias("__t"),
+        n.alias("n_tokens"),
+        p1.alias("p1"),
+        (p1 + hash_int("fim2:") % (n - p1 + 1)).alias("p2"),
+    )
+    return with_cuts.select(
+        id_col,
+        "n_tokens",
+        "p1",
+        "p2",
+        F.array_join(F.slice("__t", 1, F.col("p1")), " ").alias("prefix"),
+        F.array_join(
+            F.slice("__t", F.col("p1") + 1, F.col("p2") - F.col("p1")), " "
+        ).alias("middle"),
+        F.array_join(
+            F.slice("__t", F.col("p2") + 1, F.col("n_tokens") - F.col("p2")), " "
+        ).alias("suffix"),
+    )

@@ -919,3 +919,40 @@ def q_pipeline_normalize_dedup_chunk(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_len").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "q_fim_split",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 6 = 0),
+    cuts AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             (('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+               % (len(toks) + 1) AS p1
+      FROM t),
+    cuts2 AS (
+      SELECT doc_id, toks, n_tokens, p1,
+             p1 + (('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+               % (n_tokens - p1 + 1) AS p2
+      FROM cuts)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           COALESCE(array_to_string(list_slice(toks, 1, p1), ' '), '') AS prefix,
+           COALESCE(array_to_string(list_slice(toks, p1 + 1, p2), ' '), '') AS middle,
+           COALESCE(array_to_string(list_slice(toks, p2 + 1, n_tokens), ' '), '') AS suffix
+    FROM cuts2
+    """,
+    category="llm",
+)
+def q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle (PSM) split with deterministic salted-md5 cut
+    points (0 <= p1 <= p2 <= n) — the code-pretraining transform,
+    map-only and retry-stable; the oracle replays the identical modulo
+    arithmetic and list slices."""
+    from my_flink_1_10_2_spark.llm.chunking import fim_split
+
+    docs = read(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
+    return fim_split(docs.select("doc_id", "text"))

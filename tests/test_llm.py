@@ -163,3 +163,22 @@ def test_chunk_documents_no_shuffle_no_python(spark):
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in txt, "chunking must be map-only"
     assert plans.python_eval_count(df) == 0
+
+
+def test_fim_split_partitions_reassemble(spark):
+    """prefix+middle+suffix re-concatenates to the token stream, cut
+    points respect 0 <= p1 <= p2 <= n, and the split is deterministic."""
+    from my_flink_1_10_2_spark.llm.chunking import fim_split
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + i))) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    rows = fim_split(docs).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert 0 <= r["p1"] <= r["p2"] <= r["n_tokens"]
+        joined = " ".join(x for x in (r["prefix"], r["middle"], r["suffix"]) if x)
+        assert joined == " ".join(f"w{j}" for j in range(r["n_tokens"]))
+    again = fim_split(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

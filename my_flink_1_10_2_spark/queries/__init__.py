@@ -172,6 +172,7 @@ _FLAGSHIP_ORDER = [
     "q_group_quantiles",
     "q_mixture_apply",
     "q_fim_split",
+    "q_bigram_backoff_score",
     "q_safe_union_evolution",
     "q_pipeline_normalize_dedup_chunk",
     "ds_tri_channel_intersect",

@@ -956,3 +956,104 @@ def q_fim_split(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
     return fim_split(docs.select("doc_id", "text"))
+
+
+@register(
+    "q_bigram_backoff_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_w
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS tt FROM uni),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM tok WHERE len(t) >= 2),
+    ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_ctx FROM bg GROUP BY w1),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY w1, w2),
+    lp AS (
+      SELECT bgc.w1, bgc.w2,
+             CAST(round(ln(0.75 * (CAST(c_bg AS DOUBLE) / c_ctx)
+                           + 0.25 * (CAST(c_w AS DOUBLE) / (SELECT tt FROM tot))) * 1000000)
+                  AS BIGINT) AS lp_i
+      FROM bgc JOIN ctx ON ctx.w1 = bgc.w1 JOIN uni ON uni.w = bgc.w2)
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(lp_i) AS DOUBLE) / (count(*) * 1000000.0), 6) AS score
+    FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+    WHERE bg.doc_id % 5 = 0
+    GROUP BY bg.doc_id
+    """,
+    category="llm_text",
+)
+def q_bigram_backoff_score(spark, sf_dir):
+    """Bigram language-model quality score with interpolated unigram
+    backoff (0.75·P(w2|w1) + 0.25·P(w2)) — the CCNet-style perplexity
+    filter one model-order up from q_unigram_logprob.  The model trains
+    on the FULL corpus; every 5th doc is scored.
+
+    Float discipline: each (w1,w2) log-prob quantizes once to 1e-6
+    integer units (identical IEEE expression of exact integer counts on
+    both engines); per-doc sums are exact bigints, divided once.
+    100 TB shape: two token-granularity aggregates (bigram, unigram,
+    both partially aggregated map-side), one hash join back to the
+    bigram stream, one per-doc aggregate — no driver state, no windows.
+    """
+    docs = read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tok = docs.select("doc_id", toks.alias("t"))
+    uni = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = uni.agg(F.sum("c_w").cast("bigint").alias("tt"))
+    pair_idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bg = (
+        tok.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    lp = (
+        bgc.join(ctx, "w1")
+        .join(uni, bgc.w2 == uni.w)
+        .join(dim(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(0.75) * (F.col("c_bg").cast("double") / F.col("c_ctx"))
+                    + F.lit(0.25) * (F.col("c_w").cast("double") / F.col("tt"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp_i"),
+        )
+    )
+    scored = bg.where(F.col("doc_id") % 5 == 0).join(lp, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("lp_i").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("score"),
+    )

@@ -1057,3 +1057,73 @@ def q_bigram_backoff_score(spark, sf_dir):
             F.sum("lp_i").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
         ).alias("score"),
     )
+
+
+@register(
+    "q_lsh_quality_report",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
+           FROM w),
+    sig AS (SELECT doc_id, {', '.join(_minhash_mins(16))} FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             CASE b
+               {' '.join(f"WHEN {b} THEN array_to_string([h{4*b}, h{4*b+1}, h{4*b+2}, h{4*b+3}], ',')" for b in range(4))}
+             END AS band_key,
+             [{', '.join(f'h{i}' for i in range(16))}] AS sig
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, a.sig AS sig1, b.sig AS sig2
+      FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT doc1, doc2,
+             len(list_filter(range(1, 17), i -> sig1[i] = sig2[i])) / 16.0 AS est_jaccard
+      FROM cand),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_sz
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT est.doc1, est.doc2,
+           round(est_jaccard, 6) AS est_j,
+           round(COALESCE(inter_sz / (s1.sz + s2.sz - inter_sz), 0.0), 6) AS exact_j,
+           round(abs(est_jaccard
+                     - COALESCE(inter_sz / (s1.sz + s2.sz - inter_sz), 0.0)), 6) AS abs_err
+    FROM est
+    LEFT JOIN inter ON inter.doc1 = est.doc1 AND inter.doc2 = est.doc2
+    JOIN sizes s1 ON s1.doc_id = est.doc1
+    JOIN sizes s2 ON s2.doc_id = est.doc2
+    """,
+    category="llm_dedup",
+)
+def q_lsh_quality_report(spark, sf_dir):
+    """LSH tuning diagnostic: for every MinHash band-bucket candidate
+    pair, the signature-estimated Jaccard next to the EXACT n-gram
+    Jaccard and the absolute error — the report that tells you whether
+    (num_hashes, bands) is calibrated before running a 100 TB dedup.
+    Exact similarity is computed only for the O(collisions) candidate
+    set, never all pairs."""
+    docs = read(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.0)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.0).select(
+        "doc1", "doc2", F.col("jaccard").alias("__exact")
+    )
+    return (
+        cand.join(exact, ["doc1", "doc2"], "left")
+        .select(
+            "doc1",
+            "doc2",
+            F.round("est_jaccard", 6).alias("est_j"),
+            F.round(F.coalesce("__exact", F.lit(0.0)), 6).alias("exact_j"),
+            F.round(
+                F.abs(F.col("est_jaccard") - F.coalesce("__exact", F.lit(0.0))), 6
+            ).alias("abs_err"),
+        )
+    )

@@ -176,6 +176,7 @@ _FLAGSHIP_ORDER = [
     "q_lsh_quality_report",
     "q_safe_union_evolution",
     "q_pipeline_normalize_dedup_chunk",
+    "ds_cumulative_crossover",
     "ds_tri_channel_intersect",
     "ds_channel_except_count",
     "q_cms_supplier_counts",

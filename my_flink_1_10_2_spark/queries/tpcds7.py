@@ -193,3 +193,67 @@ def ds_channel_except_count(spark, sf_dir):
 
     out = leg("1-URGENT").exceptAll(leg("2-HIGH")).exceptAll(leg("3-MEDIUM"))
     return out.agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ds_cumulative_crossover",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, o_orderpriority AS pr,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_orderdate < DATE '1995-04-01'
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT d, pr,
+             CAST(sum(rev_c) OVER (PARTITION BY pr ORDER BY d) AS BIGINT) AS cum_c
+      FROM daily),
+    u AS (SELECT d, cum_c FROM cum WHERE pr = '1-URGENT'),
+    h AS (SELECT d, cum_c FROM cum WHERE pr = '2-HIGH')
+    SELECT COALESCE(u.d, h.d) AS d,
+           u.cum_c AS urgent_cum_c, h.cum_c AS high_cum_c
+    FROM u FULL JOIN h ON u.d = h.d
+    WHERE COALESCE(h.cum_c, 0) > COALESCE(u.cum_c, 0)
+    ORDER BY d
+    """,
+    category="tpcds",
+)
+def ds_cumulative_crossover(spark, sf_dir):
+    """TPC-DS Q51 shape: two channels' daily revenue turned into running
+    cumulative sums (window per channel), full-outer joined on date, and
+    filtered to the days where one channel's cumulative total overtakes
+    the other's.  Integer-cent running sums keep the comparison exact.
+    One date+channel aggregate, one channel-partitioned window, one
+    date-keyed full join."""
+    o = read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("d"), F.col("o_orderpriority").alias("pr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pr").orderBy("d")
+    cum = daily.withColumn("cum_c", F.sum("rev_c").over(w).cast("bigint"))
+    u = cum.where(F.col("pr") == "1-URGENT").select(
+        F.col("d").alias("ud"), F.col("cum_c").alias("urgent_cum_c")
+    )
+    h = cum.where(F.col("pr") == "2-HIGH").select(
+        F.col("d").alias("hd"), F.col("cum_c").alias("high_cum_c")
+    )
+    return (
+        u.join(h, u.ud == h.hd, "full_outer")
+        .where(
+            F.coalesce("high_cum_c", F.lit(0)) > F.coalesce("urgent_cum_c", F.lit(0))
+        )
+        .select(
+            F.coalesce("ud", "hd").alias("d"), "urgent_cum_c", "high_cum_c"
+        )
+        .orderBy("d")
+    )

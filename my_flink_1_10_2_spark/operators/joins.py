@@ -52,10 +52,20 @@ def asof_join(
     key: tuple[str, str],
     time: tuple[str, str],
     right_value_cols: list[str] | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row whose
     time <= left.time, per key (ref: TemporalRowTimeJoinOperator.java:71 —
     `FOR SYSTEM_TIME AS OF` probe semantics).
+
+    ``tolerance`` (SQL interval body, e.g. ``'30 minutes'``) bounds the
+    staleness of the matched version: a match older than
+    ``left.time - tolerance`` is nulled out — the feature-store
+    max-staleness guard (equivalent to latest-within-window, since the
+    latest prior version IS the maximum over all priors).  This is the
+    analog of the reference's temporal-join state TTL
+    (StreamingJoinOperator idle-state retention), which likewise stops
+    serving versions older than the configured bound.
 
     Implementation (scales to 100 TB): tag and union both inputs, shuffle
     ONCE by key, sort by (time, side) within the window, and carry the
@@ -84,12 +94,22 @@ def asof_join(
     # with ts == probe ts IS visible (inclusive as-of, matching the
     # reference's rowtime join).
     null_left = [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns]
+    struct_cols = [F.col(c).alias(c) for c in right_value_cols]
+    if tolerance is not None:
+        # carry the version's own timestamp for the staleness guard
+        from pyspark.sql.types import StructField
+
+        struct_cols.append(F.col(rt).alias("__vt"))
+        version_struct_t = StructType(
+            [right.schema[c] for c in right_value_cols]
+            + [StructField("__vt", right.schema[rt].dataType, True)]
+        )
     r = right.select(
         F.col(rk).alias("__k"),
         F.col(rt).alias("__t"),
         F.lit(0).alias("__side"),
         *null_left,
-        F.struct(*[F.col(c).alias(c) for c in right_value_cols]).alias("__r"),
+        F.struct(*struct_cols).alias("__r"),
     )
 
     l = left.select(
@@ -109,11 +129,17 @@ def asof_join(
     filled = unioned.select(
         "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__v")
     )
-    out = (
-        filled.filter(F.col("__side") == 1)
-        .select(
+    probe = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = F.col("__v.__vt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        return probe.select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"__v.{c}").alias(c) for c in right_value_cols],
+            *[
+                F.when(fresh, F.col(f"__v.{c}")).alias(c)
+                for c in right_value_cols
+            ],
         )
+    return probe.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__v.{c}").alias(c) for c in right_value_cols],
     )
-    return out

@@ -515,3 +515,48 @@ def q_count_window_slide(spark, sf_dir):
     return out.select(
         "user_id", "fire_seq", "cnt", F.col("sum_value").cast("bigint").alias("sum_v_e4")
     )
+
+
+@register(
+    "q_asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           date_trunc('microseconds', p.ts) AS ts,
+           p.value AS purchase_value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.value END
+             AS last_click_value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.event_id END
+             AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    category="join",
+)
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of join with a max-staleness tolerance: matches older than 30
+    minutes are nulled (the feature-store freshness guard; analog of the
+    reference temporal join's idle-state retention).  Same single-key-
+    shuffle union+last plan as q_asof_join — the guard is a map-side
+    CASE, equivalent to latest-within-window because the latest prior
+    version is the maximum over all priors."""
+    from my_flink_1_10_2_spark.operators.joins import asof_join
+
+    events = read(spark, sf_dir, "events")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("last_click_value"),
+        F.col("event_id").alias("last_click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key=("user_id", "c_user_id"),
+        time=("ts", "c_ts"),
+        right_value_cols=["last_click_value", "last_click_id"],
+        tolerance="30 MINUTE",
+    )

@@ -66,3 +66,55 @@ def q_avro_roundtrip(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_multi_format_union",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    category="formats",
+)
+def q_multi_format_union(spark, sf_dir):
+    """One logical table served from three physical formats (ref:
+    flink-formats/{flink-csv,flink-json,flink-parquet}): thirds of the
+    orders slice round-trip through CSV, JSON-lines and Parquet and
+    union back by name — format choice must not change the relational
+    result.  Integer cents survive CSV/JSON text round-trips exactly
+    (doubles would not, which is the point of the discipline)."""
+    import shutil
+    import tempfile
+
+    base = (
+        read(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_formats_")
+    try:
+        base.where(F.col("k") % 3 == 0).write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{work}/csv")
+        base.where(F.col("k") % 3 == 1).write.mode("overwrite").json(f"{work}/json")
+        base.where(F.col("k") % 3 == 2).write.mode("overwrite").parquet(
+            f"{work}/parquet"
+        )
+        csv = (
+            spark.read.option("header", True)
+            .schema("k bigint, status string, price_c bigint")
+            .csv(f"{work}/csv")
+        )
+        js = spark.read.schema("k bigint, status string, price_c bigint").json(
+            f"{work}/json"
+        )
+        pq = spark.read.parquet(f"{work}/parquet")
+        out = csv.unionByName(js).unionByName(pq.select("k", "status", "price_c"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

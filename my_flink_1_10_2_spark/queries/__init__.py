@@ -168,6 +168,7 @@ _FLAGSHIP_ORDER = [
     "q_upsert_stream_materialized",
     "q_profile_table",
     "q_multi_format_union",
+    "q_histogram_equiwidth",
     "q_text_normalize",
     "q_provenance",
     "q_embedding_normalize",

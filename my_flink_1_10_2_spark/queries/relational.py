@@ -425,3 +425,51 @@ def q_safe_union_evolution(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
     )
     return safe_union(snap_a, snap_b)
+
+
+@register(
+    "q_histogram_equiwidth",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders)
+    SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(min(o_totalprice), 2) AS lo_val,
+           round(max(o_totalprice), 2) AS hi_val
+    FROM orders, b
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="scan",
+)
+def q_histogram_equiwidth(spark, sf_dir):
+    """Equi-width histogram (10 buckets over [min, max]) — the CBO
+    histogram statistic (ref: CatalogColumnStatisticsData histogram
+    support) and the profiling companion to q_profile_table.  The
+    min/max bounds ride a 1-row broadcast; bucketing is a map-side
+    floor, one aggregate — two scans total (bounds + histogram), the
+    standard two-pass shape."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    o = read(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)
+        ).cast("bigint"),
+        F.lit(9),
+    )
+    return (
+        o.join(dim(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_val"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_val"),
+        )
+        .orderBy("bucket")
+    )

@@ -770,3 +770,76 @@ def q_upsert_stream_materialized(spark, sf_dir):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_topn_stream_materialized",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 10000) AS BIGINT) * 10000000 + event_id AS ord
+      FROM events WHERE user_id % 7 = 0),
+    ranked AS (
+      SELECT user_id, event_id, ord,
+             row_number() OVER (PARTITION BY user_id ORDER BY ord DESC) AS rank
+      FROM src)
+    SELECT user_id, CAST(rank AS INT) AS rank, event_id, ord
+    FROM ranked WHERE rank <= 3
+    """,
+    category="streaming",
+)
+def q_topn_stream_materialized(spark, sf_dir):
+    """Incremental streaming Top-N (ref: StreamExecRank.scala AppendFast
+    / AppendOnlyTopNFunction.java:222): per-key O(n) buffers refresh
+    across micro-batches; the materialized final snapshot (each key's
+    last emission) must equal the batch row_number top-3.  The order
+    key folds the value and the unique event id into one bigint, so the
+    top-3 set is replay-order-independent and tie-free."""
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where(F.col("user_id") % 7 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.round(F.col("value") * 10000).cast("bigint") * F.lit(10000000)
+                + F.col("event_id")
+            ).alias("ord"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_topn_stream_")
+    try:
+        src.repartition(4).write.mode("overwrite").parquet(f"{work}/src")
+        env = StreamExecutionEnvironment(spark)
+        stream = (
+            env.from_files(f"{work}/src", src.schema, max_files_per_trigger=1)
+            .key_by("user_id")
+            .top_n(3, "ord")
+        )
+        out_dir = f"{work}/emissions"
+
+        def sink(batch_df, bid):
+            (
+                batch_df.withColumn("__bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = stream.df.writeStream.foreachBatch(sink).trigger(
+            availableNow=True
+        ).option("checkpointLocation", f"{work}/ckpt").start()
+        q.awaitTermination()
+        em = spark.read.parquet(out_dir)
+        from pyspark.sql import Window
+
+        last = Window.partitionBy("user_id")
+        final = (
+            em.withColumn("__mx", F.max("__bid").over(last))
+            .where(F.col("__bid") == F.col("__mx"))
+            .select("user_id", "rank", "event_id", "ord")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

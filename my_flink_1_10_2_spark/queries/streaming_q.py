@@ -843,3 +843,62 @@ def q_topn_stream_materialized(spark, sf_dir):
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_broadcast_state_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_id % 3 = 0
+      AND event_type NOT IN ('click', 'view')
+    """,
+    category="streaming",
+)
+def q_broadcast_state_filter(spark, sf_dir):
+    """Broadcast state pattern end-to-end (ref: DataStream.broadcast
+    (stateDesc):430, BroadcastConnectedStream.java:1): a tiny control
+    relation (blocked event types) folds into broadcast state; every
+    data micro-batch filters against the state and appends survivors to
+    a distributed sink.  The materialized union of batches must equal
+    the static filter."""
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+    from my_flink_1_10_2_spark.streaming.stream import BroadcastConnectedStream
+
+    data = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_id") % 3 == 0)
+        .select("event_id", "user_id", "event_type")
+    )
+    control = spark.createDataFrame(
+        [("click",), ("view",)], "blocked_type string"
+    )
+    work = tempfile.mkdtemp(prefix="fl_bcast_q_")
+    try:
+        data.repartition(3).write.mode("overwrite").parquet(f"{work}/src")
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/src", data.schema, max_files_per_trigger=1)
+
+        def fold(state, control_df):
+            new = dict(state)
+            new.setdefault("blocked", set()).update(
+                r["blocked_type"] for r in control_df.collect()
+            )
+            return new
+
+        out_dir = f"{work}/out"
+
+        def process(batch_df, state, _bid):
+            blocked = sorted(state.get("blocked", ()))
+            (
+                batch_df.where(~F.col("event_type").isin(blocked))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        bcs = BroadcastConnectedStream(stream, control, fold)
+        q = bcs.process(process, checkpoint=f"{work}/ckpt")
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -179,6 +179,7 @@ _FLAGSHIP_ORDER = [
     "q_fim_split",
     "q_bigram_backoff_score",
     "q_lsh_quality_report",
+    "q_dedup_funnel_report",
     "q_safe_union_evolution",
     "q_pipeline_normalize_dedup_chunk",
     "ds_cumulative_crossover",

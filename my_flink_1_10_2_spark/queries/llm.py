@@ -1127,3 +1127,48 @@ def q_lsh_quality_report(spark, sf_dir):
             ).alias("abs_err"),
         )
     )
+
+
+@register(
+    "q_dedup_funnel_report",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
+           FROM w),
+    sig AS (SELECT doc_id, {', '.join(_minhash_mins(16))} FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             CASE b
+               {' '.join(f"WHEN {b} THEN array_to_string([h{4*b}, h{4*b+1}, h{4*b+2}, h{4*b+3}], ',')" for b in range(4))}
+             END AS band_key,
+             [{', '.join(f'h{i}' for i in range(16))}] AS sig
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+           (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents) AS n_exact_unique,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_neardup_candidates
+    """,
+    category="llm_dedup",
+)
+def q_dedup_funnel_report(spark, sf_dir):
+    """Dedup funnel report — the one-row audit a corpus pipeline logs
+    per run: raw docs, exact-unique docs (text digest), and MinHash-LSH
+    near-dup candidate pairs.  Composes the proven exact-dedup and LSH
+    stages; three bounded aggregates, nothing driver-side."""
+    docs = read(spark, sf_dir, "documents")
+    n_raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    n_exact = docs.agg(
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_exact_unique")
+    )
+    n_cand = (
+        D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_candidates"))
+    )
+    return n_raw.join(n_exact).join(n_cand)

@@ -284,23 +284,23 @@ def ds_count_buckets(spark, sf_dir):
     oracle="""
     WITH monthly AS (
       SELECT p_brand, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
-             sum(l_extendedprice * (1 - l_discount)) AS rev
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS rev_i
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand, year(o_orderdate), month(o_orderdate)
     ),
     with_avg AS (
-      SELECT p_brand, o_year, o_month, rev,
-             avg(rev) OVER (PARTITION BY p_brand, o_year) AS avg_year,
-             lag(rev)  OVER (PARTITION BY p_brand ORDER BY o_year, o_month) AS prev_rev,
-             lead(rev) OVER (PARTITION BY p_brand ORDER BY o_year, o_month) AS next_rev
+      SELECT p_brand, o_year, o_month, rev_i,
+             avg(rev_i) OVER (PARTITION BY p_brand, o_year) AS avg_year_i,
+             lag(rev_i)  OVER (PARTITION BY p_brand ORDER BY o_year, o_month) AS prev_rev_i,
+             lead(rev_i) OVER (PARTITION BY p_brand ORDER BY o_year, o_month) AS next_rev_i
       FROM monthly
     )
     SELECT p_brand, o_year, o_month,
-           round(rev, 4) AS rev, round(avg_year, 4) AS avg_year,
-           round(prev_rev, 4) AS prev_rev, round(next_rev, 4) AS next_rev
+           rev_i / 10000.0 AS rev, round(avg_year_i / 10000.0, 4) AS avg_year,
+           prev_rev_i / 10000.0 AS prev_rev, next_rev_i / 10000.0 AS next_rev
     FROM with_avg
-    WHERE avg_year > 0 AND rev / avg_year > 1.5
+    WHERE avg_year_i > 0 AND rev_i / avg_year_i > 1.5
     """,
     category="tpcds",
 )
@@ -319,29 +319,33 @@ def ds_monthly_deviation(spark, sf_dir):
             F.year("o_orderdate").alias("o_year"),
             F.month("o_orderdate").alias("o_month"),
         )
-        .agg(F.sum(_revenue()).alias("rev"))
+        .agg(F.round(F.sum(_revenue()) * 10000).cast("bigint").alias("rev_i"))
     )
+    # integer 1e-4 units end to end (the ds_brand_month_deviation
+    # discipline): the window average and the 1.5x ratio compare exact
+    # bigints / identical IEEE divisions on both engines, so no value can
+    # sit on a rounding boundary (round-2 sweep caught a 1e-4 flip here).
     w_year = W.partitionBy("p_brand", "o_year")
     w_seq = W.partitionBy("p_brand").orderBy("o_year", "o_month")
     enriched = monthly.select(
         "p_brand",
         "o_year",
         "o_month",
-        "rev",
-        F.avg("rev").over(w_year).alias("avg_year"),
-        F.lag("rev").over(w_seq).alias("prev_rev"),
-        F.lead("rev").over(w_seq).alias("next_rev"),
+        "rev_i",
+        F.avg("rev_i").over(w_year).alias("avg_year_i"),
+        F.lag("rev_i").over(w_seq).alias("prev_rev_i"),
+        F.lead("rev_i").over(w_seq).alias("next_rev_i"),
     )
     return enriched.where(
-        (F.col("avg_year") > 0) & (F.col("rev") / F.col("avg_year") > 1.5)
+        (F.col("avg_year_i") > 0) & (F.col("rev_i") / F.col("avg_year_i") > 1.5)
     ).select(
         "p_brand",
         "o_year",
         "o_month",
-        F.round("rev", 4).alias("rev"),
-        F.round("avg_year", 4).alias("avg_year"),
-        F.round("prev_rev", 4).alias("prev_rev"),
-        F.round("next_rev", 4).alias("next_rev"),
+        (F.col("rev_i") / 10000.0).alias("rev"),
+        F.round(F.col("avg_year_i") / 10000.0, 4).alias("avg_year"),
+        (F.col("prev_rev_i") / 10000.0).alias("prev_rev"),
+        (F.col("next_rev_i") / 10000.0).alias("next_rev"),
     )
 
 
@@ -392,21 +396,21 @@ def ds_frequent_buyers(spark, sf_dir):
     oracle="""
     WITH cust_returns AS (
       SELECT c_custkey, c_nationkey,
-             sum(l_extendedprice * (1 - l_discount)) AS ret_amt
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS ret_amt_i
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
       WHERE l_returnflag = 'R'
       GROUP BY c_custkey, c_nationkey
     ),
     nation_avg AS (
-      SELECT c_nationkey, avg(ret_amt) AS avg_ret
+      SELECT c_nationkey, avg(ret_amt_i) AS avg_ret_i
       FROM cust_returns GROUP BY c_nationkey
     )
-    SELECT cr.c_custkey, n_name, round(cr.ret_amt, 4) AS ret_amt
+    SELECT cr.c_custkey, n_name, cr.ret_amt_i / 10000.0 AS ret_amt
     FROM cust_returns cr
     JOIN nation_avg na ON cr.c_nationkey = na.c_nationkey
     JOIN nation ON cr.c_nationkey = n_nationkey
-    WHERE cr.ret_amt > 1.2 * na.avg_ret
+    WHERE cr.ret_amt_i > 1.2 * na.avg_ret_i
     """,
     category="tpcds",
 )
@@ -423,16 +427,20 @@ def ds_returns_above_avg(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(dim(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
-        .agg(F.sum(_revenue()).alias("ret_amt"))
+        .agg(F.round(F.sum(_revenue()) * 10000).cast("bigint").alias("ret_amt_i"))
     )
+    # integer 1e-4 units: the nation average and 1.2x membership compare
+    # exact bigints / identical IEEE divisions on both engines
     nation_avg = cust_returns.groupBy("c_nationkey").agg(
-        F.avg("ret_amt").alias("avg_ret")
+        F.avg("ret_amt_i").alias("avg_ret_i")
     )
     return (
         cust_returns.join(dim(nation_avg), "c_nationkey")
         .join(dim(n), F.col("c_nationkey") == n.n_nationkey)
-        .where(F.col("ret_amt") > 1.2 * F.col("avg_ret"))
-        .select("c_custkey", "n_name", F.round("ret_amt", 4).alias("ret_amt"))
+        .where(F.col("ret_amt_i") > 1.2 * F.col("avg_ret_i"))
+        .select(
+            "c_custkey", "n_name", (F.col("ret_amt_i") / 10000.0).alias("ret_amt")
+        )
     )
 
 
@@ -446,13 +454,14 @@ def ds_returns_above_avg(spark, sf_dir):
       HAVING count(DISTINCT date_trunc('month', o_orderdate)) >= 4
     ),
     cust_rev AS (
-      SELECT o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      SELECT o_custkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS rev_i
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_custkey
     ),
     best_customers AS (
       SELECT o_custkey FROM cust_rev
-      WHERE rev > 1.5 * (SELECT avg(rev) FROM cust_rev)
+      WHERE rev_i > 1.5 * (SELECT avg(rev_i) FROM cust_rev)
     )
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
            count(*) AS n_sales
@@ -476,11 +485,13 @@ def ds_frequent_best_items(spark, sf_dir):
         .where(F.col("n_months") >= 4)
         .select("l_partkey")
     )
-    cust_rev = fact.groupBy("o_custkey").agg(F.sum(_revenue()).alias("rev"))
-    avg_rev = cust_rev.agg(F.avg("rev").alias("avg_rev"))
+    cust_rev = fact.groupBy("o_custkey").agg(
+        F.round(F.sum(_revenue()) * 10000).cast("bigint").alias("rev_i")
+    )
+    avg_rev = cust_rev.agg(F.avg("rev_i").alias("avg_rev_i"))
     best = (
         cust_rev.join(dim(avg_rev))
-        .where(F.col("rev") > 1.5 * F.col("avg_rev"))
+        .where(F.col("rev_i") > 1.5 * F.col("avg_rev_i"))
         .select("o_custkey")
     )
     return (

@@ -197,16 +197,17 @@ def ds_channel_tolerance(spark, sf_dir):
     "ds_min_vs_avg",
     oracle=f"""
     WITH per_part AS (
-      SELECT p_brand, p_partkey, sum({_REV_SQL}) AS rev
+      SELECT p_brand, p_partkey,
+             CAST(round(sum({_REV_SQL}) * 10000) AS BIGINT) AS rev_i
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand, p_partkey
     )
     SELECT p_brand,
-           round(min(rev), 4) AS min_rev,
-           round(avg(rev), 4) AS avg_rev
+           min(rev_i) / 10000.0 AS min_rev,
+           round(avg(rev_i) / 10000.0, 4) AS avg_rev
     FROM per_part
     GROUP BY p_brand
-    HAVING min(rev) <= 0.5 * avg(rev)
+    HAVING min(rev_i) <= 0.5 * avg(rev_i)
     """,
     category="tpcds",
 )
@@ -221,16 +222,18 @@ def ds_min_vs_avg(spark, sf_dir):
     per_part = (
         li.join(dim(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
-        .agg(F.sum(_rev()).alias("rev"))
+        .agg(F.round(F.sum(_rev()) * 10000).cast("bigint").alias("rev_i"))
     )
+    # integer 1e-4 units: min/avg and the 0.5x membership compare exact
+    # bigints / identical IEEE divisions on both engines
     return (
         per_part.groupBy("p_brand")
-        .agg(F.min("rev").alias("__min"), F.avg("rev").alias("__avg"))
-        .where(F.col("__min") <= 0.5 * F.col("__avg"))
+        .agg(F.min("rev_i").alias("__min_i"), F.avg("rev_i").alias("__avg_i"))
+        .where(F.col("__min_i") <= 0.5 * F.col("__avg_i"))
         .select(
             "p_brand",
-            F.round("__min", 4).alias("min_rev"),
-            F.round("__avg", 4).alias("avg_rev"),
+            (F.col("__min_i") / 10000.0).alias("min_rev"),
+            F.round(F.col("__avg_i") / 10000.0, 4).alias("avg_rev"),
         )
     )
 

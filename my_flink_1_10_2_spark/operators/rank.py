@@ -58,3 +58,48 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by, ascending: bool =
 def dedup_keep_last(df: DataFrame, keys: list[str], order_by, ascending: bool = True) -> DataFrame:
     """Keep the last row per key (ref: DeduplicateKeepLastRowFunction.java)."""
     return top_n(df, keys, order_by, 1, ascending=not ascending, rank_col=None)
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column] | list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` over a total order WITHOUT a
+    single-task window (ref: BatchExecSort.scala + BatchExecRank.scala —
+    the reference likewise ranks over a sample-based range partition,
+    never one task).
+
+    Two passes: ``repartitionByRange`` on the ordering (sampled
+    boundaries; correctness does not depend on where they land, only
+    balance), per-partition local ``row_number``, then each partition's
+    offset = cumulative count of the partitions ordered before it — a
+    window over <= num_partitions rows, broadcast back by partition id.
+    ``order_by`` must be a total order (add a unique tie-break column),
+    otherwise the rank of tied rows is boundary-dependent.
+
+    At 100 TB: one range exchange + one tiny offsets broadcast —
+    the plan gate asserts no `Exchange SinglePartition` feeds the
+    row-data window.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__off", F.sum("__n").over(Window.orderBy("__pid")) - F.col("__n")
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )

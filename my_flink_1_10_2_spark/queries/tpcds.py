@@ -824,17 +824,24 @@ def ds_cohort_revenue(spark, sf_dir):
 def ds_double_rank_band(spark, sf_dir):
     """TPC-DS Q49 shape: the same aggregated relation ranked under two
     different orderings, rows kept when EITHER rank clears the band.
-    Both windows are global over the |parts| aggregate — fine there;
-    never do this pre-aggregation."""
+    Both ranks are EXACT global row_numbers computed with the
+    range-partitioned two-pass operator (operators/rank.global_rank) —
+    no single-task window even over the aggregate, so the same plan
+    survives a part table 1000x larger."""
     l = read(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         F.sum(_revenue()).alias("rev"), F.sum("l_quantity").alias("qty")
     )
-    w_rev = W.orderBy(F.desc("rev"), F.asc("l_partkey"))
-    w_qty = W.orderBy(F.desc("qty"), F.asc("l_partkey"))
+    from my_flink_1_10_2_spark.operators.rank import global_rank
+
+    ranked = global_rank(
+        per_part, [F.desc("rev"), F.asc("l_partkey")], "rev_rank"
+    )
+    ranked = global_rank(
+        ranked, [F.desc("qty"), F.asc("l_partkey")], "qty_rank"
+    )
     return (
-        per_part.withColumn("rev_rank", F.row_number().over(w_rev))
-        .withColumn("qty_rank", F.row_number().over(w_qty))
+        ranked
         .where((F.col("rev_rank") <= 15) | (F.col("qty_rank") <= 15))
         .select(
             "l_partkey",

@@ -232,11 +232,13 @@ def ds_best_worst_performers(spark, sf_dir):
     li = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part")
     perf = li.groupBy("l_partkey").agg(F.round(F.avg(_rev()), 4).alias("avg_rev"))
-    best = perf.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.col("avg_rev").desc(), "l_partkey")).cast("bigint")
+    from my_flink_1_10_2_spark.operators.rank import global_rank
+
+    best = global_rank(
+        perf, [F.col("avg_rev").desc(), F.col("l_partkey")], "rk"
     ).where(F.col("rk") <= 10)
-    worst = perf.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.col("avg_rev").asc(), "l_partkey")).cast("bigint")
+    worst = global_rank(
+        perf, [F.col("avg_rev").asc(), F.col("l_partkey")], "rk"
     ).where(F.col("rk") <= 10)
     return (
         best.alias("b")

@@ -108,3 +108,25 @@ def test_safe_union_widening_and_nulls(spark):
     c = spark.createDataFrame([("s",)], "v string")
     with _pytest.raises(ValueError):
         safe_union(a, c)
+
+
+def test_global_rank_matches_row_number_no_single_partition(spark):
+    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(0, 5000).withColumn("v", (F.col("id") * 37) % 1009)
+    got = global_rank(df, [F.col("v").desc(), F.col("id")], "rk")
+    want = df.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), F.col("id")))
+        .cast("bigint"),
+    )
+    assert got.orderBy("rk").collect() == want.orderBy("rk").collect()
+    txt = got._jdf.queryExecution().executedPlan().toString()
+    # the row-data window is partitioned by __pid; only the tiny offsets
+    # window (over <= num_partitions count rows) may be single-partition
+    import re
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", txt)
+    row_specs = [s for s in specs if "__pid" in s]
+    assert row_specs, "expected the partition-local row_number window"

@@ -168,6 +168,7 @@ _FLAGSHIP_ORDER = [
     "q_upsert_stream_materialized",
     "q_topn_stream_materialized",
     "q_broadcast_state_filter",
+    "q_late_side_output",
     "q_profile_table",
     "q_multi_format_union",
     "q_histogram_equiwidth",

@@ -902,3 +902,79 @@ def q_broadcast_state_filter(spark, sf_dir):
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_late_side_output",
+    oracle="""
+    WITH ns AS (
+      SELECT max(ts) AS mx FROM events WHERE event_id % 13 <> 0)
+    SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+    FROM events, ns
+    WHERE event_id % 13 = 0 AND ts < mx - INTERVAL 1 HOUR
+    """,
+    category="streaming",
+)
+def q_late_side_output(spark, sf_dir):
+    """allowedLateness + sideOutputLateData end-to-end (ref:
+    WindowedStream.java:158,177): on-time traffic replays in event-time
+    order, then a final straggler file arrives; rows older than the
+    event-time high-water mark minus the 1-hour allowance are routed to
+    the late side sink instead of silently dropping.  The materialized
+    side output must equal the closed-form rule (straggler AND ts <
+    max-on-time-ts - 1h)."""
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    straggler = F.col("event_id") % 13 == 0
+    work = tempfile.mkdtemp(prefix="fl_late_q_")
+    try:
+        import os as _os
+        import time as _time
+
+        bounds = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01"]
+        _os.makedirs(f"{work}/replay")
+        base_ts = _time.time() - 3600
+        for i in range(len(bounds) - 1):
+            (
+                src.where(
+                    ~straggler
+                    & (F.col("ts") >= bounds[i])
+                    & (F.col("ts") < bounds[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{work}/b{i}")
+            )
+        src.where(straggler).coalesce(1).write.mode("overwrite").parquet(
+            f"{work}/b{len(bounds) - 1}"
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        seq = 0
+        for i in range(len(bounds)):
+            for p in sorted(_glob.glob(f"{work}/b{i}/part-*.parquet")):
+                seq += 1
+                dst = f"{work}/replay/part-{seq:03d}.parquet"
+                _shutil.copy(p, dst)
+                _os.utime(dst, (base_ts + seq, base_ts + seq))
+
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/replay", src.schema, max_files_per_trigger=1)
+        late_dir, main_dir = f"{work}/late", f"{work}/main"
+
+        def on_time(batch_df, _bid):
+            batch_df.write.mode("append").parquet(main_dir)
+
+        def late(batch_df, _bid):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(late_dir)
+
+        stream.for_each_batch_with_late_split(
+            "ts", 3600.0, on_time, late, checkpoint=f"{work}/ckpt"
+        )
+        out = spark.read.parquet(late_dir)
+        return out.select("event_id", "user_id", "ts").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

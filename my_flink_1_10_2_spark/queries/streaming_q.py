@@ -978,3 +978,88 @@ def q_late_side_output(spark, sf_dir):
         return out.select("event_id", "user_id", "ts").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_punctuated_watermark_split",
+    oracle="""
+    WITH mk AS (
+      SELECT max(ts) AS wm FROM events
+      WHERE event_id % 17 <> 0 AND event_type = 'purchase')
+    SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+    FROM events, mk
+    WHERE event_id % 17 = 0 AND ts <= wm
+    """,
+    category="streaming",
+)
+def q_punctuated_watermark_split(spark, sf_dir):
+    """Punctuated watermarks end-to-end (ref:
+    AssignerWithPunctuatedWatermarks.java — event time advances ONLY on
+    marker rows, here the 'purchase' events): on-time traffic replays in
+    event-time order announcing markers, then a straggler file arrives;
+    rows at or before the highest announced watermark route to the late
+    side.  Materialized late side == closed-form rule (straggler AND
+    ts <= max marker ts among on-time rows)."""
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    straggler = F.col("event_id") % 17 == 0
+    work = tempfile.mkdtemp(prefix="fl_punct_q_")
+    try:
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+        import time as _time
+
+        bounds = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01"]
+        _os.makedirs(f"{work}/replay")
+        base_ts = _time.time() - 3600
+        for i in range(len(bounds) - 1):
+            (
+                src.where(
+                    ~straggler
+                    & (F.col("ts") >= bounds[i])
+                    & (F.col("ts") < bounds[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{work}/b{i}")
+            )
+        src.where(straggler).coalesce(1).write.mode("overwrite").parquet(
+            f"{work}/b{len(bounds) - 1}"
+        )
+        seq = 0
+        for i in range(len(bounds)):
+            for p in sorted(_glob.glob(f"{work}/b{i}/part-*.parquet")):
+                seq += 1
+                dst = f"{work}/replay/part-{seq:03d}.parquet"
+                _shutil.copy(p, dst)
+                _os.utime(dst, (base_ts + seq, base_ts + seq))
+
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(
+            f"{work}/replay", src.schema, max_files_per_trigger=1
+        )
+        marked = stream.df.withColumn(
+            "__wm", F.when(F.col("event_type") == "purchase", F.col("ts"))
+        )
+        from my_flink_1_10_2_spark.streaming.stream import Stream as _Stream
+
+        late_dir, main_dir = f"{work}/late", f"{work}/main"
+
+        def on_time(batch_df, _bid):
+            batch_df.write.mode("append").parquet(main_dir)
+
+        def late(batch_df, _bid):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(late_dir)
+
+        _Stream(marked).for_each_batch_with_punctuated_watermarks(
+            "__wm", "ts", on_time, late, checkpoint=f"{work}/ckpt"
+        )
+        out = spark.read.parquet(late_dir)
+        return out.select("event_id", "user_id", "ts").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

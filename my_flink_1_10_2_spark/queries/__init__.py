@@ -170,6 +170,7 @@ _FLAGSHIP_ORDER = [
     "q_broadcast_state_filter",
     "q_late_side_output",
     "q_punctuated_watermark_split",
+    "q_rowtime_sort_order",
     "q_profile_table",
     "q_multi_format_union",
     "q_histogram_equiwidth",

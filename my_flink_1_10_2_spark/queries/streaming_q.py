@@ -1063,3 +1063,72 @@ def q_punctuated_watermark_split(spark, sf_dir):
         return out.select("event_id", "user_id", "ts").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_rowtime_sort_order",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events WHERE user_id % 11 = 0
+    """,
+    category="streaming",
+)
+def q_rowtime_sort_order(spark, sf_dir):
+    """Rowtime sort graded on ORDER, not just content (ref:
+    StreamExecTemporalSort.scala, RowTimeSortOperator.java): the stream
+    replays in event-time-ranged files; each watermark advance emits the
+    ready slice in (ts, event_id) order, and a deterministic global
+    emission sequence (within-emission row_number + running offset) must
+    equal the batch row_number over the full sorted relation."""
+    from pyspark.sql import Window
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = read(spark, sf_dir, "events").where(F.col("user_id") % 11 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    work = tempfile.mkdtemp(prefix="fl_rtsort_q_")
+    try:
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+        import time as _time
+
+        bounds = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01"]
+        _os.makedirs(f"{work}/replay")
+        base_ts = _time.time() - 3600
+        seq_file = 0
+        for i in range(len(bounds) - 1):
+            (
+                src.where(
+                    (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{work}/b{i}")
+            )
+            for p in sorted(_glob.glob(f"{work}/b{i}/part-*.parquet")):
+                seq_file += 1
+                dst = f"{work}/replay/part-{seq_file:03d}.parquet"
+                _shutil.copy(p, dst)
+                _os.utime(dst, (base_ts + seq_file, base_ts + seq_file))
+
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/replay", src.schema, max_files_per_trigger=1)
+        out_dir = f"{work}/out"
+        offset = {"n": 0}
+
+        def emit(ready_df, _bid):
+            w = Window.orderBy("ts", "event_id")
+            tagged = ready_df.select(
+                "event_id",
+                (F.row_number().over(w) + F.lit(offset["n"])).cast("bigint").alias("seq"),
+            )
+            tagged.write.mode("append").parquet(out_dir)
+            offset["n"] += ready_df.count()
+
+        stream.rowtime_sort("ts", 3600.0, emit, secondary=["event_id"],
+                            checkpoint=f"{work}/ckpt")
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

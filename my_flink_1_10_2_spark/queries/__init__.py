@@ -171,6 +171,7 @@ _FLAGSHIP_ORDER = [
     "q_late_side_output",
     "q_punctuated_watermark_split",
     "q_rowtime_sort_order",
+    "q_coprocess_shared_state",
     "q_profile_table",
     "q_multi_format_union",
     "q_histogram_equiwidth",

@@ -1132,3 +1132,89 @@ def q_rowtime_sort_order(spark, sf_dir):
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_coprocess_shared_state",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS credit_e4,
+           CAST(sum(CASE WHEN event_type = 'error'
+                         THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS debit_e4,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'error') AND user_id % 5 = 0
+    GROUP BY user_id
+    """,
+    category="streaming",
+)
+def q_coprocess_shared_state(spark, sf_dir):
+    """ConnectedStreams CoProcess with SHARED keyed state (ref:
+    ConnectedStreams.java:1, CoProcessFunction.java): purchases credit
+    and errors debit one per-user account held in a single
+    applyInPandasWithState operator; the drained state snapshot must
+    equal the batch per-user rollup.  Integer 1e-4 units keep the sums
+    arrival-order-exact, so interleaving across micro-batches cannot
+    change the answer — exactly the property shared state must have."""
+    import pandas as _pd
+
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+    from my_flink_1_10_2_spark.streaming.stream import ConnectedStreams
+
+    base = read(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0)
+    a = base.where(F.col("event_type") == "purchase").select(
+        "user_id", F.round(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    )
+    b = base.where(F.col("event_type") == "error").select(
+        "user_id", F.round(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    )
+    work = tempfile.mkdtemp(prefix="fl_coproc_q_")
+    try:
+        a.repartition(2).write.mode("overwrite").parquet(f"{work}/a")
+        b.repartition(2).write.mode("overwrite").parquet(f"{work}/b")
+        env = StreamExecutionEnvironment(spark)
+        sa = env.from_files(f"{work}/a", a.schema, max_files_per_trigger=1)
+        sb = env.from_files(f"{work}/b", b.schema, max_files_per_trigger=1)
+        cs = ConnectedStreams(sa, sb)
+        keyed = cs.key_by("user_id")
+
+        def fn(key, pdf_iter, state):
+            credit, debit, n = state.get if state.exists else (0, 0, 0)
+            for pdf in pdf_iter:
+                sides = pdf["__side"].astype("int64")
+                vals = pdf["v_e4"].astype("int64")
+                credit += int(vals[sides == 0].sum())
+                debit += int(vals[sides == 1].sum())
+                n += len(pdf)
+            state.update((credit, debit, n))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "credit_e4": [credit],
+                    "debit_e4": [debit],
+                    "n_events": [n],
+                }
+            )
+
+        out = keyed.process(
+            fn,
+            state_schema="credit bigint, debit bigint, n bigint",
+            output_schema="user_id bigint, credit_e4 bigint, debit_e4 bigint, n_events bigint",
+        )
+        _, name = out.to_memory_sink(output_mode="append")
+        snap = spark.table(name)
+        # the account's final snapshot = last emission per user
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            snap.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -122,6 +122,7 @@ _FLAGSHIP_ORDER = [
     "q_session_window_dynamic_gap",
     "q_count_window_slide",
     "q_asof_join_tolerance",
+    "q_session_stats",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

@@ -560,3 +560,43 @@ def q_asof_join_tolerance(spark, sf_dir):
         right_value_cols=["last_click_value", "last_click_id"],
         tolerance="30 MINUTE",
     )
+
+
+@register(
+    "q_session_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq),
+    per_session AS (
+      SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+    category="window",
+)
+def q_session_stats(spark, sf_dir):
+    """Sessionization rollup: per-user session count and busiest session
+    (30-minute gap).  The engine uses native `session_window`; the
+    oracle rebuilds sessions with the gaps-and-islands idiom (lag +
+    cumulative new-session flags) — two structurally different
+    formulations that must agree on every merge decision."""
+    events = read(spark, sf_dir, "events")
+    per_session = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n").cast("bigint").alias("max_session_events"),
+    )

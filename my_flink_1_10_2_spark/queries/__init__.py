@@ -123,6 +123,8 @@ _FLAGSHIP_ORDER = [
     "q_count_window_slide",
     "q_asof_join_tolerance",
     "q_session_stats",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

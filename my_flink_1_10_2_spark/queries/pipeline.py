@@ -394,3 +394,97 @@ def q_embedding_quantize(spark, sf_dir):
         F.count("*").alias("n_vecs"),
         F.round(F.avg("mse") * 1e6, 6).alias("avg_mse_ppm"),
     )
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    staged AS (
+      SELECT user_id,
+             CASE
+               WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    AND t_purchase > t_click THEN 3
+               WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 2
+               WHEN t_signup IS NOT NULL THEN 1
+               ELSE 0 END AS stage
+      FROM firsts)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY stage
+    """,
+    category="pipeline",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (signup -> click -> purchase by FIRST
+    occurrence ordering): one conditional-min aggregate per user, a
+    map-side stage classifier, one tiny rollup — the classic
+    product-analytics funnel without any self-join (contrast the CEP
+    formulation, which matches contiguous per-event patterns)."""
+    events = read(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            3,
+        )
+        .when(
+            F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")), 2
+        )
+        .when(F.col("t_signup").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        firsts.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events GROUP BY 1, 2),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id)
+    SELECT c.cohort_wk,
+           CAST(round(date_diff('day', c.cohort_wk, a.wk) / 7.0) AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    category="pipeline",
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort matrix: cohort = first active week,
+    cell (cohort, k) = distinct users active k weeks later.  Two
+    user-keyed aggregates + one join back — the standard engagement
+    feature table, never a per-user driver loop."""
+    events = read(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.round(F.datediff("wk", "cohort_wk") / 7.0)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )

@@ -488,3 +488,30 @@ def q_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+@register(
+    "q_json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="pipeline",
+)
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured rollup over the real `props` JSON column:
+    extract a field (get_json_object — JVM-side, no Python), bucket and
+    aggregate it.  At scale the extraction happens inside the scan
+    projection; only the (type, bucket) rollup shuffles."""
+    events = read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy(
+        "event_type", (k % 10).alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+    )

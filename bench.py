@@ -71,6 +71,9 @@ HEADLINE = [
     # (shrinking-edge-set iteration)
     "q_chunk_documents",
     "q_k_core",
+    # round-3 close: changelog materialization and the bigram LM filter
+    "q_upsert_snapshot",
+    "q_bigram_backoff_score",
 ]
 
 

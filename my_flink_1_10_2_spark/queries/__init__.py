@@ -169,6 +169,7 @@ _FLAGSHIP_ORDER = [
     "q_chunk_documents",
     "q_upsert_snapshot",
     "q_table_diff",
+    "q_scd2_dimension",
     "q_upsert_stream_materialized",
     "q_topn_stream_materialized",
     "q_broadcast_state_filter",

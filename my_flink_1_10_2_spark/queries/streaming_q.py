@@ -1218,3 +1218,50 @@ def q_coprocess_shared_state(spark, sf_dir):
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_scd2_dimension",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS cust, o_orderkey AS version,
+             o_orderpriority AS attr
+      FROM orders WHERE o_custkey % 10 = 0)
+    SELECT cust, version AS effective_from,
+           lead(version) OVER (PARTITION BY cust ORDER BY version)
+             AS effective_to,
+           attr,
+           CASE WHEN lead(version) OVER (PARTITION BY cust ORDER BY version)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM log
+    """,
+    category="streaming",
+)
+def q_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension type 2 built from a keyed changelog
+    (the versioned-table build side of the temporal join — ref:
+    TemporalRowTimeJoinOperator.java keeps exactly these validity
+    intervals as state): each version's row carries
+    [effective_from, effective_to) via lead() over the key, open-ended
+    for the current version.  One key-partitioned window — the
+    history-table materialization pattern."""
+    from pyspark.sql import Window
+
+    log = (
+        read(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 0)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("version"),
+            F.col("o_orderpriority").alias("attr"),
+        )
+    )
+    w = Window.partitionBy("cust").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return log.select(
+        "cust",
+        F.col("version").alias("effective_from"),
+        nxt.alias("effective_to"),
+        "attr",
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

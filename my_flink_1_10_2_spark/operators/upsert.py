@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _checked_op(changelog: DataFrame, op_col: str) -> DataFrame:
+    """NULL ops would silently vanish through ``op != delete_op`` (NULL
+    comparisons are NULL → filtered): fail fast at execution instead,
+    fully lazy and distributed — the reference's sink receives a
+    non-null boolean, so a NULL here is always an upstream bug."""
+    return changelog.withColumn(
+        op_col,
+        F.when(
+            F.col(op_col).isNull(),
+            F.raise_error(F.lit(f"upsert changelog: NULL {op_col!r} message")),
+        ).otherwise(F.col(op_col)),
+    )
+
+
 def upsert_materialize(
     changelog: DataFrame,
     keys: Sequence[str],
@@ -42,6 +56,7 @@ def upsert_materialize(
     Returns the snapshot without ``op_col``.
     """
     keys = list(keys)
+    changelog = _checked_op(changelog, op_col)
     others = [c for c in changelog.columns if c not in (*keys, order_col, op_col)]
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc(), *[F.col(c).desc() for c in others]
@@ -70,6 +85,7 @@ def apply_upsert_batch(
     key-partitioned, nothing driver-side.
     """
     keys = list(keys)
+    batch = _checked_op(batch, op_col)
     survivors = snapshot.join(batch.select(*keys), keys, "left_anti")
     additions = batch.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
     return survivors.unionByName(additions)

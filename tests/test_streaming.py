@@ -848,3 +848,17 @@ def test_table_diff_roundtrip_with_upsert(spark):
     assert {(r["k"], r["payload"]) for r in rebuilt.collect()} == {
         (2, "b"), (3, "C"), (4, "d")
     }
+
+
+def test_upsert_null_op_fails_fast(spark):
+    """NULL op messages must raise, not silently vanish through the
+    op != 'D' filter (NULL-comparison semantics)."""
+    import pytest as _pytest
+
+    from my_flink_1_10_2_spark.operators.upsert import upsert_materialize
+
+    log = spark.createDataFrame(
+        [(1, 1, "U", "a"), (1, 2, None, "b")], "k int, v int, op string, p string"
+    )
+    with _pytest.raises(Exception, match="NULL 'op'"):
+        upsert_materialize(log, ["k"], "v").collect()

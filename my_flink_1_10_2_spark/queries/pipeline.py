@@ -515,3 +515,47 @@ def q_json_props_rollup(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(k).cast("bigint").alias("k_sum"),
     )
+
+
+@register(
+    "q_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    category="pipeline",
+)
+def q_salted_skew_agg(spark, sf_dir):
+    """Skew-mitigated aggregation graded e2e (ref:
+    StreamExecLocalGroupAggregate.scala / SplitAggregateRule.scala made
+    explicit): `event_type` has only 5 hot values — the worst reducer
+    skew shape — so the salted two-stage plan splits each hot group over
+    16 salt reducers before the final merge.  Integer 1e-4 value units
+    make the partial/merge sums exact, so the salted result is
+    bit-identical to the plain GROUP BY oracle."""
+    from my_flink_1_10_2_spark.operators.skew import salted_agg
+
+    events = read(spark, sf_dir, "events").withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("bigint")
+    )
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "v_sum_e4": ("sum", "v_e4"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("v_sum_e4").cast("bigint").alias("v_sum_e4"),
+        F.col("min_user").cast("bigint").alias("min_user"),
+        F.col("max_user").cast("bigint").alias("max_user"),
+    )

@@ -127,6 +127,7 @@ _FLAGSHIP_ORDER = [
     "q_retention_cohorts",
     "q_json_props_rollup",
     "q_salted_skew_agg",
+    "q_salted_skew_join",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

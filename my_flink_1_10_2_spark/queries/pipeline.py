@@ -559,3 +559,47 @@ def q_salted_skew_agg(spark, sf_dir):
         F.col("min_user").cast("bigint").alias("min_user"),
         F.col("max_user").cast("bigint").alias("max_user"),
     )
+
+
+@register(
+    "q_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT 'click' AS event_type, 'engagement' AS category UNION ALL
+      SELECT 'view', 'engagement' UNION ALL
+      SELECT 'purchase', 'revenue' UNION ALL
+      SELECT 'signup', 'growth')
+    SELECT d.category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.category
+    """,
+    category="pipeline",
+)
+def q_salted_skew_join(spark, sf_dir):
+    """Skew-mitigated join graded e2e: the fact side's 5-value hot key
+    is salted (content-hash scatter) and the tiny dimension replicated
+    salt ways, so each hot key spreads over 8 reducers — the manual
+    fallback when a hot key defeats hash partitioning (ref: DataSet
+    JoinHint / custom partitioners).  Must be bit-identical to the
+    plain join + rollup."""
+    from my_flink_1_10_2_spark.operators.skew import salted_join
+
+    events = read(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    )
+    dim_rows = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+        ],
+        "event_type string, category string",
+    )
+    joined = salted_join(events, dim_rows, on=["event_type"], salt=8)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
+    )

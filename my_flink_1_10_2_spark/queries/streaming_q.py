@@ -1265,3 +1265,57 @@ def q_scd2_dimension(spark, sf_dir):
         "attr",
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "q_txn_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 4 = 0
+    """,
+    category="streaming",
+)
+def q_txn_sink_roundtrip(spark, sf_dir):
+    """Two-phase-commit sink round trip (ref:
+    TwoPhaseCommitSinkFunction.java:77): the stream writes through the
+    transactional sink — per-batch staged writes + an atomic manifest
+    commit, replayed batch ids skipped — and EVERY batch is delivered
+    twice on purpose (a manual duplicate call simulating a post-commit
+    replay).  The committed table must still equal the input exactly:
+    exactly-once despite at-least-once delivery."""
+    from my_flink_1_10_2_spark.sources.streaming import (
+        TransactionalForeachBatchSink,
+    )
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_id") % 4 == 0)
+        .select("event_id", "user_id", "event_type")
+    )
+    work = tempfile.mkdtemp(prefix="fl_txn_q_")
+    try:
+        src.repartition(3).write.mode("overwrite").parquet(f"{work}/src")
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(f"{work}/src", src.schema, max_files_per_trigger=1)
+        out_dir = f"{work}/out"
+
+        def write_fn(batch_df, bid):
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/b{bid:05d}")
+
+        sink = TransactionalForeachBatchSink(write_fn, f"{work}/manifest")
+
+        def deliver_twice(batch_df, bid):
+            sink(batch_df, bid)
+            sink(batch_df, bid)  # replayed transaction — must be a no-op
+
+        q = (
+            stream.df.writeStream.foreachBatch(deliver_twice)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(f"{out_dir}/b*").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -176,6 +176,7 @@ _FLAGSHIP_ORDER = [
     "q_topn_stream_materialized",
     "q_broadcast_state_filter",
     "q_txn_sink_roundtrip",
+    "q_compaction_roundtrip",
     "q_late_side_output",
     "q_punctuated_watermark_split",
     "q_rowtime_sort_order",

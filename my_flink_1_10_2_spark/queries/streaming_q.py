@@ -1319,3 +1319,34 @@ def q_txn_sink_roundtrip(spark, sf_dir):
         return spark.read.parquet(f"{out_dir}/b*").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_compaction_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 3 = 1
+    """,
+    category="streaming",
+)
+def q_compaction_roundtrip(spark, sf_dir):
+    """Small-file compaction (the downstream half of the
+    StreamingFileSink RollingPolicy contract — ref:
+    DefaultRollingPolicy.java): a deliberately fragmented 64-part write
+    is compacted to size-derived output files; rows must be preserved
+    exactly.  The file-count collapse itself is asserted in
+    tests/test_pipeline_ops.py."""
+    from my_flink_1_10_2_spark.operators.compaction import compact_parquet_dir
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_id") % 3 == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+    work = tempfile.mkdtemp(prefix="fl_compact_q_")
+    try:
+        src.repartition(64).write.mode("overwrite").parquet(f"{work}/frag")
+        out = compact_parquet_dir(spark, f"{work}/frag", f"{work}/compact")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

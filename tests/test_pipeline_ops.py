@@ -130,3 +130,20 @@ def test_global_rank_matches_row_number_no_single_partition(spark):
     specs = re.findall(r"windowspecdefinition\([^)]*\)", txt)
     row_specs = [s for s in specs if "__pid" in s]
     assert row_specs, "expected the partition-local row_number window"
+
+
+def test_compaction_collapses_files_preserves_rows(spark, tmp_path):
+    from my_flink_1_10_2_spark.operators.compaction import compact_parquet_dir
+    import glob
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).withColumn("v", F.col("id") % 97)
+    frag = str(tmp_path / "frag")
+    df.repartition(50).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 50
+    out_dir = str(tmp_path / "out")
+    out = compact_parquet_dir(spark, frag, out_dir, sort_within_by=["id"])
+    assert len(glob.glob(f"{out_dir}/part-*.parquet")) == 1  # tiny data → 1 file
+    assert out.count() == 20000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]

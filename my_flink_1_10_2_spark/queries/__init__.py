@@ -128,6 +128,7 @@ _FLAGSHIP_ORDER = [
     "q_json_props_rollup",
     "q_salted_skew_agg",
     "q_salted_skew_join",
+    "q_zorder_key",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

@@ -603,3 +603,43 @@ def q_salted_skew_join(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
     )
+
+
+def _zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({_zorder_sql('o_orderkey', 'o_custkey')} AS BIGINT) AS z
+    FROM orders
+    ORDER BY z, o_orderkey LIMIT 200
+    """,
+    category="pipeline",
+)
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over two dimensions — the
+    multi-dimensional layout key data-lake writers sort by so min/max
+    file stats prune on BOTH columns.  Pure bit-interleave arithmetic
+    (16 bits each, JVM-side); writing sorted by z is
+    `repartitionByRange(z).sortWithinPartitions(z)` downstream."""
+    o = read(spark, sf_dir, "orders")
+    z = sum(
+        [
+            (F.shiftright(F.col("o_orderkey"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+            + (F.shiftright(F.col("o_custkey"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+            for i in range(16)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
+    return (
+        o.select("o_orderkey", "o_custkey", z.alias("z"))
+        .orderBy("z", "o_orderkey")
+        .limit(200)
+    )

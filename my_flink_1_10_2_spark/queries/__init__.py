@@ -129,6 +129,8 @@ _FLAGSHIP_ORDER = [
     "q_salted_skew_agg",
     "q_salted_skew_join",
     "q_zorder_key",
+    "q_langid_confusion",
+    "q_sql_topn_per_group",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

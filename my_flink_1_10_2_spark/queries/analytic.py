@@ -362,3 +362,34 @@ def q_group_quantiles(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_sql_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 2
+    """,
+    category="rank",
+)
+def q_sql_topn_per_group(spark, sf_dir):
+    """Top-N through the SQL surface — the exact `ROW_NUMBER() <= N`
+    pattern the reference's planner recognizes as a Rank node (ref:
+    FlinkLogicalRankRule.scala, StreamExecRank.scala); here Catalyst
+    plans the same WindowGroupLimit pushdown from the subquery
+    spelling."""
+    from my_flink_1_10_2_spark.queries import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2
+        """
+    )

@@ -1172,3 +1172,26 @@ def q_dedup_funnel_report(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_candidates"))
     )
     return n_raw.join(n_exact).join(n_cand)
+
+
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+    SELECT lang AS labeled, {_lang_case_sql()} AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    category="llm_text",
+)
+def q_langid_confusion(spark, sf_dir):
+    """Classifier evaluation as a data op: the confusion matrix of the
+    stopword-profile language-ID heuristic against the labeled `lang`
+    column — the quality report every heuristic filter ships with.
+    One rollup over the scored scan."""
+    docs = read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), T.lang_id("text").alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

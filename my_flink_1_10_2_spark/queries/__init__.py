@@ -131,6 +131,7 @@ _FLAGSHIP_ORDER = [
     "q_zorder_key",
     "q_langid_confusion",
     "q_sql_topn_per_group",
+    "q_cluster_size_histogram",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

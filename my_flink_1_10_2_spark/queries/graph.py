@@ -211,3 +211,33 @@ def q_dedup_representative(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+@register(
+    "q_cluster_size_histogram",
+    oracle=f"""
+    WITH comp AS ({_CC_ORACLE})
+    SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz
+      FROM comp GROUP BY component)
+    GROUP BY sz
+    """,
+    category="graph",
+)
+def q_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster size histogram — the dedup run's health report
+    (a giant cluster usually means boilerplate or a broken threshold).
+    Composes the CC fixpoint with two tiny rollups; only the |V|-sized
+    component table shuffles."""
+    from my_flink_1_10_2_spark.operators.iterate import connected_components
+    from my_flink_1_10_2_spark.queries import read as _read
+
+    emb = _read(spark, sf_dir, "embeddings")
+    edges = neardup_pairs(emb).select("src", "dst")
+    comp = connected_components(edges, vertices=emb.select("vec_id"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )

@@ -123,6 +123,7 @@ _FLAGSHIP_ORDER = [
     "q_count_window_slide",
     "q_asof_join_tolerance",
     "q_session_stats",
+    "q_hypertable_rollup",
     "q_funnel_conversion",
     "q_retention_cohorts",
     "q_json_props_rollup",
@@ -132,6 +133,7 @@ _FLAGSHIP_ORDER = [
     "q_langid_confusion",
     "q_sql_topn_per_group",
     "q_cluster_size_histogram",
+    "q_degree_distribution",
     "q_purging_count_trigger_window",
     "q_time_evictor_window",
     # UDF / correlate / join-family gaps

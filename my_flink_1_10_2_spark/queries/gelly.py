@@ -569,3 +569,32 @@ def q_k_core(spark, sf_dir):
     from my_flink_1_10_2_spark.operators.gelly import k_core
 
     return k_core(_kcore_edges(spark, sf_dir), k=_KCORE_K)
+
+
+@register(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH edges0 AS ({_EDGE_SQL}),
+    sym AS (SELECT src AS a, dst AS b FROM edges0
+            UNION SELECT dst, src FROM edges0),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY a)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+    category="graph",
+)
+def q_degree_distribution(spark, sf_dir):
+    """Degree distribution (ref: flink-gelly
+    library/metric/undirected/VertexMetrics.java companions /
+    asm/degree/VertexDegree.java): undirected degree histogram — the
+    first thing anyone plots about a graph.  Two bounded rollups."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    )

@@ -600,3 +600,48 @@ def q_session_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.max("n").cast("bigint").alias("max_session_events"),
     )
+
+
+@register(
+    "q_hypertable_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+           CAST(GROUPING(date_trunc('hour', ts)) AS BIGINT) AS is_day_total,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)))
+    """,
+    category="window",
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: one scan produces BOTH the
+    hourly buckets and their daily rollup via GROUPING SETS (Expand +
+    a single two-phase aggregate — the timeseries-db materialization
+    pattern with no second pass over the data).  GROUPING() tags the
+    rollup rows; integer 1e-4 units keep both granularities exact."""
+    base = (
+        read(spark, sf_dir, "events")
+        .where(F.col("ts") < "2024-01-08")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        )
+    )
+    g = base.groupingSets([["day", "hour"], ["day"]], "day", "hour")
+    return g.agg(
+        F.grouping("hour").cast("bigint").alias("is_day_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
+    ).select(
+        "day",
+        F.when(F.col("is_day_total") == 0, F.col("hour")).alias("hour"),
+        "is_day_total",
+        "n",
+        "v_sum_e4",
+    )

@@ -128,6 +128,7 @@ _FLAGSHIP_ORDER = [
     "q_retention_cohorts",
     "q_json_props_rollup",
     "q_salted_skew_agg",
+    "q_anomaly_zscore",
     "q_salted_skew_join",
     "q_zorder_key",
     "q_langid_confusion",

@@ -643,3 +643,51 @@ def q_zorder_key(spark, sf_dir):
         .orderBy("z", "o_orderkey")
         .limit(200)
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)
+                      * CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round((CAST(round(e.value * 10000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+                 / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                        - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)), 6)
+             AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((CAST(round(e.value * 10000) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+              / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                     - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))) > 1.8
+    """,
+    category="pipeline",
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Outlier filter: per-type population z-scores with |z| > 1.8
+    flagged — the numeric-column cleaning stage.  Mean and variance
+    derive from EXACT integer 1e-4 sums (s1, s2 bigints, order-free),
+    so the z arithmetic is the identical IEEE expression on both
+    engines; one group rollup + one broadcast join back."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    events = read(spark, sf_dir, "events").withColumn(
+        "v_i", F.round(F.col("value") * 10000).cast("bigint")
+    )
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_i").cast("bigint").alias("s1"),
+        F.sum(F.col("v_i") * F.col("v_i")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("v_i") - mean) / F.sqrt(var)
+    return (
+        events.join(dim(s), "event_type")
+        .where(F.abs(z) > 1.8)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )

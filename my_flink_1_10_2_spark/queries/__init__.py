@@ -129,6 +129,7 @@ _FLAGSHIP_ORDER = [
     "q_json_props_rollup",
     "q_salted_skew_agg",
     "q_anomaly_zscore",
+    "q_user_feature_table",
     "q_salted_skew_join",
     "q_zorder_key",
     "q_langid_confusion",

@@ -691,3 +691,46 @@ def q_anomaly_zscore(spark, sf_dir):
         .where(F.abs(z) > 1.8)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "q_user_feature_table",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS days_active,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS purchase_v_e4,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s
+    FROM events GROUP BY user_id
+    """,
+    category="pipeline",
+)
+def q_user_feature_table(spark, sf_dir):
+    """Per-entity ML feature table: behavioral counts (conditional
+    aggregates — the manual pivot), activity breadth (distinct days),
+    monetary sum in integer units, and the first-to-last span.  ONE
+    grouped pass over the events — the feature-engineering shape that
+    replaces N per-feature scans."""
+    events = read(spark, sf_dir, "events")
+    is_t = lambda t: F.when(F.col("event_type") == t, 1).otherwise(0)  # noqa: E731
+    return events.groupBy("user_id").agg(
+        F.sum(is_t("click")).cast("bigint").alias("n_click"),
+        F.sum(is_t("view")).cast("bigint").alias("n_view"),
+        F.sum(is_t("purchase")).cast("bigint").alias("n_purchase"),
+        F.countDistinct(F.date_trunc("day", "ts")).cast("bigint").alias("days_active"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 10000).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("purchase_v_e4"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("span_s"),
+    )

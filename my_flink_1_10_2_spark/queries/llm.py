@@ -1195,3 +1195,42 @@ def q_langid_confusion(spark, sf_dir):
         .groupBy("labeled", "predicted")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "q_length_percentiles_disc",
+    oracle="""
+    SELECT source,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY source
+    """,
+    category="llm_text",
+)
+def q_length_percentiles_disc(spark, sf_dir):
+    """Exact DISCRETE per-source length percentiles (the cut-off picker
+    for length filters — a percentile that IS an observed value, unlike
+    the interpolated PERCENTILE_CONT).  Engine formulation: per-source
+    value counts, cumulative sums over the (source-partitioned, bounded)
+    distinct-length relation, smallest value whose cumulative count
+    reaches ceil(p*n) — no approximate sketch, no full sort of the raw
+    rows."""
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+
+    def disc(p):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= target, F.col("n_chars")))
+
+    return cum.groupBy("source").agg(
+        disc(0.5).cast("bigint").alias("p50"),
+        disc(0.95).cast("bigint").alias("p95"),
+        F.max("n").cast("bigint").alias("n"),
+    )

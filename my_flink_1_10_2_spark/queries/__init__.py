@@ -131,6 +131,7 @@ _FLAGSHIP_ORDER = [
     "q_anomaly_zscore",
     "q_user_feature_table",
     "q_length_percentiles_disc",
+    "q_hourly_rate_metric",
     "q_salted_skew_join",
     "q_zorder_key",
     "q_langid_confusion",

@@ -734,3 +734,31 @@ def q_user_feature_table(spark, sf_dir):
         .cast("bigint")
         .alias("span_s"),
     )
+
+
+@register(
+    "q_hourly_rate_metric",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 * 1.0 / greatest(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 1), 6)
+             AS ctr
+    FROM events WHERE ts < TIMESTAMP '2024-01-05'
+    GROUP BY 1
+    """,
+    category="pipeline",
+)
+def q_hourly_rate_metric(spark, sf_dir):
+    """Rate metric (CTR) per hour from one conditional-aggregate pass —
+    numerator and denominator in the same rollup (never two scans
+    joined), exact integer counts, one rounded division."""
+    events = read(spark, sf_dir, "events").where(F.col("ts") < "2024-01-05")
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    return events.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        clicks.cast("bigint").alias("clicks"),
+        views.cast("bigint").alias("views"),
+        F.round(clicks * 1.0 / F.greatest(views, F.lit(1)), 6).alias("ctr"),
+    )

@@ -203,6 +203,7 @@ _FLAGSHIP_ORDER = [
     "q_bigram_backoff_score",
     "q_lsh_quality_report",
     "q_dedup_funnel_report",
+    "q_dedup_threshold_curve",
     "q_safe_union_evolution",
     "q_pipeline_normalize_dedup_chunk",
     "ds_cumulative_crossover",

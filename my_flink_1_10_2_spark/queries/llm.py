@@ -1234,3 +1234,46 @@ def q_length_percentiles_disc(spark, sf_dir):
         disc(0.95).cast("bigint").alias("p95"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
+           FROM w),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_sz
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT inter_sz * 1.0 / (s1.sz + s2.sz - inter_sz) AS j
+      FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2)
+    SELECT t, CAST(count(*) FILTER (WHERE j >= t) AS BIGINT) AS n_pairs
+    FROM jac, (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS t)
+    GROUP BY t
+    """,
+    category="llm_dedup",
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Threshold-tuning curve for fuzzy dedup: how many near-dup pairs
+    survive at Jaccard >= t for t in {{0.2, 0.4, 0.6, 0.8}} — the
+    pick-the-knob report run before committing a corpus-wide dedup.
+    One shingle self-join; the 4 thresholds ride a tiny literal
+    cross-join, not 4 scans."""
+    docs = read(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.0).select("jaccard")
+    ts = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "t double")
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("jaccard") >= F.col("t"), 1))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )

@@ -132,6 +132,7 @@ _FLAGSHIP_ORDER = [
     "q_user_feature_table",
     "q_length_percentiles_disc",
     "q_hourly_rate_metric",
+    "q_native_pivot",
     "q_salted_skew_join",
     "q_zorder_key",
     "q_langid_confusion",

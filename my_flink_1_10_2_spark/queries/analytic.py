@@ -393,3 +393,37 @@ def q_sql_topn_per_group(spark, sf_dir):
           FROM orders) WHERE rn <= 2
         """
     )
+
+
+@register(
+    "q_native_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events WHERE user_id % 9 = 0
+    GROUP BY user_id
+    """,
+    category="analytic",
+)
+def q_native_pivot(spark, sf_dir):
+    """Native `.pivot()` with explicit pivot values (the explicit list
+    skips the extra distinct-values scan Spark otherwise runs — the
+    planning rule to copy at scale).  Catalyst compiles it to the same
+    conditional-aggregate Expand the oracle spells out."""
+    events = read(spark, sf_dir, "events").where(F.col("user_id") % 9 == 0)
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ["click", "error", "purchase", "signup", "view"]
+        ],
+    )

@@ -288,6 +288,28 @@ _FLAGSHIP_ORDER = [
 ]
 
 
+def _driver_graded_names() -> set[str]:
+    """Names already graded by the per-round driver (CORRECTNESS_r*.json).
+
+    The driver samples the FIRST 50 registry entries each round, so
+    :func:`all_queries` floats never-graded queries to the front — every
+    round grades 50 first-time rows until the whole registry has driver
+    evidence, with no manual reordering.
+    """
+    import glob
+    import json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                graded |= set(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return graded
+
+
 def all_queries() -> dict[str, Query]:
     _load_all_modules()
     ordered: dict[str, Query] = {}
@@ -297,4 +319,9 @@ def all_queries() -> dict[str, Query]:
     for name, q in REGISTRY.items():
         if name not in ordered:
             ordered[name] = q
+    graded = _driver_graded_names()
+    if graded:
+        fresh = {n: q for n, q in ordered.items() if n not in graded}
+        seen = {n: q for n, q in ordered.items() if n in graded}
+        ordered = {**fresh, **seen}
     return ordered

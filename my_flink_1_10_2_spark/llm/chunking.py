@@ -30,8 +30,11 @@ def chunk_documents(
     Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``
     with ``stride = chunk_tokens - overlap``; the last chunk starts at
     the final stride position that still introduces new tokens, so every
-    token appears in at least one chunk and no chunk is empty.  A
-    document shorter than ``chunk_tokens`` yields exactly one chunk.
+    token appears in at least one chunk.  A document shorter than
+    ``chunk_tokens`` yields exactly one chunk; an empty or
+    whitespace-only document yields one chunk with ``chunk_text = ''``
+    and ``chunk_len = 0`` (every document survives chunking — filter
+    ``chunk_len > 0`` downstream if empties are unwanted).
 
     Adds ``chunk_id`` (0-based), ``n_chunks``, ``chunk_text`` and
     ``chunk_len`` (token count) next to the input columns.

@@ -73,6 +73,38 @@ def cosine_topk_bruteforce(
     import numpy as np
     import pandas as pd
 
+    # The query side is the broadcast side — small BY CONTRACT.  Enforce
+    # the contract loudly (mirroring operators/hints.py::dim's size
+    # gate): a mis-sized query set must fail with a clear message, not
+    # OOM the driver inside toPandas().
+    from my_flink_1_10_2_spark.operators.hints import parse_size_bytes
+
+    conf = queries.sparkSession.conf
+    max_bytes = parse_size_bytes(
+        str(conf.get("spark.graft.ann.queryBroadcastThreshold", "256MB"))
+    )
+    try:
+        raw = (
+            queries.select(id_col, vec_col)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+        # py4j hands back a plain int for BigInt-backed stats; older
+        # bridges return a JavaObject needing str() first.
+        est = raw if isinstance(raw, int) else int(str(raw))
+    except Exception:
+        est = None
+    if est is not None and est > max_bytes:
+        raise ValueError(
+            f"cosine_topk_bruteforce: query side estimated at {est} bytes "
+            f"exceeds the broadcast cap ({max_bytes}). The query set must be "
+            "small (it is collected and broadcast); raise "
+            "spark.graft.ann.queryBroadcastThreshold only if the driver and "
+            "executors can hold the full query matrix, or use the LSH/IVF "
+            "path (cosine_topk_lsh / cosine_topk_ivf) for large query sets."
+        )
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy()
     q_mat = np.stack(qpdf[vec_col].to_numpy()).astype("float64")

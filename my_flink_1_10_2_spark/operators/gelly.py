@@ -530,7 +530,12 @@ def checksum_hash_code(
     .java — a convergence/debug metric: count + sum of element hashes
     over vertices and edges). The hash is a deterministic arithmetic
     mix (md5-derived 48-bit value) so any engine reproduces it; one
-    row out: (vertex_count, edge_count, checksum)."""
+    row out: (vertex_count, edge_count, checksum).
+
+    Edges are checksummed AS-IS (multiplicity preserved on a
+    multigraph), exactly like the reference's ChecksumHashCode over the
+    edge DataSet; only the vertex set is inherently distinct (Gelly's
+    Graph vertex set)."""
     vhash = F.conv(
         F.substring(F.md5(F.concat(F.lit("v#"), F.col("node").cast("string"))), 1, 12),
         16,
@@ -549,7 +554,7 @@ def checksum_hash_code(
         16,
         10,
     ).cast("bigint")
-    e = edges.select(src, dst).distinct()
+    e = edges.select(src, dst)
     v = _nodes(e, src, dst)
     vs = v.agg(F.count("*").alias("vertex_count"), F.sum(vhash).alias("__vh"))
     es = e.agg(F.count("*").alias("edge_count"), F.sum(ehash).alias("__eh"))

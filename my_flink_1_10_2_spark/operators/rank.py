@@ -93,7 +93,14 @@ def global_rank(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*order)
-    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    # Pin the partition-id-tagged relation: both downstream branches
+    # (the offsets aggregate and the final join) must read the SAME
+    # materialization — spark_partition_id() is nondeterministic, and an
+    # independently recomputed range exchange could assign different ids
+    # to the two branches, corrupting ranks.
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local)).localCheckpoint(
+        eager=False
+    )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = counts.withColumn(
         "__off", F.sum("__n").over(Window.orderBy("__pid")) - F.col("__n")

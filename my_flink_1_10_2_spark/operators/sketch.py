@@ -198,11 +198,19 @@ def kmv_distinct_by(df: DataFrame, group_cols: list[str], col: str, k: int = 64)
     from pyspark.sql import Window as W
 
     hashed_all = df.select(*group_cols, _norm_hash(col).alias("h"))
-    # Per-group row counts upper-bound per-group distinct counts; the
-    # partial-agg shuffle is O(#groups), tiny by contract.
-    per_group = df.groupBy(*group_cols).count().collect()
-    n_min = min((r["count"] for r in per_group), default=1)
-    if sum(r["count"] for r in per_group) < _PREFILTER_MIN_ROWS:
+    # Only two scalars are needed to size the prefilter — the sparsest
+    # group's row count and the total — so reduce the per-group counts
+    # to ONE driver row regardless of group cardinality (the grouped
+    # partial-agg shuffle stays distributed).
+    stats = (
+        df.groupBy(*group_cols)
+        .count()
+        .agg(F.min("count").alias("__n_min"), F.sum("count").alias("__n_total"))
+        .first()
+    )
+    n_min = stats["__n_min"] if stats["__n_min"] is not None else 1
+    n_total = stats["__n_total"] if stats["__n_total"] is not None else 0
+    if n_total < _PREFILTER_MIN_ROWS:
         # small input → one-pass (see kmv_distinct); lazy, same bits
         hashed = hashed_all.dropDuplicates([*group_cols, "h"])
         w = W.partitionBy(*group_cols).orderBy("h")

@@ -87,7 +87,10 @@ def salted_agg(
     partials, finals = [], []
     for out, (fn, col) in aggs.items():
         if fn == "count":
-            partials.append(F.count(col).alias(f"{out}__p"))
+            # ("count", "*") is COUNT(*) — rows, not non-NULL values of
+            # a column; use it whenever the SQL counterpart is COUNT(*).
+            cnt = F.lit(1) if col == "*" else F.col(col)
+            partials.append(F.count(cnt).alias(f"{out}__p"))
             finals.append(F.sum(f"{out}__p").alias(out))
         elif fn == "avg":
             partials.append(F.sum(col).alias(f"{out}__s"))

@@ -546,7 +546,7 @@ def q_salted_skew_agg(spark, sf_dir):
         events,
         ["event_type"],
         {
-            "n": ("count", "event_id"),
+            "n": ("count", "*"),
             "v_sum_e4": ("sum", "v_e4"),
             "min_user": ("min", "user_id"),
             "max_user": ("max", "user_id"),

@@ -33,6 +33,20 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert all(q != v for q, v in approx_set)
 
 
+def test_bruteforce_rejects_oversized_query_set(spark):
+    """The broadcast (query) side is small BY CONTRACT — an oversized
+    query set must fail loudly before toPandas, not OOM the driver."""
+    emb = read(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    key = "spark.graft.ann.queryBroadcastThreshold"
+    spark.conf.set(key, "64b")
+    try:
+        with pytest.raises(ValueError, match="exceeds the broadcast cap"):
+            S.cosine_topk_bruteforce(emb, queries, k=5)
+    finally:
+        spark.conf.unset(key)
+
+
 def test_fake_decode_deterministic(spark):
     media = documents_as_media(read(spark, SF_DIR, "documents")).limit(20)
     a = {r.media_id: tuple(r.features) for r in extract_features(media).collect()}

@@ -147,3 +147,23 @@ def test_compaction_collapses_files_preserves_rows(spark, tmp_path):
     assert len(glob.glob(f"{out_dir}/part-*.parquet")) == 1  # tiny data → 1 file
     assert out.count() == 20000
     assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compaction_guards(spark, tmp_path):
+    """Loud failures instead of silent degradation: in-place overwrite,
+    missing source, and parquet-free source all raise."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from my_flink_1_10_2_spark.operators.compaction import compact_parquet_dir
+
+    frag = str(tmp_path / "frag")
+    spark.range(0, 100).withColumn("v", F.col("id")).write.parquet(frag)
+    with pytest.raises(ValueError, match="dst_dir must differ"):
+        compact_parquet_dir(spark, frag, frag)
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        compact_parquet_dir(spark, str(tmp_path / "nope"), str(tmp_path / "o1"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .parquet files"):
+        compact_parquet_dir(spark, str(empty), str(tmp_path / "o2"))

@@ -4,7 +4,9 @@ than both tests/test_oracle_parity.py (rel_tol 1e-6) and the driver's
 hash gate (rounded hashing). Use it to catch float-discipline
 regressions before the driver does.
 
-Usage: python tools/exact_sweep.py   (from the repo root)
+Usage: python tools/exact_sweep.py [name ...]   (from the repo root)
+       With names: sweep only those registry queries (targeted re-check
+       after touching an operator).  Without: full registry.
 """
 import os, sys, traceback
 
@@ -37,6 +39,12 @@ def canon(df):
 
 bad = []
 names = [n for n in qs if n in osql]
+if len(sys.argv) > 1:
+    want = set(sys.argv[1:])
+    unknown = want - set(names)
+    if unknown:
+        print(f"WARNING: not in oracle registry: {sorted(unknown)}", flush=True)
+    names = [n for n in names if n in want]
 for i, name in enumerate(names):
     try:
         sdf = canon(qs[name](spark, SF).toPandas())

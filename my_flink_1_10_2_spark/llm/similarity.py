@@ -354,3 +354,227 @@ def cosine_topk_ivf(
         ascending=True,
         rank_col="rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-unit ANN variants — every index decision (LSH bucket bit, IVF
+# centroid assignment, probe choice) is derived from EXACT integer
+# arithmetic, so an independent SQL engine replays the identical
+# candidate set bit-for-bit.  This is the repo's float-discipline recipe
+# (integer micro-units, see queries/pipeline.py aggregates) applied to
+# the two ANN index structures; only the final cosine *scores* are
+# floating point, and those follow the same rounding contract as the
+# brute-force path.
+# ---------------------------------------------------------------------------
+
+
+def planes_int(dim: int, num_planes: int, table: int = 0) -> list[list[int]]:
+    """Deterministic INTEGER hyperplanes: the md5-derived 32-bit value
+    shifted to be zero-centered (`u - 2^31` for u = first 8 hex chars).
+    Same construction as :func:`_planes` without the float division, so
+    any engine can reproduce the exact dot-product sign."""
+    planes = []
+    for p in range(num_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane|{table}|{p}|{d}".encode()).hexdigest()
+            vals.append(int(h[:8], 16) - 2**31)
+        planes.append(vals)
+    return planes
+
+
+def int_vec(vec_col, scale: int = 1000):
+    """Quantize a float vector column to integer units (round(x*scale)).
+    Quantization is part of the index definition — both engines bucket
+    the SAME integer vectors, making bucket membership exact."""
+    return F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot_long(a, b):
+    """Exact BIGINT dot product of two integer array columns (caller
+    guarantees no 64-bit overflow: |a_i|·|b_i|·dim < 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket_int(vec_int_col, dim: int, num_planes: int = 8, table: int = 0):
+    """Random-hyperplane LSH bucket id from exact integer dot signs."""
+    bucket = None
+    for p, plane in enumerate(planes_int(dim, num_planes, table)):
+        arr = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot_long(vec_int_col, arr) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def cosine_topk_lsh_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`cosine_topk_lsh` with integer-exact bucket membership.
+
+    Identical plan shape (per-table bucket equi-join, OR-amplified
+    candidates, exact cosine re-rank) — only the hash family changes
+    from float hyperplanes to their integer-unit twins, which keeps the
+    whole candidate set engine-independent.  Scale path unchanged:
+    candidates ≈ L·n/2^planes per query, corpus shuffles on (tbl,
+    bucket) only.
+    """
+    tables = list(range(num_tables))
+    vi = int_vec(F.col(vec_col), scale)
+    c_buckets = F.array(*[lsh_bucket_int(vi, dim, num_planes, t) for t in tables])
+    q_buckets = F.array(
+        *[lsh_bucket_int(int_vec(F.col("q_vec"), scale), dim, num_planes, t) for t in tables]
+    )
+    cb = corpus.select(id_col, vec_col, F.posexplode(c_buckets).alias("tbl", "bucket"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
+    ).select(query_id_col, "q_vec", F.posexplode(q_buckets).alias("tbl", "bucket"))
+    scored = (
+        cb.join(q, ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, F.col(vec_col).alias("c_vec"), F.col("q_vec"))
+        .dropDuplicates([query_id_col, id_col])
+        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    return top_n(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col(id_col)],
+        k,
+        ascending=True,
+        rank_col="rank",
+    )
+
+
+def _score_centroid(vec_col, cvec: list[float], nc_sqrt: float):
+    """Assignment metric dot(v, c)/||c|| from integer-valued doubles —
+    every partial product/sum is an exact integer < 2^53, so the dot is
+    exact in ANY summation order; the final divide-by-literal is one
+    correctly-rounded IEEE op.  cosine(v, c) ordering is preserved (the
+    query-side norm is a common positive factor)."""
+    arr = F.array(*[F.lit(float(x)) for x in cvec])
+    return _dot(vec_col, arr) / F.lit(nc_sqrt)
+
+
+def _assign_int(df: DataFrame, cents, vi_col: str = "__vi") -> DataFrame:
+    """argmax-score centroid assignment, ties to the smallest id."""
+    import math
+
+    structs = []
+    for c, v in cents:
+        nc = math.sqrt(float(sum(int(x) * int(x) for x in v)))
+        structs.append(
+            F.struct(
+                (-_score_centroid(F.col(vi_col), v, nc)).alias("d"),
+                F.lit(c).alias("c"),
+            )
+        )
+    return df.withColumn("centroid", F.array_min(F.array(*structs))["c"])
+
+
+def kmeans_centroids_int(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Integer-exact Lloyd iterations for IVF coarse quantization.
+
+    Centroids are SUM vectors (not means): cosine is scale-invariant,
+    so dividing by the cluster size changes nothing — and keeping the
+    exact integer sum makes every assignment round bitwise-replayable
+    by an unrolled SQL oracle (the recipe community_detection uses for
+    its label scores).  Init = the k lowest-id quantized vectors; empty
+    clusters keep their previous centroid.
+    """
+    vi = int_vec(F.col(vec_col), scale)
+    ci = corpus.select(F.col(id_col).alias("__id"), vi.alias("__vi"))
+    cents = [
+        (i, [int(x) for x in r["__vi"]])
+        for i, r in enumerate(ci.orderBy("__id").limit(k).collect())
+    ]
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(iterations):
+        assigned = _assign_int(ci, cents)
+        sums = (
+            assigned.select("centroid", F.posexplode("__vi").alias("j", "val"))
+            .groupBy("centroid", "j")
+            .agg(F.sum("val").alias("s"))
+            .collect()  # k x dim rows — the centroid table itself
+        )
+        acc: dict[int, list[int]] = {}
+        for r in sums:
+            acc.setdefault(r["centroid"], [0] * dim)[r["j"]] = int(r["s"])
+        cents = [(c, acc.get(c, v)) for c, v in cents]
+    return cents
+
+
+def cosine_topk_ivf_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`cosine_topk_ivf` with an integer-exact index: quantized
+    vectors, sum-vector centroids, exact-dot assignment/probing.  Same
+    scale shape (probe join moves queries only; corpus partitioned by
+    centroid is a layout decision at 100 TB) with a fully deterministic
+    candidate set."""
+    import math
+
+    cents = kmeans_centroids_int(
+        corpus, n_centroids, iterations=iterations, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    vi = int_vec(F.col(vec_col), scale)
+    bucketed = _assign_int(corpus.withColumn("__vi", vi), cents).drop("__vi")
+    probes = F.array(
+        *[
+            F.struct(
+                (-_score_centroid(
+                    F.col("__qi"), v, math.sqrt(float(sum(int(x) * int(x) for x in v)))
+                )).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, v in cents
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
+        .withColumn("__qi", int_vec(F.col("q_vec"), scale))
+        .withColumn("probe_list", F.slice(F.array_sort(probes), 1, n_probe))
+        .select(query_id_col, "q_vec", F.explode("probe_list.c").alias("centroid"))
+    )
+    scored = (
+        bucketed.join(q, "centroid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"))
+    )
+    return top_n(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col(id_col)],
+        k,
+        ascending=True,
+        rank_col="rank",
+    )

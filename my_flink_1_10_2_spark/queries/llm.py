@@ -343,13 +343,72 @@ def q_embedding_topk(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 9))
 
 
-@register("q_embedding_topk_lsh", oracle=None, category="llm_similarity")
+def _lsh_int_oracle(
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """Exact SQL replay of the integer-unit LSH index: the md5-derived
+    hyperplanes are integer constants, the vectors are quantized to
+    integer units, so every bucket bit is the sign of an EXACT dot
+    product both engines agree on (all partial sums are integers
+    < 2^53 — any summation order is exact)."""
+    from my_flink_1_10_2_spark.llm.similarity import planes_int
+
+    def bexpr(t: int) -> str:
+        bits = []
+        for p, plane in enumerate(planes_int(dim, num_planes, t)):
+            lit = "[" + ", ".join(f"{v}.0" for v in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(vi, {lit}) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    tbls = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl, {bexpr(t)} AS bucket FROM corpus"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {scale})) AS vi
+      FROM embeddings
+    ),
+    buckets AS MATERIALIZED (
+{tbls}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+      FROM buckets qb JOIN buckets b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+      WHERE qb.vec_id < 10 AND b.vec_id <> qb.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id, list_cosine_similarity(q.v, e.v) AS sim
+      FROM cand c JOIN corpus q ON q.vec_id = c.query_id
+                  JOIN corpus e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, round(sim, 9) AS sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@register("q_embedding_topk_lsh", oracle=_lsh_int_oracle(), category="llm_similarity")
 def q_embedding_topk_lsh(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH buckets (rows-only
-    check; recall vs brute force is asserted in tests/test_llm.py)."""
+    """Approximate top-k via random-hyperplane LSH buckets — the
+    integer-unit hash family makes the OR-amplified candidate set
+    engine-independent, so the full index path (8 tables × 4 integer
+    hyperplane signs → bucket equi-join → exact cosine re-rank) is
+    graded exactly, not rows-only.  Recall vs brute force is additionally
+    asserted in tests/test_llm.py."""
     emb = read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
-    return S.cosine_topk_lsh(emb, queries, dim=64, k=5, num_planes=4)
+    out = S.cosine_topk_lsh_int(emb, queries, dim=64, k=5, num_planes=4, num_tables=8)
+    return out.withColumn("sim", F.round("sim", 9))
 
 
 # ---------------------------------------------------------------------------
@@ -435,14 +494,97 @@ def q_token_count(spark, sf_dir):
     )
 
 
-@register("q_embedding_topk_ivf", oracle=None, category="llm_similarity")
+def _ivf_int_oracle(
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 3,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """Exact SQL replay of integer-unit IVF with the Lloyd iterations
+    UNROLLED as CTEs (the community-detection recipe): centroids are
+    integer SUM vectors (cosine is scale-invariant), assignment/probe
+    scores are exact-integer dots divided by one sqrt — bitwise
+    identical across engines."""
+    score = "-(list_dot_product(vi, cv) / sqrt(list_dot_product(cv, cv)))"
+    sql = f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {scale})) AS vi
+      FROM embeddings
+    ),
+    cents0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, vi AS cv
+      FROM (SELECT vec_id, vi FROM corpus ORDER BY vec_id LIMIT {n_centroids})
+    )"""
+    for i in range(iterations):
+        sql += f""",
+    assign{i} AS MATERIALIZED (
+      SELECT vec_id, c AS centroid FROM (
+        SELECT corpus.vec_id, cents{i}.c,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {score}, c) AS rn
+        FROM corpus CROSS JOIN cents{i}) WHERE rn = 1
+    ),
+    cents{i + 1} AS MATERIALIZED (
+      SELECT p.c, COALESCE(s.cv, p.cv) AS cv FROM cents{i} p LEFT JOIN (
+        SELECT centroid AS c, list(sm ORDER BY j) AS cv FROM (
+          SELECT a.centroid, t.j, SUM(corpus.vi[t.j + 1]) AS sm
+          FROM assign{i} a JOIN corpus USING (vec_id), range({dim}) t(j)
+          GROUP BY a.centroid, t.j
+        ) GROUP BY centroid
+      ) s ON s.c = p.c
+    )"""
+    fin = iterations
+    sql += f""",
+    assign_final AS MATERIALIZED (
+      SELECT vec_id, c AS centroid FROM (
+        SELECT corpus.vec_id, cents{fin}.c,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {score}, c) AS rn
+        FROM corpus CROSS JOIN cents{fin}) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, c AS centroid FROM (
+        SELECT corpus.vec_id AS query_id, cents{fin}.c,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {score}, c) AS rn
+        FROM corpus CROSS JOIN cents{fin} WHERE corpus.vec_id < 10)
+      WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign_final a ON a.centroid = p.centroid
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id, list_cosine_similarity(q.v, e.v) AS sim
+      FROM cand c JOIN corpus q ON q.vec_id = c.query_id
+                  JOIN corpus e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, round(sim, 9) AS sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+    return sql
+
+
+@register("q_embedding_topk_ivf", oracle=_ivf_int_oracle(), category="llm_similarity")
 def q_embedding_topk_ivf(spark, sf_dir):
-    """IVF approximate top-k (k-means coarse quantizer + probe-nearest
-    buckets; recall vs brute force asserted in tests/test_llm.py).
-    Rows-only check — the candidate set is index-dependent."""
+    """IVF approximate top-k with a TRAINED coarse quantizer (3 Lloyd
+    iterations) graded exactly: integer-unit vectors and sum-vector
+    centroids make every assignment round bitwise-replayable by the
+    unrolled-CTE oracle — no rows-only concession even for the trained
+    index.  Recall vs brute force asserted in tests/test_llm.py."""
     emb = read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
-    return S.cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+    out = S.cosine_topk_ivf_int(
+        emb, queries, k=5, n_centroids=16, n_probe=4, iterations=3
+    )
+    return out.withColumn("sim", F.round("sim", 9))
 
 
 @register(

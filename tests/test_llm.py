@@ -33,6 +33,25 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert all(q != v for q, v in approx_set)
 
 
+def test_int_ann_variants_recall_vs_bruteforce(spark):
+    """The integer-unit (oracle-gradeable) LSH and IVF index variants
+    must stay real ANN indexes: most of the exact top-k recovered."""
+    emb = read(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.vec_id)
+             for r in S.cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    assert exact
+    lsh = {(r.query_id, r.vec_id)
+           for r in S.cosine_topk_lsh_int(emb, queries, dim=64, k=5,
+                                          num_planes=4).collect()}
+    ivf = {(r.query_id, r.vec_id)
+           for r in S.cosine_topk_ivf_int(emb, queries, k=5, n_centroids=16,
+                                          n_probe=4).collect()}
+    assert len(exact & lsh) / len(exact) >= 0.5, "int-LSH recall collapsed"
+    assert len(exact & ivf) / len(exact) >= 0.5, "int-IVF recall collapsed"
+    assert all(q != v for q, v in lsh | ivf)
+
+
 def test_bruteforce_rejects_oversized_query_set(spark):
     """The broadcast (query) side is small BY CONTRACT — an oversized
     query set must fail loudly before toPandas, not OOM the driver."""

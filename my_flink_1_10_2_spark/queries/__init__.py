@@ -101,6 +101,11 @@ def _load_all_modules() -> None:
 # CEP/windows/graph/LLM ops with local-only evidence).
 # q_math_functions leads: it was round 1's only red row.
 _FLAGSHIP_ORDER = [
+    # ---- round-4 additions first: brand-new operator families whose
+    # driver row should land the round they ship
+    "q_early_fire_sequence",
+    "q_embedding_topk_lsh",
+    "q_embedding_topk_ivf",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

@@ -227,3 +227,127 @@ def q_time_evictor_window(spark, sf_dir):
         "cnt",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+_EF_SIZE = 21_600_000_000  # 6 h in micros
+_EF_IVL = 7_200_000_000    # 2 h boundaries
+_EF_DELAY = 7_200_000_000  # 2 h watermark lag
+_EF_INF = 9_000_000_000_000_000_000
+
+_EF_SRC = """
+  SELECT user_id % 4 AS k,
+         epoch_us(ts) AS te,
+         CAST(round(value * 10000) AS BIGINT) AS v,
+         LEAST(4, (extract(day FROM ts) - 1) // 7
+                  + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS batch
+  FROM events WHERE event_id < 2000
+"""
+
+
+@register(
+    "q_early_fire_sequence",
+    oracle=f"""
+    WITH src AS MATERIALIZED ({_EF_SRC}),
+    wm AS MATERIALIZED (
+      SELECT b.batch,
+             CASE WHEN b.batch = (SELECT max(batch) FROM src)
+                  THEN {_EF_INF}
+                  ELSE max(s.te) - {_EF_DELAY} END AS wm
+      FROM (SELECT DISTINCT batch FROM src) b JOIN src s ON s.batch <= b.batch
+      GROUP BY b.batch
+    ),
+    fw AS MATERIALIZED (
+      SELECT k, ws, b0, min(te) AS fts FROM (
+        SELECT k, te, batch,
+               te - te % {_EF_SIZE} AS ws,
+               min(batch) OVER (PARTITION BY k, te - te % {_EF_SIZE}) AS b0
+        FROM src) WHERE batch = b0
+      GROUP BY k, ws, b0
+    ),
+    bounds AS (
+      SELECT k, ws, b0,
+             unnest(generate_series(fts - fts % {_EF_IVL} + {_EF_IVL},
+                                    ws + {_EF_SIZE}, {_EF_IVL})) AS t
+      FROM fw
+    ),
+    fires AS (
+      SELECT k, ws, t, min(w.batch) AS fire_batch
+      FROM bounds b JOIN wm w ON w.wm >= b.t AND w.batch >= b.b0
+      GROUP BY k, ws, t
+    ),
+    panes AS (
+      SELECT f.k, f.ws, f.t, f.fire_batch,
+             count(*) AS cnt, sum(s.v) AS v_sum_e4
+      FROM fires f JOIN src s
+        ON s.k = f.k AND s.te - s.te % {_EF_SIZE} = f.ws
+           AND s.batch <= f.fire_batch
+      GROUP BY f.k, f.ws, f.t, f.fire_batch
+    )
+    SELECT k, make_timestamp(ws) AS window_start, make_timestamp(t) AS fire_ts,
+           fire_batch,
+           row_number() OVER (PARTITION BY k, ws ORDER BY t) AS fire_seq,
+           cnt, v_sum_e4
+    FROM panes
+    """,
+    category="triggers",
+)
+def q_early_fire_sequence(spark, sf_dir):
+    """TRUE streaming early-fire EMISSION LOG (ref:
+    ContinuousEventTimeTrigger.java:36 + WindowOperator.java:98): events
+    replay through Structured Streaming in 5 scripted micro-batches
+    (weekly arrival waves, ~14% of events arriving one wave late); the
+    per-batch watermark advance fires every interval boundary it passes,
+    and the graded result is the full (window, boundary) pane SEQUENCE —
+    early fires, watermark-jump cascades, and end-of-input finals — not
+    just the final pane states.  Integer micro-units end to end."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.streaming.early_fire import (
+        continuous_early_fire_log,
+    )
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 2000")
+        .select(
+            (F.col("user_id") % 4).alias("k"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+            F.least(
+                F.lit(4),
+                F.expr("CAST((day(ts) - 1) DIV 7 AS BIGINT)")
+                + F.when(F.col("event_id") % 7 == 0, 1).otherwise(0),
+            ).alias("batch"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_earlyfire_q_")
+    try:
+        log = continuous_early_fire_log(
+            spark,
+            src,
+            work,
+            ts_col="te",
+            batch_col="batch",
+            keys=["k"],
+            value_col="v",
+            size_us=_EF_SIZE,
+            interval_us=_EF_IVL,
+            delay_us=_EF_DELAY,
+        )
+        out = log.select(
+            "k",
+            F.timestamp_micros(F.col("window_start"))
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            F.timestamp_micros(F.col("fire_ts"))
+            .cast("timestamp_ntz")
+            .alias("fire_ts"),
+            "fire_batch",
+            "fire_seq",
+            "cnt",
+            F.col("v_sum").alias("v_sum_e4"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,176 @@
+"""Early-fire emission SEQUENCES on a live micro-batch stream.
+
+The batch formulation in operators/triggers.py grades the *final* pane
+contents of ContinuousEventTimeTrigger windows; this module grades the
+*emission log* — which (window, boundary) panes fire, in which order,
+with which contents, as the watermark advances across micro-batches —
+the contract of the reference's per-element trigger machinery
+(ref: flink-streaming-java/.../windowing/triggers/
+ContinuousEventTimeTrigger.java:36 onElement/onEventTime re-registration,
+WindowOperator.java:98 emitWindowContents).
+
+Trigger contract reproduced (micro-batch watermark granularity):
+  - onElement: the FIRST element of a (key, window) registers the next
+    interval boundary after its own event timestamp
+    (``t0 = ts - ts % interval + interval``).
+  - onEventTime: a boundary fires when the watermark passes it; the
+    trigger re-registers ``t + interval`` — so a watermark jump over
+    several boundaries fires each of them (same pane contents, distinct
+    fire timestamps), exactly like the reference's timer cascade.
+  - A boundary already behind the watermark when the first element
+    arrives fires at that batch (past event-time timers fire on the
+    next watermark advance).
+  - End of a bounded stream = +inf watermark: every remaining boundary
+    up to the window end fires (the DataStream bounded-drain behavior).
+  - The window end IS the last boundary (interval divides size), so the
+    final firing is the complete pane.
+
+The pane seen by a firing at batch ``b`` is every element of the
+(key, window) that arrived in batches ``<= b`` — element accumulation,
+no purging (PURGING composition is graded batch-side).
+
+Scale shape: the per-batch work is one grouped aggregate + one
+boundary-explode join over the accumulated state, all distributed; the
+driver holds only two watermark scalars per batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_OF_INPUT_WM = 9_000_000_000_000_000_000  # +inf watermark (bounded drain)
+
+
+def continuous_early_fire_log(
+    spark: SparkSession,
+    src: DataFrame,
+    work: str,
+    *,
+    ts_col: str = "te",
+    batch_col: str = "batch",
+    keys: list[str] | None = None,
+    value_col: str = "v",
+    size_us: int,
+    interval_us: int,
+    delay_us: int,
+) -> DataFrame:
+    """Replay ``src`` (micro-units: ``ts_col``/boundaries in epoch
+    MICROSECONDS so every comparison is exact integer arithmetic) one
+    ``batch_col`` value per micro-batch through Structured Streaming,
+    and return the early-fire emission log:
+
+    ``(keys..., window_start, fire_ts, fire_batch, fire_seq, cnt,
+    v_sum)`` — one row per (key, window, boundary) firing in emission
+    order.  ``size_us % interval_us == 0`` required (aligned
+    boundaries, the reference's precondition)."""
+    if size_us % interval_us != 0:
+        raise ValueError("interval must divide the window size")
+    keys = list(keys or [])
+    batches = sorted(
+        r[0] for r in src.select(batch_col).distinct().collect()
+    )  # O(#batches) — the replay script itself
+    n_batches = len(batches)
+
+    # one flat file per batch, strictly increasing mtimes — the file
+    # source orders micro-batches by modification time
+    import shutil
+
+    os.makedirs(f"{work}/replay", exist_ok=True)
+    base_ts = time.time() - 3600
+    for i, b in enumerate(batches):
+        stage = f"{work}/stage/b{i:03d}"
+        src.where(F.col(batch_col) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{work}/replay/part-{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (base_ts + i, base_ts + i))
+
+    acc_dir, log_dir = f"{work}/acc", f"{work}/log"
+    state = {"prev_wm": -(2**62), "max_te": -(2**62), "done": 0}
+
+    def on_batch(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = batch_df.agg(
+            F.max(ts_col).alias("m"), F.max(batch_col).alias("b")
+        ).first()
+        b = int(stats["b"])
+        state["max_te"] = max(state["max_te"], int(stats["m"]))
+        state["done"] += 1
+        cur_wm = (
+            END_OF_INPUT_WM
+            if state["done"] == n_batches
+            else state["max_te"] - delay_us
+        )
+        prev_wm = state["prev_wm"]
+
+        batch_df.write.mode("append").parquet(acc_dir)
+        acc = spark.read.parquet(acc_dir)
+        win_start = (F.col(ts_col) - F.col(ts_col) % size_us).alias("__ws")
+        tagged = acc.select(*keys, ts_col, batch_col, value_col, win_start)
+
+        # first_ts is "min ts WITHIN the earliest batch" (the first
+        # PROCESSED element registers the timer), not the global min —
+        # hence the two-step b0-then-filter aggregation
+        b0 = tagged.groupBy(*keys, "__ws").agg(F.min(batch_col).alias("__b0"))
+        first_ts = (
+            tagged.join(b0, [*keys, "__ws"])
+            .where(F.col(batch_col) == F.col("__b0"))
+            .groupBy(*keys, "__ws", "__b0")
+            .agg(F.min(ts_col).alias("__fts"))
+        )
+        fired = (
+            first_ts.where(F.col("__b0") <= F.lit(b))
+            .withColumn(
+                "__t",
+                F.explode(
+                    F.sequence(
+                        F.col("__fts") - F.col("__fts") % interval_us + interval_us,
+                        F.col("__ws") + size_us,
+                        F.lit(interval_us),
+                    )
+                ),
+            )
+            .where(
+                (F.col("__t") <= F.lit(cur_wm))
+                & ((F.col("__t") > F.lit(prev_wm)) | (F.col("__b0") == F.lit(b)))
+            )
+            .select(*keys, "__ws", "__t")
+        )
+        panes = tagged.groupBy(*keys, "__ws").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(value_col).alias("v_sum")
+        )
+        log = fired.join(panes, [*keys, "__ws"]).select(
+            *keys,
+            F.col("__ws").alias("window_start"),
+            F.col("__t").alias("fire_ts"),
+            F.lit(b).cast("bigint").alias("fire_batch"),
+            "cnt",
+            "v_sum",
+        )
+        log.write.mode("append").parquet(log_dir)
+        state["prev_wm"] = cur_wm
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/replay")
+        .writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(log_dir)
+    seq = Window.partitionBy(*keys, "window_start").orderBy("fire_ts")
+    return out.withColumn("fire_seq", F.row_number().over(seq).cast("bigint"))

@@ -51,6 +51,7 @@ _TYPE_MAP = {
     "DOUBLE": "double",
     "BOOLEAN": "boolean",
     "DATE": "date",
+    "TIME": "int",  # TIME(p) → millis-of-day (SURVEY §1.2; TimeType.java)
     "TIMESTAMP": "timestamp_ntz",  # Flink TIMESTAMP(p) is local-time
     "TIMESTAMP_LTZ": "timestamp",
 }

@@ -137,3 +137,100 @@ def q_sql_insert_select(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_time_type_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) % 86400000000) // 1000 AS INT) AS t_ms
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             count(CASE WHEN t_ms >= 43200000 THEN 1 END) AS n_pm,
+             min(t_ms) AS min_ms, max(t_ms) AS max_ms
+      FROM src GROUP BY event_type
+    )
+    SELECT event_type, n_pm, min_ms, max_ms,
+           printf('%02d:%02d:%02d.%03d', min_ms // 3600000,
+                  (min_ms // 60000) % 60, (min_ms // 1000) % 60,
+                  min_ms % 1000) AS min_time,
+           printf('%02d:%02d:%02d.%03d', max_ms // 3600000,
+                  (max_ms // 60000) % 60, (max_ms // 1000) % 60,
+                  max_ms % 1000) AS max_time,
+           min_ms AS min_ms_reparsed
+    FROM agg
+    """,
+    category="ddl",
+)
+def q_time_type_roundtrip(spark, sf_dir):
+    """TIME(3) round trip (SURVEY §1.2 gap; ref: flink-table-common/
+    .../types/logical/TimeType.java — internally millis-of-day int, the
+    same mapping used here): a DDL table with a TIME column parses and
+    loads, time-of-day values aggregate as plain ints, format to the
+    TIME literal 'HH:MM:SS.fff', and the literal REPARSES to the exact
+    millis (min_ms_reparsed comes from the string on the engine side,
+    proving the literal mapping is lossless)."""
+    from my_flink_1_10_2_spark.session import TableEnvironment
+    from my_flink_1_10_2_spark.types import (
+        millis_to_time_string,
+        time_string_to_millis,
+    )
+
+    work = tempfile.mkdtemp(prefix="fl_time_rt_")
+    try:
+        (
+            read(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                (
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        % 86_400_000_000
+                    )
+                    / 1000
+                )
+                .cast("int")
+                .alias("t_ms"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(work, "times"))
+        )
+        env = TableEnvironment(spark)
+        env.execute_sql(
+            f"""CREATE TABLE time_rt (
+                  event_type STRING,
+                  t_ms TIME(3)
+                ) WITH (
+                  'connector' = 'filesystem',
+                  'path' = '{os.path.join(work, "times")}',
+                  'format' = 'parquet'
+                )"""
+        )
+        agg = (
+            env.sql_query("SELECT event_type, t_ms FROM time_rt")
+            .to_df()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.when(F.col("t_ms") >= 43_200_000, 1)).alias("n_pm"),
+                F.min("t_ms").alias("min_ms"),
+                F.max("t_ms").alias("max_ms"),
+            )
+        )
+        out = agg.select(
+            "event_type",
+            "n_pm",
+            "min_ms",
+            "max_ms",
+            millis_to_time_string("min_ms").alias("min_time"),
+            millis_to_time_string("max_ms").alias("max_time"),
+        ).withColumn(
+            # the genuine round trip: string → millis must equal the int
+            "min_ms_reparsed",
+            time_string_to_millis("min_time"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -62,6 +62,17 @@ class DataTypes:
         return T.DateType()
 
     @staticmethod
+    def TIME(precision: int = 0, nullable: bool = True):
+        """TIME(p) → INT milliseconds-of-day (SURVEY §1.2; ref:
+        flink-table-common/.../types/logical/TimeType.java — the
+        reference's own internal representation is also millis-of-day
+        int).  Spark has no TIME type; the int-millis mapping keeps the
+        column orderable/aggregatable, with
+        :func:`millis_to_time_string` / :func:`time_string_to_millis`
+        for the literal round trip."""
+        return T.IntegerType()
+
+    @staticmethod
     def TIMESTAMP(precision: int = 3, nullable: bool = True):
         # Flink TIMESTAMP(p) is wall-clock local time (SURVEY §1.2)
         return T.TimestampNTZType()
@@ -85,3 +96,34 @@ class DataTypes:
     @staticmethod
     def ROW(row_fields=(), nullable: bool = True):
         return T.StructType(list(row_fields))
+
+
+def millis_to_time_string(col, precision: int = 3):
+    """INT millis-of-day → 'HH:MM:SS[.fff]' (the TIME(p) literal form,
+    ref: TimeType.java asSummaryString).  Pure native expressions."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.floor(c / 3600000)
+    m = F.floor(c / 60000) % 60
+    s = F.floor(c / 1000) % 60
+    if precision <= 0:
+        return F.format_string("%02d:%02d:%02d", h, m, s)
+    ms = c % 1000
+    return F.format_string("%02d:%02d:%02d.%03d", h, m, s, ms)
+
+
+def time_string_to_millis(col):
+    """'HH:MM:SS[.fff]' → INT millis-of-day (inverse literal mapping)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, ":")
+    sec_frac = F.split(parts[2], r"\.")
+    ms = F.when(F.size(sec_frac) > 1, F.rpad(sec_frac[1], 3, "0").cast("int")).otherwise(0)
+    return (
+        parts[0].cast("int") * 3600000
+        + parts[1].cast("int") * 60000
+        + sec_frac[0].cast("int") * 1000
+        + ms
+    ).cast("int")

@@ -173,3 +173,38 @@ def test_create_function_errors(spark):
         te.execute_sql("CREATE FUNCTION nope AS 'bare'")
     with pytest.raises(ValueError, match="LANGUAGE"):
         te.execute_sql("CREATE FUNCTION j AS 'a.b' LANGUAGE JAVA")
+
+
+def test_time_type_ddl_and_literal_roundtrip(spark):
+    """TIME(p) maps to int millis-of-day (SURVEY §1.2 / TimeType.java);
+    literal formatting and reparsing are lossless at the edges."""
+    from my_flink_1_10_2_spark.ddl import _flink_type
+    from my_flink_1_10_2_spark.types import (
+        DataTypes,
+        millis_to_time_string,
+        time_string_to_millis,
+    )
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    assert _flink_type("TIME") == "int"
+    assert _flink_type("TIME(3)") == "int"
+    assert isinstance(DataTypes.TIME(3), T.IntegerType)
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (999,), (43_200_000,), (86_399_999,)], "ms int"
+    )
+    out = df.select(
+        "ms",
+        millis_to_time_string("ms").alias("s3"),
+        millis_to_time_string("ms", precision=0).alias("s0"),
+    ).withColumn("back", time_string_to_millis("s3"))
+    rows = {r.ms: r for r in out.collect()}
+    assert rows[0].s3 == "00:00:00.000" and rows[0].s0 == "00:00:00"
+    assert rows[999].s3 == "00:00:00.999"
+    assert rows[43_200_000].s3 == "12:00:00.000"
+    assert rows[86_399_999].s3 == "23:59:59.999" and rows[86_399_999].s0 == "23:59:59"
+    assert all(r.back == r.ms for r in rows.values())
+    # seconds-precision literals reparse too ('HH:MM:SS' → whole-second ms)
+    sec = spark.range(1).select(F.lit("07:08:09").alias("s"))
+    assert sec.select(time_string_to_millis("s").alias("m")).first().m == 25_689_000

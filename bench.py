@@ -74,6 +74,9 @@ HEADLINE = [
     # round-3 close: changelog materialization and the bigram LM filter
     "q_upsert_snapshot",
     "q_bigram_backoff_score",
+    # round-4: the two oracle-graded ANN index paths
+    "q_embedding_topk_lsh",
+    "q_embedding_topk_ivf",
 ]
 
 
@@ -126,22 +129,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]
-        samples: list[float] = []
-        for _ in range(runs):
+
+        def _cleanup() -> None:
+            # Drop any blocks the query left persisted (iterative
+            # operators free superseded checkpoints themselves, but the
+            # final state and lazily-consumed graph kernels keep theirs)
+            # so queries are measured in isolation, not under the
+            # previous queries' block-manager pressure.
+            for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                r.unpersist()
+            spark.catalog.clearCache()
+
+        def _sample() -> float:
             t0 = time.perf_counter()
             # noop sink: forces full computation of every output column
             # (count() would let Catalyst prune projection-only work)
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        # Drop any blocks the query left persisted (iterative operators
-        # free superseded checkpoints themselves, but the final state
-        # and lazily-consumed graph kernels keep theirs) so queries are
-        # measured in isolation, not under the previous queries' block-
-        # manager pressure.
-        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            r.unpersist()
-        spark.catalog.clearCache()
-        samples.sort()
+            elapsed = time.perf_counter() - t0
+            _cleanup()
+            return elapsed
+
+        samples = sorted(_sample() for _ in range(runs))
+        # Sub-0.5s queries have a ±2x run-to-run noise floor: widen to 5
+        # samples so their medians are comparable across rounds.
+        if samples[len(samples) // 2] < 0.5 and runs < 5:
+            samples = sorted(samples + [_sample() for _ in range(5 - runs)])
         timings[name] = round(samples[len(samples) // 2], 3)
         print(
             f"# {name}: median {timings[name]:.3f}s of "
@@ -157,6 +169,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        # Machine-independent per-query numbers: sec / calibration_sec.
+        # Compare THESE across rounds — a uniform shift in raw seconds
+        # with stable ratios is host drift, not a plan change.
+        "queries_normalized": {
+            n: round(t / calibration, 2) for n, t in timings.items()
+        },
+        "value_normalized": round(sum(timings.values()) / calibration, 2),
     }
     print(json.dumps(result))
 

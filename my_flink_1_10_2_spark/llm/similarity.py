@@ -431,16 +431,54 @@ def cosine_topk_lsh_int(
     candidates ≈ L·n/2^planes per query, corpus shuffles on (tbl,
     bucket) only.
     """
-    tables = list(range(num_tables))
-    vi = int_vec(F.col(vec_col), scale)
-    c_buckets = F.array(*[lsh_bucket_int(vi, dim, num_planes, t) for t in tables])
-    q_buckets = F.array(
-        *[lsh_bucket_int(int_vec(F.col("q_vec"), scale), dim, num_planes, t) for t in tables]
+    import numpy as np
+    import pandas as pd
+
+    # Arrow-vectorized bucket kernel (the same exact-integer arithmetic
+    # as lsh_bucket_int, at BLAS speed): the quantization happens in
+    # Spark (int_vec), so the kernel only multiplies INTEGER-VALUED
+    # float64 matrices — every partial product/sum < 2^53, exact in any
+    # order, so numpy and any SQL engine agree on every bucket bit.
+    planes_mat = np.array(
+        [
+            plane
+            for t in range(num_tables)
+            for plane in planes_int(dim, num_planes, t)
+        ],
+        dtype=np.float64,
     )
-    cb = corpus.select(id_col, vec_col, F.posexplode(c_buckets).alias("tbl", "bucket"))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec")
-    ).select(query_id_col, "q_vec", F.posexplode(q_buckets).alias("tbl", "bucket"))
+    pw = (1 << np.arange(num_planes)).astype(np.int64)
+    n_tbl = num_tables
+
+    def buckets_kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vi = np.stack(b["__vi"].to_numpy()).astype(np.float64)
+            bits = (vi @ planes_mat.T > 0).astype(np.int64)
+            buck = bits.reshape(len(b), n_tbl, -1) @ pw
+            out = b.drop(columns=["__vi"]).copy()
+            out["__buckets"] = list(buck)
+            yield out
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        src = df.select(idc, vec_col, int_vec(F.col(vec_col), scale).alias("__vi"))
+        vec_t = df.schema[vec_col].dataType.simpleString()
+        return src.mapInPandas(
+            buckets_kernel,
+            f"{idc} long, {vec_col} {vec_t}, __buckets array<long>",
+        )
+
+    cb = with_buckets(corpus, id_col).select(
+        id_col, vec_col, F.posexplode("__buckets").alias("tbl", "bucket")
+    )
+    q = with_buckets(
+        queries.select(F.col(id_col).alias(query_id_col), vec_col), query_id_col
+    ).select(
+        query_id_col,
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode("__buckets").alias("tbl", "bucket"),
+    )
     scored = (
         cb.join(q, ["tbl", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -458,30 +496,48 @@ def cosine_topk_lsh_int(
     )
 
 
-def _score_centroid(vec_col, cvec: list[float], nc_sqrt: float):
-    """Assignment metric dot(v, c)/||c|| from integer-valued doubles —
-    every partial product/sum is an exact integer < 2^53, so the dot is
-    exact in ANY summation order; the final divide-by-literal is one
-    correctly-rounded IEEE op.  cosine(v, c) ordering is preserved (the
-    query-side norm is a common positive factor)."""
-    arr = F.array(*[F.lit(float(x)) for x in cvec])
-    return _dot(vec_col, arr) / F.lit(nc_sqrt)
+def _cent_arrays(cents):
+    import math
+
+    import numpy as np
+
+    cmat = np.array([v for _c, v in cents], dtype=np.float64)
+    ncs = np.array(
+        [math.sqrt(float(sum(int(x) * int(x) for x in v))) for _c, v in cents]
+    )
+    ids = np.array([int(c) for c, _v in cents], dtype=np.int64)
+    return cmat, ncs, ids
 
 
 def _assign_int(df: DataFrame, cents, vi_col: str = "__vi") -> DataFrame:
-    """argmax-score centroid assignment, ties to the smallest id."""
-    import math
+    """argmax-score centroid assignment, ties to the smallest id.
 
-    structs = []
-    for c, v in cents:
-        nc = math.sqrt(float(sum(int(x) * int(x) for x in v)))
-        structs.append(
-            F.struct(
-                (-_score_centroid(F.col(vi_col), v, nc)).alias("d"),
-                F.lit(c).alias("c"),
-            )
-        )
-    return df.withColumn("centroid", F.array_min(F.array(*structs))["c"])
+    Arrow-vectorized kernel with the same exact arithmetic as
+    :func:`_centroid_scores`: integer-valued float64 matmul (every
+    partial sum < 2^53 → exact in any order) then one IEEE division per
+    (row, centroid); np.argmax returns the FIRST maximum, which with
+    ascending centroid ids IS the smallest-id tiebreak."""
+    import numpy as np
+
+    cmat, ncs, ids = _cent_arrays(cents)
+    if not (np.diff(ids) > 0).all():
+        raise ValueError("centroid ids must be ascending for argmax tiebreak")
+    cols = df.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vi = np.stack(b[vi_col].to_numpy()).astype(np.float64)
+            scores = (vi @ cmat.T) / ncs
+            b = b.copy()
+            b["centroid"] = ids[np.argmax(scores, axis=1)]
+            yield b
+
+    return df.select(*cols).mapInPandas(kernel, f"{schema}, centroid long")
 
 
 def kmeans_centroids_int(
@@ -540,7 +596,7 @@ def cosine_topk_ivf_int(
     scale shape (probe join moves queries only; corpus partitioned by
     centroid is a layout decision at 100 TB) with a fully deterministic
     candidate set."""
-    import math
+    import numpy as np
 
     cents = kmeans_centroids_int(
         corpus, n_centroids, iterations=iterations, scale=scale,
@@ -548,22 +604,33 @@ def cosine_topk_ivf_int(
     )
     vi = int_vec(F.col(vec_col), scale)
     bucketed = _assign_int(corpus.withColumn("__vi", vi), cents).drop("__vi")
-    probes = F.array(
-        *[
-            F.struct(
-                (-_score_centroid(
-                    F.col("__qi"), v, math.sqrt(float(sum(int(x) * int(x) for x in v)))
-                )).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, v in cents
-        ]
-    )
+
+    # probe selection: same exact score matrix; stable argsort on the
+    # NEGATED scores = (score desc, centroid id asc) — negation is a
+    # sign flip (exact), stable keeps ascending ids on ties
+    cmat, ncs, ids = _cent_arrays(cents)
+    npb = n_probe
+    vec_t = queries.schema[vec_col].dataType.simpleString()
+
+    def probe_kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            qi = np.stack(b["__qi"].to_numpy()).astype(np.float64)
+            scores = (qi @ cmat.T) / ncs
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :npb]
+            out = b.drop(columns=["__qi"]).copy()
+            out["__probes"] = list(ids[order])
+            yield out
+
     q = (
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("q_vec"))
         .withColumn("__qi", int_vec(F.col("q_vec"), scale))
-        .withColumn("probe_list", F.slice(F.array_sort(probes), 1, n_probe))
-        .select(query_id_col, "q_vec", F.explode("probe_list.c").alias("centroid"))
+        .mapInPandas(
+            probe_kernel,
+            f"{query_id_col} long, q_vec {vec_t}, __probes array<long>",
+        )
+        .select(query_id_col, "q_vec", F.explode("__probes").alias("centroid"))
     )
     scored = (
         bucketed.join(q, "centroid")

@@ -24,6 +24,27 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def hive_catalog_conf(
+    warehouse_dir: str | None = None,
+    metastore_uris: str | None = None,
+) -> dict[str, str]:
+    """Catalog-mount configuration as a pure map (unit-testable without
+    a JVM): embedded-Derby mode sets only the warehouse location; the
+    cluster mode adds the thrift ``hive.metastore.uris`` — exactly the
+    two deployment shapes of the reference's HiveCatalog (hiveConfDir
+    with/without a remote metastore)."""
+    conf: dict[str, str] = {}
+    if warehouse_dir is not None:
+        conf["spark.sql.warehouse.dir"] = warehouse_dir
+    if metastore_uris is not None:
+        if not metastore_uris.startswith("thrift://"):
+            raise ValueError(
+                f"metastore_uris must be a thrift:// URI, got {metastore_uris!r}"
+            )
+        conf["hive.metastore.uris"] = metastore_uris
+    return conf
+
+
 def hive_catalog(
     name: str = "hive",
     default_database: str = "default",
@@ -49,10 +70,8 @@ def hive_catalog(
         )
     builder = SparkSession.builder.appName(f"hive_catalog_{name}")
     builder = _apply_engine_conf(builder)
-    if warehouse_dir is not None:
-        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
-    if metastore_uris is not None:
-        builder = builder.config("hive.metastore.uris", metastore_uris)
+    for key, val in hive_catalog_conf(warehouse_dir, metastore_uris).items():
+        builder = builder.config(key, val)
     builder = builder.master(master or f"local[{_LOCAL_CPUS}]")
     spark = builder.enableHiveSupport().getOrCreate()
     if default_database != "default":

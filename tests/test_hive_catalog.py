@@ -59,3 +59,22 @@ def test_hive_catalog_end_to_end_subprocess(tmp_path):
         cwd=str(tmp_path),  # keep derby's metastore_db out of the repo
     )
     assert "HIVE_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_hive_catalog_thrift_branch_config():
+    """Cluster deployment shape: a thrift metastore URI must land in
+    hive.metastore.uris (and be validated), the embedded-Derby branch
+    must NOT set it — both branches of the reference HiveCatalog
+    constructor surface covered at config level."""
+    import pytest
+
+    from my_flink_1_10_2_spark.sources.hive import hive_catalog_conf
+
+    conf = hive_catalog_conf(
+        warehouse_dir="/wh", metastore_uris="thrift://ms-1:9083,thrift://ms-2:9083"
+    )
+    assert conf["hive.metastore.uris"].startswith("thrift://ms-1")
+    assert conf["spark.sql.warehouse.dir"] == "/wh"
+    assert "hive.metastore.uris" not in hive_catalog_conf(warehouse_dir="/wh")
+    with pytest.raises(ValueError, match="thrift://"):
+        hive_catalog_conf(metastore_uris="ms-1:9083")

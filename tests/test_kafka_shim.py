@@ -287,3 +287,81 @@ def test_exactly_once_default_factory_is_loudly_gated(tmp_path):
 def test_exactly_once_requires_bootstrap_servers(tmp_path):
     with pytest.raises(ValueError, match="bootstrap.servers"):
         KafkaExactlyOnceSink("out", str(tmp_path), properties={})
+
+
+def _broker_reachable(addr: str) -> bool:
+    import socket
+
+    host, _, port = addr.partition(":")
+    try:
+        with socket.create_connection((host, int(port or 9092)), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
+def test_kafka_live_broker_roundtrip(spark, tmp_path):
+    """END-TO-END source→sink against a REAL broker — runs wherever the
+    environment provides one (KAFKA_BOOTSTRAP_SERVERS or localhost:9092)
+    AND the spark-sql-kafka jar is on the classpath; skipped otherwise.
+    This is the live-evidence complement to the option-translation and
+    commit-protocol tests above."""
+    import os
+    import uuid
+
+    addr = os.environ.get("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092")
+    if not _broker_reachable(addr):
+        pytest.skip(f"no Kafka broker reachable at {addr}")
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        pytest.skip("spark-sql-kafka jar not on the classpath")
+
+    from my_flink_1_10_2_spark.sources.streaming import kafka_sink, kafka_source
+
+    topic = f"graft-smoke-{uuid.uuid4().hex[:8]}"
+    props = {"bootstrap.servers": addr}
+    src = spark.createDataFrame(
+        [(str(i).encode(),) for i in range(10)], "value binary"
+    )
+    # batch write through the same option mapping the stream sink uses
+    src.write.format("kafka").options(
+        **{f"kafka.{k}": v for k, v in props.items()}
+    ).option("topic", topic).save()
+
+    out = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", addr)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    vals = sorted(int(bytes(r.value)) for r in out.select("value").collect())
+    assert vals == list(range(10))
+
+    # streaming leg: kafka_source options build a live stream reader
+    stream = kafka_source(
+        spark, topic=topic, properties=props, startup_mode="earliest-offset"
+    )
+    q = (
+        kafka_sink(
+            stream.selectExpr("value"),
+            checkpoint=str(tmp_path / "ck"),
+            topic=f"{topic}-out",
+            properties=props,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    echoed = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", addr)
+        .option("subscribe", f"{topic}-out")
+        .option("startingOffsets", "earliest")
+        .load()
+        .count()
+    )
+    assert echoed == 10

@@ -1,0 +1,136 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+The missing piece between token *counting* (llm/text.py) and a real
+tokenizer: learn the merge table itself from the corpus.  Classic BPE
+(Sennrich et al., arXiv:1508.07909): start from characters (plus an
+end-of-word marker), repeatedly merge the most frequent adjacent symbol
+pair, weighted by word frequency.
+
+Spark-first shape — the key scale observation is that BPE trains on the
+WORD-FREQUENCY table, not the corpus:
+  - one corpus pass builds (word, freq): shuffle keyed on word, output
+    is vocabulary-sized (millions of rows at 100 TB, not billions);
+  - each merge step is ONE small aggregate (pair counts, partial-agg
+    combine) + a global top-1 (tiny) + a map-side string replace — the
+    only driver traffic is the single winning pair per step (the same
+    O(1)-scalars-per-iteration contract as operators/gelly.pagerank).
+
+Exactness: symbol sequences are stored as separator-framed strings
+(``\\x1f sym \\x1f\\x1f sym ... \\x1f``).  A merge of pair (a, b) is then a
+LITERAL substring replace of ``\\x1f a \\x1f\\x1f b \\x1f`` with
+``\\x1f ab \\x1f`` — both Spark's ``replace`` and ANSI SQL ``replace``
+scan greedily left-to-right without overlap, which IS the reference BPE
+merge order, and the frame separators make partial-symbol matches
+impossible (symbols never contain the separator: the corpus is reduced
+to [a-z] words).  Every step is therefore bitwise-replayable by an
+unrolled-CTE SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # unit separator: frames every symbol
+EOW = "</w>"  # end-of-word marker symbol (classic BPE)
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercase [a-z] runs — the training table."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != ""
+    )
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_seq() -> F.Column:
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    syms = F.concat(chars, F.array(F.lit(EOW)))
+    return F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
+
+
+def train_bpe(
+    docs: DataFrame, text_col: str = "text", num_merges: int = 8
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns the merge table
+    ``(step, l_sym, r_sym, merged, pair_count)`` in merge order.
+
+    Ties on pair count break lexicographically (l_sym, r_sym) so the
+    table is deterministic on any engine.
+    """
+    spark = docs.sparkSession
+    cur = word_frequencies(docs, text_col).select(
+        "word", "freq", _initial_seq().alias("seq")
+    )
+    # flatten lineage once per step: the word table is vocabulary-sized,
+    # so the checkpoint is small, and each step then reads ONE relation
+    # instead of replaying the whole replace chain
+    cur = cur.localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), SEP + SEP
+        )
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l_sym"),
+                    F.element_at(syms, i + 1).alias("r_sym"),
+                ),
+            )
+        )
+        best = (
+            cur.where(F.size(syms) > 1)
+            .select("freq", pair.alias("p"))
+            .groupBy("p.l_sym", "p.r_sym")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l_sym", "r_sym")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((step, b["l_sym"], b["r_sym"], b["l_sym"] + b["r_sym"], int(b["cnt"])))
+        pat = SEP + b["l_sym"] + SEP + SEP + b["r_sym"] + SEP
+        rep = SEP + b["l_sym"] + b["r_sym"] + SEP
+        cur = cur.withColumn(
+            "seq", F.replace("seq", F.lit(pat), F.lit(rep))
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "step int, l_sym string, r_sym string, merged string, pair_count bigint"
+    )
+
+
+def bpe_segment(
+    df: DataFrame, word_col: str, merge_rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge table to segment words: adds ``pieces``
+    (array<string>) — the tokenizer's encode step, map-only (a chain of
+    literal replaces, whole-stage-codegen friendly)."""
+    seq = F.concat(
+        F.lit(SEP),
+        F.array_join(
+            F.concat(
+                F.filter(F.split(F.col(word_col), ""), lambda c: c != ""),
+                F.array(F.lit(EOW)),
+            ),
+            SEP + SEP,
+        ),
+        F.lit(SEP),
+    )
+    for l_sym, r_sym in merge_rules:
+        seq = F.replace(
+            seq,
+            F.lit(SEP + l_sym + SEP + SEP + r_sym + SEP),
+            F.lit(SEP + l_sym + r_sym + SEP),
+        )
+    trimmed = seq.substr(F.lit(2), F.length(seq) - 2)
+    return df.withColumn("pieces", F.split(trimmed, SEP + SEP))

@@ -107,6 +107,7 @@ _FLAGSHIP_ORDER = [
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",
     "q_time_type_roundtrip",
+    "q_bpe_vocab",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

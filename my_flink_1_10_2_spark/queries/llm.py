@@ -1419,3 +1419,70 @@ def q_dedup_threshold_curve(spark, sf_dir):
             .alias("n_pairs")
         )
     )
+
+
+def _bpe_oracle(num_merges: int = 12) -> str:
+    """Unrolled-CTE replay of BPE training (llm/bpe.py): every merge
+    step is a pair-count aggregate + deterministic argmax + one literal
+    separator-framed string replace — SQL replays the identical merge
+    table because greedy left-to-right non-overlapping replace IS the
+    BPE merge order on both engines."""
+    sep = "chr(31)"
+    ss = "chr(31)||chr(31)"
+    sql = f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  w -> w <> '')) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, freq,
+             {sep} || array_to_string(
+               list_append(list_filter(str_split(word, ''), c -> c <> ''), '</w>'),
+               {ss}) || {sep} AS seq
+      FROM words
+    )"""
+    for i in range(1, num_merges + 1):
+        prev = f"w{i - 1}"
+        sql += f""",
+    p{i} AS (
+      SELECT pr.l_sym AS l_sym, pr.r_sym AS r_sym, sum(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(syms)), j ->
+                 struct_pack(l_sym := syms[j], r_sym := syms[j + 1]))) AS pr
+        FROM (SELECT freq,
+                     str_split(substr(seq, 2, length(seq) - 2), {ss}) AS syms
+              FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT l_sym, r_sym, cnt FROM p{i}
+      ORDER BY cnt DESC, l_sym, r_sym LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(seq, {sep}||l_sym||{ss}||r_sym||{sep},
+                          {sep}||l_sym||r_sym||{sep}) AS seq
+      FROM {prev}, b{i}
+    )"""
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, l_sym, r_sym, l_sym||r_sym AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return sql + f"\n    SELECT * FROM ({finals})"
+
+
+@register("q_bpe_vocab", oracle=_bpe_oracle(12), category="llm_text")
+def q_bpe_vocab(spark, sf_dir):
+    """Distributed BPE vocabulary training (Sennrich et al. 1508.07909;
+    the learn-the-tokenizer counterpart of q_token_count): 12 merges
+    over the word-frequency table.  Each step is one partial-agg pair
+    count + a global top-1 + a map-side literal replace — only the
+    winning pair crosses to the driver, and the training table is
+    vocabulary-sized, so the same plan holds on a 100 TB corpus."""
+    from my_flink_1_10_2_spark.llm.bpe import train_bpe
+
+    return train_bpe(read(spark, sf_dir, "documents"), num_merges=12)

@@ -215,3 +215,35 @@ def test_fim_split_partitions_reassemble(spark):
         assert joined == " ".join(f"w{j}" for j in range(r["n_tokens"]))
     again = fim_split(docs).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_train_and_segment_textbook(spark):
+    """Sennrich-style corpus: 'low/lower/newest...' must learn the
+    classic merges in frequency-then-lexicographic order, and segment
+    unseen words with the learned rules."""
+    from my_flink_1_10_2_spark.llm.bpe import bpe_segment, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new newest"),
+         (2, "low newer wider wide")],
+        "doc_id int, text string",
+    )
+    m = train_bpe(docs, num_merges=4)
+    rows = [(r.step, r.l_sym, r.r_sym, r.merged, r.pair_count) for r in m.collect()]
+    assert rows == [
+        (1, "l", "o", "lo", 6),
+        (2, "lo", "w", "low", 6),
+        (3, "e", "r", "er", 4),
+        (4, "e", "w", "ew", 4),
+    ]
+    rules = [(r.l_sym, r.r_sym) for r in m.collect()]
+    seg = {
+        r.word: list(r.pieces)
+        for r in bpe_segment(
+            spark.createDataFrame([("lowest",), ("slow",)], "word string"),
+            "word",
+            rules,
+        ).collect()
+    }
+    assert seg["lowest"] == ["low", "e", "s", "t", "</w>"]
+    assert seg["slow"] == ["s", "low", "</w>"]

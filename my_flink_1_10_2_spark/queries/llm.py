@@ -1486,3 +1486,58 @@ def q_bpe_vocab(spark, sf_dir):
     from my_flink_1_10_2_spark.llm.bpe import train_bpe
 
     return train_bpe(read(spark, sf_dir, "documents"), num_merges=12)
+
+
+def _semantic_neardup_oracle(
+    n_centroids: int = 8, threshold: float = 0.35, scale: int = 1000
+) -> str:
+    """Replay of IVF-blocked near-dup: the fixed-centroid integer-exact
+    assignment (same arithmetic as the _ivf_int_oracle CTEs with zero
+    Lloyd iterations), within-bucket pairs, exact-cosine threshold."""
+    score = "-(list_dot_product(vi, cv) / sqrt(list_dot_product(cv, cv)))"
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {scale})) AS vi
+      FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, vi AS cv
+      FROM (SELECT vec_id, vi FROM corpus ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, c AS centroid FROM (
+        SELECT corpus.vec_id, cents.c,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {score}, c) AS rn
+        FROM corpus CROSS JOIN cents) WHERE rn = 1
+    )
+    SELECT a.vec_id AS src, b.vec_id AS dst, a.centroid,
+           round(list_cosine_similarity(va.v, vb.v), 9) AS cosine
+    FROM assign a
+      JOIN assign b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+      JOIN corpus va ON va.vec_id = a.vec_id
+      JOIN corpus vb ON vb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}
+    """
+
+
+@register(
+    "q_semantic_neardup_ivf",
+    oracle=_semantic_neardup_oracle(),
+    category="llm_dedup",
+)
+def q_semantic_neardup_ivf(spark, sf_dir):
+    """Semantic near-dup detection with IVF blocking — the scale path
+    for embedding-cosine dedup (candidate pairs only within a coarse
+    cluster: sum-of-bucket² arithmetic instead of n², one shuffle on
+    centroid).  The integer-exact quantizer makes the blocked selection
+    engine-independent, so the whole pipeline grades exactly; recall vs
+    the exact all-pairs operator is asserted in tests/test_llm.py."""
+    from my_flink_1_10_2_spark.llm.dedup import semantic_neardup_pairs_ivf
+
+    out = semantic_neardup_pairs_ivf(
+        read(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+    )
+    return out.withColumn("cosine", F.round("cosine", 9))

@@ -247,3 +247,21 @@ def test_bpe_train_and_segment_textbook(spark):
     }
     assert seg["lowest"] == ["low", "e", "s", "t", "</w>"]
     assert seg["slow"] == ["s", "low", "</w>"]
+
+
+def test_semantic_neardup_ivf_recall_and_exactness(spark):
+    """IVF-blocked near-dup must (a) only emit genuine >=threshold
+    pairs, (b) recover a decent share of the exact all-pairs result,
+    (c) never emit a cross-bucket pair."""
+    from my_flink_1_10_2_spark.llm.dedup import semantic_neardup_pairs_ivf
+    from my_flink_1_10_2_spark.queries.graph import neardup_pairs
+
+    emb = read(spark, SF_DIR, "embeddings")
+    th = 0.35
+    exact = {(r.src, r.dst) for r in neardup_pairs(emb, threshold=th).collect()}
+    blocked = semantic_neardup_pairs_ivf(emb, threshold=th, n_centroids=8).collect()
+    got = {(r.src, r.dst) for r in blocked}
+    assert got, "blocked near-dup found nothing"
+    assert got <= exact, "blocked path emitted a below-threshold pair"
+    assert len(got) / len(exact) >= 0.1, "IVF blocking recall collapsed"
+    assert all(r.cosine >= th for r in blocked)

@@ -559,24 +559,41 @@ def kmeans_centroids_int(
     """
     vi = int_vec(F.col(vec_col), scale)
     ci = corpus.select(F.col(id_col).alias("__id"), vi.alias("__vi"))
-    cents = [
-        (i, [int(x) for x in r["__vi"]])
-        for i, r in enumerate(ci.orderBy("__id").limit(k).collect())
-    ]
-    dim = len(cents[0][1]) if cents else 0
-    for _ in range(iterations):
-        assigned = _assign_int(ci, cents)
-        sums = (
-            assigned.select("centroid", F.posexplode("__vi").alias("j", "val"))
-            .groupBy("centroid", "j")
-            .agg(F.sum("val").alias("s"))
-            .collect()  # k x dim rows — the centroid table itself
+    spark = corpus.sparkSession
+    new_ids: set[int] = set()
+    if iterations > 0:
+        # pin the quantized corpus for the Lloyd loop: each iteration
+        # reads the materialized blocks instead of re-scanning +
+        # re-quantizing the source (released after training)
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        ci = ci.localCheckpoint(eager=True)
+        new_ids = (
+            set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - before
         )
-        acc: dict[int, list[int]] = {}
-        for r in sums:
-            acc.setdefault(r["centroid"], [0] * dim)[r["j"]] = int(r["s"])
-        cents = [(c, acc.get(c, v)) for c, v in cents]
-    return cents
+    try:
+        cents = [
+            (i, [int(x) for x in r["__vi"]])
+            for i, r in enumerate(ci.orderBy("__id").limit(k).collect())
+        ]
+        dim = len(cents[0][1]) if cents else 0
+        for _ in range(iterations):
+            assigned = _assign_int(ci, cents)
+            sums = (
+                assigned.select("centroid", F.posexplode("__vi").alias("j", "val"))
+                .groupBy("centroid", "j")
+                .agg(F.sum("val").alias("s"))
+                .collect()  # k x dim rows — the centroid table itself
+            )
+            acc: dict[int, list[int]] = {}
+            for r in sums:
+                acc.setdefault(r["centroid"], [0] * dim)[r["j"]] = int(r["s"])
+            cents = [(c, acc.get(c, v)) for c, v in cents]
+        return cents
+    finally:
+        if new_ids:
+            from my_flink_1_10_2_spark.operators.iterate import free_checkpoints
+
+            free_checkpoints(spark, new_ids)
 
 
 def cosine_topk_ivf_int(

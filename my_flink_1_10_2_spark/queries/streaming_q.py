@@ -1350,3 +1350,156 @@ def q_compaction_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_PT_GAP_US = 86_400_000_000  # 1 day inactivity threshold
+
+
+@register(
+    "q_process_timer_alerts",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS te, event_id
+      FROM events WHERE event_id < 3000
+    ),
+    g AS (
+      SELECT user_id, te,
+             lag(te) OVER (PARTITION BY user_id ORDER BY te, event_id) AS prev
+      FROM e
+    )
+    SELECT user_id, prev AS gap_start_us, te AS gap_end_us, 'gap' AS kind
+    FROM g WHERE prev IS NOT NULL AND te - prev > {_PT_GAP_US}
+    UNION ALL
+    SELECT user_id, max(te) AS gap_start_us, NULL AS gap_end_us,
+           'final' AS kind
+    FROM e GROUP BY user_id
+    """,
+    category="streaming",
+)
+def q_process_timer_alerts(spark, sf_dir):
+    """Keyed ProcessFunction with STATE + EVENT-TIME TIMERS graded e2e
+    (ref: KeyedProcessOperator.java, InternalTimerService.java,
+    KeyedProcessFunction onTimer): events replay in 5 ordered weekly
+    waves; per-key state carries the last-seen timestamp ACROSS
+    micro-batches (a gap spanning waves is only detectable via state),
+    each batch re-arms an inactivity timer at last_ts + 1 day, and two
+    far-future sentinel batches advance the watermark so every pending
+    timer FIRES its onTimer branch (hasTimedOut → final alert).  Output:
+    one 'gap' row per >1-day silence between consecutive events, one
+    'final' row per key from the timer path."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 3000")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("__te"),
+            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_ptimer_")
+    try:
+        _os.makedirs(f"{work}/replay")
+        base = _time.time() - 3600
+        n_waves = 5
+        for w in range(n_waves):
+            stage = f"{work}/stage/b{w}"
+            src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay/part-{w:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + w, base + w))
+        # two sentinel batches: the first jumps the watermark past every
+        # possible (last_ts + GAP) timer, the second gives Spark a batch
+        # in which those now-expired timers fire
+        for i, far_us in enumerate(
+            (1_720_000_000_000_000, 1_720_000_001_000_000), start=n_waves
+        ):
+            sent = spark.createDataFrame(
+                [(-1, -1, far_us)], "user_id long, event_id long, __te long"
+            ).select(
+                "user_id",
+                "event_id",
+                F.timestamp_micros(F.col("__te")).alias("ts"),
+                "__te",
+            )
+            stage = f"{work}/stage/b{i}"
+            sent.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay/part-{i:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + i, base + i))
+
+        gap_us = _PT_GAP_US
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            uid = key[0]
+            cols = ["user_id", "gap_start_us", "gap_end_us", "kind"]
+            if state.hasTimedOut:
+                (last,) = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [[uid, int(last), None, "final"]], columns=cols
+                )
+                return
+            last = int(state.get[0]) if state.exists else None
+            rows = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["__te", "event_id"])
+                for te in pdf["__te"]:
+                    te = int(te)
+                    if last is not None and te - last > gap_us:
+                        rows.append([uid, last, te, "gap"])
+                    last = te
+            state.update((last,))
+            # re-arm the inactivity timer (epoch millis)
+            state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(
+            f"{work}/replay",
+            "user_id long, event_id long, ts timestamp, __te long",
+            max_files_per_trigger=1,
+        )
+        keyed = stream.assign_timestamps_and_watermarks("ts", "1 hour").key_by(
+            "user_id"
+        )
+        out = keyed.process(
+            fn,
+            "last_ts long",
+            "user_id long, gap_start_us long, gap_end_us long, kind string",
+            timeout="EventTimeTimeout",
+        )
+        sink_dir = f"{work}/out"
+        q = (
+            out.df.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(sink_dir)
+            .where("user_id >= 0")
+            .select("user_id", "gap_start_us", "gap_end_us", "kind")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

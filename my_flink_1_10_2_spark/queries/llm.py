@@ -1541,3 +1541,57 @@ def q_semantic_neardup_ivf(spark, sf_dir):
         read(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
     )
     return out.withColumn("cosine", F.round("cosine", 9))
+
+
+def _bpe_pieces_oracle(num_merges: int = 12, topk: int = 20) -> str:
+    """Oracle for the ENCODE path: replay training (same CTEs as
+    _bpe_oracle), then the final symbol sequences ARE the segmentation —
+    piece frequencies weighted by word frequency, top-k."""
+    base = _bpe_oracle(num_merges)
+    # strip the merge-table SELECT tail; keep the CTE chain
+    ctes = base[: base.rindex("\n    SELECT * FROM (")]
+    ss = "chr(31)||chr(31)"
+    return f"""{ctes},
+    pieces AS (
+      SELECT unnest(str_split(substr(seq, 2, length(seq) - 2), {ss})) AS piece,
+             freq
+      FROM w{num_merges}
+    )
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses,
+           CAST(row_number() OVER (ORDER BY sum(freq) DESC, piece) AS BIGINT) AS rnk
+    FROM pieces GROUP BY piece
+    ORDER BY rnk LIMIT {topk}
+    """
+
+
+@register("q_bpe_corpus_tokens", oracle=_bpe_pieces_oracle(), category="llm_text")
+def q_bpe_corpus_tokens(spark, sf_dir):
+    """BPE ENCODE path graded end to end: train 12 merges, then segment
+    the corpus with the learned rules (map-only literal-replace chain,
+    whole-stage codegen) and rank the top-20 vocabulary pieces by
+    corpus usage.  Train + encode on the word-frequency relation — the
+    tokenizer-application shape a 100 TB corpus pass would use."""
+    from my_flink_1_10_2_spark.llm.bpe import (
+        bpe_segment,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    rules = [
+        (r["l_sym"], r["r_sym"])
+        for r in train_bpe(docs, num_merges=12).collect()
+    ]
+    wf = word_frequencies(docs)
+    pieces = bpe_segment(wf, "word", rules).select(
+        F.explode("pieces").alias("piece"), "freq"
+    )
+    agg = pieces.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("n_uses"))
+    from my_flink_1_10_2_spark.operators.rank import global_rank
+
+    ranked = global_rank(agg, [F.desc("n_uses"), F.asc("piece")], rank_col="rnk")
+    return (
+        ranked.where(F.col("rnk") <= 20)
+        .select("piece", "n_uses", F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("rnk")
+    )

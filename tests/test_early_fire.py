@@ -82,3 +82,45 @@ def test_early_fire_rejects_misaligned_interval(spark):
             spark, src, "/tmp/x", keys=["k"], size_us=60 * S,
             interval_us=7 * S, delay_us=0,
         )
+
+
+def test_early_fire_boundary_exact_semantics(spark):
+    """Adversarial edges: an element exactly ON a boundary registers the
+    NEXT boundary (ref ContinuousEventTimeTrigger: ts - ts%ivl + ivl);
+    a watermark exactly equal to a boundary FIRES it (timers fire at
+    wm >= t)."""
+    import shutil
+    import tempfile
+
+    rows = [
+        # first element exactly on boundary 20s → registers 40s, so the
+        # 20s boundary never fires for this window
+        ("a", 20 * S, 0, 1),
+        # batch 1's max te = 50s, delay 10s → wm = 40s EXACTLY: the 40s
+        # boundary must fire (>=, not >)
+        ("a", 50 * S, 1, 2),
+        # final batch far away so finals drain
+        ("b", 200 * S, 2, 4),
+    ]
+    src = spark.createDataFrame(rows, "k string, te long, batch long, v long")
+    work = tempfile.mkdtemp(prefix="fl_earlyfire_edge_")
+    try:
+        log = continuous_early_fire_log(
+            spark, src, work,
+            ts_col="te", batch_col="batch", keys=["k"], value_col="v",
+            size_us=60 * S, interval_us=20 * S, delay_us=10 * S,
+        )
+        got = sorted(
+            (r.k, r.window_start // S, r.fire_ts // S, r.fire_batch, r.cnt)
+            for r in log.collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert got == sorted(
+        [
+            ("a", 0, 40, 1, 2),   # fired at wm == 40 exactly
+            ("a", 0, 60, 2, 2),   # final (end-of-input)
+            ("b", 180, 220, 2, 1),
+            ("b", 180, 240, 2, 1),
+        ]
+    ), got

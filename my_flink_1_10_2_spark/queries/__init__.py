@@ -111,6 +111,7 @@ _FLAGSHIP_ORDER = [
     "q_semantic_neardup_ivf",
     "q_process_timer_alerts",
     "q_bpe_corpus_tokens",
+    "q_hll_registers",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

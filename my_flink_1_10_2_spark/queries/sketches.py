@@ -119,3 +119,33 @@ def q_cms_supplier_counts(spark, sf_dir):
         .orderBy(F.col("est_count").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+@register(
+    "q_hll_registers",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS v
+      FROM events
+    )
+    SELECT event_type,
+           v >> 44 AS bucket,
+           CAST(max(CASE WHEN v % 17592186044416 = 0 THEN 45
+                         ELSE 44 - length(bin(v % 17592186044416)) + 1 END)
+                AS INT) AS register
+    FROM h GROUP BY 1, 2
+    """,
+    category="sketch",
+)
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table per event_type (Flajolet et al. 2007;
+    the reference's APPROX_COUNT_DISTINCT buffer is the same structure —
+    flink-table-runtime-blink HllBuffer): bucket = top 4 md5 bits,
+    register = max first-one-bit position of the remaining 44.  Pure
+    integer arithmetic, one (group, bucket)-keyed partial-agg shuffle,
+    mergeable by register max — the SKETCH itself is graded, the float
+    estimator is validated against true counts in tests/test_sketch.py."""
+    from my_flink_1_10_2_spark.operators.sketch import hll_registers
+
+    return hll_registers(read(spark, sf_dir, "events"), ["event_type"], "user_id", b=4)

@@ -139,3 +139,46 @@ def test_cms_sketch_is_config_bounded(spark, lineitem):
     from my_flink_1_10_2_spark.operators.sketch import cms_build
 
     assert cms_build(lineitem, "l_suppkey", depth=4, width=64).count() <= 4 * 64
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL estimator within the expected error band of the true distinct
+    count, and register tables merge by max (sketch of a union =
+    cell-wise max of sketches)."""
+    from my_flink_1_10_2_spark.operators.sketch import hll_estimate, hll_registers
+    from my_flink_1_10_2_spark.queries import read
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    events = read(spark, SF_DIR, "events")
+    regs = hll_registers(events, ["event_type"], "user_id", b=6)
+    est = {r.event_type: r.estimate
+           for r in hll_estimate(regs, ["event_type"], b=6).collect()}
+    true = {r.event_type: r.d
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d")).collect()}
+    for t, d in true.items():
+        rel = abs(est[t] - d) / d
+        assert rel < 0.35, f"{t}: est {est[t]:.1f} vs true {d} (rel {rel:.2f})"
+
+    # mergeability: registers(union) == max-merge of per-half registers
+    a = events.where("event_id % 2 = 0")
+    b = events.where("event_id % 2 = 1")
+    merged = (
+        hll_registers(a, ["event_type"], "user_id", b=6)
+        .unionByName(hll_registers(b, ["event_type"], "user_id", b=6))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    whole = hll_registers(events, ["event_type"], "user_id", b=6)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_rejects_bad_precision(spark):
+    import pytest
+
+    from my_flink_1_10_2_spark.operators.sketch import hll_registers
+
+    with pytest.raises(ValueError, match="b must be"):
+        hll_registers(spark.range(1), [], "id", b=0)

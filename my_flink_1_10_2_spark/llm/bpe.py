@@ -114,7 +114,20 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply a learned merge table to segment words: adds ``pieces``
     (array<string>) — the tokenizer's encode step, map-only (a chain of
-    literal replaces, whole-stage-codegen friendly)."""
+    literal replaces, whole-stage-codegen friendly).
+
+    For TRAINED rule tables a single pass in rule order equals the
+    iterative priority encode (a merge can only create pairs involving
+    its own output symbol, which later rules alone can reference), so
+    this is exact; capped at {max} rules because Catalyst analysis cost
+    grows with chain depth — use :func:`bpe_segment_pandas` for
+    production-sized vocabularies."""
+    if len(merge_rules) > _SEGMENT_EXPR_MAX_RULES:
+        raise ValueError(
+            f"bpe_segment expression chain capped at {_SEGMENT_EXPR_MAX_RULES} "
+            f"rules (got {len(merge_rules)}); use bpe_segment_pandas for "
+            "production-sized merge tables"
+        )
     seq = F.concat(
         F.lit(SEP),
         F.array_join(
@@ -134,3 +147,55 @@ def bpe_segment(
         )
     trimmed = seq.substr(F.lit(2), F.length(seq) - 2)
     return df.withColumn("pieces", F.split(trimmed, SEP + SEP))
+
+
+_SEGMENT_EXPR_MAX_RULES = 256
+
+
+def bpe_segment_pandas(
+    df: DataFrame, word_col: str, merge_rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenizer encode for PRODUCTION-sized merge tables (a real vocab
+    has ~32k merges — a 32k-deep replace-expression chain would blow up
+    Catalyst analysis).  Arrow-batched kernel applying merges in
+    priority order per word, exactly the reference encode algorithm;
+    the rule table ships to executors in the closure (a few MB)."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merge_rules)}
+    cols = df.columns
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def encode(word: str) -> list[str]:
+        syms = [*word, EOW]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            # merge EVERY occurrence of the winning pair left-to-right
+            # (the same greedy pass the literal replace performs)
+            a, b = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            out = b.copy()
+            out["pieces"] = [encode(w) for w in b[word_col]]
+            yield out
+
+    return df.mapInPandas(kernel, f"{schema}, pieces array<string>")

@@ -61,3 +61,40 @@ def test_train_bpe_matches_reference_model(spark, words):
         for r in train_bpe(docs, num_merges=3).collect()
     ]
     assert got == _reference_bpe(words, 3)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(words=words_strategy)
+def test_segment_paths_agree_on_trained_rules(spark, words):
+    """The expression-chain encoder and the production Arrow-kernel
+    encoder must produce identical segmentations for TRAINED rule
+    tables (single-pass-in-rule-order == iterative-priority encode)."""
+    from my_flink_1_10_2_spark.llm.bpe import (
+        bpe_segment,
+        bpe_segment_pandas,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    rules = [
+        (r.l_sym, r.r_sym) for r in train_bpe(docs, num_merges=3).collect()
+    ]
+    wdf = spark.createDataFrame([(w,) for w in set(words)], "word string")
+    a = {r.word: list(r.pieces) for r in bpe_segment(wdf, "word", rules).collect()}
+    b = {r.word: list(r.pieces)
+         for r in bpe_segment_pandas(wdf, "word", rules).collect()}
+    assert a == b
+
+
+def test_segment_expression_chain_capped(spark):
+    import pytest
+
+    from my_flink_1_10_2_spark.llm.bpe import bpe_segment
+
+    wdf = spark.createDataFrame([("x",)], "word string")
+    with pytest.raises(ValueError, match="bpe_segment_pandas"):
+        bpe_segment(wdf, "word", [("a", "b")] * 300)

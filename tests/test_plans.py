@@ -378,3 +378,33 @@ def test_fluent_group_and_over_windows_stay_jvm(spark):
         assert plans.python_eval_count(df) == 0, name
     # the OVER path carries a native Window node
     assert "Window" in plans.explain_str(_df(spark, "q_table_api_over_window"))
+
+
+def test_hll_registers_partial_agg_no_python(spark):
+    """HLL register build: pure JVM expressions (no Python eval) with
+    map-side partial aggregation feeding the (group, bucket) shuffle."""
+    df = _df(spark, "q_hll_registers")
+    assert plans.python_eval_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_semantic_neardup_blocked_join_shape(spark):
+    """IVF-blocked near-dup must join on the centroid key — a cartesian
+    or nested-loop pair join would be the O(n^2)-shuffle plan this
+    operator exists to avoid."""
+    df = _df(spark, "q_semantic_neardup_ivf")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_int_bucket_join_shape(spark):
+    """Integer-LSH top-k: candidates come from the (tbl, bucket)
+    equi-join; the kernel stages are Arrow (ArrowEvalPython/MapInPandas),
+    never row-at-a-time BatchEvalPython."""
+    df = _df(spark, "q_embedding_topk_lsh")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -146,3 +146,44 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def dup_ngram_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Duplicate-n-gram fraction per document — the Gopher/C4-style
+    quality signal: what share of a document's word n-gram POSITIONS
+    carry a gram that also appears in at least one other document.
+
+    Shape: one gram explode (positions kept), one (gram → distinct-doc
+    count) aggregate joined back on the gram, one per-doc rollup —
+    shuffles keyed on gram and doc only.  The fraction is emitted in
+    exact integer 1e-6 units (integer division), so the metric is
+    bitwise stable under any aggregation order.
+
+    Output: (id, n_grams, n_dup, dup_frac_e6); documents with fewer
+    than ``n`` words have no gram positions and are excluded.
+    """
+    from my_flink_1_10_2_spark.llm.dedup import shingle_rows
+
+    grams = shingle_rows(docs, text_col, id_col, n)
+    gram_docs = grams.select(id_col, "shingle").distinct()
+    spread = gram_docs.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    tagged = grams.join(spread, "shingle")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__docs") >= 2, 1)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup",
+            F.expr("CAST(n_dup * 1000000 DIV n_grams AS BIGINT)").alias(
+                "dup_frac_e6"
+            ),
+        )
+    )

@@ -1595,3 +1595,45 @@ def q_bpe_corpus_tokens(spark, sf_dir):
         .select("piece", "n_uses", F.col("rnk").cast("bigint").alias("rnk"))
         .orderBy("rnk")
     )
+
+
+@register(
+    "q_dup_ngram_fraction",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, str_split_regex(text, '\s+') AS words FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words)-7, 0)+1),
+                                   i -> array_to_string(words[i:i+7], ' '))) AS g
+      FROM w
+    ),
+    spread AS (
+      SELECT g, count(DISTINCT doc_id) AS docs FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN s.docs >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+           CAST(count(CASE WHEN s.docs >= 2 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS dup_frac_e6
+    FROM grams JOIN spread s USING (g)
+    GROUP BY doc_id
+    """,
+    category="llm_text",
+)
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Duplicate 8-gram fraction per document (the Gopher repetition /
+    C4 boilerplate quality signal at n-gram granularity): the share of
+    gram positions whose gram also appears in another document.  Two
+    keyed shuffles (gram spread, per-doc rollup), exact integer 1e-6
+    units for the fraction."""
+    from my_flink_1_10_2_spark.llm.text import dup_ngram_stats
+
+    out = dup_ngram_stats(read(spark, sf_dir, "documents"), n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        "dup_frac_e6",
+    )

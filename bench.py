@@ -74,9 +74,12 @@ HEADLINE = [
     # round-3 close: changelog materialization and the bigram LM filter
     "q_upsert_snapshot",
     "q_bigram_backoff_score",
-    # round-4: the two oracle-graded ANN index paths
+    # round-4: the two oracle-graded ANN index paths, the BPE trainer
+    # (driver-looped iterative class), and IVF-blocked semantic dedup
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",
+    "q_bpe_vocab",
+    "q_semantic_neardup_ivf",
 ]
 
 

@@ -113,6 +113,7 @@ _FLAGSHIP_ORDER = [
     "q_bpe_corpus_tokens",
     "q_hll_registers",
     "q_dup_ngram_fraction",
+    "q_stream_dedup_materialized",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

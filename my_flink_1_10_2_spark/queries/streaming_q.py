@@ -1503,3 +1503,75 @@ def q_process_timer_alerts(spark, sf_dir):
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_dedup_materialized",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, digest FROM d WHERE rn = 1
+    """,
+    category="streaming",
+)
+def q_stream_dedup_materialized(spark, sf_dir):
+    """STREAMING exact dedup with cross-batch state (ref:
+    DeduplicateKeepFirstRowFunction.java:34 on an unbounded keyed
+    stream): documents replay in doc_id-ordered waves; Spark's stateful
+    ``dropDuplicates`` on the content digest keeps the FIRST arrival —
+    a duplicate arriving waves later must be suppressed by state, not
+    by within-batch logic.  The materialized survivor set must equal
+    the batch keep-first formulation exactly."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    work = tempfile.mkdtemp(prefix="fl_sdedup_")
+    try:
+        _os.makedirs(f"{work}/replay")
+        base = _time.time() - 3600
+        bounds = [0, 100, 200, 300, 400, 10**9]
+        for i in range(len(bounds) - 1):
+            stage = f"{work}/stage/b{i}"
+            (
+                docs.where(
+                    (F.col("doc_id") >= bounds[i])
+                    & (F.col("doc_id") < bounds[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay/part-{i:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + i, base + i))
+
+        stream = (
+            spark.readStream.schema("doc_id long, digest string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/replay")
+            .dropDuplicates(["digest"])  # keyed state across micro-batches
+        )
+        sink = f"{work}/out"
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(sink).select("doc_id", "digest")
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

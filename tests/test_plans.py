@@ -408,3 +408,38 @@ def test_lsh_int_bucket_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_centroid_partition_layout_prunes(spark, tmp_path):
+    """The SCALE.md claim made executable: materializing the corpus
+    PARTITIONED BY its IVF centroid turns probing into partition
+    pruning — a 4-of-16-probe query plans PartitionFilters and lists
+    only the probed directories, so at 100 TB the corpus scan reads
+    n_probe/n_centroids of the data."""
+    import glob
+
+    from my_flink_1_10_2_spark.llm.similarity import (
+        _assign_int,
+        int_vec,
+        kmeans_centroids_int,
+    )
+    from my_flink_1_10_2_spark.queries import read
+    from pyspark.sql import functions as F
+
+    emb = read(spark, SF_DIR, "embeddings")
+    cents = kmeans_centroids_int(emb, 16, iterations=0)
+    bucketed = _assign_int(emb.withColumn("__vi", int_vec(F.col("embedding"))), cents)
+    layout = str(tmp_path / "ivf_layout")
+    bucketed.drop("__vi").write.partitionBy("centroid").parquet(layout)
+    n_dirs = len(glob.glob(f"{layout}/centroid=*"))
+    assert n_dirs > 4  # enough partitions for pruning to matter
+
+    probes = [0, 3, 7, 11]
+    scan = spark.read.parquet(layout).where(F.col("centroid").isin(probes))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    # pruning is real: the scan reads only the probed directories
+    files = scan.select(F.input_file_name()).distinct().collect()
+    read_dirs = {f.split("centroid=")[1].split("/")[0] for (f,) in files}
+    assert read_dirs, "probe scan read nothing"
+    assert read_dirs <= {str(p) for p in probes}

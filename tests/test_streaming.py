@@ -944,3 +944,59 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
         r.v for r in spark.read.parquet(f"{out_dir}/b*").collect()
     )
     assert persisted == list(range(6)), f"sink not exactly-once: {persisted}"
+
+
+def test_queryable_state_external_server(spark, replay_dir):
+    """Out-of-process queryable state (ref: flink-queryable-state
+    KvStateServerImpl/QueryableStateClient): a separate client process
+    (urllib over a real TCP socket here) point-queries the running
+    job's keyed state by name + key, gets snapshots, and sees clean
+    errors for unknown states/keys."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from my_flink_1_10_2_spark.streaming.qs_server import QueryableStateServer
+
+    env = _env(spark)
+    stream = (
+        env.from_files(replay_dir, EVENTS_SCHEMA)
+        .filter("event_type <> '__sentinel__'")
+        .key_by("user_id")
+    )
+    handle = stream.as_queryable_state(
+        "qs_net_counts", F.count("*").alias("cnt"), F.sum("value").alias("total")
+    )
+    server = QueryableStateServer()
+    server.register(handle)
+    port = server.start()
+    try:
+        handle.query.processAllAvailable()
+        expected = {
+            r.user_id: r.cnt
+            for r in _batch_events(spark)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        base = f"http://127.0.0.1:{port}"
+        health = json.load(urlopen(f"{base}/health"))
+        assert health["states"] == ["qs_net_counts"]
+        uid = sorted(expected)[0]
+        row = json.load(urlopen(f"{base}/state/qs_net_counts?user_id={uid}"))
+        assert row["cnt"] == expected[uid]
+        snapshot = json.load(urlopen(f"{base}/state/qs_net_counts"))
+        assert len(snapshot) == len(expected)
+        for bad, code in [
+            (f"{base}/state/nope", 404),
+            (f"{base}/state/qs_net_counts?user_id=-1", 404),
+            (f"{base}/state/qs_net_counts?bogus_col=1", 400),
+        ]:
+            try:
+                urlopen(bad)
+                raise AssertionError(f"{bad} should have failed")
+            except HTTPError as e:
+                assert e.code == code
+    finally:
+        server.stop()
+        handle.stop()

@@ -377,3 +377,138 @@ def twitter_source(*_args, **_kwargs):
         "upstream API is retired); replay captured data via "
         "file_stream_source or Kafka"
     )
+
+
+# ---------------------------------------------------------------------------
+# Elasticsearch BULK sink — jar-free functional path (ref:
+# ElasticsearchSinkBase.java bulk processor + BulkProcessorListener;
+# option parity per the table above).  The reference buffers actions and
+# flushes on max-actions / max-size / interval with backoff on rejected
+# executions; here the micro-batch is the flush interval and each
+# PARTITION ships its own NDJSON bulk requests over plain HTTP — the
+# public _bulk API — so the sink works with any ES-compatible endpoint
+# and no connector jar.  Deterministic _id from ``key_field`` makes
+# replayed batches idempotent (index-op overwrite), the standard ES
+# exactly-once recipe.
+# ---------------------------------------------------------------------------
+
+
+def _http_bulk_transport(url: str, payload: bytes):
+    """Default transport: POST NDJSON to <host>/_bulk. Returns
+    (status_code, body_bytes); any network error raises."""
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url, data=payload, headers={"Content-Type": "application/x-ndjson"}
+    )
+    with urlopen(req) as resp:
+        return resp.status, resp.read()
+
+
+class ElasticsearchBulkSink:
+    """foreachBatch sink speaking the ES bulk protocol directly.
+
+    ``transport(url, payload) -> (status, body)`` is injectable (tests
+    use recording transports; production uses the urllib default).
+    ``failure_handler``: 'fail' raises after retries; 'retry-rejected'
+    retries HTTP 429 / item-level 429s with fixed backoff (ref:
+    ElasticsearchSinkBase bulk-flush.backoff options).
+    """
+
+    def __init__(
+        self,
+        hosts: str | list[str],
+        index: str,
+        key_field: str | None = None,
+        bulk_max_actions: int = 1000,
+        bulk_max_bytes: int = 5 * 1024 * 1024,
+        max_retries: int = 3,
+        retry_delay_s: float = 0.5,
+        failure_handler: str = "fail",
+        transport=None,
+    ):
+        if failure_handler not in ("fail", "retry-rejected"):
+            raise NotImplementedError(
+                "failure-handler=ignore implies silent data loss; this "
+                "engine maps only fail / retry-rejected"
+            )
+        first = hosts[0] if isinstance(hosts, list) else str(hosts).split(";")[0]
+        self.url = first.rstrip("/") + "/_bulk"
+        self.index = index
+        self.key_field = key_field
+        self.max_actions = bulk_max_actions
+        self.max_bytes = bulk_max_bytes
+        self.max_retries = max_retries if failure_handler == "retry-rejected" else 0
+        self.retry_delay_s = retry_delay_s
+        self.transport = transport or _http_bulk_transport
+
+    # -- bulk payload construction (partition-local) ------------------------
+
+    def _flush(self, lines: list[bytes]) -> None:
+        import json as _json
+        import time as _time
+
+        payload = b"\n".join(lines) + b"\n"
+        attempt = 0
+        while True:
+            status, body = self.transport(self.url, payload)
+            retryable = status == 429
+            if status == 200:
+                try:
+                    parsed = _json.loads(body)
+                except ValueError:
+                    parsed = {}
+                if not parsed.get("errors"):
+                    return
+                statuses = {
+                    item.get(op, {}).get("status")
+                    for item in parsed.get("items", [])
+                    for op in item
+                }
+                retryable = statuses <= {200, 201, 429}
+            if retryable and attempt < self.max_retries:
+                attempt += 1
+                _time.sleep(self.retry_delay_s)
+                continue
+            raise RuntimeError(
+                f"elasticsearch bulk flush failed (status={status}, "
+                f"attempt={attempt}): {body[:500]!r}"
+            )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+
+        index, key_field = self.index, self.key_field
+        max_actions, max_bytes = self.max_actions, self.max_bytes
+        flush = self._flush
+
+        def send_partition(rows):
+            lines: list[bytes] = []
+            n, size = 0, 0
+            for row in rows:
+                doc = row.asDict(recursive=True)
+                meta: dict = {"_index": index}
+                if key_field is not None:
+                    meta["_id"] = str(doc[key_field])
+                a = _json.dumps({"index": meta}).encode()
+                b = _json.dumps(doc, default=str).encode()
+                lines += [a, b]
+                n += 1
+                size += len(a) + len(b) + 2
+                if n >= max_actions or size >= max_bytes:
+                    flush(lines)
+                    lines, n, size = [], 0, 0
+            if lines:
+                flush(lines)
+
+        batch_df.foreachPartition(send_partition)
+
+
+def elasticsearch_bulk_sink(df: DataFrame, checkpoint: str, **kwargs):
+    """Streaming writer using :class:`ElasticsearchBulkSink` — the
+    functional, jar-free ES path (`elasticsearch_sink` keeps the
+    es-hadoop jar path for clusters that ship it)."""
+    sink = ElasticsearchBulkSink(**kwargs)
+    return df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )

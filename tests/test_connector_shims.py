@@ -198,3 +198,102 @@ def test_unbridgeable_connectors_fail_loudly():
     ]:
         with pytest.raises(NotImplementedError, match=hint):
             fn()
+
+
+# ---------------------------------------------------------------------------
+# ES bulk-protocol sink (jar-free functional path)
+# ---------------------------------------------------------------------------
+
+
+def test_es_bulk_sink_payload_chunking_and_ids(spark, tmp_path):
+    """NDJSON bulk format, deterministic _id from the key field, and
+    max-actions chunking — recorded through a file transport so the
+    executor-side requests are observable."""
+    import functools
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import ElasticsearchBulkSink
+
+    out = str(tmp_path / "requests.ndjson")
+
+    def file_transport(url, payload, out_file=None):
+        with open(out_file, "ab") as f:
+            f.write(b"==REQ==\n" + payload)
+        return 200, b'{"errors": false, "items": []}'
+
+    sink = ElasticsearchBulkSink(
+        hosts="http://es-1:9200;http://es-2:9200",
+        index="docs",
+        key_field="doc_id",
+        bulk_max_actions=3,
+        transport=functools.partial(file_transport, out_file=out),
+    )
+    assert sink.url == "http://es-1:9200/_bulk"
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(8)], "doc_id long, text string"
+    ).coalesce(1)
+    sink(df, batch_id=0)
+
+    raw = open(out, "rb").read()
+    requests = [r for r in raw.split(b"==REQ==\n") if r]
+    assert len(requests) == 3  # 8 docs at 3 actions/request
+    metas, docs = [], []
+    for r in requests:
+        lines = [json.loads(line) for line in r.splitlines() if line]
+        metas += lines[0::2]
+        docs += lines[1::2]
+    assert [m["index"]["_id"] for m in metas] == [str(i) for i in range(8)]
+    assert all(m["index"]["_index"] == "docs" for m in metas)
+    assert sorted(d["doc_id"] for d in docs) == list(range(8))
+
+
+def test_es_bulk_sink_retries_rejected_then_succeeds(spark, tmp_path):
+    import functools
+
+    from my_flink_1_10_2_spark.sources.connectors import ElasticsearchBulkSink
+
+    marker = str(tmp_path / "attempts")
+
+    def flaky_transport(url, payload, out_file=None):
+        with open(out_file, "a") as f:
+            f.write("x")
+        attempts = len(open(out_file).read())
+        if attempts == 1:
+            return 429, b"rejected"
+        return 200, b'{"errors": false}'
+
+    sink = ElasticsearchBulkSink(
+        hosts="http://es:9200",
+        index="docs",
+        failure_handler="retry-rejected",
+        max_retries=3,
+        retry_delay_s=0.01,
+        transport=functools.partial(flaky_transport, out_file=marker),
+    )
+    df = spark.createDataFrame([(1,)], "doc_id long").coalesce(1)
+    sink(df, batch_id=0)  # no raise: 429 then success
+    assert len(open(marker).read()) == 2
+
+
+def test_es_bulk_sink_fail_handler_raises(spark, tmp_path):
+    from my_flink_1_10_2_spark.sources.connectors import ElasticsearchBulkSink
+
+    def rejecting_transport(url, payload):
+        return 429, b"rejected"
+
+    sink = ElasticsearchBulkSink(
+        hosts="http://es:9200",
+        index="docs",
+        failure_handler="fail",
+        transport=rejecting_transport,
+    )
+    df = spark.createDataFrame([(1,)], "doc_id long").coalesce(1)
+    with pytest.raises(Exception, match="bulk flush failed"):
+        sink(df, batch_id=0)
+
+
+def test_es_bulk_sink_rejects_ignore_handler():
+    from my_flink_1_10_2_spark.sources.connectors import ElasticsearchBulkSink
+
+    with pytest.raises(NotImplementedError, match="silent data loss"):
+        ElasticsearchBulkSink(hosts="h", index="i", failure_handler="ignore")

@@ -284,12 +284,36 @@ def semantic_neardup_pairs_ivf(
         F.col(id_col).alias("dst"),
         F.col(vec_col).alias("__vb"),
     )
-    from my_flink_1_10_2_spark.llm.similarity import cosine
+    pairs = a.join(b, "centroid").where(F.col("src") < F.col("dst"))
 
-    return (
-        a.join(b, "centroid")
-        .where(F.col("src") < F.col("dst"))
-        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("src", "dst", "centroid", "cosine")
+    # score + threshold in one Arrow kernel: interpreted HOF cosine over
+    # the candidate pairs is the hot path (the LSH lesson); a rowwise
+    # BLAS einsum scores every pair of the batch in one call
+    import numpy as np
+    import pandas as pd
+
+    th = float(threshold)
+
+    def score(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            va = np.stack(batch["__va"].to_numpy()).astype("float64")
+            vb = np.stack(batch["__vb"].to_numpy()).astype("float64")
+            sims = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            keep = sims >= th
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "src": batch["src"].to_numpy()[keep],
+                        "dst": batch["dst"].to_numpy()[keep],
+                        "centroid": batch["centroid"].to_numpy()[keep],
+                        "cosine": sims[keep],
+                    }
+                )
+
+    return pairs.mapInPandas(
+        score, "src long, dst long, centroid long, cosine double"
     )

@@ -1575,3 +1575,63 @@ def q_stream_dedup_materialized(spark, sf_dir):
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_accumulator_metrics",
+    oracle="""
+    SELECT 'rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM events
+    UNION ALL
+    SELECT 'clicks', CAST(count(*) AS BIGINT)
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'max_value_e4', CAST(max(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'null_props', CAST(count(*) AS BIGINT)
+    FROM events WHERE props IS NULL
+    """,
+    category="streaming",
+)
+def q_accumulator_metrics(spark, sf_dir):
+    """Accumulators graded end to end (ref: flink-core accumulators/ —
+    IntCounter/Histogram/extrema added from RuntimeContext on EXECUTORS,
+    merged to the driver after the action; AccumulatorHelper
+    .toResultMap): a side-metrics pass over events, counted inside an
+    Arrow-batched map on the executors, returned as a (metric, value)
+    table that must equal the SQL formulation of the same metrics."""
+    from my_flink_1_10_2_spark.operators.accumulators import (
+        AccumulatorRegistry,
+    )
+
+    reg = AccumulatorRegistry(spark.sparkContext)
+    rows = reg.int_counter("rows")
+    clicks = reg.int_counter("clicks")
+    max_v = reg.maximum("max_value_e4")
+    null_props = reg.int_counter("null_props")
+
+    def work(it):
+        for pdf in it:
+            rows.add(len(pdf))
+            clicks.add(int((pdf["event_type"] == "click").sum()))
+            if len(pdf):
+                max_v.add(int(pdf["v_e4"].max()))
+            null_props.add(int(pdf["props"].isna().sum()))
+            yield pdf[["event_id"]]
+
+    src = read(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "props",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    src.mapInPandas(work, "event_id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    vals = [
+        ("rows", int(rows.get_local_value())),
+        ("clicks", int(clicks.get_local_value())),
+        ("max_value_e4", int(max_v.get_local_value())),
+        ("null_props", int(null_props.get_local_value())),
+    ]
+    return spark.createDataFrame(vals, "metric string, value bigint")

@@ -297,3 +297,62 @@ def test_es_bulk_sink_rejects_ignore_handler():
 
     with pytest.raises(NotImplementedError, match="silent data loss"):
         ElasticsearchBulkSink(hosts="h", index="i", failure_handler="ignore")
+
+
+# ---------------------------------------------------------------------------
+# HBase REST sink (jar-free functional path)
+# ---------------------------------------------------------------------------
+
+
+def test_hbase_rest_sink_protocol(spark, tmp_path):
+    """Multi-row PUT body: base64 rowkeys/columns/values, default-family
+    column mapping with explicit overrides, NULL cells dropped."""
+    import base64
+    import functools
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import HBaseRestSink
+
+    out = str(tmp_path / "puts.jsonl")
+
+    def file_transport(url, payload, out_file=None):
+        with open(out_file, "a") as f:
+            f.write(json.dumps({"url": url, "body": json.loads(payload)}) + "\n")
+        return 200, b"{}"
+
+    sink = HBaseRestSink(
+        base_url="http://hbase-rest:8080",
+        table="users",
+        rowkey_field="user_id",
+        column_family="d",
+        columns={"email": "meta:email"},
+        transport=functools.partial(file_transport, out_file=out),
+    )
+    df = spark.createDataFrame(
+        [(1, "alice", "a@x.io"), (2, "bob", None)],
+        "user_id long, name string, email string",
+    ).coalesce(1)
+    sink(df, batch_id=0)
+
+    reqs = [json.loads(line) for line in open(out)]
+    assert reqs[0]["url"] == "http://hbase-rest:8080/users/fakerow"
+    rows = [r for req in reqs for r in req["body"]["Row"]]
+    dec = lambda s: base64.b64decode(s).decode()  # noqa: E731
+    by_key = {dec(r["key"]): {dec(c["column"]): dec(c["$"]) for c in r["Cell"]}
+              for r in rows}
+    assert by_key["1"] == {"d:name": "alice", "meta:email": "a@x.io"}
+    assert by_key["2"] == {"d:name": "bob"}  # NULL email dropped
+
+
+def test_hbase_rest_sink_error_raises(spark):
+    from my_flink_1_10_2_spark.sources.connectors import HBaseRestSink
+
+    sink = HBaseRestSink(
+        base_url="http://h:8080",
+        table="t",
+        rowkey_field="id",
+        transport=lambda url, payload: (503, b"unavailable"),
+    )
+    df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    with pytest.raises(Exception, match="REST put failed"):
+        sink(df, batch_id=0)

@@ -1635,3 +1635,63 @@ def q_accumulator_metrics(spark, sf_dir):
         ("null_props", int(null_props.get_local_value())),
     ]
     return spark.createDataFrame(vals, "metric string, value bigint")
+
+
+@register(
+    "q_window_fold_path",
+    oracle="""
+    SELECT user_id % 8 AS k,
+           time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY epoch_us(ts), event_id) AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 4000
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def q_window_fold_path(spark, sf_dir):
+    """WindowedStream.fold graded e2e (ref: WindowedStream.java fold —
+    the deprecated-in-reference but still-exposed accumulating window
+    function): per (key, 6h window), fold the events IN EVENT-TIME
+    ORDER into a path string of event-type initials — a NON-commutative
+    accumulator, so the grade pins the fold's ordering contract, not
+    just its final aggregate.  The fold runs per (key, window) group in
+    an Arrow batch; ordering uses a zero-padded (ts, event_id) sort key
+    so ties are impossible."""
+    from my_flink_1_10_2_spark.streaming.stream import Stream
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 4000")
+        .select(
+            (F.col("user_id") % 8).alias("k"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.format_string(
+                "%020d-%012d",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+                F.col("event_id"),
+            ).alias("__ord"),
+            F.substring("event_type", 1, 1).alias("etype0"),
+        )
+    )
+    stream = Stream(src).key_by("k").tumble("ts", "6 hours")
+    stream.ts_col = "__ord"  # strictly-unique event-time order key
+
+    def fold_fn(acc, row):
+        return {
+            "k": row["k"],
+            "path": acc["path"] + row["etype0"],
+            "n": acc["n"] + 1,
+        }
+
+    out = stream.fold(
+        {"k": None, "path": "", "n": 0}, fold_fn, "k long, path string, n long"
+    )
+    return out.df.select(
+        "k",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "path",
+        "n",
+    )

@@ -116,6 +116,7 @@ _FLAGSHIP_ORDER = [
     "q_stream_dedup_materialized",
     "q_accumulator_metrics",
     "q_window_fold_path",
+    "q_distributed_cache_enrich",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

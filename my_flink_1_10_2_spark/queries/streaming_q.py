@@ -1695,3 +1695,66 @@ def q_window_fold_path(spark, sf_dir):
         "path",
         "n",
     )
+
+
+@register(
+    "q_distributed_cache_enrich",
+    oracle="""
+    WITH rates(event_type, points) AS (
+      VALUES ('click', 1), ('view', 2), ('purchase', 10),
+             ('signup', 25), ('logout', 0)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(COALESCE(r.points, -1)) AS BIGINT) AS total_points
+    FROM events e LEFT JOIN rates r USING (event_type)
+    GROUP BY e.event_type
+    """,
+    category="streaming",
+)
+def q_distributed_cache_enrich(spark, sf_dir):
+    """DistributedCache graded e2e (ref: ExecutionEnvironment
+    .registerCachedFile:1003 + DistributedCache.getFile): a small
+    rate-card CSV is shipped to every executor once (SparkContext
+    .addFile torrent distribution) and read INSIDE the mapper via the
+    executor-local path — the reference's cached-file lookup pattern —
+    then the enriched aggregate must equal the plain SQL join."""
+    import csv
+    import os
+    import tempfile
+
+    from my_flink_1_10_2_spark.environment import ExecutionEnvironment
+
+    env = ExecutionEnvironment(spark)
+    workdir = tempfile.mkdtemp(prefix="fl_dcache_")
+    rate_file = os.path.join(workdir, "rates.csv")
+    with open(rate_file, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerows(
+            [("click", 1), ("view", 2), ("purchase", 10), ("signup", 25), ("logout", 0)]
+        )
+    env.register_cached_file(rate_file, "rates")
+    # capture only the registered basename: the resolver must run
+    # executor-side through SparkFiles, never drag the driver context
+    rates_basename = env._cached_files["rates"]
+
+    def enrich(batches):
+        import csv as _csv
+
+        from pyspark import SparkFiles
+
+        with open(SparkFiles.get(rates_basename)) as f:
+            rates = {row[0]: int(row[1]) for row in _csv.reader(f)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["points"] = pdf["event_type"].map(lambda t: rates.get(t, -1))
+            yield pdf[["event_type", "points"]]
+
+    src = read(spark, sf_dir, "events").select("event_type")
+    enriched = src.mapInPandas(enrich, "event_type string, points long")
+    return enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("points").cast("bigint").alias("total_points"),
+    )

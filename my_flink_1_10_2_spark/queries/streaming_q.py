@@ -1734,16 +1734,14 @@ def q_distributed_cache_enrich(spark, sf_dir):
             [("click", 1), ("view", 2), ("purchase", 10), ("signup", 25), ("logout", 0)]
         )
     env.register_cached_file(rate_file, "rates")
-    # capture only the registered basename: the resolver must run
-    # executor-side through SparkFiles, never drag the driver context
-    rates_basename = env._cached_files["rates"]
+    # the picklable resolver: runs executor-side through SparkFiles
+    # without dragging the environment (and its driver context) along
+    resolve_rates = env.cached_file_resolver("rates")
 
     def enrich(batches):
         import csv as _csv
 
-        from pyspark import SparkFiles
-
-        with open(SparkFiles.get(rates_basename)) as f:
+        with open(resolve_rates()) as f:
             rates = {row[0]: int(row[1]) for row in _csv.reader(f)}
         for pdf in batches:
             if not len(pdf):

@@ -118,3 +118,34 @@ def q_multi_format_union(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_text_roundtrip",
+    oracle="""
+    SELECT event_type AS line, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    category="formats",
+)
+def q_text_roundtrip(spark, sf_dir):
+    """writeAsText → readTextFile roundtrip graded (ref:
+    DataSet.writeAsText / ExecutionEnvironment.readTextFile:438): event
+    types written as raw text lines, read back as lines, and the line
+    multiset must equal the source exactly."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.batch import read_text, write_text
+
+    work = tempfile.mkdtemp(prefix="fl_textrt_")
+    try:
+        src = read(spark, sf_dir, "events").select(F.col("event_type").alias("value"))
+        write_text(src, f"{work}/lines")
+        back = read_text(spark, f"{work}/lines")
+        out = back.groupBy(F.col(back.columns[0]).alias("line")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

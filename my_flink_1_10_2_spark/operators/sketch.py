@@ -323,3 +323,66 @@ def hll_estimate(registers: DataFrame, group_cols: list[str], b: int = 4) -> Dat
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership sketch (Bloom 1970), the fourth family
+# beside KMV/CMS/HLL.  The reference uses bloom filters inside its
+# hash-join spill path (flink-runtime/.../hashtable/ BloomFilter on
+# spilled partitions); as a DATA sketch it is the standard "does this
+# key exist in the corpus" pre-filter a 100 TB pipeline ships to small
+# consumers.  md5-seeded bit positions → any engine replays the exact
+# filter bits.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(col: str, j: int, m_bits: int):
+    """Bit position for hash row j — seeded md5, same idiom as
+    :func:`_cms_bucket`."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"b{j}:"), F.col(col).cast("string"))), 1, 15
+    )
+    return F.conv(hx, 16, 10).cast("bigint") % F.lit(m_bits)
+
+
+def bloom_build(
+    df: DataFrame, col: str, k_hashes: int = 4, m_bits: int = 8192
+) -> DataFrame:
+    """Build the filter as its SET-BIT table: (bit,) distinct rows.
+
+    One projection emits k positions per row; the distinct is one
+    shuffle of at most ``m_bits`` surviving rows — O(config).  The
+    bit-table representation is mergeable (union = OR) and directly
+    joinable for probes; pack to a bitmap at the edge if a byte-array
+    artifact is needed.
+    """
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(col, j, m_bits) for j in range(k_hashes)])
+        ).alias("bit")
+    )
+    return pos.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    k_hashes: int = 4,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Membership probe: present iff ALL k bit positions are set — no
+    false negatives, bounded false positives (~(1-e^{-kn/m})^k).  The
+    filter side is broadcast unconditionally: <= m_bits rows by
+    construction."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[_bloom_pos(key_col, j, m_bits) for j in range(k_hashes)])
+        ).alias("bit"),
+    )
+    hit = probes.join(F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left")
+    return hit.groupBy(key_col).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"), F.lit(0))))
+        .alias("maybe_present")
+    )

@@ -118,6 +118,7 @@ _FLAGSHIP_ORDER = [
     "q_window_fold_path",
     "q_distributed_cache_enrich",
     "q_text_roundtrip",
+    "q_bloom_membership",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

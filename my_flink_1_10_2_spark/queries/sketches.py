@@ -149,3 +149,59 @@ def q_hll_registers(spark, sf_dir):
     from my_flink_1_10_2_spark.operators.sketch import hll_registers
 
     return hll_registers(read(spark, sf_dir, "events"), ["event_type"], "user_id", b=4)
+
+
+_BLOOM_K, _BLOOM_M = 4, 8192
+
+
+def _bloom_oracle() -> str:
+    def pos(j: int, expr: str) -> str:
+        return (
+            f"('0x' || substr(md5('b{j}:' || CAST({expr} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {_BLOOM_M}"
+        )
+
+    bits = "\n      UNION\n".join(
+        f"      SELECT DISTINCT {pos(j, 'v')} AS bit FROM src"
+        for j in range(_BLOOM_K)
+    )
+    probes = "\n      UNION ALL\n".join(
+        f"      SELECT c_custkey, {pos(j, 'c_custkey')} AS bit FROM customer"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH src AS MATERIALIZED (SELECT DISTINCT o_custkey AS v FROM orders),
+    bits AS MATERIALIZED (
+{bits}
+    ),
+    probes AS (
+{probes}
+    )
+    SELECT p.c_custkey,
+           count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+             AS maybe_present
+    FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+    GROUP BY p.c_custkey
+    """
+
+
+@register("q_bloom_membership", oracle=_bloom_oracle(), category="sketch")
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership sketch (Bloom 1970; the reference applies
+    the same structure to spilled hash-join partitions —
+    flink-runtime/.../hashtable/): the set-bit table of customers WITH
+    orders probed by EVERY customer.  No false negatives by
+    construction; the handful of false positives among orderless
+    customers is part of the graded result — the exact bit arithmetic
+    is engine-replayable.  Filter ≤ m_bits rows (broadcast-safe at any
+    scale); build is one O(config) distinct."""
+    from my_flink_1_10_2_spark.operators.sketch import bloom_build, bloom_probe
+
+    orders = read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("v")
+    )
+    bloom = bloom_build(orders, "v", k_hashes=_BLOOM_K, m_bits=_BLOOM_M)
+    custs = read(spark, sf_dir, "customer").select("c_custkey")
+    return bloom_probe(
+        bloom, custs, "c_custkey", k_hashes=_BLOOM_K, m_bits=_BLOOM_M
+    )

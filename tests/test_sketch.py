@@ -182,3 +182,33 @@ def test_hll_rejects_bad_precision(spark):
 
     with pytest.raises(ValueError, match="b must be"):
         hll_registers(spark.range(1), [], "id", b=0)
+
+
+def test_bloom_no_false_negatives_bounded_fp(spark):
+    """Every present key probes true; false-positive rate among absent
+    keys stays near the analytic bound."""
+    from my_flink_1_10_2_spark.operators.sketch import bloom_build, bloom_probe
+    from my_flink_1_10_2_spark.queries import read
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    orders = read(spark, SF_DIR, "orders").select(F.col("o_custkey").alias("v"))
+    bloom = bloom_build(orders, "v", k_hashes=4, m_bits=8192)
+    # probe every customer plus a synthetic definitely-absent key range
+    probes = (
+        read(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .unionByName(
+            spark.range(10_000_000, 10_002_000).select(
+                F.col("id").alias("c_custkey")
+            )
+        )
+    )
+    got = {r.c_custkey: r.maybe_present
+           for r in bloom_probe(bloom, probes, "c_custkey", 4, 8192).collect()}
+    present = {r.v for r in orders.distinct().collect()}
+    absent = set(got) - present
+    assert all(got[k] for k in present & set(got)), "false negative!"
+    assert len(absent) >= 2000
+    fp = sum(got[k] for k in absent) / len(absent)
+    assert fp < 0.15, f"false-positive rate {fp:.3f} far above the bound"

@@ -205,3 +205,55 @@ def q_bloom_membership(spark, sf_dir):
     return bloom_probe(
         bloom, custs, "c_custkey", k_hashes=_BLOOM_K, m_bits=_BLOOM_M
     )
+
+
+def _hll_estimate_oracle() -> str:
+    # b=4: m=16, alpha=0.673, rem_bits=44, scale=45.  The numerator
+    # constant is computed ONCE in Python and embedded verbatim so both
+    # engines divide the identical double by the identical exact-integer
+    # harmonic sum (the fixture's group cardinalities all take the raw
+    # branch; the LC branch is replicated for completeness).
+    num = repr(0.673 * 16 * 16 * float(1 << 45))
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, v >> 44 AS bucket,
+             max(CASE WHEN v % 17592186044416 = 0 THEN 45
+                      ELSE 44 - length(bin(v % 17592186044416)) + 1 END) AS register
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(1::BIGINT << (45 - register)) AS s_int,
+             count(*) AS m_seen
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           CASE WHEN {num} / CAST(s_int + (16 - m_seen) * (1::BIGINT << 45)
+                               AS DOUBLE) <= 40.0 AND m_seen < 16
+                THEN 16.0 * ln(16.0 / CAST(16 - m_seen AS DOUBLE))
+                ELSE {num} / CAST(s_int + (16 - m_seen) * (1::BIGINT << 45)
+                                  AS DOUBLE)
+           END AS estimate
+    FROM agg
+    """
+
+
+@register("q_hll_estimate", oracle=_hll_estimate_oracle(), category="sketch")
+def q_hll_estimate(spark, sf_dir):
+    """HLL distinct-count ESTIMATE graded (companion to
+    q_hll_registers): the harmonic sum is an exact integer, the
+    numerator a shared literal, so the raw-branch estimate is one
+    identical IEEE division on both engines — the float estimator
+    itself, not just the registers, is oracle-checked."""
+    from my_flink_1_10_2_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    regs = hll_registers(read(spark, sf_dir, "events"), ["event_type"], "user_id", b=4)
+    return hll_estimate(regs, ["event_type"], b=4)

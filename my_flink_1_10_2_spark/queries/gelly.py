@@ -598,3 +598,45 @@ def q_degree_distribution(spark, sf_dir):
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices")
     )
+
+
+@register("q_scatter_gather_sssp", oracle=_sssp_oracle(), category="graph")
+def q_scatter_gather_sssp(spark, sf_dir):
+    """The USER-PROGRAMMABLE scatter-gather iteration surface (ref:
+    Graph.runScatterGatherIteration:1521, ScatterGatherIteration.java)
+    graded end to end: Bellman-Ford expressed as user scatter/gather/
+    update callables over the generic API must reproduce the library
+    SSSP's unrolled-recurrence oracle bitwise — evidence the vertex-
+    centric API itself is correct, not just the prebuilt algorithms."""
+    from my_flink_1_10_2_spark.operators.gelly import scatter_gather
+
+    e = _edges(spark, sf_dir).select(
+        "src", "dst", F.expr("CAST(1 + (src * 3 + dst * 5) % 7 AS DOUBLE)").alias("w")
+    )
+    init = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") == _SSSP_SOURCE)
+        .select("node", F.lit(0.0).alias("dist"))
+    )
+
+    def scatter(joined):
+        # ScatterFunction: propose dist + w along every out-edge
+        return joined.select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("msg")
+        )
+
+    def update(verts, gathered):
+        # VertexUpdateFunction: keep the minimum of state and messages
+        return (
+            verts.select("node", "dist")
+            .unionByName(gathered.select("node", F.col("msg").alias("dist")))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    out = scatter_gather(
+        e, init, scatter, [F.min("msg").alias("msg")], update, _SSSP_ITERS
+    )
+    return out.select("node", F.round("dist", 9).alias("dist"))

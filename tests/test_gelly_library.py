@@ -160,3 +160,45 @@ def test_k_core_pendant_chain_cascade(spark):
     assert out == {0: 2, 1: 2, 2: 2}
     # k=3: even the triangle dies
     assert k_core(e, k=3).count() == 0
+
+
+def test_scatter_gather_generic_max_propagation(spark):
+    """The user-programmable iteration API on a toy problem with a
+    hand-computed fixpoint: propagate the component-maximum label along
+    edges (3 supersteps suffice on a 5-node path + isolated pair)."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.gelly import scatter_gather
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4),
+         (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    init = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("value", F.col("node"))
+    )
+
+    def scatter(joined):
+        return joined.select(F.col("dst").alias("node"), F.col("value").alias("msg"))
+
+    def update(verts, gathered):
+        return (
+            verts.join(gathered, "node", "left")
+            .select("node", F.greatest("value", F.coalesce("msg", F.col("value"))).alias("value"))
+        )
+
+    out = scatter_gather(
+        edges, init, scatter, [F.max("msg").alias("msg")], update, iterations=4
+    )
+    got = {r.node: r.value for r in out.collect()}
+    assert got == {1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 10: 11, 11: 11}
+    # loop hygiene: superseded superstep checkpoints freed — only the
+    # RESULT's own checkpoint may remain (it backs the returned frame)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= 1
+    spark.catalog.clearCache()
+    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        r.unpersist()

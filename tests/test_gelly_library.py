@@ -170,6 +170,7 @@ def test_scatter_gather_generic_max_propagation(spark):
 
     from my_flink_1_10_2_spark.operators.gelly import scatter_gather
 
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4),
          (10, 11), (11, 10)],
@@ -196,9 +197,8 @@ def test_scatter_gather_generic_max_propagation(spark):
     )
     got = {r.node: r.value for r in out.collect()}
     assert got == {1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 10: 11, 11: 11}
-    # loop hygiene: superseded superstep checkpoints freed — only the
-    # RESULT's own checkpoint may remain (it backs the returned frame)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= 1
-    spark.catalog.clearCache()
-    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        r.unpersist()
+    # loop hygiene: superseded superstep checkpoints freed — at most the
+    # RESULT's own checkpoint is added (it backs the returned frame);
+    # delta-based because earlier tests may hold their own results
+    persisted_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persisted_after <= persisted_before + 1

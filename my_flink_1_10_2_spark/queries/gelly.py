@@ -640,3 +640,45 @@ def q_scatter_gather_sssp(spark, sf_dir):
         e, init, scatter, [F.min("msg").alias("msg")], update, _SSSP_ITERS
     )
     return out.select("node", F.round("dist", 9).alias("dist"))
+
+
+@register("q_scatter_gather_pagerank", oracle=_pagerank_oracle(), category="graph")
+def q_scatter_gather_pagerank(spark, sf_dir):
+    """Second grading of the generic scatter-gather surface, on a
+    different message algebra: PageRank's sum-gather with a
+    full-vertex-set teleport update (dangling vertices receive no
+    message and must still update) reproduces the library power-method
+    oracle bitwise through user callables."""
+    from my_flink_1_10_2_spark.operators.gelly import scatter_gather
+
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    e_deg = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    teleport = (1.0 - _DAMPING) / n_nodes
+    init = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    def scatter(joined):
+        return joined.select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("__deg")).alias("msg"),
+        )
+
+    def update(_verts, gathered):
+        return nodes.join(gathered, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(_DAMPING) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    out = scatter_gather(
+        e_deg, init, scatter, [F.sum("msg").alias("contrib")], update, _PR_ITERS
+    )
+    return out.select("node", F.round("rank", 9).alias("pr"))

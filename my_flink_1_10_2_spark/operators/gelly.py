@@ -627,6 +627,7 @@ def scatter_gather(
     gather_exprs,
     update,
     iterations: int,
+    converged=None,
 ) -> DataFrame:
     """USER-PROGRAMMABLE vertex-centric iteration — the reference's
     ScatterGatherIteration surface (ref: flink-gelly/.../spargel/
@@ -641,6 +642,12 @@ def scatter_gather(
          combinable part of the GatherFunction);
       3. update(vertices, gathered) — the caller merges aggregated
          messages into the new vertex state (VertexUpdateFunction).
+
+    ``converged(prev, new) -> bool`` optionally halts early — the
+    reference's aggregator-based convergence criterion
+    (IterationConfiguration.registerAggregator / setSolutionSetUnmanaged
+    -style termination); the check is typically one distributed count
+    (changed-vertex count), never a collect.
 
     Scale: identical shape to the library algorithms built on
     :func:`~my_flink_1_10_2_spark.operators.iterate.iterate` — edges
@@ -662,6 +669,6 @@ def scatter_gather(
         gathered = msgs.groupBy("node").agg(*gather_exprs)
         return update(verts, gathered)
 
-    out = iterate(initial_vertices, step, iterations)
+    out = iterate(initial_vertices, step, iterations, converged=converged)
     free_checkpoints(edges.sparkSession, e_ids)
     return out

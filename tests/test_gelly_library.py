@@ -202,3 +202,50 @@ def test_scatter_gather_generic_max_propagation(spark):
     # delta-based because earlier tests may hold their own results
     persisted_after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert persisted_after <= persisted_before + 1
+
+
+def test_scatter_gather_convergence_halts_early(spark):
+    """converged() stops the loop as soon as a superstep changes
+    nothing: the 5-node max-propagation fixpoint needs 4 rounds — with
+    a changed-count criterion the loop must not run the requested 50."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.gelly import scatter_gather
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4)],
+        "src long, dst long",
+    )
+    init = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("value", F.col("node"))
+    )
+    steps = {"n": 0}
+
+    def scatter(joined):
+        steps["n"] += 1
+        return joined.select(F.col("dst").alias("node"), F.col("value").alias("msg"))
+
+    def update(verts, gathered):
+        return verts.join(gathered, "node", "left").select(
+            "node",
+            F.greatest("value", F.coalesce("msg", F.col("value"))).alias("value"),
+        )
+
+    def converged(prev, new):
+        changed = (
+            prev.select("node", F.col("value").alias("__old"))
+            .join(new, "node")
+            .where(F.col("value") != F.col("__old"))
+            .count()
+        )
+        return changed == 0
+
+    out = scatter_gather(
+        edges, init, scatter, [F.max("msg").alias("msg")], update,
+        iterations=50, converged=converged,
+    )
+    assert {r.node: r.value for r in out.collect()} == {i: 5 for i in range(1, 6)}
+    assert steps["n"] <= 6, f"convergence did not halt the loop: {steps['n']} steps"

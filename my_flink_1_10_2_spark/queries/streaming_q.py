@@ -1756,3 +1756,48 @@ def q_distributed_cache_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("points").cast("bigint").alias("total_points"),
     )
+
+
+@register(
+    "q_broadcast_set_enrich",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    category="streaming",
+)
+def q_broadcast_set_enrich(spark, sf_dir):
+    """withBroadcastSet graded e2e (ref: DataSet.withBroadcastSet,
+    RuntimeContext.getBroadcastVariable:202): the nation dimension is
+    broadcast ONCE as a named set and looked up inside a rich map per
+    Arrow batch — the reference's broadcast-variable enrichment idiom —
+    then the rollup must equal the plain SQL join."""
+    from my_flink_1_10_2_spark.table import Table
+
+    customers = Table(
+        read(spark, sf_dir, "customer").select(
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+    )
+    nations = Table(
+        read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+
+    def enrich(pdf, bc):
+        lookup = {r["n_nationkey"]: r["n_name"] for r in bc["nations"]}
+        pdf = pdf.copy()
+        pdf["n_name"] = pdf["c_nationkey"].map(lookup)
+        return pdf[["n_name", "bal_cents"]]
+
+    enriched = customers.map_with_broadcast(
+        enrich, "n_name string, bal_cents bigint", {"nations": nations}
+    )
+    return enriched.df.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("balance_cents"),
+    )

@@ -99,9 +99,17 @@ def continuous_early_fire_log(
         if batch_df.isEmpty():
             return
         stats = batch_df.agg(
-            F.max(ts_col).alias("m"), F.max(batch_col).alias("b")
+            F.max(ts_col).alias("m"),
+            F.max(batch_col).alias("b"),
+            F.min(batch_col).alias("b_min"),
         ).first()
         b = int(stats["b"])
+        if int(stats["b_min"]) != b:
+            raise RuntimeError(
+                "early-fire replay invariant broken: one micro-batch "
+                f"carries batch values {stats['b_min']}..{b} — the file "
+                "source must deliver exactly one wave per trigger"
+            )
         state["max_te"] = max(state["max_te"], int(stats["m"]))
         state["done"] += 1
         cur_wm = (

@@ -351,3 +351,129 @@ def q_early_fire_sequence(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_EFH_SIZE = 21_600_000_000  # 6 h sliding windows
+_EFH_SLIDE = 10_800_000_000  # every 3 h
+_EFH_IVL = 10_800_000_000   # boundaries at 3 h
+_EFH_SRC = """
+  SELECT user_id % 2 AS k,
+         epoch_us(ts) AS te,
+         CAST(round(value * 10000) AS BIGINT) AS v,
+         LEAST(4, (extract(day FROM ts) - 1) // 7
+                  + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS batch
+  FROM events WHERE event_id < 1200
+"""
+
+
+@register(
+    "q_early_fire_sequence_hop",
+    oracle=f"""
+    WITH src AS MATERIALIZED ({_EFH_SRC}),
+    wm AS MATERIALIZED (
+      SELECT b.batch,
+             CASE WHEN b.batch = (SELECT max(batch) FROM src)
+                  THEN {_EF_INF}
+                  ELSE max(s.te) - {_EF_DELAY} END AS wm
+      FROM (SELECT DISTINCT batch FROM src) b JOIN src s ON s.batch <= b.batch
+      GROUP BY b.batch
+    ),
+    assigned AS MATERIALIZED (
+      SELECT k, te, v, batch,
+             unnest(generate_series(
+               (te - te % {_EFH_SLIDE}) - {_EFH_SIZE} + {_EFH_SLIDE},
+               te - te % {_EFH_SLIDE}, {_EFH_SLIDE})) AS ws
+      FROM src
+    ),
+    fw AS MATERIALIZED (
+      SELECT k, ws, b0, min(te) AS fts FROM (
+        SELECT k, te, batch, ws,
+               min(batch) OVER (PARTITION BY k, ws) AS b0
+        FROM assigned) WHERE batch = b0
+      GROUP BY k, ws, b0
+    ),
+    bounds AS (
+      SELECT k, ws, b0,
+             unnest(generate_series(fts - fts % {_EFH_IVL} + {_EFH_IVL},
+                                    ws + {_EFH_SIZE}, {_EFH_IVL})) AS t
+      FROM fw
+    ),
+    fires AS (
+      SELECT k, ws, t, min(w.batch) AS fire_batch
+      FROM bounds b JOIN wm w ON w.wm >= b.t AND w.batch >= b.b0
+      GROUP BY k, ws, t
+    ),
+    panes AS (
+      SELECT f.k, f.ws, f.t, f.fire_batch,
+             count(*) AS cnt, sum(s.v) AS v_sum_e4
+      FROM fires f JOIN assigned s
+        ON s.k = f.k AND s.ws = f.ws AND s.batch <= f.fire_batch
+      GROUP BY f.k, f.ws, f.t, f.fire_batch
+    )
+    SELECT k, make_timestamp(ws) AS window_start, make_timestamp(t) AS fire_ts,
+           fire_batch,
+           row_number() OVER (PARTITION BY k, ws ORDER BY t) AS fire_seq,
+           cnt, v_sum_e4
+    FROM panes
+    """,
+    category="triggers",
+)
+def q_early_fire_sequence_hop(spark, sf_dir):
+    """Early-fire emission log over SLIDING windows (ref:
+    SlidingEventTimeWindows.java × ContinuousEventTimeTrigger.java):
+    every element feeds size/slide overlapping windows, and each
+    window's boundary cascade fires independently as the scripted
+    watermark advances — overlapping panes, early fires, and
+    end-of-input drain all graded as one sequence."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.streaming.early_fire import (
+        continuous_early_fire_log,
+    )
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 1200")
+        .select(
+            (F.col("user_id") % 2).alias("k"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+            F.least(
+                F.lit(4),
+                F.expr("CAST((day(ts) - 1) DIV 7 AS BIGINT)")
+                + F.when(F.col("event_id") % 7 == 0, 1).otherwise(0),
+            ).alias("batch"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_earlyfire_hop_")
+    try:
+        log = continuous_early_fire_log(
+            spark,
+            src,
+            work,
+            ts_col="te",
+            batch_col="batch",
+            keys=["k"],
+            value_col="v",
+            size_us=_EFH_SIZE,
+            interval_us=_EFH_IVL,
+            delay_us=_EF_DELAY,
+            slide_us=_EFH_SLIDE,
+        )
+        out = log.select(
+            "k",
+            F.timestamp_micros(F.col("window_start"))
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            F.timestamp_micros(F.col("fire_ts"))
+            .cast("timestamp_ntz")
+            .alias("fire_ts"),
+            "fire_batch",
+            "fire_seq",
+            "cnt",
+            F.col("v_sum").alias("v_sum_e4"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -58,6 +58,7 @@ def continuous_early_fire_log(
     size_us: int,
     interval_us: int,
     delay_us: int,
+    slide_us: int | None = None,
 ) -> DataFrame:
     """Replay ``src`` (micro-units: ``ts_col``/boundaries in epoch
     MICROSECONDS so every comparison is exact integer arithmetic) one
@@ -67,9 +68,18 @@ def continuous_early_fire_log(
     ``(keys..., window_start, fire_ts, fire_batch, fire_seq, cnt,
     v_sum)`` — one row per (key, window, boundary) firing in emission
     order.  ``size_us % interval_us == 0`` required (aligned
-    boundaries, the reference's precondition)."""
+    boundaries, the reference's precondition).
+
+    ``slide_us`` switches to SLIDING windows (Flink's SlidingEventTime
+    Windows): each element joins every window whose [start, start+size)
+    covers it, and the trigger cascade runs per (key, window) exactly as
+    for tumbling — ``slide_us`` must also be a multiple of
+    ``interval_us`` so window ends stay boundary-aligned."""
     if size_us % interval_us != 0:
         raise ValueError("interval must divide the window size")
+    if slide_us is not None and slide_us % interval_us != 0:
+        raise ValueError("interval must divide the slide")
+    slide = slide_us or size_us
     keys = list(keys or [])
     batches = sorted(
         r[0] for r in src.select(batch_col).distinct().collect()
@@ -121,7 +131,14 @@ def continuous_early_fire_log(
 
         batch_df.write.mode("append").parquet(acc_dir)
         acc = spark.read.parquet(acc_dir)
-        win_start = (F.col(ts_col) - F.col(ts_col) % size_us).alias("__ws")
+        # window assignment: tumbling = 1 window; sliding = every start
+        # in (te - size, te] on the slide grid (size/slide windows)
+        last_start = F.col(ts_col) - F.col(ts_col) % slide
+        win_start = F.explode(
+            F.sequence(
+                last_start - size_us + slide, last_start, F.lit(slide)
+            )
+        ).alias("__ws")
         tagged = acc.select(*keys, ts_col, batch_col, value_col, win_start)
 
         # first_ts is "min ts WITHIN the earliest batch" (the first

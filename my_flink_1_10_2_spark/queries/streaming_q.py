@@ -1801,3 +1801,109 @@ def q_broadcast_set_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("bal_cents").cast("bigint").alias("balance_cents"),
     )
+
+
+@register(
+    "q_stream_cep_materialized",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 10000) AS BIGINT) AS v,
+             lead(CAST(round(value * 10000) AS BIGINT), 1)
+               OVER w AS v1,
+             lead(CAST(round(value * 10000) AS BIGINT), 2)
+               OVER w AS v2
+      FROM events WHERE event_id < 3000
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id AS start_id, v AS a_val_e4
+    FROM s WHERE v1 < v AND v2 > v1
+    """,
+    category="streaming",
+)
+def q_stream_cep_materialized(spark, sf_dir):
+    """STREAMING CEP graded e2e (ref: flink-cep NFA + nfa/sharedbuffer/
+    SharedBuffer.java — partial matches live in per-key state across
+    elements): the V-shape pattern (a; b.value < a; c.value > b) runs
+    over 5 ordered weekly replay waves through the tail-buffered
+    applyInPandasWithState NFA — matches SPANNING wave boundaries exist
+    only because the buffer carries partial matches across
+    micro-batches — and the materialized match set must equal the
+    batch lead-based formulation exactly."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from my_flink_1_10_2_spark.operators.cep import (
+        Pattern,
+        match_recognize_stream,
+    )
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 3000")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+            F.format_string(
+                "%020d-%012d",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+                F.col("event_id"),
+            ).alias("__ord"),
+            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_scep_")
+    try:
+        _os.makedirs(f"{work}/replay")
+        base = _time.time() - 3600
+        for w in range(5):
+            stage = f"{work}/stage/b{w}"
+            src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay/part-{w:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + w, base + w))
+
+        pattern = (
+            Pattern.begin("a", lambda r, c: True)
+            .next("b", lambda r, c: r["v"] < c["a"][-1]["v"])
+            .next("c", lambda r, c: r["v"] > c["b"][-1]["v"])
+        )
+        measures = {
+            "user_id": lambda m: int(m["a"][0]["user_id"]),
+            "start_id": lambda m: int(m["a"][0]["event_id"]),
+            "a_val_e4": lambda m: int(m["a"][0]["v"]),
+        }
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, v long, __ord string"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{work}/replay")
+        result = match_recognize_stream(
+            stream,
+            partition_by=["user_id"],
+            ts_col="__ord",
+            pattern=pattern,
+            measures=measures,
+            output_schema="user_id long, start_id long, a_val_e4 long",
+            max_pattern_rows=3,
+            after_match="skip_to_next_row",
+        )
+        sink = f"{work}/out"
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(sink).select("user_id", "start_id", "a_val_e4")
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -149,3 +149,75 @@ def q_text_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_compressed_seqfile_roundtrip",
+    oracle="""
+    SELECT event_type AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_e4
+    FROM events WHERE event_id < 2000 GROUP BY event_type
+    """,
+    category="formats",
+)
+def q_compressed_seqfile_roundtrip(spark, sf_dir):
+    """The two remaining format paths graded together (ref:
+    DataSet.writeAsText with compression / flink-hadoop-compatibility
+    SequenceFile I/O): half the rows round-trip through GZIP text, half
+    through a Hadoop SequenceFile (RDD bridge); the recombined rollup
+    must equal the source — format and codec choice cannot change the
+    relational content."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.batch import (
+        read_sequence_file,
+        read_text,
+        write_sequence_file,
+        write_text,
+    )
+
+    work = tempfile.mkdtemp(prefix="fl_seqgz_")
+    try:
+        src = (
+            read(spark, sf_dir, "events")
+            .where("event_id < 2000")
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+            )
+        )
+        gz_part = src.where("event_id % 2 = 0").select(
+            F.concat_ws("|", "event_type", "v_e4").alias("value")
+        )
+        write_text(gz_part, f"{work}/gz", compression="gzip")
+        seq_part = src.where("event_id % 2 = 1").select(
+            F.col("event_type").alias("key"),
+            F.col("v_e4").cast("string").alias("value"),
+        )
+        write_sequence_file(seq_part, f"{work}/seq")
+
+        gz_back = read_text(spark, f"{work}/gz")
+        col0 = gz_back.columns[0]
+        a = gz_back.select(
+            F.split(F.col(col0), r"\|")[0].alias("k"),
+            F.split(F.col(col0), r"\|")[1].cast("bigint").alias("v_e4"),
+        )
+        seq_back = read_sequence_file(spark, f"{work}/seq")
+        b = seq_back.select(
+            F.col(seq_back.columns[0]).alias("k"),
+            F.col(seq_back.columns[1]).cast("bigint").alias("v_e4"),
+        )
+        out = (
+            a.unionByName(b)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v_e4").cast("bigint").alias("v_e4"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -221,3 +221,50 @@ def q_compressed_seqfile_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_avro_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders WHERE o_orderkey < 6000 GROUP BY o_orderpriority
+    """,
+    category="formats",
+)
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro container roundtrip graded (ref: flink-formats/flink-avro
+    AvroOutputFormat.java / AvroInputFormat.java): orders write to Avro
+    (native jar when present, else the pure-Python spec codec with
+    deflate blocks — sources/avro_py.py) and read back; the rollup must
+    equal the source exactly, proving the whole binary encode/decode
+    path, not just the schema plumbing."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.batch import read_avro, write_avro
+
+    work = tempfile.mkdtemp(prefix="fl_avro_rt_")
+    try:
+        src = (
+            read(spark, sf_dir, "orders")
+            .where("o_orderkey < 6000")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        write_avro(src, f"{work}/orders_avro")
+        back = read_avro(spark, f"{work}/orders_avro")
+        out = back.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -127,6 +127,7 @@ _FLAGSHIP_ORDER = [
     "q_stream_cep_materialized",
     "q_compressed_seqfile_roundtrip",
     "q_avro_roundtrip",
+    "q_jdbc_roundtrip",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

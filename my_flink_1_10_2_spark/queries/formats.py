@@ -268,3 +268,59 @@ def q_avro_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_jdbc_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+    category="formats",
+)
+def q_jdbc_roundtrip(spark, sf_dir):
+    """JDBC connector graded against a REAL database (ref:
+    JDBCOutputFormat.java / JDBCInputFormat.java; option spellings per
+    JDBCValidator.java): nation writes through the Flink-option sink
+    into embedded Derby, reads back through the PARTITIONED parallel
+    source (read.partition.* quadruple → 4 concurrent range scans), and
+    the rollup must equal the parquet source — live SQL-database
+    evidence, not an option-mapping unit test."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.jdbc import jdbc_sink, jdbc_source
+
+    work = tempfile.mkdtemp(prefix="fl_jdbc_rt_")
+    url = f"jdbc:derby:{work}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey"
+        )
+        jdbc_sink(
+            src,
+            {"url": url, "table-name": "nation_t", "driver": driver},
+            mode="overwrite",
+        )
+        back = jdbc_source(
+            spark,
+            {
+                "url": url,
+                "table-name": "nation_t",
+                "driver": driver,
+                "read.partition.column": "n_nationkey",
+                "read.partition.num": 4,
+                "read.partition.lower-bound": 0,
+                "read.partition.upper-bound": 25,
+            },
+        )
+        out = back.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -234,3 +234,68 @@ def q_time_type_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_descriptor_csv_rollup",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="ddl",
+)
+def q_descriptor_csv_rollup(spark, sf_dir):
+    """The connect() descriptor API graded e2e (ref: flink-table-common
+    descriptors/ — TableEnvironment.connect(FileSystem).withFormat(Csv)
+    .withSchema(Schema): the canonical Flink 1.10 program-registration
+    surface): customers export to pipe-delimited CSV, mount through the
+    descriptor chain, and the SQL rollup over the mounted table must
+    equal the parquet source."""
+    from my_flink_1_10_2_spark.descriptors import FileSystem, OldCsv, Schema
+    from my_flink_1_10_2_spark.session import TableEnvironment
+
+    work = tempfile.mkdtemp(prefix="fl_desc_csv_")
+    try:
+        (
+            read(spark, sf_dir, "customer")
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .option("sep", "|")
+            .option("header", False)
+            .csv(os.path.join(work, "cust_csv"))
+        )
+        env = TableEnvironment(spark)
+        (
+            env.connect(FileSystem().path(os.path.join(work, "cust_csv")))
+            .with_format(OldCsv().field_delimiter("|"))
+            .with_schema(
+                Schema()
+                .field("c_custkey", "BIGINT")
+                .field("c_mktsegment", "STRING")
+                .field("cents", "BIGINT")
+            )
+            .create_temporary_table("cust_desc")
+        )
+        out = env.sql_query(
+            """
+            SELECT c_mktsegment AS segment,
+                   count(*) AS n,
+                   sum(cents) AS balance_cents
+            FROM cust_desc GROUP BY c_mktsegment
+            """
+        ).to_df()
+        out = out.select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("balance_cents").cast("bigint").alias("balance_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

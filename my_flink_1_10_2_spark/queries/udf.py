@@ -166,3 +166,42 @@ def q_async_enrich(spark, sf_dir):
     return async_enrich(
         nation, lookup, "n_nationkey int, n_name string, name_len int, double_key int"
     )
+
+
+@register(
+    "q_pyflink_udf_api",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT) * 2 + 7)
+                AS BIGINT) AS adj_cents
+    FROM part GROUP BY p_brand
+    """,
+    category="udf",
+)
+def q_pyflink_udf_api(spark, sf_dir):
+    """The PyFlink ``udf()`` decorator surface graded e2e (ref:
+    flink-python pyflink/table/udf.py — udf(f, result_type=...) used in
+    SQL): a vectorized scalar function declared through the compat API
+    (compiled to an Arrow pandas_udf, never a row-at-a-time eval),
+    registered by name, applied in SQL, and the rollup must equal the
+    closed-form oracle."""
+    from my_flink_1_10_2_spark.functions.udf_api import udf
+    from my_flink_1_10_2_spark.types import DataTypes
+
+    adjust = udf(
+        lambda cents: cents * 2 + 7, result_type=DataTypes.BIGINT()
+    )
+    spark.udf.register("adjust_cents", adjust)
+    read(spark, sf_dir, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("part_cents")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n,
+               CAST(sum(adjust_cents(cents)) AS BIGINT) AS adj_cents
+        FROM part_cents GROUP BY p_brand
+        """
+    )

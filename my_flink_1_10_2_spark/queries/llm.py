@@ -1700,3 +1700,82 @@ def q_embedding_topk_pq(spark, sf_dir):
 
     emb = read(spark, sf_dir, "embeddings")
     return pq_topk_adc(emb, emb.filter("vec_id < 10"), k=5, m=4, ksub=16)
+
+
+_BM25_SCORED_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('hash','merge','window') GROUP BY 1,2),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) AS dl_sum),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+        (ln((CAST(n AS DOUBLE) - df + 0.5)/(df + 0.5) + 1.0)
+          * (CAST(tf AS DOUBLE) * 2.2))
+        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+            / (CAST(dl_sum AS DOUBLE) / CAST(n AS DOUBLE)))) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+    )
+"""
+
+
+@register(
+    "q_bm25_term_scores",
+    oracle=_BM25_SCORED_CTE
+    + """
+    SELECT doc_id, term, tf, dl, score,
+           CAST(round(score * 1000000.0) AS BIGINT) AS score_e6
+    FROM scored
+    """,
+    category="llm_text",
+)
+def q_bm25_term_scores(spark, sf_dir):
+    """Okapi BM25 per-(document, term) scores (`llm/ranking.py`) for the
+    query {hash, merge, window} — k1=1.2 length-saturated tf, b=0.75
+    length normalization against corpus avgdl.  The raw DOUBLE score is
+    graded bitwise: tf/df/dl/N are exact grouped counts, avgdl is one
+    IEEE division, and idf's ln runs through libm (Arrow UDF over the
+    3-row per-term df relation) which matches DuckDB's ln bit-for-bit —
+    the JVM log intrinsic differs by 1 ulp on ~7% of inputs, so the
+    engine-side F.log is deliberately NOT in this plan."""
+    from my_flink_1_10_2_spark.llm.ranking import bm25_term_scores
+
+    return bm25_term_scores(
+        read(spark, sf_dir, "documents"), ["hash", "merge", "window"]
+    )
+
+
+@register(
+    "q_bm25_ranking",
+    oracle=_BM25_SCORED_CTE
+    + """
+    , totals AS (
+      SELECT doc_id, max(dl) AS dl, count(*) AS n_terms_hit,
+             CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS score_e6
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, dl, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           score_e6, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+      FROM totals) WHERE rank <= 10
+    """,
+    category="llm_text",
+)
+def q_bm25_ranking(spark, sf_dir):
+    """Top-10 documents by total BM25 for {hash, merge, window}: term
+    scores quantized to exact 1e-6 integer units BEFORE the per-doc sum,
+    so the total is order-independent BIGINT arithmetic and the ranking
+    replays exactly.  Plan: one corpus shuffle on (doc, term), broadcast
+    df/idf + corpus stats, TakeOrderedAndProject for the global top-k —
+    no single-task window touches the corpus-sized relation."""
+    from my_flink_1_10_2_spark.llm.ranking import bm25_rank
+
+    return bm25_rank(read(spark, sf_dir, "documents"), ["hash", "merge", "window"], k=10)

@@ -187,3 +187,94 @@ def dup_ngram_stats(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al., "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", 2021 — §A1.1).
+# Every threshold is an integer CROSS-MULTIPLIED comparison (e.g. mean
+# word length in [3,10] becomes 3·w <= chars <= 10·w), so the whole rule
+# set is exact BIGINT arithmetic — no float ratios, bitwise replayable
+# by any SQL engine, and pure codegen at 100 TB (zero Python, zero
+# shuffles: one projection).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(text_col) -> dict[str, Column]:
+    """The integer counting statistics under the Gopher rules: word
+    count, chars-in-words, alpha-bearing words, symbol counts (#, ...,
+    …), line bullet/ellipsis counts, distinct required-stopword hits."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    lines = F.split(c, "\n")
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_dots = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_uellip = F.length(c) - F.length(F.regexp_replace(c, "…", ""))
+    lower_words = F.transform(words, F.lower)
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.when(F.array_contains(lower_words, sw), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return {
+        "n_words": F.size(words).cast("bigint"),
+        "n_word_chars": F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+        "n_alpha_words": F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("bigint"),
+        "n_symbols": (n_hash.cast("bigint") + n_dots + n_uellip.cast("bigint")),
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_bullet_lines": F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("•") | l.startswith("- ") | l.startswith("* "),
+            )
+        ).cast("bigint"),
+        "n_ellipsis_lines": F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("bigint"),
+        "n_stop_hits": stop_hits.cast("bigint"),
+    }
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Append the Gopher §A1.1 counting statistics, one 0/1 flag per
+    rule, and the conjunctive ``passes_gopher`` verdict:
+
+      word count in [min_words, max_words]; mean word length in [3,10];
+      symbol-to-word ratio (#, ..., …) <= 0.1; < 90% of lines
+      bullet-started; < 30% of lines ellipsis-ended; >= 80% of words
+      contain an alphabetic character; >= 2 distinct required stopwords.
+    """
+    s = gopher_stats(text_col)
+    out = df
+    for name, col in s.items():
+        out = out.withColumn(name, col)
+    w, ch = F.col("n_words"), F.col("n_word_chars")
+    flags = {
+        "flag_word_count": (w >= min_words) & (w <= max_words),
+        "flag_mean_word_len": (F.lit(3) * w <= ch) & (ch <= F.lit(10) * w),
+        "flag_symbol_ratio": F.lit(10) * F.col("n_symbols") <= w,
+        "flag_bullet_lines": F.lit(10) * F.col("n_bullet_lines")
+        <= F.lit(9) * F.col("n_lines"),
+        "flag_ellipsis_lines": F.lit(10) * F.col("n_ellipsis_lines")
+        <= F.lit(3) * F.col("n_lines"),
+        "flag_alpha_words": F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * w,
+        "flag_stopwords": F.col("n_stop_hits") >= 2,
+    }
+    passes = None
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond.cast("int"))
+        passes = cond if passes is None else passes & cond
+    return out.withColumn("passes_gopher", passes.cast("int"))

@@ -106,6 +106,7 @@ _FLAGSHIP_ORDER = [
     "q_embedding_topk_pq",
     "q_bm25_term_scores",
     "q_bm25_ranking",
+    "q_gopher_quality",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -1779,3 +1779,76 @@ def q_bm25_ranking(spark, sf_dir):
     from my_flink_1_10_2_spark.llm.ranking import bm25_rank
 
     return bm25_rank(read(spark, sf_dir, "documents"), ["hash", "merge", "window"], k=10)
+
+
+@register(
+    "q_gopher_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(str_split_regex(text, '\s+'), t -> t != '') AS words,
+             str_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_dots,
+             length(text) - length(replace(text, '…', '')) AS n_uellip
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+             AS BIGINT) AS n_word_chars,
+        CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha_words,
+        CAST(n_hash + n_dots + n_uellip AS BIGINT) AS n_symbols,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, l -> starts_with(l, '•')
+              OR starts_with(l, '- ') OR starts_with(l, '* ')))
+             AS BIGINT) AS n_bullet_lines,
+        CAST(len(list_filter(lines, l -> ends_with(l, '...')
+              OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines,
+        CAST((CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'the') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'be') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'to') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'of') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'and') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'that') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'have') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'with') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_stop_hits
+      FROM base
+    )
+    SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS flag_word_count,
+           CAST(CASE WHEN 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words THEN 1 ELSE 0 END AS INT) AS flag_mean_word_len,
+           CAST(CASE WHEN 10*n_symbols <= n_words THEN 1 ELSE 0 END AS INT) AS flag_symbol_ratio,
+           CAST(CASE WHEN 10*n_bullet_lines <= 9*n_lines THEN 1 ELSE 0 END AS INT) AS flag_bullet_lines,
+           CAST(CASE WHEN 10*n_ellipsis_lines <= 3*n_lines THEN 1 ELSE 0 END AS INT) AS flag_ellipsis_lines,
+           CAST(CASE WHEN 5*n_alpha_words >= 4*n_words THEN 1 ELSE 0 END AS INT) AS flag_alpha_words,
+           CAST(CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS flag_stopwords,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+                      AND 10*n_symbols <= n_words
+                      AND 10*n_bullet_lines <= 9*n_lines
+                      AND 10*n_ellipsis_lines <= 3*n_lines
+                      AND 5*n_alpha_words >= 4*n_words
+                      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS passes_gopher
+    FROM stats
+    """,
+    category="llm_text",
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher §A1.1 quality rule set (`llm/text.py::gopher_flags`) over
+    the documents table: word-count bounds, mean-word-length window,
+    symbol/bullet/ellipsis ratios, alpha-word fraction and required
+    stopwords — every threshold cross-multiplied to exact BIGINT
+    comparisons (no float ratios), so each per-rule flag and the
+    conjunctive verdict replay bitwise.  One projection, zero shuffles,
+    whole-stage codegen."""
+    from my_flink_1_10_2_spark.llm.text import gopher_flags
+
+    return gopher_flags(read(spark, sf_dir, "documents")).drop(
+        "text", "lang", "source", "n_chars"
+    )

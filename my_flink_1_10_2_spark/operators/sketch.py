@@ -386,3 +386,91 @@ def bloom_probe(
         (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"), F.lit(0))))
         .alias("maybe_present")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra — union / intersection / Jaccard from two sketches
+# (Beyer, Haas, Reinwald, Sismanis & Gemulla, "On synopses for
+# distinct-value estimation under multiset operations", SIGMOD 2007 —
+# the theta-sketch idea production systems ship).  The point at 100 TB:
+# the two inputs are reduced to k-row synopses INDEPENDENTLY (one scan
+# each, O(k) shuffle), and every set-operation estimate is computed from
+# the 2k sketch rows alone — no join of the raw relations ever happens.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The KMV synopsis itself: the k smallest distinct md5 hashes of
+    ``col``, as rows (h double).  Mergeable (k smallest of a union of
+    sketches = sketch of the union) and engine-portable — DuckDB
+    reproduces every hash bit."""
+    return (
+        df.select(_norm_hash(col).alias("h"))
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimates for A, B, A∪B, A∩B and the Jaccard
+    index from two k-size KMV sketches — one output row.
+
+    Estimator: merge the sketches, keep the k smallest hashes; with
+    θ = the k-th smallest, est(A∪B) = (k-1)/θ; c = |{h ≤ θ seen in both
+    sketches}| gives Jaccard ≈ c/k and est(A∩B) = (c/k)·est(A∪B).
+    When the merged sketch does not fill (fewer than k distinct hashes
+    total), every sketch is the EXACT hash set and the outputs collapse
+    to exact counts — the same closed-form branch both engines take.
+
+    All arithmetic after the integer counts is single IEEE divisions /
+    products of identical operands, so the estimates (not just the
+    sketch rows) replay bitwise in the SQL oracle.  The whole plan is
+    lazy: two O(k) sketch reductions, a 2k-row merge, 1-row aggregates —
+    nothing driver-side.
+    """
+    sa, sb = kmv_sketch(df_a, col_a, k), kmv_sketch(df_b, col_b, k)
+    tagged = sa.select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    ).unionAll(sb.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    g = tagged.groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    mtop = g.orderBy("h").limit(k)
+    m = mtop.agg(
+        F.count("*").cast("bigint").alias("n_m"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("c"),
+    )
+    astats = sa.agg(F.count("*").cast("bigint").alias("n_a"), F.max("h").alias("ha"))
+    bstats = sb.agg(F.count("*").cast("bigint").alias("n_b"), F.max("h").alias("hb"))
+    row = m.crossJoin(astats).crossJoin(bstats)
+    kk = F.lit(float(k - 1))
+    n_m, theta, c = F.col("n_m"), F.col("theta"), F.col("c")
+    filled = n_m >= k
+    est_a = F.when(F.col("n_a") < k, F.col("n_a").cast("double")).otherwise(
+        kk / F.col("ha")
+    )
+    est_b = F.when(F.col("n_b") < k, F.col("n_b").cast("double")).otherwise(
+        kk / F.col("hb")
+    )
+    est_union = F.when(~filled, n_m.cast("double")).otherwise(kk / theta)
+    jaccard = F.when(n_m == 0, F.lit(0.0)).otherwise(
+        F.when(~filled, c.cast("double") / n_m.cast("double")).otherwise(
+            c.cast("double") / F.lit(float(k))
+        )
+    )
+    est_inter = F.when(~filled, c.cast("double")).otherwise(jaccard * est_union)
+    return row.select(
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+        jaccard.alias("jaccard"),
+    )

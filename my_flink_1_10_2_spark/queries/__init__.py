@@ -107,6 +107,7 @@ _FLAGSHIP_ORDER = [
     "q_bm25_term_scores",
     "q_bm25_ranking",
     "q_gopher_quality",
+    "q_kmv_set_ops",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -19,9 +19,14 @@ from my_flink_1_10_2_spark.operators.sketch import (
 )
 from my_flink_1_10_2_spark.queries import read, register
 
+# Cast the 60-bit integer to DOUBLE *before* adding 1.0 — the order
+# Spark's _norm_hash uses (conv → string → double, then +1.0).  Adding
+# in integer space first (x + 1.0 on the BIGINT) rounds nearest(x+1)
+# instead of nearest(x)+1, which differs by 1 ulp on ~1/3 of values;
+# with cast-first the hash doubles are bitwise identical across engines.
 _HASH = (
-    "(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT + 1.0)"
-    " / power(16.0, 15)"
+    "(CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+    " AS DOUBLE) + 1.0) / power(16.0, 15)"
 )
 
 
@@ -257,3 +262,63 @@ def q_hll_estimate(spark, sf_dir):
 
     regs = hll_registers(read(spark, sf_dir, "events"), ["event_type"], "user_id", b=4)
     return hll_estimate(regs, ["event_type"], b=4)
+
+
+@register(
+    "q_kmv_set_ops",
+    oracle=f"""
+    WITH sa AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_HASH.format(col="user_id")} AS h
+        FROM events WHERE event_type = 'click')
+      ORDER BY h LIMIT 64
+    ),
+    sb AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_HASH.format(col="user_id")} AS h
+        FROM events WHERE event_type = 'purchase')
+      ORDER BY h LIMIT 64
+    ),
+    tagged AS (
+      SELECT h, 1 AS in_a, 0 AS in_b FROM sa
+      UNION ALL SELECT h, 0 AS in_a, 1 AS in_b FROM sb
+    ),
+    g AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM tagged GROUP BY h),
+    mtop AS (SELECT * FROM g ORDER BY h LIMIT 64),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_m, max(h) AS theta,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS c FROM mtop),
+    astats AS (SELECT CAST(count(*) AS BIGINT) AS n_a, max(h) AS ha FROM sa),
+    bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_b, max(h) AS hb FROM sb)
+    SELECT
+      CASE WHEN n_a < 64 THEN CAST(n_a AS DOUBLE) ELSE 63.0 / ha END AS est_a,
+      CASE WHEN n_b < 64 THEN CAST(n_b AS DOUBLE) ELSE 63.0 / hb END AS est_b,
+      CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE) ELSE 63.0 / theta END
+        AS est_union,
+      CASE WHEN n_m < 64 THEN CAST(c AS DOUBLE)
+           ELSE (CAST(c AS DOUBLE) / 64.0) * (63.0 / theta) END
+        AS est_intersection,
+      CASE WHEN n_m = 0 THEN 0.0
+           WHEN n_m < 64 THEN CAST(c AS DOUBLE) / CAST(n_m AS DOUBLE)
+           ELSE CAST(c AS DOUBLE) / 64.0 END AS jaccard
+    FROM m, astats, bstats
+    """,
+    category="sketch",
+)
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV set algebra (theta-sketch style, `operators/sketch.py::
+    kmv_set_ops`): distinct clicking users vs purchasing users — A, B,
+    A∪B, A∩B estimates and Jaccard, all from two k=64 synopses.  The
+    raw relations are never joined: each side reduces to k hashes
+    independently (the 100 TB property), and every estimate is a single
+    IEEE division/product of exact operands, graded bitwise with no
+    rounding."""
+    from my_flink_1_10_2_spark.operators.sketch import kmv_set_ops
+
+    events = read(spark, sf_dir, "events")
+    return kmv_set_ops(
+        events.where(F.col("event_type") == "click"),
+        "user_id",
+        events.where(F.col("event_type") == "purchase"),
+        "user_id",
+        k=64,
+    )

@@ -212,3 +212,58 @@ def test_bloom_no_false_negatives_bounded_fp(spark):
     assert len(absent) >= 2000
     fp = sum(got[k] for k in absent) / len(absent)
     assert fp < 0.15, f"false-positive rate {fp:.3f} far above the bound"
+
+
+# --- KMV set algebra -------------------------------------------------------
+
+
+def test_kmv_set_ops_exact_when_under_k(spark):
+    from my_flink_1_10_2_spark.operators.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(20)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(10, 25)], "v int")
+    r = kmv_set_ops(a, "v", b, "v", k=256).collect()[0]
+    assert r["est_a"] == 20.0
+    assert r["est_b"] == 15.0
+    assert r["est_union"] == 25.0
+    assert r["est_intersection"] == 10.0
+    assert abs(r["jaccard"] - 10 / 25) < 1e-12
+
+
+def test_kmv_set_ops_estimates_within_tolerance(spark):
+    from my_flink_1_10_2_spark.operators.sketch import kmv_set_ops
+
+    n = 2000
+    a = spark.createDataFrame([(i,) for i in range(n)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(n // 2, n + n // 2)], "v int")
+    r = kmv_set_ops(a, "v", b, "v", k=256).collect()[0]
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(r["est_a"] - n) / n < 0.25
+    assert abs(r["est_union"] - 1.5 * n) / (1.5 * n) < 0.25
+    assert abs(r["est_intersection"] - n / 2) / (n / 2) < 0.5
+    assert 0.15 < r["jaccard"] < 0.55  # true 1/3
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    from my_flink_1_10_2_spark.operators.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1030)], "v int")
+    r = kmv_set_ops(a, "v", b, "v", k=128).collect()[0]
+    assert r["est_intersection"] == 0.0 and r["jaccard"] == 0.0
+    r = kmv_set_ops(a, "v", a, "v", k=128).collect()[0]
+    assert r["jaccard"] == 1.0 and r["est_intersection"] == 30.0
+
+
+def test_kmv_set_ops_never_joins_raw_relations(spark):
+    """The plan must reduce each input to a k-row synopsis before any
+    cross-sketch operation — no join node may consume a raw scan."""
+    from my_flink_1_10_2_spark.operators.sketch import kmv_set_ops
+
+    a = spark.range(1000).selectExpr("id AS v")
+    b = spark.range(500, 1500).selectExpr("id AS v")
+    plan = kmv_set_ops(a, "v", b, "v", k=64)._jdf.queryExecution().optimizedPlan().toString()
+    # The only joins allowed are the two cross-combines of the 1-row
+    # aggregate frames; no equi/theta join may touch the raw inputs.
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(joins) == 2 and all("Cross" in ln for ln in joins), joins

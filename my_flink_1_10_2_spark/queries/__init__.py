@@ -108,6 +108,7 @@ _FLAGSHIP_ORDER = [
     "q_bm25_ranking",
     "q_gopher_quality",
     "q_kmv_set_ops",
+    "q_pca_projection",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -1852,3 +1852,89 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_flags(read(spark, sf_dir, "documents")).drop(
         "text", "lang", "source", "n_chars"
     )
+
+
+def _pca_oracle(iterations: int = 12, dim: int = 64) -> str:
+    """Unrolled power-iteration oracle replicating `llm/pca.py` exactly:
+    HUGEINT Gram/covariance/mat-vec (exact), correctly-rounded
+    HUGEINT→DOUBLE conversions, the same (w/max|w|)*1e6 +
+    sign·floor(|x|+0.5) re-quantization each round, first-nonzero sign
+    fix, exact BIGINT projections."""
+    requant = """
+    q{t} AS (SELECT max(abs(CAST(w AS DOUBLE))) AS q FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT i, CAST(CASE WHEN q = 0 THEN 0
+        WHEN CAST(w AS DOUBLE) < 0
+          THEN -floor(abs((CAST(w AS DOUBLE) / q) * 1000000.0) + 0.5)
+        ELSE floor(abs((CAST(w AS DOUBLE) / q) * 1000000.0) + 0.5)
+        END AS HUGEINT) AS v
+      FROM w{t} CROSS JOIN q{t})"""
+    its = []
+    prev = "v0"
+    for t in range(1, iterations + 1):
+        its.append(
+            f"""
+    w{t} AS MATERIALIZED (SELECT c.i, CAST(sum(cc * v.v) AS HUGEINT) AS w
+             FROM c JOIN {prev} v ON v.i = c.j GROUP BY 1),"""
+            + requant.format(t=t)
+        )
+        prev = f"v{t}"
+    return (
+        f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(0,{dim})) AS i),
+    pairs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b),
+    sm AS (
+      SELECT p.i, p.j,
+             CAST(sum(CAST(list_extract(vi, CAST(p.i+1 AS BIGINT)) AS HUGEINT)
+                      * list_extract(vi, CAST(p.j+1 AS BIGINT))) AS HUGEINT) AS s
+      FROM corpus, pairs p GROUP BY 1, 2
+    ),
+    mm AS (SELECT i.i,
+                  CAST(sum(list_extract(vi, CAST(i.i+1 AS BIGINT))) AS HUGEINT) AS m
+           FROM corpus, idx i GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM corpus),
+    c AS MATERIALIZED (
+      SELECT sm.i, sm.j, (n * s - ma.m * mb.m) AS cc
+      FROM sm JOIN mm ma ON ma.i = sm.i JOIN mm mb ON mb.i = sm.j CROSS JOIN nn
+    ),
+    v0 AS (SELECT i, CAST(1 AS HUGEINT) AS v FROM idx),"""
+        + ",".join(its)
+        + f""",
+    sgn AS (SELECT CASE WHEN (SELECT v FROM {prev} WHERE v <> 0
+                              ORDER BY i LIMIT 1) < 0
+                        THEN -1 ELSE 1 END AS sg),
+    comp AS (SELECT i, v * sg AS e FROM {prev} CROSS JOIN sgn)
+    SELECT vec_id,
+           CAST(sum(CAST(list_extract(vi, CAST(comp.i+1 AS BIGINT)) AS HUGEINT)
+                    * comp.e) AS BIGINT) AS proj
+    FROM corpus, comp GROUP BY 1
+    """
+    )
+
+
+@register("q_pca_projection", oracle=_pca_oracle(), category="llm_similarity")
+def q_pca_projection(spark, sf_dir):
+    """Distributed PCA (`llm/pca.py`): project every embedding onto the
+    top principal component.  One Arrow pass computes the integer Gram
+    matrix as partition-local int64 matmul partials (shuffle =
+    partitions x dim^2, never the data); the dim x dim covariance is
+    O(dim^2) driver metadata (like the IVF centroid list) where an
+    exact-integer power iteration with an engine-portable
+    re-quantization protocol runs 12 rounds; projections are exact
+    BIGINT dot products.  (Convergence rate is the method's (l2/l1)^t —
+    near 1 on this isotropic fixture — so what is graded here is the
+    deterministic factorization protocol; convergence quality is tested
+    on a planted-spectrum corpus in tests/test_pca.py.)  The oracle replays the ENTIRE factorization —
+    Gram, covariance, all 12 iterations, sign fix, projections —
+    bitwise."""
+    from my_flink_1_10_2_spark.llm.pca import pca_project, pca_top_component
+
+    emb = read(spark, sf_dir, "embeddings")
+    comp = pca_top_component(emb, iterations=12)
+    return pca_project(emb, comp)

@@ -80,6 +80,14 @@ HEADLINE = [
     "q_embedding_topk_ivf",
     "q_bpe_vocab",
     "q_semantic_neardup_ivf",
+    # round-4 second wave: the PQ/ADC index (compressed-corpus scan),
+    # BM25 (two-level corpus stats + broadcast idf), the Gopher rule
+    # projection, and the PCA factorization (Arrow Gram pass + exact
+    # power iteration)
+    "q_embedding_topk_pq",
+    "q_bm25_ranking",
+    "q_gopher_quality",
+    "q_pca_projection",
 ]
 
 

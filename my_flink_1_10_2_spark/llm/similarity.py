@@ -662,3 +662,39 @@ def cosine_topk_ivf_int(
         ascending=True,
         rank_col="rank",
     )
+
+
+def standardize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-dimension z-score standardization (the whitening-lite step
+    before distance-based dedup/clustering): returns the long form
+    (id, i, z) with z = (v_i - mean_i) / std_i over integer-unit
+    vectors.
+
+    Exactness: per-dimension sums and sums-of-squares are exact BIGINTs
+    (partial-agg shuffle of partitions×dim rows), the population
+    variance numerator ``n·ss − m²`` is exact, and mean/var/std/z are a
+    fixed sequence of IEEE ops (one division, one sqrt — both correctly
+    rounded) — bitwise identical in any engine.  Zero-variance
+    dimensions yield NULL z (0/0), the honest answer."""
+    vi = int_vec(F.col(vec_col), scale)
+    longf = emb.select(F.col(id_col), F.posexplode(vi).alias("i", "v"))
+    stats = longf.groupBy("i").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("m"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("m").cast("double") / F.col("n").cast("double")
+    var = (F.col("n") * F.col("ss") - F.col("m") * F.col("m")).cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    std = F.sqrt(var)
+    return longf.join(F.broadcast(stats), "i").select(
+        id_col,
+        "i",
+        F.when(std != 0.0, (F.col("v").cast("double") - mean) / std).alias("z"),
+    )

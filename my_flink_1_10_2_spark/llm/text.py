@@ -278,3 +278,62 @@ def gopher_flags(
         out = out.withColumn(name, cond.cast("int"))
         passes = cond if passes is None else passes & cond
     return out.withColumn("passes_gopher", passes.cast("int"))
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 64,
+    seed: int = 0,
+    out_col: str = "fh",
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., "Feature hashing
+    for large scale multitask learning", ICML 2009): token → md5 bucket
+    in [0, num_features), signed by the hash parity, counts accumulated
+    into a dense BIGINT vector — vocabulary-free text vectorization, the
+    standard first step when a 100 TB corpus can't materialize a vocab.
+
+    Plan shape: explode → one (id, bucket)-keyed partial-agg shuffle →
+    per-doc dense assembly from the sparse map (a single 64-lookup pass,
+    not a per-bucket scan of the token list).  Deterministic md5
+    construction (the sketch-module idiom), so any engine reproduces the
+    identical vector."""
+    c = F.col(text_col)
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")).alias(
+            "__w"
+        ),
+    )
+    hx = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"fh|{seed}|"), F.col("__w"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = words.select(
+        id_col,
+        (hx % num_features).alias("__b"),
+        F.when(hx % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("__s"),
+    )
+    sparse = hashed.groupBy(id_col, "__b").agg(
+        F.sum("__s").cast("bigint").alias("__v")
+    )
+    assembled = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.array_agg(F.struct(F.col("__b"), F.col("__v")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(num_features - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    # documents with no tokens get the all-zero vector via the left join
+    zeros = F.array(*[F.lit(0).cast("bigint")] * num_features)
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(id_col, F.coalesce(dense, zeros).alias(out_col))
+    )

@@ -109,6 +109,9 @@ _FLAGSHIP_ORDER = [
     "q_gopher_quality",
     "q_kmv_set_ops",
     "q_pca_projection",
+    "q_feature_hash",
+    "q_markov_transitions",
+    "q_embedding_standardize",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -1938,3 +1938,84 @@ def q_pca_projection(spark, sf_dir):
     emb = read(spark, sf_dir, "embeddings")
     comp = pca_top_component(emb, iterations=12)
     return pca_project(emb, comp)
+
+
+@register(
+    "q_feature_hash",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                  t -> t != '')) AS w
+        FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('fh|0|' || w), 1, 15))::BIGINT % 64 AS b,
+             CASE WHEN ('0x' || substr(md5('fh|0|' || w), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM words
+    ),
+    sparse AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+               FROM hashed GROUP BY 1, 2),
+    dense AS (
+      SELECT d.doc_id, i.i, coalesce(s.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+      LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.b = i.i
+    )
+    SELECT doc_id, list(v ORDER BY i) AS fh FROM dense GROUP BY doc_id
+    """,
+    category="llm_text",
+)
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick text vectorization (`llm/text.py::feature_hash`):
+    64-bucket signed md5 feature vectors per document — vocabulary-free
+    featurization for corpora too large to build a vocab over.  Explode
+    → one (doc, bucket)-keyed partial-agg shuffle → dense assembly from
+    the per-doc sparse map; every count is exact BIGINT and the md5
+    bucketing replays identically in SQL, so the full dense vector is
+    graded bitwise."""
+    from my_flink_1_10_2_spark.llm.text import feature_hash
+
+    return feature_hash(read(spark, sf_dir, "documents"), num_features=64)
+
+
+@register(
+    "q_embedding_standardize",
+    oracle="""
+    WITH longf AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           (SELECT unnest(range(1, 65)) AS i)
+    ),
+    stats AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS m,
+             CAST(sum(v * v) AS BIGINT) AS ss
+      FROM longf GROUP BY i
+    )
+    SELECT l.vec_id, l.i,
+           CASE WHEN sqrt(CAST(s.n * s.ss - s.m * s.m AS DOUBLE)
+                          / CAST(s.n * s.n AS DOUBLE)) <> 0.0
+                THEN (CAST(l.v AS DOUBLE)
+                      - CAST(s.m AS DOUBLE) / CAST(s.n AS DOUBLE))
+                     / sqrt(CAST(s.n * s.ss - s.m * s.m AS DOUBLE)
+                            / CAST(s.n * s.n AS DOUBLE))
+           END AS z
+    FROM longf l JOIN stats s ON s.i = l.i
+    """,
+    category="llm_similarity",
+)
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus
+    (`llm/similarity.py::standardize_embeddings`): exact BIGINT moment
+    sums (partial-agg shuffle of partitions×dim rows), population
+    variance as the exact integer numerator n·ss − m², then one
+    division + one sqrt + one subtraction/division per element — every
+    z DOUBLE graded bitwise, no rounding."""
+    from my_flink_1_10_2_spark.llm.similarity import standardize_embeddings
+
+    return standardize_embeddings(read(spark, sf_dir, "embeddings"))

@@ -402,3 +402,55 @@ def q_mixture_apply(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM trans GROUP BY 1)
+    SELECT t.src, t.dst, t.n,
+           CAST(t.n AS DOUBLE) / CAST(o.n_src AS DOUBLE) AS p
+    FROM trans t JOIN tot o ON o.src = t.src
+    """,
+    category="pipeline",
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences —
+    the behavioral-model kernel (next-event prediction priors, funnel
+    leak analysis).  Per-user ordering is (ts, event_id) — a total
+    order, so the lead() pairing is deterministic; counts are exact and
+    each probability is ONE IEEE division of exact integers, graded
+    bitwise without rounding.  Plan: one keyed window shuffle on
+    user_id, then a 25-row matrix aggregate."""
+    from pyspark.sql import Window as W
+
+    events = read(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("dst"),
+    )
+    trans = (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("n").cast("bigint").alias("n_src"))
+    return trans.join(tot, "src").select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
+    )

@@ -215,3 +215,221 @@ def pq_topk_adc(
         ascending=True,
         rank_col="rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — the full Jégou/Douze/Schmid index (TPAMI 2011 §IV): an IVF
+# coarse quantizer prunes the search to n_probe inverted lists, and a
+# PQ codebook built on RESIDUALS (v − centroid) encodes what the coarse
+# step left over.  This is the shape production ANN ships at 100 TB:
+# the corpus is partitioned by centroid (only probed lists are
+# scanned — partition pruning does the skipping), each row stores m
+# bytes of residual code, and query cost is n_probe distance tables +
+# an ADC scan of the probed lists.
+# ---------------------------------------------------------------------------
+
+
+def _coarse_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> list[list[int]]:
+    """Deterministic coarse quantizer: the n_centroids lowest-id corpus
+    vectors in integer units (the q_embedding_topk_ivf_fixed recipe).
+    O(n_centroids·dim) driver metadata."""
+    rows = (
+        corpus.select(id_col, int_vec(F.col(vec_col), scale).alias("__vi"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError("ivfadc: corpus smaller than n_centroids")
+    return [[int(v) for v in r["__vi"]] for r in rows]
+
+
+def _assign_and_residual_kernel(cents, n_take: int | None = None):
+    """numpy: exact int64 L2**2 argmin over the coarse centroids (ties
+    to the lowest index) and the integer residual vectors.  With
+    ``n_take``: the n_take nearest centroids per row (probe lists),
+    ordered by (distance, index)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64)  # (nc, dim)
+
+    def one(vi_mat):
+        diff = vi_mat[:, None, :] - C[None, :, :]  # (n, nc, dim)
+        d = (diff * diff).sum(axis=2)  # exact int64
+        if n_take is None:
+            code = d.argmin(axis=1)  # first min = lowest index
+            res = vi_mat - C[code]
+            return code, res
+        order = np.argsort(d, axis=1, kind="stable")  # ties → lowest index
+        return order[:, :n_take], d
+
+    return one
+
+
+def ivfadc_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+):
+    """Build the IVFADC index: returns (coded, cents, codebooks) where
+    ``coded`` is (id, centroid, codes) — the persisted form: an int
+    list id + m small codes per vector, partitionable by ``centroid``
+    so a probe scans only its lists.  The residual PQ codebooks are the
+    subvectors of the first ksub residuals in id order (deterministic,
+    O(ksub·dim) metadata)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _coarse_centroids(corpus, n_centroids, id_col, vec_col, scale)
+    assign = _assign_and_residual_kernel(cents)
+
+    src = corpus.select(id_col, int_vec(F.col(vec_col), scale).alias("__vi"))
+
+    def res_kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vi = np.stack(b["__vi"].to_numpy()).astype(np.int64)
+            code, res = assign(vi)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "centroid": code.astype("int32"),
+                    "__res": list(res),
+                }
+            )
+
+    residuals = src.mapInPandas(
+        res_kernel, f"{id_col} long, centroid int, __res array<long>"
+    )
+    # deterministic residual codebooks: subvectors of the first ksub
+    # residuals in id order
+    head = residuals.orderBy(id_col).limit(ksub).select("__res").collect()
+    if len(head) < ksub:
+        raise ValueError("ivfadc: corpus smaller than ksub")
+    dim = len(head[0]["__res"])
+    if dim % m:
+        raise ValueError(f"ivfadc: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = [
+        [[int(v) for v in r["__res"][i * dsub : (i + 1) * dsub]] for r in head]
+        for i in range(m)
+    ]
+
+    def code_kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            res = np.stack(b["__res"].to_numpy()).astype(np.int64)
+            codes = _subdist_tables(res, codebooks).argmin(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "centroid": b["centroid"].to_numpy(),
+                    "codes": [row.astype("int32") for row in codes],
+                }
+            )
+
+    coded = residuals.mapInPandas(
+        code_kernel, f"{id_col} long, centroid int, codes array<int>"
+    )
+    return coded, cents, codebooks
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVFADC approximate k-NN: probe the ``n_probe`` nearest coarse
+    lists, ADC-scan only those lists with per-(query, probed-centroid)
+    residual distance tables.  Returns (query_id, vec_id, adist, rank)
+    with ``adist`` the exact BIGINT ADC distance — every stage
+    (assignment, residuals, codes, probes, tables, sums, ranking) is
+    integer-exact and SQL-replayable.
+
+    Scale: the corpus relation is (centroid, m codes) — partitioned by
+    centroid, only probed partitions are read; the query side is
+    queries×n_probe rows of m·ksub longs, broadcast into an equi-join
+    on ``centroid`` (a bucket join, not a cross join)."""
+    import numpy as np
+    import pandas as pd
+
+    n_queries = queries.limit(_MAX_QUERY_ROWS + 1).count()
+    if n_queries > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"ivfadc_topk: query set exceeds {_MAX_QUERY_ROWS} rows — batch "
+            "the queries or run the large side as the corpus"
+        )
+    coded, cents, codebooks = ivfadc_index(
+        corpus, n_centroids, m, ksub, id_col, vec_col, scale
+    )
+    probe = _assign_and_residual_kernel(cents, n_take=n_probe)
+    C = np.asarray(cents, dtype=np.int64)
+
+    def qkernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vi = np.stack(b["__vi"].to_numpy()).astype(np.int64)
+            lists, _ = probe(vi)  # (n, n_probe) centroid ids
+            rows = {query_id_col: [], "centroid": [], "__dtable": []}
+            for r in range(len(vi)):
+                for c in lists[r]:
+                    res = (vi[r] - C[c])[None, :]
+                    tab = _subdist_tables(res, codebooks)[0]  # (m, ksub)
+                    rows[query_id_col].append(b[query_id_col].iloc[r])
+                    rows["centroid"].append(int(c))
+                    rows["__dtable"].append([list(map(int, t)) for t in tab])
+            yield pd.DataFrame(rows)
+
+    qtab = (
+        queries.select(F.col(id_col).alias(query_id_col), vec_col)
+        .withColumn("__vi", int_vec(F.col(vec_col), scale))
+        .mapInPandas(
+            qkernel,
+            f"{query_id_col} long, centroid int, __dtable array<array<long>>",
+        )
+    )
+    lookups = F.zip_with(
+        F.col("codes"),
+        F.col("__dtable"),
+        lambda c, row: F.element_at(row, (c + 1).cast("int")),
+    )
+    scored = (
+        coded.join(F.broadcast(qtab), "centroid")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                lookups, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("adist"),
+        )
+    )
+    return top_n(
+        scored,
+        [query_id_col],
+        [F.col("adist"), F.col(id_col)],
+        k,
+        ascending=True,
+        rank_col="rank",
+    )

@@ -112,6 +112,7 @@ _FLAGSHIP_ORDER = [
     "q_feature_hash",
     "q_markov_transitions",
     "q_embedding_standardize",
+    "q_embedding_topk_ivfadc",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -2019,3 +2019,107 @@ def q_embedding_standardize(spark, sf_dir):
     from my_flink_1_10_2_spark.llm.similarity import standardize_embeddings
 
     return standardize_embeddings(read(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_embedding_topk_ivfadc",
+    oracle="""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
+  FROM embeddings
+),
+cents AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, vi AS cv
+  FROM (SELECT vec_id, vi FROM corpus ORDER BY vec_id LIMIT 8)
+),
+adist_c AS MATERIALIZED (
+  SELECT corpus.vec_id, cents.c,
+         CAST(list_sum(list_transform(range(1,65),
+           j -> (list_extract(vi, j) - list_extract(cv, j))
+              * (list_extract(vi, j) - list_extract(cv, j)))) AS BIGINT) AS d
+  FROM corpus CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM adist_c) WHERE rn = 1
+),
+resid AS MATERIALIZED (
+  SELECT corpus.vec_id, a.c AS centroid,
+         list_transform(range(1,65),
+           j -> list_extract(vi, j) - list_extract(cv, j)) AS rv
+  FROM corpus JOIN assign a USING (vec_id) JOIN cents ON cents.c = a.c
+),
+subs AS (SELECT unnest(range(0,4)) AS i),
+cb AS MATERIALIZED (
+  SELECT subs.i, b.k,
+         list_slice(b.rv, CAST(subs.i*16+1 AS BIGINT), CAST(subs.i*16+16 AS BIGINT)) AS cv
+  FROM (SELECT row_number() OVER (ORDER BY vec_id)-1 AS k, rv
+        FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)) b
+  CROSS JOIN subs
+),
+rdist AS MATERIALIZED (
+  SELECT resid.vec_id, resid.centroid, cb.i, cb.k,
+         CAST(list_sum(list_transform(range(1,17),
+           j -> (list_extract(rv, CAST(cb.i*16+j AS BIGINT)) - list_extract(cv, j))
+              * (list_extract(rv, CAST(cb.i*16+j AS BIGINT)) - list_extract(cv, j)))) AS BIGINT) AS d
+  FROM resid CROSS JOIN cb
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, centroid, i, k AS code FROM (
+    SELECT vec_id, centroid, i, k,
+           row_number() OVER (PARTITION BY vec_id, i ORDER BY d, k) AS rn
+    FROM rdist) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c AS centroid FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM adist_c WHERE vec_id < 10) WHERE rn <= 2
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.centroid,
+         list_transform(range(1,65),
+           j -> list_extract(q.vi, j) - list_extract(cents.cv, j)) AS rv
+  FROM probes p JOIN corpus q ON q.vec_id = p.query_id
+       JOIN cents ON cents.c = p.centroid
+),
+qdist AS MATERIALIZED (
+  SELECT qres.query_id, qres.centroid, cb.i, cb.k,
+         CAST(list_sum(list_transform(range(1,17),
+           j -> (list_extract(rv, CAST(cb.i*16+j AS BIGINT)) - list_extract(cv, j))
+              * (list_extract(rv, CAST(cb.i*16+j AS BIGINT)) - list_extract(cv, j)))) AS BIGINT) AS d
+  FROM qres CROSS JOIN cb
+),
+adc AS (
+  SELECT q.query_id, e.vec_id, CAST(sum(q.d) AS BIGINT) AS adist
+  FROM qdist q JOIN codes e
+    ON e.centroid = q.centroid AND e.i = q.i AND e.code = q.k
+  WHERE e.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adist, rank FROM (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+  FROM adc) WHERE rank <= 5
+
+    """,
+    category="llm_similarity",
+)
+def q_embedding_topk_ivfadc(spark, sf_dir):
+    """IVFADC — the full Jegou/Douze/Schmid production index
+    (`llm/pq.py::ivfadc_topk`): IVF coarse quantizer (8 deterministic
+    centroids) prunes the search to the 2 probed inverted lists, and a
+    residual PQ codebook (subvectors of the first 16 residuals) encodes
+    each vector as m=4 codes.  The corpus relation is (centroid, codes)
+    — partitionable by centroid so probes skip unprobed lists; the ADC
+    join is an equi-join on centroid, NOT a cross join.  Every stage
+    (assignment, residuals, codes, probes, distance tables, sums,
+    ranking) is exact BIGINT arithmetic; the oracle replays the entire
+    index bitwise."""
+    from my_flink_1_10_2_spark.llm.pq import ivfadc_topk
+
+    emb = read(spark, sf_dir, "embeddings")
+    return ivfadc_topk(
+        emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=2, m=4, ksub=16
+    )

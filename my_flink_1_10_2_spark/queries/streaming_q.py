@@ -1981,3 +1981,146 @@ def q_socket_stream_rollup(spark, sf_dir):
         q.stop()
         stop.set()
         t.join(timeout=10)
+
+
+_TTL_US = 86_400_000_000  # 1 day of event time
+
+
+@register(
+    "q_state_ttl_counter",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS te
+      FROM events WHERE event_id < 3000
+    ),
+    g AS (
+      SELECT user_id, event_id, te,
+             CASE WHEN lag(te) OVER w IS NOT NULL
+                   AND te - lag(te) OVER w > {_TTL_US}
+                  THEN 1 ELSE 0 END AS was_reset
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)
+    ),
+    s AS (
+      SELECT *, sum(was_reset) OVER (PARTITION BY user_id
+                ORDER BY te, event_id ROWS UNBOUNDED PRECEDING) AS seg
+      FROM g
+    )
+    SELECT user_id, event_id, te,
+           CAST(row_number() OVER (PARTITION BY user_id, seg
+                                   ORDER BY te, event_id) AS BIGINT)
+             AS count_after,
+           CAST(was_reset AS INT) AS was_reset
+    FROM s
+    """,
+    category="streaming",
+)
+def q_state_ttl_counter(spark, sf_dir):
+    """Keyed STATE TTL graded e2e (ref: StateTtlConfig.java —
+    OnCreateAndWrite update type, NeverReturnExpired visibility, lazy
+    expiry on access; flink-runtime/.../state/ttl/TtlValueState.java):
+    a per-key running counter whose state EXPIRES after one day of
+    event-time inactivity — an access after the TTL sees no state and
+    restarts the count (the reference's lazy cleanup path; event time
+    substitutes the reference's processing-time clock so the replay is
+    deterministic and SQL-checkable).
+
+    Events replay in 5 ordered weekly waves through
+    applyInPandasWithState: state (count, last_ts) must survive
+    micro-batch boundaries, and a TTL expiry that straddles waves is
+    only detectable via that carried state.  Output per event: the
+    post-access counter and whether this access found its state
+    expired — the full state-lifecycle history, not just final
+    values."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 3000")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("__te"),
+            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_ttl_")
+    try:
+        _os.makedirs(f"{work}/replay")
+        base = _time.time() - 3600
+        for w in range(5):
+            stage = f"{work}/stage/b{w}"
+            src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay/part-{w:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + w, base + w))
+
+        ttl_us = _TTL_US
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            uid = key[0]
+            cols = ["user_id", "event_id", "te", "count_after", "was_reset"]
+            count, last = (
+                (int(state.get[0]), int(state.get[1]))
+                if state.exists
+                else (0, None)
+            )
+            rows = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["__te", "event_id"])
+                for eid, te in zip(pdf["event_id"], pdf["__te"]):
+                    te = int(te)
+                    reset = 0
+                    if last is not None and te - last > ttl_us:
+                        # lazy expiry on access: the stored value is
+                        # past its TTL — treat as absent (NeverReturn
+                        # Expired) and start a fresh state
+                        count, reset = 0, 1
+                    count += 1
+                    last = te
+                    rows.append([uid, int(eid), te, count, reset])
+            state.update((count, last))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        from my_flink_1_10_2_spark.streaming import StreamExecutionEnvironment
+
+        env = StreamExecutionEnvironment(spark)
+        stream = env.from_files(
+            f"{work}/replay",
+            "user_id long, event_id long, ts timestamp, __te long",
+            max_files_per_trigger=1,
+        )
+        keyed = stream.assign_timestamps_and_watermarks("ts", "1 hour").key_by(
+            "user_id"
+        )
+        out = keyed.process(
+            fn,
+            "count long, last_ts long",
+            "user_id long, event_id long, te long, count_after long, was_reset int",
+        )
+        sink_dir = f"{work}/out"
+        q = (
+            out.df.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(sink_dir).select(
+            "user_id", "event_id", "te", "count_after", "was_reset"
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

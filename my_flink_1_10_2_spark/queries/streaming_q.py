@@ -2124,3 +2124,144 @@ def q_state_ttl_counter(spark, sf_dir):
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_semi_anti_materialized",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS te, event_type
+      FROM events WHERE event_id < 3000
+    ),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+    purch  AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.te, 'semi' AS kind
+    FROM clicks c WHERE EXISTS (
+      SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+        AND p.te BETWEEN c.te - 86400000000 AND c.te + 86400000000)
+    UNION ALL
+    SELECT c.event_id, c.user_id, c.te, 'anti' AS kind
+    FROM clicks c WHERE NOT EXISTS (
+      SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+        AND p.te BETWEEN c.te - 86400000000 AND c.te + 86400000000)
+    """,
+    category="streaming",
+)
+def q_stream_semi_anti_materialized(spark, sf_dir):
+    """STREAM-STREAM semi and anti joins graded e2e (ref:
+    StreamExecJoin.scala semi/anti branches; FlinkSemiAntiJoinJoinTransposeRule):
+    clicks stream ⋉ / ▷ purchases stream on user with a ±1-day event-time
+    bound.  Both sides replay in ordered waves; the semi join emits each
+    matched click once, and the ANTI join can only emit a click after
+    the purchase-side WATERMARK proves no in-window match can still
+    arrive — a far-future sentinel wave flushes the tail, exactly the
+    reference's watermark-driven state cleanup.  The materialized sets
+    must equal the batch EXISTS / NOT EXISTS formulations."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 3000")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+            "event_type",
+            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_semianti_")
+    try:
+        base = _time.time() - 3600
+        far_us = 1_720_000_000_000_000
+        for side in ("click", "purchase"):
+            _os.makedirs(f"{work}/replay_{side}")
+            for w in range(5):
+                stage = f"{work}/stage/{side}{w}"
+                (
+                    src.where(
+                        (F.col("event_type") == side) & (F.col("__wave") == w)
+                    )
+                    .drop("__wave", "event_type")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                (part,) = _glob.glob(f"{stage}/part-*.parquet")
+                dst = f"{work}/replay_{side}/part-{w:03d}.parquet"
+                _shutil.copy(part, dst)
+                _os.utime(dst, (base + w, base + w))
+            # sentinel wave: advances this side's watermark far enough to
+            # close every pending anti-join window on the OTHER side
+            sent = spark.createDataFrame(
+                [(-1, -1, far_us)], "event_id long, user_id long, te long"
+            ).select("event_id", "user_id", F.timestamp_micros("te").alias("ts"), "te")
+            stage = f"{work}/stage/{side}_sent"
+            sent.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay_{side}/part-{5:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + 5, base + 5))
+
+        schema = "event_id long, user_id long, ts timestamp, te long"
+
+        def mk(side, alias):
+            s = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/replay_{side}")
+                .withWatermark("ts", "1 hour")
+            )
+            return s.select(*[F.col(c).alias(f"{alias}_{c}") for c in
+                              ("event_id", "user_id", "ts", "te")])
+
+        results = {}
+        for kind, how in (("semi", "leftSemi"), ("anti", "leftOuter")):
+            left, right = mk("click", "c"), mk("purchase", "p")
+            joined = left.join(
+                right,
+                F.expr(
+                    "c_user_id = p_user_id AND "
+                    "p_ts BETWEEN c_ts - INTERVAL 1 DAY AND c_ts + INTERVAL 1 DAY"
+                ),
+                how,
+            )
+            if kind == "anti":
+                # Spark has no stream-stream leftAnti: the standard
+                # rewrite is left OUTER + right-side-NULL filter — the
+                # outer join emits the NULL-padded row only once the
+                # purchase watermark proves no in-window match can
+                # arrive, which is exactly anti-join finalization.
+                joined = joined.where(F.col("p_event_id").isNull()).select(
+                    "c_event_id", "c_user_id", "c_ts", "c_te"
+                )
+            sink = f"{work}/out_{kind}"
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", f"{work}/ckpt_{kind}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            results[kind] = (
+                spark.read.parquet(sink)
+                .where("c_event_id >= 0")
+                .select(
+                    F.col("c_event_id").alias("event_id"),
+                    F.col("c_user_id").alias("user_id"),
+                    F.col("c_te").alias("te"),
+                    F.lit(kind).alias("kind"),
+                )
+            )
+        out = results["semi"].unionAll(results["anti"])
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

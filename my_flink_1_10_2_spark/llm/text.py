@@ -337,3 +337,77 @@ def feature_hash(
         .join(assembled, id_col, "left")
         .select(id_col, F.coalesce(dense, zeros).alias(out_col))
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataFrame:
+    """Zipf-law fit over the corpus term-frequency distribution: the
+    least-squares slope of ln(freq) against ln(rank) for the ``top_k``
+    most frequent terms (Zipf's exponent ≈ −slope; natural corpora sit
+    near 1, synthetic/templated ones far away — a cheap distribution
+    fingerprint for dataset QA).
+
+    Exactness protocol: term counts are exact; ranks are (freq DESC,
+    term) — a total order; ln runs through libm (Arrow UDF on the k-row
+    relation — bitwise equal to any libm-bound SQL engine, unlike the
+    JVM intrinsic); ln values quantize to 1e-9 integer units so every
+    regression sum is exact DECIMAL(38) arithmetic, order-independent;
+    the closed-form slope/intercept are a fixed sequence of IEEE ops.
+
+    Scale: one (term) partial-agg shuffle + a k-row TakeOrdered — the
+    corpus-sized relation never feeds a window.  Returns one row
+    (n_terms_fit, slope, intercept) with intercept in ln-freq units.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+    from pyspark.sql import Window
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    c = F.col(text_col)
+    words = df.select(
+        F.explode(F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")).alias(
+            "term"
+        )
+    )
+    freqs = words.groupBy("term").agg(F.count("*").alias("freq"))
+    top = freqs.orderBy(F.col("freq").desc(), "term").limit(top_k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "term")),
+    )
+    ln = _ln()
+    q = ranked.select(
+        F.round(ln(F.col("rank").cast("double")) * 1e9)
+        .cast("decimal(38,0)")
+        .alias("xq"),
+        F.round(ln(F.col("freq").cast("double")) * 1e9)
+        .cast("decimal(38,0)")
+        .alias("yq"),
+    )
+    sums = q.agg(
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        F.col("k").cast("bigint").alias("n_terms_fit"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("k").cast("double")
+            / F.lit(1e9)
+        ).alias("intercept"),
+    )

@@ -115,6 +115,7 @@ _FLAGSHIP_ORDER = [
     "q_embedding_topk_ivfadc",
     "q_state_ttl_counter",
     "q_stream_semi_anti_materialized",
+    "q_zipf_fit",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -2123,3 +2123,54 @@ def q_embedding_topk_ivfadc(spark, sf_dir):
     return ivfadc_topk(
         emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=2, m=4, ksub=16
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    freqs AS (SELECT term, count(*) AS freq FROM words GROUP BY term),
+    top AS (SELECT term, freq FROM freqs ORDER BY freq DESC, term LIMIT 100),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM top
+    ),
+    q AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000000.0) AS HUGEINT)
+               AS xq,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000000.0) AS HUGEINT)
+               AS yq
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(xq) AS HUGEINT) AS sx, CAST(sum(yq) AS HUGEINT) AS sy,
+             CAST(sum(xq * yq) AS HUGEINT) AS sxy,
+             CAST(sum(xq * xq) AS HUGEINT) AS sxx
+      FROM q
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms_fit,
+           CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(k AS DOUBLE) / 1000000000.0 AS intercept
+    FROM s
+    """,
+    category="llm_text",
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law exponent of the corpus term-frequency distribution
+    (`llm/text.py::zipf_fit`): least-squares ln(freq) ~ ln(rank) over
+    the top-100 terms — the distribution fingerprint dataset-QA uses to
+    spot templated/synthetic text.  Counts exact, ranks a total order,
+    ln via libm on the 100-row relation, regression sums in exact
+    DECIMAL(38)/HUGEINT — slope and intercept DOUBLEs graded bitwise."""
+    from my_flink_1_10_2_spark.llm.text import zipf_fit
+
+    return zipf_fit(read(spark, sf_dir, "documents"), top_k=100)

@@ -78,3 +78,29 @@ def test_markov_rows_are_probability_matrix(spark):
         n_src = sum(r["n"] for r in grp)
         for r in grp:
             assert math.isclose(r["p"], r["n"] / n_src, rel_tol=1e-15)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus drawn with freq(rank) = C * rank^-1.2 must fit slope
+    ~= -1.2 (up to the quantization of integer counts)."""
+    from my_flink_1_10_2_spark.llm.text import zipf_fit
+
+    words = []
+    for r in range(1, 51):
+        n = max(1, round(10000 * r ** -1.2))
+        words.extend([f"w{r:03d}"] * n)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id int, text string"
+    )
+    row = zipf_fit(docs, top_k=50).collect()[0]
+    assert row["n_terms_fit"] == 50
+    assert -1.25 < row["slope"] < -1.15, row["slope"]
+
+
+def test_zipf_fit_uniform_corpus_slope_zero(spark):
+    from my_flink_1_10_2_spark.llm.text import zipf_fit
+
+    words = [f"w{r}" for r in range(40)] * 25
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    row = zipf_fit(docs, top_k=40).collect()[0]
+    assert abs(row["slope"]) < 1e-9

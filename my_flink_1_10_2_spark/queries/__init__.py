@@ -116,6 +116,7 @@ _FLAGSHIP_ORDER = [
     "q_state_ttl_counter",
     "q_stream_semi_anti_materialized",
     "q_zipf_fit",
+    "q_stream_kmv_merged",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

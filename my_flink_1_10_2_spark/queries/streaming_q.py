@@ -2265,3 +2265,95 @@ def q_stream_semi_anti_materialized(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_kmv_merged",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+        (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) + 1.0) / power(16.0, 15) AS h
+      FROM events
+    ),
+    topk AS (SELECT h FROM h ORDER BY h LIMIT 64)
+    SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE 63.0 / max(h) END AS estimate,
+           CAST(count(*) AS BIGINT) AS sketch_size
+    FROM topk
+    """,
+    category="streaming",
+)
+def q_stream_kmv_merged(spark, sf_dir):
+    """STREAMING KMV sketch maintenance graded e2e — the mergeability
+    contract production sketches rely on (k smallest of a union = merge
+    of per-batch k smallest): events replay in 5 waves; each micro-batch
+    reduces ITS rows to a k-row sketch distributedly (TakeOrdered
+    push-down), the k-row partial merges with the k-row carried sketch
+    (2k values — the sketch IS the only driver state, O(k) by
+    definition), and the final merged estimate must equal the one-shot
+    batch sketch over all events BITWISE — merge order cannot matter.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from my_flink_1_10_2_spark.operators.sketch import _norm_hash
+
+    K = 64
+    src = read(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+    )
+    work = tempfile.mkdtemp(prefix="fl_skmv_")
+    try:
+        _os.makedirs(f"{work}/replay")
+        base = _time.time() - 3600
+        for w in range(5):
+            stage = f"{work}/stage/b{w}"
+            src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            (part,) = _glob.glob(f"{stage}/part-*.parquet")
+            dst = f"{work}/replay/part-{w:03d}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (base + w, base + w))
+
+        sketch: list[float] = []  # the carried k-minimum values
+
+        def merge_batch(batch_df, batch_id):
+            nonlocal sketch
+            part = [
+                r["h"]
+                for r in batch_df.select(_norm_hash("user_id").alias("h"))
+                .dropDuplicates(["h"])
+                .orderBy("h")
+                .limit(K)
+                .collect()
+            ]
+            sketch = sorted(set(sketch) | set(part))[:K]
+
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/replay")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if len(sketch) < K:
+            est = float(len(sketch))
+        else:
+            est = float(K - 1) / sketch[-1]
+        return spark.createDataFrame(
+            [(est, len(sketch))], "estimate double, sketch_size bigint"
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -117,6 +117,7 @@ _FLAGSHIP_ORDER = [
     "q_stream_semi_anti_materialized",
     "q_zipf_fit",
     "q_stream_kmv_merged",
+    "q_inverted_index",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

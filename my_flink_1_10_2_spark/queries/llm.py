@@ -2174,3 +2174,42 @@ def q_zipf_fit(spark, sf_dir):
     from my_flink_1_10_2_spark.llm.text import zipf_fit
 
     return zipf_fit(read(spark, sf_dir, "documents"), top_k=100)
+
+
+@register(
+    "q_inverted_index",
+    oracle=r"""
+    WITH words AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM words GROUP BY term HAVING count(*) >= 50
+    """,
+    category="llm_text",
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build — the search/retrieval kernel a curation
+    pipeline materializes for term lookups: per term, the document
+    frequency and the doc_id-sorted posting list (terms with df >= 50
+    here to bound the graded output).  One (doc, term) distinct shuffle
+    + one term-keyed aggregate; posting lists are sort_array'd so the
+    aggregation order never leaks into the result."""
+    docs = read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    ).distinct()
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= 50)
+    )

@@ -311,10 +311,11 @@ def feature_hash(
         16,
         10,
     ).cast("bigint")
-    hashed = words.select(
+    # hash once per token; bucket and sign both derive from the column
+    hashed = words.withColumn("__h", hx).select(
         id_col,
-        (hx % num_features).alias("__b"),
-        F.when(hx % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("__s"),
+        (F.col("__h") % num_features).alias("__b"),
+        F.when(F.col("__h") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("__s"),
     )
     sparse = hashed.groupBy(id_col, "__b").agg(
         F.sum("__s").cast("bigint").alias("__v")

@@ -443,3 +443,69 @@ def test_ivf_centroid_partition_layout_prunes(spark, tmp_path):
     read_dirs = {f.split("centroid=")[1].split("/")[0] for (f,) in files}
     assert read_dirs, "probe scan read nothing"
     assert read_dirs <= {str(p) for p in probes}
+
+
+# --- round-4 operator gates -------------------------------------------------
+
+
+def test_bm25_broadcasts_stats_no_row_python(spark):
+    """BM25: the per-term df/idf relation and the (N, avgdl) scalar must
+    ride broadcast joins (never shuffle the corpus for them) and the idf
+    UDF must be Arrow-batched, not row-at-a-time."""
+    df = _df(spark, "q_bm25_ranking")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # libm idf on the tiny df relation
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_gopher_is_single_projection(spark):
+    """The Gopher rule set is one scan + one projection: no shuffle, no
+    Python, inside whole-stage codegen."""
+    df = _df(spark, "q_gopher_quality")
+    assert plans.num_shuffles(df) == 0
+    assert plans.python_eval_count(df) == 0
+    assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_feature_hash_partial_aggregates_before_exchange(spark):
+    """The (doc, bucket) count must map-side combine: two HashAggregate
+    levels around each exchange, and no Python anywhere."""
+    df = _df(spark, "q_feature_hash")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert plans.python_eval_count(df) == 0
+
+
+def test_pq_corpus_side_never_shuffles(spark):
+    """PQ/ADC: the corpus flows scan → encode (Arrow map) → broadcast
+    join → local top-k; the only exchange allowed is the final rank
+    stage's, never one that moves the corpus codes by key."""
+    from my_flink_1_10_2_spark.llm.pq import pq_topk_adc
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = pq_topk_adc(emb, emb.filter("vec_id < 3"), k=3, m=4, ksub=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus scoring joins against the broadcast query tables
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfadc_probe_is_equi_join(spark):
+    """IVFADC must join corpus codes to probes on centroid (a bucket
+    join) — a cross join here would defeat list pruning."""
+    from my_flink_1_10_2_spark.llm.pq import ivfadc_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = ivfadc_topk(emb, emb.filter("vec_id < 3"), k=3, n_centroids=4,
+                     n_probe=1, m=4, ksub=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # equi-join on centroid
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_standardize_broadcasts_dim_stats(spark):
+    """Per-dimension stats (64 rows) broadcast back onto the exploded
+    corpus — the corpus must not shuffle for the join."""
+    df = _df(spark, "q_embedding_standardize")
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.python_eval_count(df) == 0

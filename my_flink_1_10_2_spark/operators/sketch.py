@@ -446,7 +446,11 @@ def kmv_set_ops(
     m = mtop.agg(
         F.count("*").cast("bigint").alias("n_m"),
         F.max("h").alias("theta"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("c"),
+        # coalesce: SUM over an empty sketch is NULL, but zero common
+        # hashes is the honest value (two empty inputs intersect empty)
+        F.coalesce(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint"), F.lit(0)
+        ).alias("c"),
     )
     astats = sa.agg(F.count("*").cast("bigint").alias("n_a"), F.max("h").alias("ha"))
     bstats = sb.agg(F.count("*").cast("bigint").alias("n_b"), F.max("h").alias("hb"))

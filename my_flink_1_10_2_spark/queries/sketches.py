@@ -286,7 +286,7 @@ def q_hll_estimate(spark, sf_dir):
     g AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM tagged GROUP BY h),
     mtop AS (SELECT * FROM g ORDER BY h LIMIT 64),
     m AS (SELECT CAST(count(*) AS BIGINT) AS n_m, max(h) AS theta,
-                 CAST(sum(in_a * in_b) AS BIGINT) AS c FROM mtop),
+                 CAST(coalesce(sum(in_a * in_b), 0) AS BIGINT) AS c FROM mtop),
     astats AS (SELECT CAST(count(*) AS BIGINT) AS n_a, max(h) AS ha FROM sa),
     bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_b, max(h) AS hb FROM sb)
     SELECT

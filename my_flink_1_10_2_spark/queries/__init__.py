@@ -118,6 +118,7 @@ _FLAGSHIP_ORDER = [
     "q_zipf_fit",
     "q_stream_kmv_merged",
     "q_inverted_index",
+    "q_hll_merge",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

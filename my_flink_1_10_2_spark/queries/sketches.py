@@ -322,3 +322,78 @@ def q_kmv_set_ops(spark, sf_dir):
         "user_id",
         k=64,
     )
+
+
+@register(
+    "q_hll_merge",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, v >> 44 AS bucket,
+             CASE WHEN v % 17592186044416 = 0 THEN 45
+                  ELSE 44 - length(bin(v % 17592186044416)) + 1 END AS r,
+             CASE WHEN v % 2 = 0 THEN 0 ELSE 1 END AS half
+      FROM h
+    ),
+    halves AS (
+      SELECT event_type, bucket, half, max(r) AS register
+      FROM regs GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, CAST(max(register) AS INT) AS register
+      FROM halves GROUP BY 1, 2
+    ),
+    full_t AS (
+      SELECT event_type, bucket, CAST(max(r) AS INT) AS register
+      FROM regs GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.bucket, m.register,
+           CAST(CASE WHEN m.register = f.register THEN 1 ELSE 0 END AS INT)
+             AS merge_equals_full
+    FROM merged m JOIN full_t f
+      ON f.event_type = m.event_type AND f.bucket = m.bucket
+    """,
+    category="sketch",
+)
+def q_hll_merge(spark, sf_dir):
+    """HLL MERGEABILITY graded (the property that makes HLL the
+    production distinct sketch — register-wise max of partial sketches
+    equals the sketch of the union; ref: the reference's
+    APPROX_COUNT_DISTINCT HllBuffer merge path in
+    flink-table-runtime-blink): the events table splits into two
+    disjoint halves by hash parity, each half builds its own register
+    table, the halves merge by max, and every merged register must
+    equal the full-table register — the `merge_equals_full` column is
+    graded as all-1s alongside the registers themselves."""
+    from my_flink_1_10_2_spark.operators.sketch import hll_registers
+
+    events = read(spark, sf_dir, "events")
+    parity = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    tagged = events.withColumn("__half", parity)
+    h0 = hll_registers(tagged.where("__half = 0"), ["event_type"], "user_id", b=4)
+    h1 = hll_registers(tagged.where("__half = 1"), ["event_type"], "user_id", b=4)
+    merged = (
+        h0.unionAll(h1)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+    )
+    full = hll_registers(events, ["event_type"], "user_id", b=4).withColumnRenamed(
+        "register", "__full_r"
+    )
+    return merged.join(full, ["event_type", "bucket"]).select(
+        "event_type",
+        "bucket",
+        "register",
+        F.when(F.col("register") == F.col("__full_r"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("merge_equals_full"),
+    )

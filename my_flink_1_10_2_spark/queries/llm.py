@@ -1965,7 +1965,8 @@ def q_pca_projection(spark, sf_dir):
       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
       LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.b = i.i
     )
-    SELECT doc_id, list(v ORDER BY i) AS fh FROM dense GROUP BY doc_id
+    SELECT doc_id, string_agg(v, ',' ORDER BY i) AS fh
+    FROM dense GROUP BY doc_id
     """,
     category="llm_text",
 )
@@ -1976,10 +1977,16 @@ def q_feature_hash(spark, sf_dir):
     → one (doc, bucket)-keyed partial-agg shuffle → dense assembly from
     the per-doc sparse map; every count is exact BIGINT and the md5
     bucketing replays identically in SQL, so the full dense vector is
-    graded bitwise."""
+    graded bitwise.  (Serialized to a canonical comma-joined string for
+    grading — the driver's value hash is only specified for scalar
+    columns.)"""
     from my_flink_1_10_2_spark.llm.text import feature_hash
 
-    return feature_hash(read(spark, sf_dir, "documents"), num_features=64)
+    out = feature_hash(read(spark, sf_dir, "documents"), num_features=64)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("fh", lambda x: x.cast("string")), ",").alias("fh"),
+    )
 
 
 @register(
@@ -2186,7 +2193,7 @@ def q_zipf_fit(spark, sf_dir):
       FROM documents
     )
     SELECT term, CAST(count(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
     FROM words GROUP BY term HAVING count(*) >= 50
     """,
     category="llm_text",
@@ -2209,7 +2216,13 @@ def q_inverted_index(spark, sf_dir):
         words.groupBy("term")
         .agg(
             F.count("*").cast("bigint").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .where(F.col("df") >= 50)
     )

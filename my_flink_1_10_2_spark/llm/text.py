@@ -412,3 +412,45 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataFra
             / F.lit(1e9)
         ).alias("intercept"),
     )
+
+
+def readability_stats(text_col) -> dict[str, Column]:
+    """Flesch reading-ease inputs as exact integers: words, sentences
+    (terminated by . ! ? — at least 1), and syllables per the standard
+    vowel-group heuristic (maximal [aeiouy]+ runs per word, minimum 1
+    per word; the trailing silent-e refinement is intentionally omitted
+    to keep the count a pure regexp aggregate — documented deviation
+    from dictionary syllabification, fine for corpus-level QA)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    ).cast("bigint")
+    syl = lambda w: F.greatest(  # noqa: E731
+        F.size(F.filter(F.split(w, r"[^aeiouy]+"), lambda g: g != "")), F.lit(1)
+    )
+    n_syllables = F.aggregate(
+        F.transform(words, lambda w: syl(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": n_syllables,
+    }
+
+
+def flesch_reading_ease(text_col) -> Column:
+    """Flesch reading ease = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words) — two exact-integer ratios, a fixed IEEE
+    expression tree, engine-bitwise.  NULL for empty documents."""
+    s = readability_stats(text_col)
+    wps = s["n_words"].cast("double") / s["n_sentences"].cast("double")
+    spw = s["n_syllables"].cast("double") / s["n_words"].cast("double")
+    return F.when(
+        s["n_words"] > 0,
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+    )

@@ -119,6 +119,7 @@ _FLAGSHIP_ORDER = [
     "q_stream_kmv_merged",
     "q_inverted_index",
     "q_hll_merge",
+    "q_readability",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -2226,3 +2226,57 @@ def q_inverted_index(spark, sf_dir):
         )
         .where(F.col("df") >= 50)
     )
+
+
+@register(
+    "q_readability",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(str_split_regex(lower(text), '\s+'), t -> t != '')
+               AS words,
+             greatest(len(list_filter(str_split_regex(text, '[.!?]+'),
+                                      s -> trim(s) != '')), 1) AS n_sentences
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(coalesce(list_sum(list_transform(words,
+               w -> greatest(len(list_filter(str_split_regex(w, '[^aeiouy]+'),
+                                             g -> g != '')), 1))), 0) AS BIGINT)
+               AS n_syllables
+      FROM base
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE))
+           END AS flesch
+    FROM stats
+    """,
+    category="llm_text",
+)
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (`llm/text.py::flesch_reading_ease`)
+    — the classic readability signal corpus QA tracks next to the
+    Gopher rules: exact integer word/sentence/vowel-group-syllable
+    counts, then two IEEE divisions in a fixed expression tree; the raw
+    DOUBLE score is graded bitwise.  One projection, zero shuffles."""
+    from my_flink_1_10_2_spark.llm.text import (
+        flesch_reading_ease,
+        readability_stats,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    s = readability_stats("text")
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["n_sentences"].alias("n_sentences"),
+        s["n_syllables"].alias("n_syllables"),
+        flesch_reading_ease("text").alias("flesch"),
+    )

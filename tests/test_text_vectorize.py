@@ -104,3 +104,22 @@ def test_zipf_fit_uniform_corpus_slope_zero(spark):
     docs = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
     row = zipf_fit(docs, top_k=40).collect()[0]
     assert abs(row["slope"]) < 1e-9
+
+
+def test_flesch_reading_ease_known_values(spark):
+    from my_flink_1_10_2_spark.llm.text import flesch_reading_ease
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran."),   # 6 words, 2 sentences, 6 syl
+            (2, ""),                              # empty -> NULL
+            (3, "Incomprehensibility notwithstanding."),  # polysyllabic
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r["f"] for r in docs.select(
+        "doc_id", flesch_reading_ease("text").alias("f")).collect()}
+    # doc 1: 206.835 - 1.015*(6/2) - 84.6*(6/6)
+    assert abs(rows[1] - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-12
+    assert rows[2] is None
+    assert rows[3] < rows[1]  # harder text scores lower

@@ -134,6 +134,74 @@ def pq_encode(
     return src.mapInPandas(kernel, out_schema).select(*cols, codes_col)
 
 
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[list[int]]]:
+    """K-means-TRAINED PQ codebooks via integer Lloyd iterations: init =
+    the data-derived codebooks, then per round (a) assign every corpus
+    subvector to its nearest centroid by exact int L2**2 (Arrow kernel,
+    partition-local partial sums — the shuffle carries partitions·m·ksub
+    ·dsub rows, never the data), (b) re-center each cluster and QUANTIZE
+    the mean back to integer units via the exact half-up rational
+    ``(2·s + c) // (2·c)`` — so every iteration's centroids are integer
+    vectors and the whole training run replays bitwise in SQL (floor of
+    the correctly-rounded double quotient equals the exact floor while
+    ``2·s + c < 2^52``).  Empty clusters keep their previous centroid.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = pq_codebooks(corpus, m, ksub, id_col, vec_col, scale)
+    dsub = len(cb[0][0])
+    src = corpus.select(int_vec(F.col(vec_col), scale).alias("__vi"))
+    for _ in range(iterations):
+        cur = cb
+
+        def kern(batches, cur=cur):
+            for b in batches:
+                if not len(b):
+                    continue
+                vi = np.stack(b["__vi"].to_numpy()).astype(np.int64)
+                codes = _subdist_tables(vi, cur).argmin(axis=2)  # (n, m)
+                rows = {"i": [], "k": [], "j": [], "s": [], "c": []}
+                for i in range(m):
+                    sub = vi[:, i * dsub : (i + 1) * dsub]
+                    for kk in range(ksub):
+                        mask = codes[:, i] == kk
+                        cnt = int(mask.sum())
+                        if not cnt:
+                            continue
+                        ssum = sub[mask].sum(axis=0)
+                        for j in range(dsub):
+                            rows["i"].append(i)
+                            rows["k"].append(kk)
+                            rows["j"].append(j)
+                            rows["s"].append(int(ssum[j]))
+                            rows["c"].append(cnt)
+                yield pd.DataFrame(rows)
+
+        agg = (
+            src.mapInPandas(kern, "i int, k int, j int, s long, c long")
+            .groupBy("i", "k", "j")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        nxt = [[list(cent) for cent in sub] for sub in cb]
+        for r in agg:
+            if r["c"] > 0:
+                nxt[r["i"]][r["k"]][r["j"]] = (2 * int(r["s"]) + int(r["c"])) // (
+                    2 * int(r["c"])
+                )
+        cb = nxt
+    return cb
+
+
 def pq_topk_adc(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,6 +212,7 @@ def pq_topk_adc(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scale: int = 1000,
+    codebooks: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: exact per-query distance tables
     against the codebooks, corpus scanned as codes only.
@@ -167,7 +236,8 @@ def pq_topk_adc(
         )
     import numpy as np
 
-    codebooks = pq_codebooks(corpus, m, ksub, id_col, vec_col, scale)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, ksub, id_col, vec_col, scale)
     coded = pq_encode(corpus, codebooks, vec_col, scale).select(id_col, "codes")
 
     def qkernel(batches):

@@ -120,6 +120,7 @@ _FLAGSHIP_ORDER = [
     "q_inverted_index",
     "q_hll_merge",
     "q_readability",
+    "q_embedding_topk_pq_trained",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -2280,3 +2280,107 @@ def q_readability(spark, sf_dir):
         s["n_syllables"].alias("n_syllables"),
         flesch_reading_ease("text").alias("flesch"),
     )
+
+
+def _pq_trained_oracle(iterations: int = 2, m: int = 4, ksub: int = 8,
+                       dsub: int = 16) -> str:
+    """Unrolled integer-Lloyd PQ oracle replicating `llm/pq.py::pq_train`
+    + the ADC search bitwise: every iteration assigns by exact int
+    L2**2 (ties to the lowest centroid), re-centers with the half-up
+    rational (2s+c)//(2c) (floor of the correctly-rounded double
+    quotient — exact while 2s+c < 2^52), empty clusters carry the
+    previous centroid."""
+    its = []
+    prev = "cb0"
+    for t in range(1, iterations + 1):
+        its.append(f"""
+    dist{t} AS MATERIALIZED (
+      SELECT c.vec_id, cb.i, cb.k,
+             CAST(sum((list_extract(c.vi, CAST(cb.i*{dsub} + cb.j AS BIGINT)) - cb.v)
+                    * (list_extract(c.vi, CAST(cb.i*{dsub} + cb.j AS BIGINT)) - cb.v))
+                  AS BIGINT) AS d
+      FROM corpus c CROSS JOIN {prev} cb GROUP BY 1, 2, 3),
+    codes{t} AS MATERIALIZED (
+      SELECT vec_id, i, k AS code FROM (
+        SELECT vec_id, i, k,
+               row_number() OVER (PARTITION BY vec_id, i ORDER BY d, k) AS rn
+        FROM dist{t}) WHERE rn = 1),
+    sums{t} AS MATERIALIZED (
+      SELECT cd.i, cd.code AS k, js.j,
+             CAST(sum(list_extract(c.vi, CAST(cd.i*{dsub} + js.j AS BIGINT)))
+                  AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM codes{t} cd JOIN corpus c USING (vec_id) CROSS JOIN js
+      GROUP BY 1, 2, 3),
+    cb{t} AS MATERIALIZED (
+      SELECT p.i, p.k, p.j,
+             CASE WHEN s.cnt > 0
+                  THEN CAST(floor(CAST(2*s.s + s.cnt AS DOUBLE)
+                                  / CAST(2*s.cnt AS DOUBLE)) AS BIGINT)
+                  ELSE p.v END AS v
+      FROM {prev} p LEFT JOIN sums{t} s
+        ON s.i = p.i AND s.k = p.k AND s.j = p.j)""")
+        prev = f"cb{t}"
+    fin = iterations + 1
+    return (f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    subs AS (SELECT unnest(range(0,{m})) AS i),
+    js AS (SELECT unnest(range(1,{dsub + 1})) AS j),
+    cb0 AS MATERIALIZED (
+      SELECT subs.i, b.k, js.j,
+             list_extract(b.vi, CAST(subs.i*{dsub} + js.j AS BIGINT)) AS v
+      FROM (SELECT row_number() OVER (ORDER BY vec_id)-1 AS k, vi
+            FROM (SELECT vec_id, vi FROM corpus ORDER BY vec_id LIMIT {ksub})) b
+      CROSS JOIN subs CROSS JOIN js),"""
+      + ",".join(its)
+      + f""",
+    dist{fin} AS MATERIALIZED (
+      SELECT c.vec_id, cb.i, cb.k,
+             CAST(sum((list_extract(c.vi, CAST(cb.i*{dsub} + cb.j AS BIGINT)) - cb.v)
+                    * (list_extract(c.vi, CAST(cb.i*{dsub} + cb.j AS BIGINT)) - cb.v))
+                  AS BIGINT) AS d
+      FROM corpus c CROSS JOIN {prev} cb GROUP BY 1, 2, 3),
+    codes{fin} AS MATERIALIZED (
+      SELECT vec_id, i, k AS code FROM (
+        SELECT vec_id, i, k,
+               row_number() OVER (PARTITION BY vec_id, i ORDER BY d, k) AS rn
+        FROM dist{fin}) WHERE rn = 1),
+    adc AS (
+      SELECT q.vec_id AS query_id, e.vec_id, CAST(sum(q.d) AS BIGINT) AS adist
+      FROM dist{fin} q JOIN codes{fin} e ON e.i = q.i AND e.code = q.k
+      WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, vec_id) AS rank
+      FROM adc) WHERE rank <= 5
+    """)
+
+
+@register(
+    "q_embedding_topk_pq_trained",
+    oracle=_pq_trained_oracle(),
+    category="llm_similarity",
+)
+def q_embedding_topk_pq_trained(spark, sf_dir):
+    """PQ with K-MEANS-TRAINED codebooks (`llm/pq.py::pq_train`): two
+    integer Lloyd iterations — exact int L2 assignment, cluster means
+    re-quantized to integer units via the half-up rational (2s+c)//(2c)
+    each round, empty clusters carrying their previous centroid — then
+    the same ADC top-k as the fixed-codebook variant.  The oracle
+    unrolls BOTH training iterations and the final encode/search, so
+    the trained index (not just its use) is graded bitwise."""
+    from my_flink_1_10_2_spark.llm.pq import pq_topk_adc, pq_train
+
+    emb = read(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, ksub=8, iterations=2)
+    return pq_topk_adc(
+        emb, emb.filter("vec_id < 10"), k=5, m=4, ksub=8, codebooks=cb
+    )

@@ -180,3 +180,67 @@ def test_ivfadc_index_shapes(emb):
     rows = coded.collect()
     assert all(0 <= r["centroid"] < 4 for r in rows)
     assert all(len(r["codes"]) == 4 and all(0 <= c < 8 for c in r["codes"]) for r in rows)
+
+
+# --- trained PQ ------------------------------------------------------------
+
+
+def _distortion(emb, cb):
+    """Total exact ADC self-distortion: sum over vectors/subspaces of
+    the L2**2 distance to the assigned centroid."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm import pq as P
+
+    rows = emb.select("embedding").collect()
+    vi = np.array(
+        [[round(float(x) * 1000) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    tabs = P._subdist_tables(vi, cb)
+    return int(tabs.min(axis=2).sum())
+
+
+def test_pq_train_reduces_distortion(emb):
+    from my_flink_1_10_2_spark.llm import pq as P
+
+    cb0 = P.pq_codebooks(emb, m=4, ksub=8)
+    cb2 = P.pq_train(emb, m=4, ksub=8, iterations=2)
+    assert _distortion(emb, cb2) < _distortion(emb, cb0)
+
+
+def test_pq_train_deterministic(emb):
+    from my_flink_1_10_2_spark.llm import pq as P
+
+    a = P.pq_train(emb, m=4, ksub=8, iterations=2)
+    b = P.pq_train(emb, m=4, ksub=8, iterations=2)
+    assert a == b
+
+
+def test_pq_train_centroid_is_halfup_quantized_mean(emb):
+    """One iteration by hand: each trained centroid component must equal
+    (2*sum + count) // (2*count) over its assigned subvectors."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm import pq as P
+
+    cb0 = P.pq_codebooks(emb, m=4, ksub=8)
+    cb1 = P.pq_train(emb, m=4, ksub=8, iterations=1)
+    rows = emb.select("embedding").collect()
+    vi = np.array(
+        [[round(float(x) * 1000) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    codes = P._subdist_tables(vi, cb0).argmin(axis=2)
+    dsub = vi.shape[1] // 4
+    for i in range(4):
+        sub = vi[:, i * dsub : (i + 1) * dsub]
+        for k in range(8):
+            mask = codes[:, i] == k
+            if not mask.any():
+                assert cb1[i][k] == cb0[i][k]  # empty cluster carries over
+                continue
+            s = sub[mask].sum(axis=0)
+            c = int(mask.sum())
+            want = [(2 * int(sj) + c) // (2 * c) for sj in s]
+            assert cb1[i][k] == want, (i, k)

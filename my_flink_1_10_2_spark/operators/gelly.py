@@ -672,3 +672,58 @@ def scatter_gather(
     out = iterate(initial_vertices, step, iterations, converged=converged)
     free_checkpoints(edges.sparkSession, e_ids)
     return out
+
+
+def edge_metrics(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-edge structural metrics, undirected (ref: flink-gelly
+    library/metric/undirected/EdgeMetrics.java — Gelly reduces these to
+    whole-graph scalars; the per-edge relation is the general form its
+    TriangleListing/EdgeDegreePair utilities build from): for every
+    undirected edge (a < b): the endpoint degrees, the number of
+    triangles through the edge (= common neighbours — the edge
+    'embeddedness'), and whether the edge is a local bridge
+    (no common neighbour).
+
+    Plan: degree aggregate (one keyed shuffle), common-neighbour count
+    via the wedge join on the symmetrized relation — the same
+    candidate-shape as Jaccard/Adamic-Adar: edges shuffle on their
+    endpoint keys, never a cartesian.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("degree"))
+    # common neighbours of (a, b): wedges a—w—b
+    wedges = (
+        sym.select(F.col("a").alias("x"), F.col("b").alias("w"))
+        .join(sym.select(F.col("a").alias("w"), F.col("b").alias("y")), "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        e.join(deg.select(F.col("a"), F.col("degree").alias("deg_a")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("degree").alias("deg_b")), "b"
+        )
+        .join(wedges, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.coalesce(F.col("common"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(F.coalesce(F.col("common"), F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_local_bridge"),
+        )
+    )

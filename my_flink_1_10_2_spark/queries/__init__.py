@@ -121,6 +121,7 @@ _FLAGSHIP_ORDER = [
     "q_hll_merge",
     "q_readability",
     "q_embedding_topk_pq_trained",
+    "q_edge_metrics",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

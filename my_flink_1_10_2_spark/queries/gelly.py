@@ -682,3 +682,41 @@ def q_scatter_gather_pagerank(spark, sf_dir):
         e_deg, init, scatter, [F.sum("msg").alias("contrib")], update, _PR_ITERS
     )
     return out.select("node", F.round("rank", 9).alias("pr"))
+
+
+@register(
+    "q_edge_metrics",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({_EDGE_SQL})
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY a),
+    wedges AS (
+      SELECT s1.a AS a, s2.b AS b, CAST(count(*) AS BIGINT) AS common
+      FROM (SELECT a AS a, b AS w FROM sym) s1
+      JOIN (SELECT a AS w, b AS b FROM sym) s2 USING (w)
+      WHERE s1.a < s2.b
+      GROUP BY 1, 2
+    )
+    SELECT e.a, e.b, da.degree AS deg_a, db.degree AS deg_b,
+           CAST(coalesce(w.common, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN coalesce(w.common, 0) = 0 THEN 1 ELSE 0 END AS INT)
+             AS is_local_bridge
+    FROM e JOIN deg da ON da.a = e.a
+           JOIN deg db ON db.a = e.b
+           LEFT JOIN wedges w ON w.a = e.a AND w.b = e.b
+    """,
+    category="gelly",
+)
+def q_edge_metrics(spark, sf_dir):
+    """Per-edge structural metrics (ref: flink-gelly
+    library/metric/undirected/EdgeMetrics.java — the per-edge relation
+    its wedge utilities build from): endpoint degrees, triangles through
+    the edge (embeddedness = common neighbours) and local-bridge flags,
+    via the degree aggregate + wedge join — the Jaccard/Adamic-Adar
+    candidate shape, no cartesian."""
+    from my_flink_1_10_2_spark.operators.gelly import edge_metrics
+
+    return edge_metrics(_edges(spark, sf_dir))

@@ -249,3 +249,19 @@ def test_scatter_gather_convergence_halts_early(spark):
     )
     assert {r.node: r.value for r in out.collect()} == {i: 5 for i in range(1, 6)}
     assert steps["n"] <= 6, f"convergence did not halt the loop: {steps['n']} steps"
+
+
+def test_edge_metrics_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant 3-4: the triangle edges have one
+    common neighbour each; 3-4 is a local bridge."""
+    from my_flink_1_10_2_spark.operators.gelly import edge_metrics
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    rows = {(r["a"], r["b"]): r for r in edge_metrics(edges).collect()}
+    assert set(rows) == {(1, 2), (2, 3), (1, 3), (3, 4)}
+    for e in [(1, 2), (2, 3), (1, 3)]:
+        assert rows[e]["n_triangles"] == 1 and rows[e]["is_local_bridge"] == 0
+    assert rows[(3, 4)]["n_triangles"] == 0 and rows[(3, 4)]["is_local_bridge"] == 1
+    assert rows[(3, 4)]["deg_a"] == 3 and rows[(3, 4)]["deg_b"] == 1

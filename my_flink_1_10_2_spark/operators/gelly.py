@@ -727,3 +727,73 @@ def edge_metrics(
             .alias("is_local_bridge"),
         )
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Sampled closeness + harmonic centrality, undirected (beyond the
+    reference's shipped library but built from its SSSP/scatter-gather
+    primitives — flink-gelly library/SingleSourceShortestPaths.java run
+    from a deterministic source sample, the standard scale recipe for
+    centrality: exact closeness is O(n·m), sampling bounds it).
+
+    Sources are the ``n_sources`` lowest vertex ids.  BFS runs as
+    min-distance fixpoint iterations (each round: frontier ⋈ edges →
+    min per (source, node)); the per-source relation is
+    sources×vertices — bounded — and the loop early-stops when the
+    distance set is stable (driver sees one scalar per round).
+
+    Outputs per source: ``n_reached``, ``total_dist``, closeness
+    ``(n_reached-1)/total_dist`` (one IEEE division of exact ints) and
+    ``harmonic_e9`` = Σ_d count_d·round(1e9/d) — the harmonic sum in
+    exact integer 1e-9 units, immune to float ordering."""
+    sym = _sym(edges, src, dst)
+    nodes = _nodes(sym, "u", "v")
+    sources = nodes.orderBy("node").limit(n_sources).select(
+        F.col("node").alias("source")
+    )
+    dist = sources.select(
+        "source", F.col("source").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    prev_n = dist.count()
+    for _ in range(max_iters):
+        expand = (
+            dist.join(sym, dist["node"] == sym["u"])
+            .select("source", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(expand)
+            .groupBy("source", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        n = dist.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    per_d = dist.where(F.col("d") > 0)
+    return (
+        per_d.groupBy("source")
+        .agg(
+            (F.count("*") + 1).cast("bigint").alias("n_reached"),
+            F.sum("d").cast("bigint").alias("total_dist"),
+            F.sum(
+                F.round(F.lit(1e9) / F.col("d").cast("double")).cast("bigint")
+            ).alias("harmonic_e9"),
+        )
+        .select(
+            "source",
+            "n_reached",
+            "total_dist",
+            (
+                (F.col("n_reached") - 1).cast("double")
+                / F.col("total_dist").cast("double")
+            ).alias("closeness"),
+            "harmonic_e9",
+        )
+    )

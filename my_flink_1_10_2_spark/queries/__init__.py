@@ -122,6 +122,7 @@ _FLAGSHIP_ORDER = [
     "q_readability",
     "q_embedding_topk_pq_trained",
     "q_edge_metrics",
+    "q_closeness_sampled",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -720,3 +720,49 @@ def q_edge_metrics(spark, sf_dir):
     from my_flink_1_10_2_spark.operators.gelly import edge_metrics
 
     return edge_metrics(_edges(spark, sf_dir))
+
+
+def _closeness_oracle(iters: int = 10, n_sources: int = 8) -> str:
+    its = []
+    prev = "d0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+    d{t} AS MATERIALIZED (
+      SELECT source, node, min(d) AS d FROM (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT p.source, sym.v AS node, p.d + 1 AS d
+        FROM {prev} p JOIN sym ON sym.u = p.node
+      ) GROUP BY 1, 2)""")
+        prev = f"d{t}"
+    return (f"""
+    WITH sym AS MATERIALIZED ({_SYM_SQL}),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    sources AS (SELECT node AS source FROM nodes ORDER BY node LIMIT {n_sources}),
+    d0 AS (SELECT source, source AS node, 0 AS d FROM sources),"""
+      + ",".join(its)
+      + f"""
+    SELECT source,
+           CAST(count(*) + 1 AS BIGINT) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS total_dist,
+           CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness,
+           CAST(sum(CAST(round(1000000000.0 / CAST(d AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS harmonic_e9
+    FROM {prev} WHERE d > 0 GROUP BY source
+    """)
+
+
+@register("q_closeness_sampled", oracle=_closeness_oracle(), category="gelly")
+def q_closeness_sampled(spark, sf_dir):
+    """Sampled closeness + harmonic centrality
+    (`operators/gelly.py::closeness_centrality`): BFS min-distance
+    fixpoint from the 8 lowest-id sources (the scale recipe — exact
+    closeness is O(n·m); the reference's SSSP primitive run from a
+    sample), early-stopping on a stable distance set.  Closeness is one
+    IEEE division of exact integers; the harmonic sum is emitted in
+    exact 1e-9 integer units so no float ordering leaks.  The oracle
+    unrolls 10 min-distance rounds — extra rounds past the fixpoint are
+    no-ops, so both formulations land on the identical relation."""
+    from my_flink_1_10_2_spark.operators.gelly import closeness_centrality
+
+    return closeness_centrality(_edges(spark, sf_dir), n_sources=8, max_iters=10)

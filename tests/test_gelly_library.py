@@ -265,3 +265,30 @@ def test_edge_metrics_hand_graph(spark):
         assert rows[e]["n_triangles"] == 1 and rows[e]["is_local_bridge"] == 0
     assert rows[(3, 4)]["n_triangles"] == 0 and rows[(3, 4)]["is_local_bridge"] == 1
     assert rows[(3, 4)]["deg_a"] == 3 and rows[(3, 4)]["deg_b"] == 1
+
+
+def test_closeness_path_graph(spark):
+    """Path 0-1-2-3: distances from 0 are 1,2,3 => closeness 3/6,
+    harmonic 1e9 + 5e8 + 333333333."""
+    from my_flink_1_10_2_spark.operators.gelly import closeness_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    rows = {r["source"]: r for r in closeness_centrality(edges, n_sources=4).collect()}
+    r0 = rows[0]
+    assert r0["n_reached"] == 4 and r0["total_dist"] == 6
+    assert abs(r0["closeness"] - 0.5) < 1e-15
+    assert r0["harmonic_e9"] == 1_000_000_000 + 500_000_000 + 333_333_333
+    # middle vertex 1: dists 1,1,2 -> closeness 3/4
+    assert abs(rows[1]["closeness"] - 0.75) < 1e-15
+
+
+def test_closeness_disconnected_component(spark):
+    """Unreachable vertices simply don't count (within-component
+    closeness)."""
+    from my_flink_1_10_2_spark.operators.gelly import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (5, 6)], "src long, dst long"
+    )
+    rows = {r["source"]: r for r in closeness_centrality(edges, n_sources=4).collect()}
+    assert rows[0]["n_reached"] == 2 and rows[0]["total_dist"] == 1

@@ -123,6 +123,7 @@ _FLAGSHIP_ORDER = [
     "q_embedding_topk_pq_trained",
     "q_edge_metrics",
     "q_closeness_sampled",
+    "q_mad_outliers",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

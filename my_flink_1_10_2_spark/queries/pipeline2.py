@@ -454,3 +454,83 @@ def q_markov_transitions(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, v AS med FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.v, m.med, abs(e.v - m.med) AS d
+      FROM e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, d AS mad FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY d, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, m.med, a.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.d > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a USING (event_type) JOIN med m USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    category="pipeline",
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type via MAD (median absolute
+    deviation) — the z-score's heavy-tail-safe sibling
+    (`q_anomaly_zscore` covers the parametric variant): values in exact
+    1e-4 integer units, the LOWER median selected by a deterministic
+    (value, event_id) total order (rank (n+1)//2 — replayable, unlike
+    interpolation), the MAD the same selection over absolute
+    deviations, and the 3-MAD outlier rule an exact integer
+    cross-comparison.  Two keyed window passes, one rollup."""
+    from pyspark.sql import Window as W
+
+    e = read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+    )
+    w = W.partitionBy("event_type")
+
+    def lower_median(df, col):
+        ranked = df.withColumn(
+            "__rn", F.row_number().over(w.orderBy(F.col(col), F.col("event_id")))
+        ).withColumn("__n", F.count("*").over(w))
+        return ranked.where(
+            F.col("__rn") == F.expr("(__n + 1) DIV 2")
+        ).select("event_type", F.col(col).alias("__m"))
+
+    med = lower_median(e, "v").withColumnRenamed("__m", "med")
+    dev = e.join(med, "event_type").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = lower_median(dev, "d").withColumnRenamed("__m", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -124,6 +124,7 @@ _FLAGSHIP_ORDER = [
     "q_edge_metrics",
     "q_closeness_sampled",
     "q_mad_outliers",
+    "q_source_overlap",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -534,3 +534,74 @@ def q_mad_outliers(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             list_filter(str_split_regex(lower(text), '\s+'), t -> t != '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             md5(list_aggregate(w[CAST(p AS BIGINT):CAST(p+7 AS BIGINT)],
+                                'string_agg', ' ')) AS g
+      FROM toks, (SELECT unnest(range(1, 2000)) AS p)
+      WHERE p + 7 <= len(w)
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(count(*) * 1000000
+                // (sa.n + sb.n - count(*)) AS BIGINT) AS jaccard_e6
+    FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY 1, 2, 3, 4
+    """,
+    category="pipeline",
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source content-overlap matrix — the contamination map a
+    curation pipeline checks before mixing sources: per ordered source
+    pair, the count of distinct word-8-grams present in both plus the
+    integer-exact Jaccard (1e-6 units, integer division).  One shingle
+    explode, a gram-keyed self-equi-join (pairs exist only where grams
+    collide — never a cartesian), exact integers throughout."""
+    from my_flink_1_10_2_spark.llm.dedup import shingle_rows
+
+    docs = read(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(docs.withColumnRenamed("source", "__src"), "text", "__src", 8)
+        .select(F.col("__src").alias("source"), F.md5("shingle").alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr("CAST(n_shared * 1000000 DIV (n_a + n_b - n_shared) AS BIGINT)")
+            .alias("jaccard_e6"),
+        )
+    )

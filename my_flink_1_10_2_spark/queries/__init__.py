@@ -125,6 +125,7 @@ _FLAGSHIP_ORDER = [
     "q_closeness_sampled",
     "q_mad_outliers",
     "q_source_overlap",
+    "q_user_event_entropy",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

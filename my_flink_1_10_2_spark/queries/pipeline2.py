@@ -605,3 +605,90 @@ def q_source_overlap(spark, sf_dir):
             .alias("jaccard_e6"),
         )
     )
+
+
+@register(
+    "q_user_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY 1
+    ),
+    q AS (
+      SELECT c.user_id,
+             CAST(sum(c.c * CAST(round(ln(CAST(c.c AS DOUBLE))
+                                       * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM c GROUP BY 1
+    )
+    SELECT t.user_id, t.n AS n_events, t.n_types,
+           CAST(t.n * CAST(round(ln(CAST(t.n AS DOUBLE)) * 1000000000.0)
+                           AS BIGINT) - q.s AS DOUBLE)
+             / CAST(t.n AS DOUBLE) / 1000000000.0 AS entropy_nats
+    FROM tot t JOIN q USING (user_id)
+    """,
+    category="pipeline",
+)
+def q_user_event_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bots and scripted traffic sit near 0;
+    a uniform 5-type user near ln 5).  Float discipline: entropy =
+    ln n − (Σ c·ln c)/n with every ln quantized to exact 1e-9 integer
+    units through a libm Arrow UDF over the DISTINCT count values (a
+    tiny relation — counts repeat massively across users), making the
+    per-user weighted sum exact BIGINT arithmetic; the final two
+    divisions are a fixed IEEE sequence, graded bitwise."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    events = read(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    ln = _ln()
+    vals = (
+        c.select(F.col("c").alias("v"))
+        .unionByName(tot.select(F.col("n").alias("v")))
+        .distinct()
+        .withColumn(
+            "lq", F.round(ln(F.col("v").cast("double")) * 1e9).cast("bigint")
+        )
+    )
+    s = (
+        c.join(F.broadcast(vals), c["c"] == vals["v"])
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("lq")).cast("bigint").alias("s"))
+    )
+    return (
+        tot.join(F.broadcast(vals), tot["n"] == vals["v"])
+        .join(s, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            (
+                (F.col("n") * F.col("lq") - F.col("s")).cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1e9)
+            ).alias("entropy_nats"),
+        )
+    )

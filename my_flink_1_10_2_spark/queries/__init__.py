@@ -126,6 +126,8 @@ _FLAGSHIP_ORDER = [
     "q_mad_outliers",
     "q_source_overlap",
     "q_user_event_entropy",
+    "q_token_gini",
+    "q_user_burstiness",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

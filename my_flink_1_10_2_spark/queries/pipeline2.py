@@ -692,3 +692,131 @@ def q_user_event_entropy(spark, sf_dir):
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "q_token_gini",
+    oracle=r"""
+    WITH lens AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                                  t -> t != '')) AS BIGINT) AS x
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, x,
+             row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+      FROM lens
+    ),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT source, n, sx AS total_tokens,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM agg WHERE sx > 0
+    """,
+    category="pipeline",
+)
+def q_token_gini(spark, sf_dir):
+    """Gini coefficient of per-document token counts within each source
+    — the length-concentration signal (a source where a few giant pages
+    carry most tokens behaves very differently in sampling than a
+    uniform one).  Closed form over the sorted values:
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with a deterministic
+    (length, doc_id) total order — every sum exact BIGINT, one IEEE
+    division, graded bitwise."""
+    from pyspark.sql import Window as W
+
+    lens = read(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).cast("bigint").alias("x"),
+    )
+    ranked = lens.withColumn(
+        "i",
+        F.row_number().over(W.partitionBy("source").orderBy("x", "doc_id")),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    return agg.where(F.col("sx") > 0).select(
+        "source",
+        "n",
+        F.col("sx").alias("total_tokens"),
+        (
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_user_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS ss
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+           (sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS burstiness
+    FROM m WHERE n >= 2
+    """,
+    category="pipeline",
+)
+def q_user_burstiness(spark, sf_dir):
+    """Goh–Barabási burstiness of per-user inter-event gaps:
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — periodic traffic near −1, Poisson at 0,
+    bursty humans positive; the temporal fingerprint bot-detection and
+    session modeling start from.  Gaps in exact integer microseconds
+    over a (ts, event_id) total order; μ and the population σ come from
+    exact BIGINT/DECIMAL moment sums (n·ss − s² as the variance
+    numerator), then a fixed IEEE sqrt/divide sequence — the raw DOUBLE
+    burstiness replays bitwise."""
+    from pyspark.sql import Window as W
+
+    events = read(spark, sf_dir, "events")
+    te = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = events.select(
+        "user_id",
+        (te - F.lag(te).over(W.partitionBy("user_id").orderBy("ts", "event_id"))).alias("g"),
+    ).where(F.col("g").isNotNull())
+    m = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum((F.col("g").cast("decimal(38,0)") * F.col("g"))).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        (F.col("n") * F.col("ss") - F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("double")
+        / (F.col("n").cast("decimal(38,0)") * F.col("n")).cast("double")
+    )
+    sigma = F.sqrt(var)
+    return m.where(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        mean.alias("mean_gap_us"),
+        ((sigma - mean) / (sigma + mean)).alias("burstiness"),
+    )

@@ -128,6 +128,7 @@ _FLAGSHIP_ORDER = [
     "q_user_event_entropy",
     "q_token_gini",
     "q_user_burstiness",
+    "q_minhash_estimate_audit",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -2384,3 +2384,123 @@ def q_embedding_topk_pq_trained(spark, sf_dir):
     return pq_topk_adc(
         emb, emb.filter("vec_id < 10"), k=5, m=4, ksub=8, codebooks=cb
     )
+
+
+@register(
+    "q_minhash_estimate_audit",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' ')))
+                    AS shingle
+           FROM w),
+    sig AS (SELECT doc_id, {', '.join(_minhash_mins(16))} FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             CASE b
+               {' '.join(f"WHEN {b} THEN array_to_string([h{4*b}, h{4*b+1}, h{4*b+2}, h{4*b+3}], ',')" for b in range(4))}
+             END AS band_key,
+             [{', '.join(f'h{i}' for i in range(16))}] AS sig
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+                  AS BIGINT) AS n_matches
+      FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS i
+      FROM cand c JOIN sh s1 ON s1.doc_id = c.doc1
+                  JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc1, c.doc2, c.n_matches,
+           CAST(c.n_matches * 1000000 // 16 AS BIGINT) AS est_e6,
+           CAST(coalesce(i.i, 0) * 1000000
+                // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS true_e6,
+           CAST(abs(c.n_matches * 1000000 // 16
+                    - coalesce(i.i, 0) * 1000000
+                      // (sa.n + sb.n - coalesce(i.i, 0))) AS BIGINT) AS err_e6
+    FROM cand c JOIN sizes sa ON sa.doc_id = c.doc1
+                JOIN sizes sb ON sb.doc_id = c.doc2
+                LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+    """,
+    category="llm_dedup",
+)
+def q_minhash_estimate_audit(spark, sf_dir):
+    """MinHash estimate-vs-truth audit — the sketch-quality report a
+    dedup pipeline keeps next to its thresholds: for every LSH candidate
+    pair, the signature-agreement estimate (n_matches/16) against the
+    EXACT shingle Jaccard, both in exact 1e-6 integer units with the
+    absolute error.  The truth side joins shingle sets only for
+    candidate pairs (O(candidates), never all pairs)."""
+    docs = read(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=16)
+    import itertools as _it
+
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[i].cast("string") for i in range(4 * b, 4 * b + 4)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+    a = banded.select(
+        F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"), "b", "band_key"
+    )
+    bb = banded.select(
+        F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"), "b", "band_key"
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("bigint")
+    cand = (
+        a.join(bb, ["b", "band_key"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", matches.alias("n_matches"))
+        .distinct()
+    )
+    sh = D.shingles(docs).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    sh2 = sh.select(F.col("doc_id").alias("__d2"), F.col("shingle").alias("__s2"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .join(
+            sh2,
+            (F.col("doc2") == F.col("__d2")) & (F.col("shingle") == F.col("__s2")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    est = F.expr("CAST(n_matches * 1000000 DIV 16 AS BIGINT)")
+    true_ = F.expr("CAST(coalesce(i, 0) * 1000000 DIV (n_a + n_b - coalesce(i, 0)) AS BIGINT)")
+    return (
+        cand.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n_a")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n_b")), "doc2")
+        .join(inter, ["doc1", "doc2"], "left")
+        .select(
+            "doc1",
+            "doc2",
+            "n_matches",
+            est.alias("est_e6"),
+            true_.alias("true_e6"),
+            F.abs(est - true_).cast("bigint").alias("err_e6"),
+        )
+    )

@@ -129,6 +129,8 @@ _FLAGSHIP_ORDER = [
     "q_token_gini",
     "q_user_burstiness",
     "q_minhash_estimate_audit",
+    "q_degree_assortativity",
+    "q_term_pmi",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

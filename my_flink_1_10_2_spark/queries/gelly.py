@@ -766,3 +766,70 @@ def q_closeness_sampled(spark, sf_dir):
     from my_flink_1_10_2_spark.operators.gelly import closeness_centrality
 
     return closeness_centrality(_edges(spark, sf_dir), n_sources=8, max_iters=10)
+
+
+@register(
+    "q_degree_assortativity",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({_EDGE_SQL})
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT n AS n_directed_edges,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM m
+    """,
+    category="gelly",
+)
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) — the Pearson correlation of
+    endpoint degrees over the symmetrized edge list: positive for
+    social-style hub-to-hub mixing, negative for hub-and-spoke
+    topologies; the one-number structure fingerprint next to the
+    clustering coefficients.  All five moment sums are exact BIGINTs
+    over integer degrees; the final expression is a fixed IEEE
+    sqrt/divide sequence — the raw DOUBLE is graded bitwise."""
+    from my_flink_1_10_2_spark.operators.gelly import _sym
+
+    sym = _sym(_edges(spark, sf_dir), "src", "dst")
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    pairs = (
+        sym.join(deg.select(F.col("u"), F.col("d").alias("x")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("y")), "v"
+        )
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"), (num / den).alias("assortativity")
+    )

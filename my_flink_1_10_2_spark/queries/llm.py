@@ -2504,3 +2504,123 @@ def q_minhash_estimate_audit(spark, sf_dir):
             F.abs(est - true_).cast("bigint").alias("err_e6"),
         )
     )
+
+
+@register(
+    "q_term_pmi",
+    oracle=r"""
+    WITH words AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    top AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS df FROM words GROUP BY 1
+        ORDER BY df DESC, term LIMIT 30)
+    ),
+    inc AS (SELECT w.doc_id, w.term FROM words w JOIN top USING (term)),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    co AS (
+      SELECT a.term AS term_x, b.term AS term_y,
+             CAST(count(*) AS BIGINT) AS c_xy
+      FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    lq AS (
+      SELECT v, CAST(round(ln(CAST(v AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               AS l
+      FROM (SELECT DISTINCT c AS v FROM cnt
+            UNION SELECT DISTINCT c_xy FROM co
+            UNION SELECT n FROM n)
+    )
+    SELECT co.term_x, co.term_y, co.c_xy,
+           CAST(ln.l + lxy.l - lx.l - ly.l AS BIGINT) AS pmi_e9
+    FROM co
+    JOIN cnt cx ON cx.term = co.term_x
+    JOIN cnt cy ON cy.term = co.term_y
+    CROSS JOIN n
+    JOIN lq lx ON lx.v = cx.c
+    JOIN lq ly ON ly.v = cy.c
+    JOIN lq lxy ON lxy.v = co.c_xy
+    JOIN lq ln ON ln.v = n.n
+    """,
+    category="llm_text",
+)
+def q_term_pmi(spark, sf_dir):
+    """Pointwise mutual information of top-term co-occurrence — the
+    collocation-mining kernel (which frequent terms attract or repel
+    each other across documents): PMI = ln(N·c_xy/(c_x·c_y)) decomposed
+    into ln N + ln c_xy − ln c_x − ln c_y with EVERY log quantized to
+    1e-9 integer units through the libm Arrow UDF over the distinct
+    count values — the result is a pure BIGINT sum, no division, no
+    float anywhere in the graded value.  Doc-pair co-occurrence joins
+    the 30-term incidence relation on doc_id — bounded, never a term
+    cartesian."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    docs = read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    ).distinct()
+    top = (
+        words.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(30)
+        .select("term")
+    )
+    inc = words.join(F.broadcast(top), "term")
+    cnt = inc.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n"))
+    co = (
+        inc.select(F.col("doc_id"), F.col("term").alias("term_x"))
+        .join(
+            inc.select(F.col("doc_id"), F.col("term").alias("term_y")), "doc_id"
+        )
+        .where(F.col("term_x") < F.col("term_y"))
+        .groupBy("term_x", "term_y")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    ln = _ln()
+    vals = (
+        cnt.select(F.col("c").alias("v"))
+        .unionByName(co.select(F.col("c_xy").alias("v")))
+        .unionByName(n.select(F.col("n").alias("v")))
+        .distinct()
+        .withColumn("l", F.round(ln(F.col("v").cast("double")) * 1e9).cast("bigint"))
+    )
+    return (
+        co.join(cnt.select(F.col("term").alias("term_x"), F.col("c").alias("cx")), "term_x")
+        .join(cnt.select(F.col("term").alias("term_y"), F.col("c").alias("cy")), "term_y")
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(vals.select(F.col("v").alias("cx"), F.col("l").alias("lx"))), "cx")
+        .join(F.broadcast(vals.select(F.col("v").alias("cy"), F.col("l").alias("ly"))), "cy")
+        .join(F.broadcast(vals.select(F.col("v").alias("c_xy"), F.col("l").alias("lxy"))), "c_xy")
+        .join(F.broadcast(vals.select(F.col("v").alias("n"), F.col("l").alias("ln_"))), "n")
+        .select(
+            "term_x",
+            "term_y",
+            "c_xy",
+            (F.col("ln_") + F.col("lxy") - F.col("lx") - F.col("ly"))
+            .cast("bigint")
+            .alias("pmi_e9"),
+        )
+    )

@@ -131,6 +131,7 @@ _FLAGSHIP_ORDER = [
     "q_minhash_estimate_audit",
     "q_degree_assortativity",
     "q_term_pmi",
+    "q_lsh_recall_report",
     "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",

@@ -2624,3 +2624,97 @@ def q_term_pmi(spark, sf_dir):
             .alias("pmi_e9"),
         )
     )
+
+
+@register(
+    "q_lsh_recall_report",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(words)-2, 1)+1),
+                                        i -> array_to_string(words[i:i+2], ' ')))
+                    AS shingle
+           FROM w),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+             CAST(count(*) AS BIGINT) AS i
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+                           AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc1, doc2 FROM inter
+      JOIN sizes sa ON sa.doc_id = doc1 JOIN sizes sb ON sb.doc_id = doc2
+      WHERE 4 * i >= sa.n + sb.n - i
+    ),
+    sig AS (SELECT doc_id, {', '.join(_minhash_mins(16))} FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             CASE b
+               {' '.join(f"WHEN {b} THEN array_to_string([h{4*b}, h{4*b+1}, h{4*b+2}, h{4*b+3}], ',')" for b in range(4))}
+             END AS band_key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth JOIN cand USING (doc1, doc2))
+                AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM truth JOIN cand USING (doc1, doc2))
+                  * 1000000
+                // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+             AS recall_e6
+    """,
+    category="llm_dedup",
+)
+def q_lsh_recall_report(spark, sf_dir):
+    """LSH candidate RECALL against exact ground truth — the other half
+    of the sketch audit (`q_minhash_estimate_audit` grades estimate
+    accuracy; this grades what the banding MISSES): true pairs are
+    those with exact shingle Jaccard >= 1/4 (the integer cross-test
+    4·|A∩B| >= |A∪B| — no float threshold), computed only over pairs
+    sharing at least one shingle (the join bounds the pair space — no
+    cartesian); candidates come from the 4-band LSH.  One row: truth
+    size, candidate size, found count, recall in exact 1e-6 units."""
+    docs = read(spark, sf_dir, "documents")
+    sh = D.shingles(docs).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc1"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("__s")),
+            (F.col("shingle") == F.col("__s")) & (F.col("doc1") < F.col("doc2")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb")), "doc2")
+        .where(4 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
+        .select("doc1", "doc2")
+    )
+    cand = (
+        D.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.0)
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    found = truth.join(cand, ["doc1", "doc2"])
+    stats = (
+        truth.agg(F.count("*").cast("bigint").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").cast("bigint").alias("n_candidates")))
+        .crossJoin(found.agg(F.count("*").cast("bigint").alias("n_found")))
+    )
+    return stats.select(
+        "n_true",
+        "n_candidates",
+        "n_found",
+        F.expr(
+            "CAST(n_found * 1000000 DIV greatest(n_true, 1) AS BIGINT)"
+        ).alias("recall_e6"),
+    )

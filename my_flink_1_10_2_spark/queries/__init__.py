@@ -354,6 +354,10 @@ def _driver_graded_names() -> set[str]:
     :func:`all_queries` floats never-graded queries to the front — every
     round grades 50 first-time rows until the whole registry has driver
     evidence, with no manual reordering.
+
+    A row only counts as graded if it is fully GREEN (rows/schema/hash all
+    matched, no error) in at least one round — a failed row re-enters the
+    fresh prefix so the driver re-grades it after the fix.
     """
     import glob
     import json
@@ -363,9 +367,21 @@ def _driver_graded_names() -> set[str]:
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                graded |= set(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                graded.add(name)  # legacy shape: presence = graded
+                continue
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False  # None = rows-only check
+                and not row.get("err")
+            )
+            if green:
+                graded.add(name)
     return graded
 
 

@@ -286,7 +286,7 @@ _EF_SRC = """
     SELECT k, make_timestamp(ws) AS window_start, make_timestamp(t) AS fire_ts,
            fire_batch,
            row_number() OVER (PARTITION BY k, ws ORDER BY t) AS fire_seq,
-           cnt, v_sum_e4
+           cnt, CAST(v_sum_e4 AS BIGINT) AS v_sum_e4
     FROM panes
     """,
     category="triggers",
@@ -413,7 +413,7 @@ _EFH_SRC = """
     SELECT k, make_timestamp(ws) AS window_start, make_timestamp(t) AS fire_ts,
            fire_batch,
            row_number() OVER (PARTITION BY k, ws ORDER BY t) AS fire_seq,
-           cnt, v_sum_e4
+           cnt, CAST(v_sum_e4 AS BIGINT) AS v_sum_e4
     FROM panes
     """,
     category="triggers",

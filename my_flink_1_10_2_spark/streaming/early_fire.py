@@ -31,7 +31,11 @@ no purging (PURGING composition is graded batch-side).
 
 Scale shape: the per-batch work is one grouped aggregate + one
 boundary-explode join over the accumulated state, all distributed; the
-driver holds only two watermark scalars per batch.
+driver holds NO mutable state — watermarks are recomputed from the
+accumulated per-batch parquet dirs, and every write overwrites a
+batch-indexed subdir, so foreachBatch's at-least-once redelivery
+(a retried micro-batch) reproduces identical bytes instead of
+double-appending (the round-4 driver-environment failure mode).
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ def continuous_early_fire_log(
     interval_us: int,
     delay_us: int,
     slide_us: int | None = None,
+    _test_retry: bool = False,
 ) -> DataFrame:
     """Replay ``src`` (micro-units: ``ts_col``/boundaries in epoch
     MICROSECONDS so every comparison is exact integer arithmetic) one
@@ -74,7 +79,12 @@ def continuous_early_fire_log(
     Windows): each element joins every window whose [start, start+size)
     covers it, and the trigger cascade runs per (key, window) exactly as
     for tumbling — ``slide_us`` must also be a multiple of
-    ``interval_us`` so window ends stay boundary-aligned."""
+    ``interval_us`` so window ends stay boundary-aligned.
+
+    ``_test_retry=True`` redelivers every micro-batch to the foreachBatch
+    handler twice (at-least-once simulation); the emission log must be
+    byte-identical to a clean run — pinned by
+    tests/test_early_fire_retry.py."""
     if size_us % interval_us != 0:
         raise ValueError("interval must divide the window size")
     if slide_us is not None and slide_us % interval_us != 0:
@@ -85,6 +95,7 @@ def continuous_early_fire_log(
         r[0] for r in src.select(batch_col).distinct().collect()
     )  # O(#batches) — the replay script itself
     n_batches = len(batches)
+    batch_index = {b: i for i, b in enumerate(batches)}
 
     # one flat file per batch, strictly increasing mtimes — the file
     # source orders micro-batches by modification time
@@ -103,15 +114,21 @@ def continuous_early_fire_log(
         os.utime(dst, (base_ts + i, base_ts + i))
 
     acc_dir, log_dir = f"{work}/acc", f"{work}/log"
-    state = {"prev_wm": -(2**62), "max_te": -(2**62), "done": 0}
 
+    # Retry-proof by construction (foreachBatch is at-least-once; the
+    # driver environment DID redeliver batches in round 4):
+    #   - every write is an OVERWRITE of a per-batch-index subdir, so a
+    #     redelivered batch rewrites identical bytes instead of
+    #     double-appending;
+    #   - the watermarks are derived from the DATA (max ts over the
+    #     accumulated per-batch dirs) plus the statically-known batch
+    #     order, never from a mutable driver counter — a retry recomputes
+    #     the exact same cur_wm/prev_wm.
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
         if batch_df.isEmpty():
             return
         stats = batch_df.agg(
-            F.max(ts_col).alias("m"),
-            F.max(batch_col).alias("b"),
-            F.min(batch_col).alias("b_min"),
+            F.max(batch_col).alias("b"), F.min(batch_col).alias("b_min")
         ).first()
         b = int(stats["b"])
         if int(stats["b_min"]) != b:
@@ -120,17 +137,24 @@ def continuous_early_fire_log(
                 f"carries batch values {stats['b_min']}..{b} — the file "
                 "source must deliver exactly one wave per trigger"
             )
-        state["max_te"] = max(state["max_te"], int(stats["m"]))
-        state["done"] += 1
-        cur_wm = (
-            END_OF_INPUT_WM
-            if state["done"] == n_batches
-            else state["max_te"] - delay_us
-        )
-        prev_wm = state["prev_wm"]
+        i = batch_index[b]
 
-        batch_df.write.mode("append").parquet(acc_dir)
-        acc = spark.read.parquet(acc_dir)
+        batch_df.write.mode("overwrite").parquet(f"{acc_dir}/b{i:03d}")
+        acc_paths = [f"{acc_dir}/b{j:03d}" for j in range(i + 1)]
+        acc = spark.read.parquet(*acc_paths)
+
+        # watermark state from data, not driver memory: max event time
+        # over batches <= i (cur) and <= i-1 (prev); max is cumulative so
+        # this equals the streamed high-watermark at each point.
+        max_te = int(acc.agg(F.max(ts_col)).first()[0])
+        cur_wm = END_OF_INPUT_WM if i == n_batches - 1 else max_te - delay_us
+        if i == 0:
+            prev_wm = -(2**62)
+        else:
+            prev_max = int(
+                spark.read.parquet(*acc_paths[:-1]).agg(F.max(ts_col)).first()[0]
+            )
+            prev_wm = prev_max - delay_us
         # window assignment: tumbling = 1 window; sliding = every start
         # in (te - size, te] on the slide grid (size/slide windows)
         last_start = F.col(ts_col) - F.col(ts_col) % slide
@@ -180,14 +204,18 @@ def continuous_early_fire_log(
             "cnt",
             "v_sum",
         )
-        log.write.mode("append").parquet(log_dir)
-        state["prev_wm"] = cur_wm
+        log.write.mode("overwrite").parquet(f"{log_dir}/b{i:03d}")
+
+    def handler(batch_df: DataFrame, bid: int) -> None:
+        on_batch(batch_df, bid)
+        if _test_retry:  # simulate at-least-once redelivery of every batch
+            on_batch(batch_df, bid)
 
     q = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{work}/replay")
-        .writeStream.foreachBatch(on_batch)
+        .writeStream.foreachBatch(handler)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{work}/ckpt")
         .start()
@@ -196,6 +224,6 @@ def continuous_early_fire_log(
 
     from pyspark.sql import Window
 
-    out = spark.read.parquet(log_dir)
+    out = spark.read.parquet(*[f"{log_dir}/b{i:03d}" for i in range(n_batches)])
     seq = Window.partitionBy(*keys, "window_start").orderBy("fire_ts")
     return out.withColumn("fire_seq", F.row_number().over(seq).cast("bigint"))

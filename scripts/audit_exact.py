@@ -26,13 +26,68 @@ TABLES = (
 ).split()
 
 
+def _canon(df):
+    """Canonicalize the dtype proxies the driver's value hash already
+    tolerates (its hash stringifies values, so int32 vs int64 and
+    datetime resolution never affect it): widen integer widths to int64
+    and datetime resolutions to microseconds.  Values are converted too,
+    so the exact-value pass compares like with like."""
+    import numpy as np  # noqa: F401
+
+    df = df.copy()
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt in ("int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64"):
+            df[c] = df[c].astype("int64")
+        elif dt.startswith("datetime64[") and not dt.startswith("datetime64[us"):
+            inner = dt[len("datetime64[") : -1]  # "ns" or "ns, UTC"
+            tz = inner.split(",", 1)[1].strip() if "," in inner else None
+            df[c] = df[c].astype(f"datetime64[us, {tz}]" if tz else "datetime64[us]")
+        elif dt == "float32":
+            df[c] = df[c].astype("float64")
+    return df
+
+
+def _cell_eq(a, b):
+    """Exact cell equality; ARRAY/LIST cells go through np.array_equal
+    FIRST — a bare ``a == b`` on an ndarray returns an elementwise array
+    whose truth value raises, which the old code caught and miscounted
+    as a mismatch."""
+    import numpy as np
+
+    if a is None and b is None:
+        return True
+    if isinstance(a, (np.ndarray, list, tuple)) or isinstance(b, (np.ndarray, list, tuple)):
+        if a is None or b is None:
+            return False
+        try:
+            aa, bb = np.asarray(a), np.asarray(b)
+            if aa.dtype.kind == "O" or bb.dtype.kind == "O":
+                if aa.shape != bb.shape:
+                    return False
+                return all(_cell_eq(x, y) for x, y in zip(aa.ravel(), bb.ravel()))
+            if aa.dtype.kind == "f" and bb.dtype.kind == "f":
+                return bool(np.array_equal(aa.astype("f8"), bb.astype("f8"), equal_nan=True))
+            return bool(np.array_equal(aa, bb))
+        except Exception:
+            return False
+    try:
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        if a == b:
+            return True
+        return repr(a) == repr(b)
+    except Exception:
+        return False
+
+
 def compare(sdf, ddf):
     issues = []
     if sorted(sdf.columns) != sorted(ddf.columns):
         return [f"COLS spark={sorted(sdf.columns)} oracle={sorted(ddf.columns)}"]
     cols = sorted(sdf.columns)
-    sdf = sdf.reindex(cols, axis=1)
-    ddf = ddf.reindex(cols, axis=1)
+    sdf = _canon(sdf.reindex(cols, axis=1))
+    ddf = _canon(ddf.reindex(cols, axis=1))
     if len(sdf) != len(ddf):
         issues.append(f"ROWS {len(sdf)} vs {len(ddf)}")
         return issues
@@ -51,28 +106,11 @@ def compare(sdf, ddf):
         for c in cols:
             sv, dv = s_sorted[c], d_sorted[c]
             n_bad = 0
+            first = None
             for i in range(len(sv)):
                 a, b = sv.iloc[i], dv.iloc[i]
-                if a is None and b is None:
+                if _cell_eq(a, b):
                     continue
-                try:
-                    if isinstance(a, float) and isinstance(b, float):
-                        if (math.isnan(a) and math.isnan(b)) or a == b:
-                            continue
-                    elif a == b:
-                        continue
-                    elif repr(a) == repr(b):
-                        continue
-                    ok = False
-                    try:
-                        import numpy as np
-                        ok = bool(np.array_equal(a, b))
-                    except Exception:
-                        ok = False
-                    if ok:
-                        continue
-                except Exception:
-                    pass
                 n_bad += 1
                 if n_bad == 1:
                     first = (i, repr(a)[:40], repr(b)[:40])

@@ -1,0 +1,69 @@
+"""Pinned regression: the early-fire replay must be IDEMPOTENT under
+foreachBatch's at-least-once redelivery (ref contract unchanged:
+ContinuousEventTimeTrigger.java onElement/onEventTime; the retry
+semantics come from Structured Streaming's foreachBatch guarantee).
+
+Round 4's driver environment redelivered micro-batches; the then
+append-based accumulator double-counted panes and double-logged fires
+(hash_match=false on q_early_fire_sequence/_hop).  ``_test_retry=True``
+forces every micro-batch through the handler twice — the emission log
+must equal the clean-run log exactly.  This test FAILS on the r4
+append-based implementation and passes on the overwrite-per-batch one.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from my_flink_1_10_2_spark.streaming.early_fire import continuous_early_fire_log
+
+S = 1_000_000  # 1 second in micros
+
+ROWS = [
+    # (k, te, batch, v) — same fixture as test_early_fire.py: covers the
+    # no-fire batch, the watermark-jump cascade, a late-key first fire,
+    # and the end-of-input drain.
+    ("a", 5 * S, 0, 1),
+    ("a", 25 * S, 0, 2),
+    ("a", 55 * S, 1, 4),
+    ("b", 10 * S, 1, 10),
+    ("a", 130 * S, 2, 8),
+]
+
+
+def _run(spark, *, retry: bool, slide_us: int | None = None):
+    src = spark.createDataFrame(ROWS, "k string, te long, batch long, v long")
+    work = tempfile.mkdtemp(prefix="fl_ef_retry_")
+    try:
+        log = continuous_early_fire_log(
+            spark,
+            src,
+            work,
+            ts_col="te",
+            batch_col="batch",
+            keys=["k"],
+            value_col="v",
+            size_us=60 * S,
+            interval_us=20 * S,
+            delay_us=10 * S,
+            slide_us=slide_us,
+            _test_retry=retry,
+        )
+        return sorted(
+            (r.k, r.window_start, r.fire_ts, r.fire_batch, r.fire_seq, r.cnt, r.v_sum)
+            for r in log.collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.parametrize("slide_s", [None, 20], ids=["tumbling", "sliding"])
+def test_retried_batches_leave_log_unchanged(spark, slide_s):
+    slide_us = slide_s * S if slide_s else None
+    clean = _run(spark, retry=False, slide_us=slide_us)
+    retried = _run(spark, retry=True, slide_us=slide_us)
+    assert clean  # fixture actually fires
+    assert retried == clean

@@ -173,6 +173,11 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver stores only a TAIL of stdout and parses the LAST JSON
+    # line — round 4's line (two per-query dicts) outgrew that buffer
+    # ("parsed": null).  Keep the final line to the contract fields
+    # (metric/value/unit/queries/sf + two scalars); the per-query
+    # normalized ratios go to stderr and bench_detail.json instead.
     result = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(timings.values()), 3),
@@ -180,14 +185,24 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        "value_normalized": round(sum(timings.values()) / calibration, 2),
+    }
+    detail = {
+        **result,
         # Machine-independent per-query numbers: sec / calibration_sec.
         # Compare THESE across rounds — a uniform shift in raw seconds
         # with stable ratios is host drift, not a plan change.
         "queries_normalized": {
             n: round(t / calibration, 2) for n, t in timings.items()
         },
-        "value_normalized": round(sum(timings.values()) / calibration, 2),
     }
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

@@ -49,11 +49,13 @@ from my_flink_1_10_2_spark.llm.similarity import int_vec
 def gram_and_colsums(
     emb: DataFrame, vec_col: str = "embedding", scale: int = 1000
 ) -> DataFrame:
-    """One-pass distributed Gram matrix: rows (i, j, s, m) where
-    ``s = Σ vi·vj`` over the integer-unit corpus and ``m = Σ vi``
-    (repeated per row of i for convenience, exact).  Partition-local
-    numpy int64 matmul partials → one (i,j)-keyed sum; the shuffle is
-    O(partitions · dim²)."""
+    """One-pass distributed Gram matrix: rows (i, j, s, m, c) where
+    ``s = Σ vi·vj`` over the integer-unit corpus, ``m = Σ vi`` and
+    ``c`` the corpus row count (both repeated per (i,j) row for
+    convenience, exact).  Partition-local numpy int64 matmul partials →
+    one (i,j)-keyed sum; the shuffle is O(partitions · dim²).  The
+    count partial makes downstream consumers one-pass: no separate
+    ``emb.count()`` scan that could observe a different input."""
     import numpy as np
     import pandas as pd
 
@@ -62,6 +64,7 @@ def gram_and_colsums(
     def kernel(batches):
         acc_s = None
         acc_m = None
+        acc_n = 0
         for b in batches:
             if not len(b):
                 continue
@@ -70,6 +73,7 @@ def gram_and_colsums(
             m = v.sum(axis=0)
             acc_s = s if acc_s is None else acc_s + s
             acc_m = m if acc_m is None else acc_m + m
+            acc_n += len(b)
         if acc_s is None:
             return
         dim = acc_s.shape[0]
@@ -80,12 +84,13 @@ def gram_and_colsums(
                 "j": jj.ravel().astype(np.int32),
                 "s": acc_s.ravel(),
                 "m": acc_m[ii.ravel()],
+                "c": np.full(dim * dim, acc_n, dtype=np.int64),
             }
         )
 
-    partials = src.mapInPandas(kernel, "i int, j int, s long, m long")
+    partials = src.mapInPandas(kernel, "i int, j int, s long, m long, c long")
     return partials.groupBy("i", "j").agg(
-        F.sum("s").alias("s"), F.sum("m").alias("m")
+        F.sum("s").alias("s"), F.sum("m").alias("m"), F.sum("c").alias("c")
     )
 
 
@@ -117,7 +122,9 @@ def pca_top_component(
     count, the re-quantization protocol above, and first-nonzero-
     positive sign convention."""
     rows = gram_and_colsums(emb, vec_col, scale).collect()
-    n = emb.count()
+    if not rows:
+        raise ValueError("pca: empty corpus")
+    n = int(rows[0]["c"])  # from the one-pass kernel — no second scan
     dim = max(r["i"] for r in rows) + 1
     S = [[0] * dim for _ in range(dim)]
     m = [0] * dim

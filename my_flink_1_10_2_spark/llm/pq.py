@@ -195,9 +195,18 @@ def pq_train(
         nxt = [[list(cent) for cent in sub] for sub in cb]
         for r in agg:
             if r["c"] > 0:
-                nxt[r["i"]][r["k"]][r["j"]] = (2 * int(r["s"]) + int(r["c"])) // (
-                    2 * int(r["c"])
-                )
+                s_, c_ = int(r["s"]), int(r["c"])
+                # oracle parity contract: floor(double(2s+c)/double(2c))
+                # equals the exact rational floor only below 2^52 — fail
+                # LOUDLY past it instead of silently diverging from SQL
+                if abs(2 * s_ + c_) >= 2**52 or 2 * c_ >= 2**52:
+                    raise ValueError(
+                        "pq_train: |2*s + c| or 2*c exceeds 2^52 — the "
+                        "half-up rational (2s+c)//(2c) no longer replays "
+                        "bitwise as a double division in SQL; re-run with "
+                        "a smaller quantization scale"
+                    )
+                nxt[r["i"]][r["k"]][r["j"]] = (2 * s_ + c_) // (2 * c_)
         cb = nxt
     return cb
 

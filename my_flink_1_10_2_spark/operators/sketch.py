@@ -403,13 +403,34 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """The KMV synopsis itself: the k smallest distinct md5 hashes of
     ``col``, as rows (h double).  Mergeable (k smallest of a union of
     sketches = sketch of the union) and engine-portable — DuckDB
-    reproduces every hash bit."""
-    return (
-        df.select(_norm_hash(col).alias("h"))
-        .dropDuplicates(["h"])
-        .orderBy("h")
-        .limit(k)
-    )
+    reproduces every hash bit.
+
+    Past ``_PREFILTER_MIN_ROWS`` this reuses :func:`kmv_distinct`'s
+    threshold prefilter (``h <= margin·k/N̂`` map-side, ×8 widen-and-
+    retry if the sketch starves), so the dedup/sort shuffle carries
+    ~margin·k rows instead of every distinct hash — the bits are
+    unchanged because a filter keeping everything ≤ the k-th smallest
+    hash cannot change the k smallest."""
+    hashes_all = df.select(_norm_hash(col).alias("h"))
+    n_est = df.count()
+    if n_est >= _PREFILTER_MIN_ROWS:
+        margin = 8.0
+        while True:
+            threshold = min(1.0, margin * k / max(n_est, 1))
+            if threshold >= 1.0:
+                break
+            sk = (
+                hashes_all.where(F.col("h") <= F.lit(threshold))
+                .dropDuplicates(["h"])
+                .orderBy("h")
+                .limit(k)
+            )
+            # valid if it filled (k survivors) — else the filter starved
+            # the sketch: widen and retry (deterministic, same bits)
+            if sk.count() >= k:
+                return sk
+            margin *= 8.0
+    return hashes_all.dropDuplicates(["h"]).orderBy("h").limit(k)
 
 
 def kmv_set_ops(

@@ -540,16 +540,18 @@ def q_mad_outliers(spark, sf_dir):
     "q_source_overlap",
     oracle=r"""
     WITH toks AS (
-      SELECT source, doc_id,
-             list_filter(str_split_regex(lower(text), '\s+'), t -> t != '') AS w
+      SELECT source, doc_id, str_split_regex(text, '\s+') AS w
       FROM documents
     ),
     grams AS (
-      SELECT DISTINCT source,
-             md5(list_aggregate(w[CAST(p AS BIGINT):CAST(p+7 AS BIGINT)],
-                                'string_agg', ' ')) AS g
-      FROM toks, (SELECT unnest(range(1, 2000)) AS p)
-      WHERE p + 7 <= len(w)
+      -- position range derived from len(w) (same bound family as the
+      -- other shingle oracles), raw un-lowered split: exactly
+      -- shingle_rows' semantics for any word count / case / whitespace
+      SELECT DISTINCT source, md5(s) AS g FROM (
+        SELECT source,
+               unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                                     i -> array_to_string(w[i:i+7], ' '))) AS s
+        FROM toks)
     ),
     sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1)
     SELECT a.source AS source_a, b.source AS source_b,

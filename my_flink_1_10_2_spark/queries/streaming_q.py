@@ -18,6 +18,24 @@ from pyspark.sql import functions as F
 
 from my_flink_1_10_2_spark.queries import read, register
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _epoch_wave(ts_col: str = "ts"):
+    """Replay-wave key: ABSOLUTE epoch-week index (epoch_us DIV week_us,
+    exact integer division — a double division would lose bits above
+    2^52).  A day-of-month DIV 7 key is only event-time-ordered while
+    the fixture spans one calendar month; the absolute key stays ordered
+    for any span.  Staging iterates the sorted DISTINCT values, so the
+    arbitrary epoch offset and the wave COUNT are both data-derived."""
+    return F.expr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {_WEEK_US} AS INT)"
+    )
+
+
+def _distinct_waves(src) -> list[int]:
+    return sorted(r[0] for r in src.select("__wave").distinct().collect())
+
 
 @register(
     "q_retract_join_materialized",
@@ -1401,23 +1419,24 @@ def q_process_timer_alerts(spark, sf_dir):
             "event_id",
             F.col("ts").cast("timestamp").alias("ts"),
             F.unix_micros(F.col("ts").cast("timestamp")).alias("__te"),
-            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+            _epoch_wave("ts").alias("__wave"),
         )
     )
     work = tempfile.mkdtemp(prefix="fl_ptimer_")
     try:
         _os.makedirs(f"{work}/replay")
         base = _time.time() - 3600
-        n_waves = 5
-        for w in range(n_waves):
-            stage = f"{work}/stage/b{w}"
+        waves = _distinct_waves(src)
+        n_waves = len(waves)
+        for i, w in enumerate(waves):
+            stage = f"{work}/stage/b{i}"
             src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
             (part,) = _glob.glob(f"{stage}/part-*.parquet")
-            dst = f"{work}/replay/part-{w:03d}.parquet"
+            dst = f"{work}/replay/part-{i:03d}.parquet"
             _shutil.copy(part, dst)
-            _os.utime(dst, (base + w, base + w))
+            _os.utime(dst, (base + i, base + i))
         # two sentinel batches: the first jumps the watermark past every
         # possible (last_ts + GAP) timer, the second gives Spark a batch
         # in which those now-expired timers fire
@@ -1853,22 +1872,22 @@ def q_stream_cep_materialized(spark, sf_dir):
                 F.unix_micros(F.col("ts").cast("timestamp")),
                 F.col("event_id"),
             ).alias("__ord"),
-            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+            _epoch_wave("ts").alias("__wave"),
         )
     )
     work = tempfile.mkdtemp(prefix="fl_scep_")
     try:
         _os.makedirs(f"{work}/replay")
         base = _time.time() - 3600
-        for w in range(5):
-            stage = f"{work}/stage/b{w}"
+        for i, w in enumerate(_distinct_waves(src)):
+            stage = f"{work}/stage/b{i}"
             src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
             (part,) = _glob.glob(f"{stage}/part-*.parquet")
-            dst = f"{work}/replay/part-{w:03d}.parquet"
+            dst = f"{work}/replay/part-{i:03d}.parquet"
             _shutil.copy(part, dst)
-            _os.utime(dst, (base + w, base + w))
+            _os.utime(dst, (base + i, base + i))
 
         pattern = (
             Pattern.begin("a", lambda r, c: True)
@@ -2045,22 +2064,22 @@ def q_state_ttl_counter(spark, sf_dir):
             "event_id",
             F.col("ts").cast("timestamp").alias("ts"),
             F.unix_micros(F.col("ts").cast("timestamp")).alias("__te"),
-            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+            _epoch_wave("ts").alias("__wave"),
         )
     )
     work = tempfile.mkdtemp(prefix="fl_ttl_")
     try:
         _os.makedirs(f"{work}/replay")
         base = _time.time() - 3600
-        for w in range(5):
-            stage = f"{work}/stage/b{w}"
+        for i, w in enumerate(_distinct_waves(src)):
+            stage = f"{work}/stage/b{i}"
             src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
             (part,) = _glob.glob(f"{stage}/part-*.parquet")
-            dst = f"{work}/replay/part-{w:03d}.parquet"
+            dst = f"{work}/replay/part-{i:03d}.parquet"
             _shutil.copy(part, dst)
-            _os.utime(dst, (base + w, base + w))
+            _os.utime(dst, (base + i, base + i))
 
         ttl_us = _TTL_US
 
@@ -2173,17 +2192,19 @@ def q_stream_semi_anti_materialized(spark, sf_dir):
             F.col("ts").cast("timestamp").alias("ts"),
             F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
             "event_type",
-            F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+            _epoch_wave("ts").alias("__wave"),
         )
     )
     work = tempfile.mkdtemp(prefix="fl_semianti_")
     try:
         base = _time.time() - 3600
         far_us = 1_720_000_000_000_000
+        waves = _distinct_waves(src)
+        n_waves = len(waves)
         for side in ("click", "purchase"):
             _os.makedirs(f"{work}/replay_{side}")
-            for w in range(5):
-                stage = f"{work}/stage/{side}{w}"
+            for i, w in enumerate(waves):
+                stage = f"{work}/stage/{side}{i}"
                 (
                     src.where(
                         (F.col("event_type") == side) & (F.col("__wave") == w)
@@ -2194,9 +2215,9 @@ def q_stream_semi_anti_materialized(spark, sf_dir):
                     .parquet(stage)
                 )
                 (part,) = _glob.glob(f"{stage}/part-*.parquet")
-                dst = f"{work}/replay_{side}/part-{w:03d}.parquet"
+                dst = f"{work}/replay_{side}/part-{i:03d}.parquet"
                 _shutil.copy(part, dst)
-                _os.utime(dst, (base + w, base + w))
+                _os.utime(dst, (base + i, base + i))
             # sentinel wave: advances this side's watermark far enough to
             # close every pending anti-join window on the OTHER side
             sent = spark.createDataFrame(
@@ -2205,9 +2226,9 @@ def q_stream_semi_anti_materialized(spark, sf_dir):
             stage = f"{work}/stage/{side}_sent"
             sent.coalesce(1).write.mode("overwrite").parquet(stage)
             (part,) = _glob.glob(f"{stage}/part-*.parquet")
-            dst = f"{work}/replay_{side}/part-{5:03d}.parquet"
+            dst = f"{work}/replay_{side}/part-{n_waves:03d}.parquet"
             _shutil.copy(part, dst)
-            _os.utime(dst, (base + 5, base + 5))
+            _os.utime(dst, (base + n_waves, base + n_waves))
 
         schema = "event_id long, user_id long, ts timestamp, te long"
 
@@ -2306,21 +2327,21 @@ def q_stream_kmv_merged(spark, sf_dir):
     src = read(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.expr("CAST((day(ts) - 1) DIV 7 AS INT)").alias("__wave"),
+        _epoch_wave("ts").alias("__wave"),
     )
     work = tempfile.mkdtemp(prefix="fl_skmv_")
     try:
         _os.makedirs(f"{work}/replay")
         base = _time.time() - 3600
-        for w in range(5):
-            stage = f"{work}/stage/b{w}"
+        for i, w in enumerate(_distinct_waves(src)):
+            stage = f"{work}/stage/b{i}"
             src.where(F.col("__wave") == w).drop("__wave").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
             (part,) = _glob.glob(f"{stage}/part-*.parquet")
-            dst = f"{work}/replay/part-{w:03d}.parquet"
+            dst = f"{work}/replay/part-{i:03d}.parquet"
             _shutil.copy(part, dst)
-            _os.utime(dst, (base + w, base + w))
+            _os.utime(dst, (base + i, base + i))
 
         sketch: list[float] = []  # the carried k-minimum values
 

@@ -1,0 +1,267 @@
+"""Cassandra sink speaking the CQL native protocol v4 — the jar-free
+functional path (ref: flink-connectors/flink-connector-cassandra/.../
+CassandraSink.java, CassandraRowWriteAheadSink.java, CassandraPojoSink
+upsert semantics).
+
+The wire format is the PUBLIC Apache Cassandra spec
+(``doc/native_protocol_v4.spec`` in the Cassandra source tree): a 9-byte
+frame header (version, flags, stream, opcode, length) followed by a
+typed body.  This module implements the minimal client subset a sink
+needs — STARTUP/READY handshake, SASL-PLAIN AUTH_RESPONSE, and UNLOGGED
+BATCHes of INSERT statements with inline CQL literals — nothing else.
+
+Delivery contract: INSERTs are primary-key upserts, so replayed
+micro-batches converge (at-least-once, exactly the reference sink's
+non-WAL mode; the WAL exactly-once mode is gated loudly in
+``connectors.cassandra_sink_options``).
+
+Scale shape: one connection per PARTITION (not per row), statements
+batched ``batch_max_statements`` per frame; the driver never sees the
+data.  At 1000 executors this is the same fan-out discipline as the
+reference's per-subtask session.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+
+# opcodes (native_protocol_v4.spec §2.4)
+OP_ERROR = 0x00
+OP_STARTUP = 0x01
+OP_READY = 0x02
+OP_AUTHENTICATE = 0x03
+OP_QUERY = 0x07
+OP_RESULT = 0x08
+OP_BATCH = 0x0D
+OP_AUTH_RESPONSE = 0x0F
+OP_AUTH_SUCCESS = 0x10
+
+CONSISTENCY = {
+    "ANY": 0x0000,
+    "ONE": 0x0001,
+    "TWO": 0x0002,
+    "THREE": 0x0003,
+    "QUORUM": 0x0004,
+    "ALL": 0x0005,
+    "LOCAL_QUORUM": 0x0006,
+    "EACH_QUORUM": 0x0007,
+    "LOCAL_ONE": 0x000A,
+}
+
+
+def _string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">H", len(b)) + b
+
+
+def _long_string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">i", len(b)) + b
+
+
+def _string_map(d: dict[str, str]) -> bytes:
+    out = struct.pack(">H", len(d))
+    for k, v in d.items():
+        out += _string(k) + _string(v)
+    return out
+
+
+def frame(opcode: int, body: bytes, stream: int = 0) -> bytes:
+    """A v4 REQUEST frame: version 0x04, flags 0, int16 stream id."""
+    return struct.pack(">BBhBi", 0x04, 0x00, stream, opcode, len(body)) + body
+
+
+def read_frame(sock) -> tuple[int, bytes]:
+    """Read one RESPONSE frame → (opcode, body).  Blocking, exact."""
+    header = b""
+    while len(header) < 9:
+        chunk = sock.recv(9 - len(header))
+        if not chunk:
+            raise ConnectionError("cassandra connection closed mid-frame")
+        header += chunk
+    _ver, _flags, _stream, opcode, length = struct.unpack(">BBhBi", header)
+    body = b""
+    while len(body) < length:
+        chunk = sock.recv(length - len(body))
+        if not chunk:
+            raise ConnectionError("cassandra connection closed mid-body")
+        body += chunk
+    return opcode, body
+
+
+def _error_text(body: bytes) -> str:
+    (code,) = struct.unpack(">i", body[:4])
+    (n,) = struct.unpack(">H", body[4:6])
+    return f"code=0x{code:04x} {body[6 : 6 + n].decode(errors='replace')}"
+
+
+def cql_literal(v) -> str:
+    """Inline CQL literal for a Python value — strings quote-escaped,
+    bytes as blob hex, timestamps as epoch-millis BIGINTs (the CQL
+    timestamp literal form), lists recursively.  Floats use repr()
+    (shortest round-trip, value-exact)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo else _dt.datetime(1970, 1, 1)
+        return str(int((v - epoch).total_seconds() * 1000))
+    if isinstance(v, _dt.date):
+        return f"'{v.isoformat()}'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(cql_literal(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(f"{cql_literal(k)}: {cql_literal(x)}" for k, x in v.items())
+            + "}"
+        )
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _tcp_connect(host: str, port: int):
+    import socket
+
+    return socket.create_connection((host, port), timeout=30)
+
+
+class CassandraCqlSink:
+    """foreachBatch sink writing INSERT upserts over CQL native v4.
+
+    ``connect_factory(host, port) -> socket-like`` is injectable (tests
+    run an in-process protocol server; production uses a TCP socket).
+    ``username``/``password`` drive the SASL-PLAIN exchange when the
+    server responds AUTHENTICATE; without credentials that response
+    fails loudly.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        keyspace: str,
+        table: str,
+        *,
+        port: int = 9042,
+        username: str | None = None,
+        password: str | None = None,
+        consistency: str = "ONE",
+        batch_max_statements: int = 64,
+        connect_factory=None,
+    ):
+        if not host:
+            raise ValueError("a Cassandra contact host is required")
+        if consistency not in CONSISTENCY:
+            raise ValueError(
+                f"unknown consistency {consistency!r}; one of {tuple(CONSISTENCY)}"
+            )
+        if (username is None) != (password is None):
+            raise ValueError("credentials need both username and password")
+        self.host = host
+        self.port = port
+        self.keyspace = keyspace
+        self.table = table
+        self.username = username
+        self.password = password
+        self.consistency = CONSISTENCY[consistency]
+        self.batch_max_statements = batch_max_statements
+        self.connect_factory = connect_factory or _tcp_connect
+
+    # -- protocol steps -----------------------------------------------------
+
+    def _handshake(self, sock) -> None:
+        sock.sendall(frame(OP_STARTUP, _string_map({"CQL_VERSION": "3.0.0"})))
+        opcode, body = read_frame(sock)
+        if opcode == OP_AUTHENTICATE:
+            if self.username is None:
+                raise RuntimeError(
+                    "cassandra requires authentication "
+                    f"({_string_body(body)}) but no credentials were given"
+                )
+            token = b"\x00" + self.username.encode() + b"\x00" + self.password.encode()
+            sock.sendall(
+                frame(OP_AUTH_RESPONSE, struct.pack(">i", len(token)) + token)
+            )
+            opcode, body = read_frame(sock)
+            if opcode != OP_AUTH_SUCCESS:
+                raise RuntimeError(
+                    "cassandra authentication failed: "
+                    + (_error_text(body) if opcode == OP_ERROR else hex(opcode))
+                )
+        elif opcode != OP_READY:
+            raise RuntimeError(
+                "cassandra STARTUP rejected: "
+                + (_error_text(body) if opcode == OP_ERROR else hex(opcode))
+            )
+
+    def _send_batch(self, sock, statements: list[str]) -> None:
+        body = struct.pack(">BH", 0x01, len(statements))  # UNLOGGED batch
+        for stmt in statements:
+            body += b"\x00" + _long_string(stmt) + struct.pack(">H", 0)
+        body += struct.pack(">HB", self.consistency, 0x00)
+        sock.sendall(frame(OP_BATCH, body))
+        opcode, rbody = read_frame(sock)
+        if opcode != OP_RESULT:
+            raise RuntimeError(
+                "cassandra BATCH failed: "
+                + (_error_text(rbody) if opcode == OP_ERROR else hex(opcode))
+            )
+
+    def _insert_cql(self, doc: dict) -> str:
+        cols = ", ".join(doc)
+        vals = ", ".join(cql_literal(v) for v in doc.values())
+        return (
+            f"INSERT INTO {self.keyspace}.{self.table} ({cols}) VALUES ({vals})"
+        )
+
+    # -- spark glue ---------------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        sink = self
+
+        def send_partition(rows):
+            rows = iter(rows)
+            try:
+                first = next(rows)
+            except StopIteration:
+                return  # empty partition: no connection at all
+            import itertools
+
+            sock = sink.connect_factory(sink.host, sink.port)
+            try:
+                sink._handshake(sock)
+                buf: list[str] = []
+                for row in itertools.chain([first], rows):
+                    buf.append(sink._insert_cql(row.asDict(recursive=True)))
+                    if len(buf) >= sink.batch_max_statements:
+                        sink._send_batch(sock, buf)
+                        buf = []
+                if buf:
+                    sink._send_batch(sock, buf)
+            finally:
+                sock.close()
+
+        batch_df.foreachPartition(send_partition)
+
+
+def _string_body(body: bytes) -> str:
+    (n,) = struct.unpack(">H", body[:2])
+    return body[2 : 2 + n].decode(errors="replace")
+
+
+def cassandra_cql_sink(df: DataFrame, checkpoint: str, **kwargs):
+    """Streaming writer using :class:`CassandraCqlSink` — the functional,
+    jar-free Cassandra path (`connectors.cassandra_sink_options` keeps
+    the spark-cassandra-connector jar path for clusters that ship it)."""
+    sink = CassandraCqlSink(**kwargs)
+    return df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )

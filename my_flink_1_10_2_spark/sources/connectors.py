@@ -304,7 +304,10 @@ def cassandra_sink_options(
     write_ahead_log: bool = False,
 ) -> dict[str, str]:
     """Translate Flink Cassandra sink settings to spark-cassandra-connector
-    options (pure function — see the parity table above)."""
+    options (pure function — see the parity table above).  For the
+    jar-free FUNCTIONAL path see
+    :class:`my_flink_1_10_2_spark.sources.cassandra_cql.CassandraCqlSink`
+    (CQL native protocol v4, tested against a live in-process server)."""
     if write_ahead_log:
         raise NotImplementedError(
             "Cassandra write-ahead-log (exactly-once) has no Spark analog; "
@@ -612,6 +615,268 @@ def hbase_rest_sink(df: DataFrame, checkpoint: str, **kwargs):
     jar-free HBase path (`hbase_source`/catalog keep the hbase-spark
     jar path for clusters that ship it)."""
     sink = HBaseRestSink(**kwargs)
+    return df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kinesis PutRecords sink — jar-free functional path (ref:
+# flink-connectors/flink-connector-kinesis/.../FlinkKinesisProducer.java:1
+# setDefaultStream/setDefaultPartition + the KPL aggregation limits).
+# Speaks the PUBLIC Kinesis Data Streams REST API: one POST per chunk
+# with X-Amz-Target: Kinesis_20131202.PutRecords and a SigV4 signature
+# (both from the published AWS specs).  PutRecords is NOT atomic — the
+# response carries per-record ErrorCodes, and only the failed subset is
+# retried with fixed backoff (the reference producer's
+# ProvisionedThroughputExceeded retry behavior).  Kinesis offers no
+# dedup, so the delivery contract is at-least-once, exactly like the
+# reference's FlinkKinesisProducer.
+# ---------------------------------------------------------------------------
+
+_KINESIS_MAX_RECORDS = 500            # PutRecords API limit
+_KINESIS_MAX_CALL_BYTES = 5 * 2**20   # 5 MiB per call
+_KINESIS_MAX_RECORD_BYTES = 2**20     # 1 MiB per record (data + key)
+
+
+def _sigv4_headers(
+    *,
+    host: str,
+    region: str,
+    access_key_id: str,
+    secret_key: str,
+    target: str,
+    payload: bytes,
+    amz_date: str,
+    service: str = "kinesis",
+) -> dict[str, str]:
+    """AWS Signature Version 4 headers for a POST / request — the
+    published signing algorithm, nothing vendor-internal.  ``amz_date``
+    is injected (YYYYMMDD'T'HHMMSS'Z') so tests are deterministic."""
+    import hashlib
+    import hmac
+
+    datestamp = amz_date[:8]
+    payload_hash = hashlib.sha256(payload).hexdigest()
+    canonical_headers = (
+        f"content-type:application/x-amz-json-1.1\nhost:{host}\n"
+        f"x-amz-date:{amz_date}\nx-amz-target:{target}\n"
+    )
+    signed_headers = "content-type;host;x-amz-date;x-amz-target"
+    canonical_request = (
+        f"POST\n/\n\n{canonical_headers}\n{signed_headers}\n{payload_hash}"
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = (
+        "AWS4-HMAC-SHA256\n"
+        f"{amz_date}\n{scope}\n"
+        + hashlib.sha256(canonical_request.encode()).hexdigest()
+    )
+
+    def _hmac(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hmac(("AWS4" + secret_key).encode(), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    return {
+        "Content-Type": "application/x-amz-json-1.1",
+        "X-Amz-Date": amz_date,
+        "X-Amz-Target": target,
+        "Authorization": (
+            f"AWS4-HMAC-SHA256 Credential={access_key_id}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}"
+        ),
+    }
+
+
+def _kinesis_http_transport(url: str, headers: dict, payload: bytes):
+    """Default transport: POST the signed JSON request.  Returns
+    (status, body_bytes); 4xx responses are returned (the caller reads
+    the ErrorCode), network errors raise."""
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    req = Request(url, data=payload, headers=headers)
+    try:
+        with urlopen(req) as resp:
+            return resp.status, resp.read()
+    except HTTPError as err:  # pragma: no cover - needs live endpoint
+        return err.code, err.read()
+
+
+class KinesisPutRecordsSink:
+    """foreachBatch sink speaking the Kinesis PutRecords REST protocol.
+
+    - Records serialize as JSON (the SerializationSchema default);
+      ``partition_key_field`` gives DETERMINISTIC partition keys (ref
+      FlinkKinesisProducer's custom-partitioner contract) — absent, the
+      md5 of the payload is used, still deterministic per record.
+    - Chunking at the API limits: 500 records / 5 MiB per call, 1 MiB
+      per record (oversize records fail loudly — Kinesis would reject
+      them; silently splitting would corrupt consumer framing).
+    - Throttle handling: per-record ErrorCodes in a 200 response
+      re-enqueue ONLY the failed subset; a top-level throttle error
+      retries the whole call; both with fixed backoff up to
+      ``max_retries`` then a loud failure.
+    - ``transport(url, headers, payload) -> (status, body)`` and
+      ``clock() -> amz_date`` are injectable for tests.
+    """
+
+    def __init__(
+        self,
+        stream: str,
+        *,
+        region: str | None = None,
+        endpoint: str | None = None,
+        access_key_id: str | None = None,
+        secret_key: str | None = None,
+        partition_key_field: str | None = None,
+        batch_max_records: int = _KINESIS_MAX_RECORDS,
+        batch_max_bytes: int = _KINESIS_MAX_CALL_BYTES,
+        max_retries: int = 3,
+        retry_delay_s: float = 0.5,
+        transport=None,
+        clock=None,
+    ):
+        if region is None and endpoint is None:
+            raise ValueError("one of region / endpoint is required")
+        if (access_key_id is None) != (secret_key is None):
+            raise ValueError(
+                "BASIC credentials need both access_key_id and secret_key"
+            )
+        if batch_max_records > _KINESIS_MAX_RECORDS:
+            raise ValueError(
+                f"PutRecords accepts at most {_KINESIS_MAX_RECORDS} records"
+            )
+        self.stream = stream
+        self.region = region or "local"
+        self.url = (
+            endpoint
+            if endpoint is not None
+            else f"https://kinesis.{region}.amazonaws.com"
+        ).rstrip("/")
+        self.access_key_id = access_key_id
+        self.secret_key = secret_key
+        self.partition_key_field = partition_key_field
+        self.batch_max_records = batch_max_records
+        self.batch_max_bytes = batch_max_bytes
+        self.max_retries = max_retries
+        self.retry_delay_s = retry_delay_s
+        self.transport = transport or _kinesis_http_transport
+        self.clock = clock
+
+    def _headers(self, payload: bytes) -> dict[str, str]:
+        import time as _time
+        from urllib.parse import urlparse
+
+        target = "Kinesis_20131202.PutRecords"
+        amz_date = (
+            self.clock()
+            if self.clock is not None
+            else _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
+        )
+        if self.access_key_id is None:
+            # unsigned mode: local/test endpoints (kinesalite, localstack)
+            return {
+                "Content-Type": "application/x-amz-json-1.1",
+                "X-Amz-Date": amz_date,
+                "X-Amz-Target": target,
+            }
+        return _sigv4_headers(
+            host=urlparse(self.url).netloc,
+            region=self.region,
+            access_key_id=self.access_key_id,
+            secret_key=self.secret_key,
+            target=target,
+            payload=payload,
+            amz_date=amz_date,
+        )
+
+    def _flush(self, records: list[dict]) -> None:
+        import json as _json
+        import time as _time
+
+        attempt = 0
+        pending = records
+        while True:
+            payload = _json.dumps(
+                {"StreamName": self.stream, "Records": pending}
+            ).encode()
+            status, body = self.transport(self.url, self._headers(payload), payload)
+            try:
+                parsed = _json.loads(body) if body else {}
+            except ValueError:
+                parsed = {}
+            if status == 200:
+                if not parsed.get("FailedRecordCount"):
+                    return
+                # partial failure: retry ONLY the rejected subset, in order
+                pending = [
+                    rec
+                    for rec, res in zip(pending, parsed.get("Records", []))
+                    if res.get("ErrorCode")
+                ]
+                retryable = True
+            else:
+                retryable = "ProvisionedThroughputExceededException" in str(
+                    parsed.get("__type", "")
+                ) or status in (500, 503)
+            if retryable and attempt < self.max_retries:
+                attempt += 1
+                _time.sleep(self.retry_delay_s)
+                continue
+            raise RuntimeError(
+                f"kinesis PutRecords failed (status={status}, "
+                f"attempt={attempt}, pending={len(pending)}): {body[:300]!r}"
+            )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import base64 as _b64
+        import hashlib as _hashlib
+        import json as _json
+
+        key_field = self.partition_key_field
+        max_records, max_bytes = self.batch_max_records, self.batch_max_bytes
+        flush = self._flush
+
+        def send_partition(rows):
+            buf: list[dict] = []
+            size = 0
+            for row in rows:
+                doc = row.asDict(recursive=True)
+                data = _json.dumps(doc, default=str).encode()
+                pkey = (
+                    str(doc[key_field])
+                    if key_field is not None
+                    else _hashlib.md5(data).hexdigest()
+                )
+                rec_bytes = len(data) + len(pkey.encode())
+                if rec_bytes > _KINESIS_MAX_RECORD_BYTES:
+                    raise RuntimeError(
+                        f"kinesis record exceeds 1 MiB ({rec_bytes} bytes) — "
+                        "Kinesis rejects it; split or compress upstream"
+                    )
+                if buf and (len(buf) >= max_records or size + rec_bytes > max_bytes):
+                    flush(buf)
+                    buf, size = [], 0
+                buf.append(
+                    {"Data": _b64.b64encode(data).decode(), "PartitionKey": pkey}
+                )
+                size += rec_bytes
+            if buf:
+                flush(buf)
+
+        batch_df.foreachPartition(send_partition)
+
+
+def kinesis_put_records_sink(df: DataFrame, checkpoint: str, **kwargs):
+    """Streaming writer using :class:`KinesisPutRecordsSink` — the
+    functional, jar-free Kinesis path (`kinesis_source` keeps the
+    spark-sql-kinesis jar path for clusters that ship it)."""
+    sink = KinesisPutRecordsSink(**kwargs)
     return df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )

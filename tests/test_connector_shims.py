@@ -356,3 +356,186 @@ def test_hbase_rest_sink_error_raises(spark):
     df = spark.createDataFrame([(1,)], "id long").coalesce(1)
     with pytest.raises(Exception, match="REST put failed"):
         sink(df, batch_id=0)
+
+
+# -- Kinesis PutRecords sink (protocol-level, recording transports) ---------
+
+
+def test_kinesis_put_records_chunking_and_partition_keys(spark, tmp_path):
+    """PutRecords JSON body shape, base64 Data payloads, deterministic
+    partition keys from the key field, 3-records-per-call chunking, and
+    unsigned-mode headers — recorded through a file transport."""
+    import base64
+    import functools
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    out = str(tmp_path / "requests.jsonl")
+
+    def file_transport(url, headers, payload, out_file=None):
+        with open(out_file, "ab") as f:
+            f.write(json.dumps({"url": url, "headers": headers}).encode())
+            f.write(b"\n" + payload + b"\n")
+        return 200, b'{"FailedRecordCount": 0, "Records": []}'
+
+    sink = KinesisPutRecordsSink(
+        "events",
+        endpoint="http://localhost:4567",
+        partition_key_field="user_id",
+        batch_max_records=3,
+        transport=functools.partial(file_transport, out_file=out),
+    )
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(8)], "user_id long, text string"
+    ).coalesce(1)
+    sink(df, batch_id=0)
+
+    lines = open(out, "rb").read().splitlines()
+    metas = [json.loads(l) for l in lines[0::2]]
+    bodies = [json.loads(l) for l in lines[1::2]]
+    assert len(bodies) == 3  # 8 records at 3/call
+    assert all(m["url"] == "http://localhost:4567" for m in metas)
+    assert all(
+        m["headers"]["X-Amz-Target"] == "Kinesis_20131202.PutRecords"
+        and "Authorization" not in m["headers"]
+        for m in metas
+    )
+    assert all(b["StreamName"] == "events" for b in bodies)
+    recs = [r for b in bodies for r in b["Records"]]
+    assert [r["PartitionKey"] for r in recs] == [str(i) for i in range(8)]
+    docs = [json.loads(base64.b64decode(r["Data"])) for r in recs]
+    assert sorted(d["user_id"] for d in docs) == list(range(8))
+
+
+def test_kinesis_put_records_retries_only_failed_subset(spark, tmp_path):
+    """A 200 response with per-record ErrorCodes re-sends ONLY the
+    rejected records (PutRecords is not atomic — the reference
+    producer's throttle behavior)."""
+    import base64
+    import functools
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    out = str(tmp_path / "requests.jsonl")
+
+    def flaky_transport(url, headers, payload, out_file=None):
+        body = json.loads(payload)
+        with open(out_file, "ab") as f:
+            f.write(payload + b"\n")
+        n_prior = len(open(out_file, "rb").read().splitlines())
+        if n_prior == 1:  # first call: reject the middle record only
+            results = [{"SequenceNumber": "1"} for _ in body["Records"]]
+            results[1] = {
+                "ErrorCode": "ProvisionedThroughputExceededException",
+                "ErrorMessage": "slow down",
+            }
+            return 200, json.dumps(
+                {"FailedRecordCount": 1, "Records": results}
+            ).encode()
+        return 200, b'{"FailedRecordCount": 0, "Records": []}'
+
+    sink = KinesisPutRecordsSink(
+        "events",
+        endpoint="http://localhost:4567",
+        partition_key_field="user_id",
+        retry_delay_s=0.0,
+        transport=functools.partial(flaky_transport, out_file=out),
+    )
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(3)], "user_id long, text string"
+    ).coalesce(1)
+    sink(df, batch_id=0)
+
+    bodies = [json.loads(l) for l in open(out, "rb").read().splitlines()]
+    assert len(bodies) == 2
+    assert len(bodies[0]["Records"]) == 3
+    retried = bodies[1]["Records"]
+    assert len(retried) == 1
+    doc = json.loads(base64.b64decode(retried[0]["Data"]))
+    assert doc["user_id"] == 1  # exactly the rejected record, in order
+
+
+def test_kinesis_put_records_throttle_exhausts_retries(spark, tmp_path):
+    import functools
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    out = str(tmp_path / "attempts")
+
+    def throttled(url, headers, payload, out_file=None):
+        with open(out_file, "a") as f:
+            f.write("x")
+        return 400, json.dumps(
+            {"__type": "ProvisionedThroughputExceededException"}
+        ).encode()
+
+    sink = KinesisPutRecordsSink(
+        "events",
+        endpoint="http://localhost:4567",
+        max_retries=2,
+        retry_delay_s=0.0,
+        transport=functools.partial(throttled, out_file=out),
+    )
+    df = spark.createDataFrame([(1, "a")], "user_id long, text string").coalesce(1)
+    with pytest.raises(Exception, match="PutRecords failed"):
+        sink(df, batch_id=0)
+    assert len(open(out).read()) == 3  # initial + 2 retries
+
+
+def test_kinesis_put_records_oversize_record_fails_loudly(spark):
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    calls = []
+
+    sink = KinesisPutRecordsSink(
+        "events",
+        endpoint="http://localhost:4567",
+        transport=lambda u, h, p: calls.append(1) or (200, b"{}"),
+    )
+    df = spark.createDataFrame(
+        [(1, "x" * (2**20 + 10))], "user_id long, text string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="1 MiB"):
+        sink(df, batch_id=0)
+    assert not calls  # rejected before any network call
+
+
+def test_kinesis_put_records_sigv4_headers_deterministic():
+    """SigV4 signing (published AWS algorithm): stable under a fixed
+    clock, correct scope/header structure, sensitive to the payload."""
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    sink = KinesisPutRecordsSink(
+        "events",
+        region="us-east-1",
+        access_key_id="AKIDEXAMPLE",
+        secret_key="wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        clock=lambda: "20150830T123600Z",
+    )
+    h1 = sink._headers(b'{"StreamName": "events", "Records": []}')
+    h2 = sink._headers(b'{"StreamName": "events", "Records": []}')
+    h3 = sink._headers(b'{"StreamName": "events", "Records": [1]}')
+    assert h1 == h2
+    assert h1["Authorization"] != h3["Authorization"]
+    assert h1["Authorization"].startswith(
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/"
+        "kinesis/aws4_request, "
+        "SignedHeaders=content-type;host;x-amz-date;x-amz-target, Signature="
+    )
+    sig = h1["Authorization"].rsplit("Signature=", 1)[1]
+    assert len(sig) == 64 and all(c in "0123456789abcdef" for c in sig)
+    assert h1["X-Amz-Target"] == "Kinesis_20131202.PutRecords"
+
+
+def test_kinesis_put_records_param_validation():
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    with pytest.raises(ValueError, match="region / endpoint"):
+        KinesisPutRecordsSink("s")
+    with pytest.raises(ValueError, match="BASIC credentials"):
+        KinesisPutRecordsSink("s", region="us-east-1", access_key_id="only-key")
+    with pytest.raises(ValueError, match="at most"):
+        KinesisPutRecordsSink("s", region="us-east-1", batch_max_records=501)

@@ -9,8 +9,6 @@ never-graded names in their current relative order — paste the first
 
 Usage: python tools/stage_rotation.py
 """
-import glob
-import json
 import os
 import sys
 
@@ -19,10 +17,11 @@ sys.path.insert(0, _REPO)
 os.chdir(_REPO)
 
 import __spark_entry__ as e  # noqa: E402
+from my_flink_1_10_2_spark.queries import _driver_graded_names  # noqa: E402
 
-graded: set[str] = set()
-for path in sorted(glob.glob("CORRECTNESS_r0*.json")):
-    graded |= set(json.load(open(path)))
+# single source of truth: only fully-GREEN rows count (a failed row
+# re-enters the prefix so the driver re-grades it after the fix)
+graded = _driver_graded_names()
 
 order = list(e.queries())
 never = [q for q in order if q not in graded]

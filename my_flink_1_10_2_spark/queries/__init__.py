@@ -88,6 +88,7 @@ def _load_all_modules() -> None:
         llm,
         pipeline,
         pipeline2,
+        pipeline3,
         streaming_q,
         triggers_q,
         ddl_q,

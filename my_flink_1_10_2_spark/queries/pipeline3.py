@@ -1,0 +1,381 @@
+"""Round-5 operator wave: physical-layout, curation-budget, affinity,
+re-aggregation and frontier operators.
+
+Each query grades an operator family that previously had only local
+(pytest) evidence or no coverage at all:
+
+- custom partitioning as a GRADED artifact (ref: DataStream.java
+  partitionCustom:1137) — the partition-assignment expression is the
+  output, engine-portable via the md5 recipe;
+- largest-remainder sampling budgets (the integer-exact allocation a
+  corpus curation pipeline runs before weighted sampling);
+- market-basket co-purchase affinity (pair counts + integer lift);
+- hierarchical re-aggregation (daily FROM hourly partials — the
+  continuous-aggregate maintenance contract: algebraic aggs compose);
+- incremental view maintenance (base + delta partial merge == full
+  recompute — the foundation of every streaming materialized view,
+  ref: flink-table .../operators/aggregate/GroupAggFunction.java:48
+  accumulate/merge contract);
+- skyline / Pareto frontier via a distinct-price pre-aggregate and a
+  running-max frontier scan (dominance graded against an independent
+  NOT EXISTS oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.queries import read, register
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "q_partition_custom_layout",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                % 8 AS INT) AS pid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="pipeline",
+)
+def q_partition_custom_layout(spark, sf_dir):
+    """Custom partitioner graded end-to-end (ref: DataStream.java
+    partitionCustom:1137, Partitioner.java:30): the partition-assignment
+    function is an md5-derived ``pid = h(user_id) % 8`` (engine-portable
+    — DuckDB computes identical bits), rows are physically routed with
+    ``Stream.partition_custom`` (a Spark hash exchange on the pid), and
+    the graded output is the per-partition layout: row count, distinct
+    users, exact value mass.  The layout stats double as the skew report
+    a 100 TB job would check before trusting a custom route."""
+    from my_flink_1_10_2_spark.streaming.stream import Stream
+
+    e = read(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    pid = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 8
+    ).cast("int")
+    routed = Stream(e.withColumn("pid", pid)).partition_custom("pid", 8).df
+    return (
+        routed.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
+        )
+        .orderBy("pid")
+    )
+
+
+@register(
+    "q_sampling_budget",
+    oracle=r"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(str_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT *, sum(n_tokens) OVER () AS total FROM s),
+    b AS (
+      SELECT source, n_tokens,
+             (100000 * n_tokens) // total AS base_alloc,
+             (100000 * n_tokens) % total AS rem,
+             100000 - sum((100000 * n_tokens) // total) OVER () AS leftover
+      FROM t
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+    SELECT source, n_tokens, CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM r ORDER BY source
+    """,
+    category="pipeline",
+)
+def q_sampling_budget(spark, sf_dir):
+    """Largest-remainder (Hamilton) token-budget allocation: a 100k-token
+    sampling budget split across sources proportionally to their token
+    mass, floors first, then the leftover units to the largest
+    remainders (ties by source) — the integer-exact quota step a
+    curation pipeline runs before weighted sampling, guaranteeing the
+    allocations sum EXACTLY to the budget.
+
+    The corpus collapses to one row per source before any window runs
+    (same shape as q_mixture_weights); every step is BIGINT arithmetic,
+    so both engines agree bitwise."""
+    docs = read(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", r"\s+"))).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    b = s.select(
+        "source",
+        "n_tokens",
+        F.expr("100000 * n_tokens").alias("__scaled"),
+        F.sum("n_tokens").over(w).alias("__total"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr("__scaled DIV __total").alias("base_alloc"),
+        F.expr("__scaled % __total").alias("__rem"),
+    )
+    b = b.withColumn(
+        "__leftover", F.lit(100000) - F.sum("base_alloc").over(w)
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.col("__rem").desc(), F.col("source"))
+        ),
+    )
+    return b.select(
+        "source",
+        "n_tokens",
+        F.col("base_alloc").cast("bigint").alias("base_alloc"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("__rk") <= F.col("__leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_alloc"),
+    ).orderBy("source")
+
+
+@register(
+    "q_copurchase_affinity",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li),
+    pc AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST((n_ab * n.n_orders * 1000000) // (pa.n_p * pb.n_p)
+                AS BIGINT) AS lift_e6
+    FROM pairs
+    JOIN pc pa ON pa.pkey = part_a
+    JOIN pc pb ON pb.pkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    ORDER BY n_ab DESC, part_a, part_b
+    LIMIT 50
+    """,
+    category="pipeline",
+)
+def q_copurchase_affinity(spark, sf_dir):
+    """Market-basket co-purchase affinity: part pairs appearing in the
+    same order, with the integer-exact lift
+    ``(n_ab · n_orders · 1e6) // (n_a · n_b)`` — the association metric
+    behind recommendation candidate generation.
+
+    Scale shape: the self-join keys on the ORDER (pairs exist only
+    inside an order — never a cartesian; an order with m items yields
+    m·(m-1)/2 pairs, bounded by the basket size), pair counts shuffle on
+    the (a, b) key, the per-part counts join is a broadcast (part-sized
+    relation), and the top-50 is TakeOrdered — no global sort."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    li = (
+        read(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    n_orders = li.select("okey").distinct().count()
+    pc = li.groupBy("pkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    a = li.select(F.col("okey"), F.col("pkey").alias("part_a"))
+    b = li.select(F.col("okey"), F.col("pkey").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    out = (
+        pairs.join(dim(pc.select(F.col("pkey").alias("part_a"), F.col("n_p").alias("__na"))), "part_a")
+        .join(dim(pc.select(F.col("pkey").alias("part_b"), F.col("n_p").alias("__nb"))), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(f"(n_ab * {n_orders}L * 1000000L) DIV (__na * __nb)")
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
+    return out.orderBy(F.col("n_ab").desc(), "part_a", "part_b").limit(50)
+
+
+@register(
+    "q_cascade_rollup_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4,
+           CAST(min(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_min_e4,
+           CAST(max(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_max_e4
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="window",
+)
+def q_cascade_rollup_daily(spark, sf_dir):
+    """Cascaded continuous aggregate: the DAILY rollup is computed FROM
+    the hourly partial aggregates (sum of sums, count of counts, min of
+    mins, max of maxs), never from the raw events — the hierarchical
+    materialization pattern of timeseries stores, and the reason only
+    ALGEBRAIC aggregates belong in a base rollup.
+
+    Graded against a direct one-level daily oracle: the cascade must be
+    lossless.  At 100 TB the hourly relation the second aggregate scans
+    is ~4 orders of magnitude smaller than the events it summarizes."""
+    hourly = (
+        read(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
+            F.min("v_e4").cast("bigint").alias("v_min_e4"),
+            F.max("v_e4").cast("bigint").alias("v_max_e4"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v_sum_e4").cast("bigint").alias("v_sum_e4"),
+            F.min("v_min_e4").cast("bigint").alias("v_min_e4"),
+            F.max("v_max_e4").cast("bigint").alias("v_max_e4"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_ivm_delta_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_sum_e4
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="streaming",
+)
+def q_ivm_delta_merge(spark, sf_dir):
+    """Incremental view maintenance: the materialized per-type aggregate
+    over the BASE epochs merges with the last epoch's DELTA partials —
+    accumulate(base) ⊕ accumulate(delta) must equal the full recompute
+    (ref: flink-table .../aggregate/GroupAggFunction.java:48 — the
+    accumulator merge contract every streaming materialized view relies
+    on).  COUNT/SUM merge by addition; COUNT DISTINCT merges by unioning
+    the distinct (type, user) keysets BEFORE counting — the split-
+    distinct rewrite, not an (incorrect) sum of partial distincts.
+
+    Graded against the one-shot oracle over all events: the maintenance
+    path is lossless.  At 100 TB only the delta is scanned per refresh;
+    the base relation is rollup-sized."""
+    e = read(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_WEEK_US}").alias("__wk"),
+    )
+    last_wk = e.agg(F.max("__wk")).first()[0]
+    base, delta = e.where(F.col("__wk") < last_wk), e.where(F.col("__wk") == last_wk)
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v_sum_e4").cast("bigint").alias("v_sum_e4"),
+        )
+    )
+    # distinct-agg maintenance: the keyset union precedes the count
+    users = (
+        base.select("event_type", "user_id")
+        .distinct()
+        .unionByName(delta.select("event_type", "user_id").distinct())
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    return (
+        merged.join(users, "event_type")
+        .select("event_type", "n", "n_users", "v_sum_e4")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_skyline_pareto",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+    category="relational",
+)
+def q_skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto frontier) operator: parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria shortlist
+    query (Börzsönyi/Kossmann/Stocker, "The Skyline Operator", ICDE
+    2001).
+
+    The O(n²) dominance join is avoided: prices pre-aggregate to one row
+    per DISTINCT price with its max size, a running max over the sorted
+    price axis gives the strictest cheaper competitor, and a part
+    survives iff it beats every strictly-cheaper price's best size AND
+    ties its own price's best.  The windowed relation is distinct-price-
+    sized; the oracle is the independent NOT EXISTS formulation, so the
+    frontier recursion is cross-checked against brute-force dominance."""
+    p = read(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("__best"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_price.withColumn("__cheaper_best", F.max("__best").over(w))
+    return (
+        p.join(frontier, "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("__best"))
+            & (
+                F.col("__cheaper_best").isNull()
+                | (F.col("p_size") > F.col("__cheaper_best"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )

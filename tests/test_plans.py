@@ -509,3 +509,50 @@ def test_standardize_broadcasts_dim_stats(spark):
     df = _df(spark, "q_embedding_standardize")
     assert plans.broadcast_join_count(df) >= 1
     assert plans.python_eval_count(df) == 0
+
+
+# --- round-5 operator gates -------------------------------------------------
+
+
+def test_skyline_avoids_dominance_join(spark):
+    """The skyline must run as pre-agg + running-max window, never the
+    O(n²) dominance self-join the NOT EXISTS oracle spells out."""
+    df = _df(spark, "q_skyline_pareto")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plans.python_eval_count(df) == 0
+
+
+def test_copurchase_pairs_are_order_local(spark):
+    """Pair generation joins on the ORDER key (equi join — pairs only
+    within a basket) and the per-part count relation rides broadcast."""
+    df = _df(spark, "q_copurchase_affinity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.broadcast_join_count(df) >= 2  # both per-part count joins
+    assert plans.python_eval_count(df) == 0
+
+
+def test_cascade_rollup_reaggregates_hourly(spark):
+    """Two aggregation levels (hourly, then daily OVER the hourly rows),
+    each with map-side partials; no Python anywhere."""
+    df = _df(spark, "q_cascade_rollup_daily")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert plans.python_eval_count(df) == 0
+
+
+def test_ivm_merge_stays_engine_side(spark):
+    df = _df(spark, "q_ivm_delta_merge")
+    assert plans.python_eval_count(df) == 0
+
+
+def test_partition_custom_routes_via_exchange(spark):
+    """partition_custom must materialize as a hash exchange on the pid
+    expression — the physical routing, not a logical no-op."""
+    df = _df(spark, "q_partition_custom_layout")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(pid" in plan
+    assert plans.python_eval_count(df) == 0

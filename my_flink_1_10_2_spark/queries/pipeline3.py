@@ -379,3 +379,245 @@ def q_skyline_pareto(spark, sf_dir):
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q_window_ntile_dist",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(round(value * 10000) AS BIGINT) AS v_e4,
+             ntile(4) OVER w AS tile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(round(value * 10000) AS BIGINT), event_id)
+    )
+    SELECT event_type, CAST(tile AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v_e4) AS BIGINT) AS v_min_e4,
+           CAST(max(v_e4) AS BIGINT) AS v_max_e4,
+           max(pr) AS max_pct_rank,
+           max(cd) AS max_cume_dist
+    FROM t
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="analytic",
+)
+def q_window_ntile_dist(spark, sf_dir):
+    """NTILE / PERCENT_RANK / CUME_DIST — the distribution-rank trio of
+    the OVER-window family (ref: flink-table .../sql/fun/
+    SqlStdOperatorTable NTILE/PERCENT_RANK/CUME_DIST): quartile
+    assignment over a TOTAL order ((value, event_id) — ntile is only
+    deterministic under a total order), summarized per (type, quartile).
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n are single
+    divisions of identical integer operands in both engines — bitwise
+    equal, no rounding protocol needed."""
+    from pyspark.sql import Window as W
+
+    e = read(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    w = W.partitionBy("event_type").orderBy("v_e4", "event_id")
+    t = e.select(
+        "event_type",
+        "v_e4",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        t.groupBy("event_type", F.col("tile").cast("bigint").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v_e4").cast("bigint").alias("v_min_e4"),
+            F.max("v_e4").cast("bigint").alias("v_max_e4"),
+            F.max("pr").alias("max_pct_rank"),
+            F.max("cd").alias("max_cume_dist"),
+        )
+        .orderBy("event_type", "tile")
+    )
+
+
+@register(
+    "q_event_time_inversions",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY event_id) AS step_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(CASE WHEN step_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(coalesce(min(CASE WHEN step_us < 0 THEN step_us END), 0)
+                AS BIGINT) AS max_backstep_us
+    FROM t WHERE step_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="analytic",
+)
+def q_event_time_inversions(spark, sf_dir):
+    """Event-time disorder report: per stream (user, type), how often
+    does event time step BACKWARDS along the arrival order (event_id),
+    and by how much — the out-of-orderness measurement that sizes a
+    watermark delay (ref: BoundedOutOfOrdernessTimestampExtractor.java:70
+    — this query computes the `maxOutOfOrderness` its user must pick).
+
+    One keyed lag window, integer microsecond arithmetic, rollup per
+    type: the shuffle carries (user, type)-partitioned rows once."""
+    from pyspark.sql import Window as W
+
+    e = read(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    t = e.select(
+        "event_type", (F.col("te") - F.lag("te").over(w)).alias("step_us")
+    ).where(F.col("step_us").isNotNull())
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            F.sum(F.when(F.col("step_us") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inversions"),
+            F.coalesce(
+                F.min(F.when(F.col("step_us") < 0, F.col("step_us"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("max_backstep_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+      FROM events GROUP BY 1
+    ),
+    daily_new AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    ),
+    active AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM events GROUP BY 1
+    )
+    SELECT a.day, a.active_users,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day)
+                AS BIGINT) AS cumulative_users
+    FROM active a LEFT JOIN daily_new n ON n.day = a.day
+    ORDER BY a.day
+    """,
+    category="analytic",
+)
+def q_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day WITHOUT a cumulative re-scan:
+    distinct-over-growing-prefix collapses to `first-seen day per user →
+    daily new-user counts → running sum` — the incremental formulation
+    every growth dashboard needs at scale (a naive per-day COUNT(DISTINCT
+    ... WHERE ts <= d) rescans the corpus |days| times; this scans it
+    once).
+
+    The running-sum window moves |days| rows; the heavy lifting is two
+    keyed aggregates."""
+    from pyspark.sql import Window as W
+
+    e = read(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    active = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+    out = active.join(daily_new, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+    )
+    return out.withColumn(
+        "cumulative_users",
+        F.sum("new_users").over(W.orderBy("day")).cast("bigint"),
+    ).orderBy("day")
+
+
+@register(
+    "q_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, price_e2, wt,
+             sum(wt) OVER (PARTITION BY flag ORDER BY price_e2) AS cumw,
+             sum(wt) OVER (PARTITION BY flag) AS total
+      FROM w
+    )
+    SELECT flag, CAST(min(total) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cumw >= total THEN price_e2 END)
+                AS BIGINT) AS wmedian_price_e2
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+    category="analytic",
+)
+def q_weighted_median_price(spark, sf_dir):
+    """WEIGHTED lower median: the smallest price whose cumulative
+    quantity weight reaches half the total — the weighted quantile a
+    sampling pipeline uses when rows carry multiplicities (tokens,
+    quantities, repetition counts), which the unweighted median family
+    (q_udaf_median, q_group_quantiles) cannot express.
+
+    Weights pre-aggregate per (flag, price) so the cumulative window
+    walks the distinct-price relation, not the fact table; the
+    half-total test is exact integer arithmetic (2·cumw >= total — no
+    division)."""
+    from pyspark.sql import Window as W
+
+    li = read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_e2"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    w = li.groupBy("flag", "price_e2").agg(F.sum("qty").cast("bigint").alias("wt"))
+    c = w.select(
+        "flag",
+        "price_e2",
+        "wt",
+        F.sum("wt").over(W.partitionBy("flag").orderBy("price_e2")).alias("cumw"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("total"),
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.min("total").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("total"), F.col("price_e2"))
+            )
+            .cast("bigint")
+            .alias("wmedian_price_e2"),
+        )
+        .orderBy("flag")
+    )

@@ -88,6 +88,14 @@ HEADLINE = [
     "q_bm25_ranking",
     "q_gopher_quality",
     "q_pca_projection",
+    # round-5: the basket self-join (pair generation), the frontier scan,
+    # the incremental-distinct rewrite, the hourly->daily cascade, and
+    # the weighted-quantile window
+    "q_copurchase_affinity",
+    "q_skyline_pareto",
+    "q_cumulative_distinct_users",
+    "q_cascade_rollup_daily",
+    "q_weighted_median_price",
 ]
 
 

@@ -461,6 +461,44 @@ def _match_at(
     )
 
 
+def _timeout_partial_at(
+    rows: list,
+    i: int,
+    steps: list[Step],
+    ts_col: str | None,
+    within: "pd.Timedelta | None",
+) -> dict | None:
+    """The TIMED-OUT partial match of the run starting at rows[i], or
+    None (ref: flink-cep PatternStream timeout output / NFA.java pending
+    computation states discarded past the window).
+
+    A run times out when it matched a non-empty proper prefix and is
+    still WAITING for its next step when the window expires (bounded
+    input drains with a +inf watermark, so every pending run times out).
+    A run stuck on a STRICT ``next`` step whose immediate successor row
+    exists inside the window but fails the predicate DIED instead — the
+    reference NFA kills it on the spot and emits nothing."""
+    for k in range(len(steps) - 1, 0, -1):
+        m = _match_at(rows, i, steps[:k], ts_col=ts_col, within=within)
+        if m is None:
+            continue
+        bound = [r for v in m.values() for r in v]
+        if not bound:
+            return None  # only empty optionals matched — not a real run
+        nxt = steps[k]
+        if nxt.contiguity == "strict" and not nxt.negated:
+            j = max(r["__rowidx"] for r in bound) + 1
+            if j < len(rows):
+                in_win = True
+                if within is not None and ts_col is not None:
+                    first_ts = min(r[ts_col] for r in bound)
+                    in_win = rows[j][ts_col] - first_ts <= within
+                if in_win:
+                    return None  # died on the strict successor, no timeout
+        return m
+    return None
+
+
 def _run_nfa(
     pdf: pd.DataFrame,
     steps: list[Step],
@@ -468,6 +506,7 @@ def _run_nfa(
     after_match: str,
     ts_col: str | None = None,
     within: "pd.Timedelta | None" = None,
+    timeout_measures: dict | None = None,
 ) -> pd.DataFrame:
     # plain dicts, not pd.Series: same row["field"] access for predicates
     # and measures, ~10× less per-row overhead in the NFA loop
@@ -502,8 +541,17 @@ def _run_nfa(
     i = 0
     while i < len(rows):
         m = _match_at(rows, i, steps, ts_col=ts_col, within=within)
+        if m is None and timeout_measures is not None:
+            tm = _timeout_partial_at(rows, i, steps, ts_col, within)
+            if tm is not None:
+                out.append(
+                    {"side": "timeout", **{k: fn(tm) for k, fn in timeout_measures.items()}}
+                )
         if m is not None:
-            out.append({k: fn(m) for k, fn in measures.items()})
+            row_out = {k: fn(m) for k, fn in measures.items()}
+            if timeout_measures is not None:
+                row_out = {"side": "match", **row_out}
+            out.append(row_out)
             if isinstance(after_match, tuple):
                 # ("skip_to_first"|"skip_to_last", var) — resume AT the
                 # first/last row matched to `var` (ref:
@@ -568,6 +616,65 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort")
         return _run_nfa(
             pdf, steps, measures, after_match, ts_col=ts_col, within=pattern.within_td
+        )
+
+    return (
+        df.repartition(n, *partition_by)
+        .groupBy(*partition_by)
+        .applyInPandas(apply, schema=output_schema)
+    )
+
+
+def match_recognize_with_timeouts(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: Pattern,
+    measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
+    timeout_measures: dict[str, Callable[[dict[str, list[pd.Series]]], object]],
+    output_schema: str,
+    after_match: str = "skip_past_last_row",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CEP with the TIMEOUT side output (ref: flink-cep
+    PatternStream.java select(OutputTag, PatternTimeoutFunction,
+    PatternSelectFunction) — the two-sided select every SLA/funnel
+    monitor uses: completed matches AND the partial matches whose
+    ``within`` window expired while they were still waiting).
+
+    Returns one DataFrame tagged by a leading ``side`` column
+    ('match' | 'timeout'); ``measures`` shapes match rows,
+    ``timeout_measures`` shapes the timed-out partial (missing steps
+    simply are not in the binding — use ``m.get(name)``).  Both sides
+    must produce the same columns (``output_schema`` minus ``side``).
+    Requires ``pattern.within(...)``: without a window nothing can time
+    out (the reference's timeout function is equally unreachable then).
+
+    Timeout semantics on bounded input: the drain watermark is +inf, so
+    every still-pending run emits its partial — the same end-of-input
+    behavior as the reference's job-finish NFA advance.  Runs killed by
+    a strict-contiguity violation emit NOTHING (dead, not timed out)."""
+    if pattern.within_td is None:
+        raise ValueError(
+            "match_recognize_with_timeouts requires pattern.within(...) — "
+            "without a window no run can time out"
+        )
+    steps = pattern.steps
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ts_col = order_by[0]
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        return _run_nfa(
+            pdf,
+            steps,
+            measures,
+            after_match,
+            ts_col=ts_col,
+            within=pattern.within_td,
+            timeout_measures=timeout_measures,
         )
 
     return (
@@ -657,6 +764,28 @@ class PatternStream:
             self.order_by,
             self.pattern,
             measures,
+            output_schema,
+            after_match=after_match,
+        )
+
+    def select_with_timeouts(
+        self,
+        timeout_measures: dict,
+        measures: dict,
+        output_schema: str,
+        after_match: str = "skip_past_last_row",
+    ) -> DataFrame:
+        """ref: PatternStream.select:146 (OutputTag + PatternTimeout
+        Function overload) — timeout side first, mirroring the reference
+        argument order.  Output rows carry ``side`` ∈
+        {'match', 'timeout'}."""
+        return match_recognize_with_timeouts(
+            self.df,
+            self.partition_by,
+            self.order_by,
+            self.pattern,
+            measures,
+            timeout_measures,
             output_schema,
             after_match=after_match,
         )

@@ -621,3 +621,71 @@ def q_weighted_median_price(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "q_cep_timeout_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT user_id, event_id AS start_id, ts FROM e
+          WHERE event_type = 'click')
+    SELECT CASE WHEN EXISTS (
+             SELECT 1 FROM e p
+             WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+               AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.start_id))
+               AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+           ) THEN 'match' ELSE 'timeout' END AS side,
+           user_id, start_id
+    FROM c
+    ORDER BY user_id, start_id
+    """,
+    category="cep",
+)
+def q_cep_timeout_funnel(spark, sf_dir):
+    """CEP TIMEOUT side output graded e2e (ref: flink-cep
+    PatternStream.java select(OutputTag, PatternTimeoutFunction,
+    PatternSelectFunction)): click →followed_by purchase within 1 day
+    per user; completed funnels emit on the match side, clicks whose
+    window expired while still waiting emit their partial on the
+    timeout side — the SLA-breach monitor pattern.
+
+    The oracle is the independent EXISTS formulation: a relaxed
+    (followedBy) run never dies, so match/timeout is exactly the
+    purchase-within-window predicate.  The NFA runs key-parallel over
+    the two relevant event types only (relaxed contiguity is invariant
+    to dropping never-matching rows)."""
+    from my_flink_1_10_2_spark.operators.cep import (
+        Pattern,
+        match_recognize_with_timeouts,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type")
+    )
+    pattern = (
+        Pattern.begin("a", lambda r, c: r["event_type"] == "click")
+        .followed_by("b", lambda r, c: r["event_type"] == "purchase")
+        .within("1 day")
+    )
+    out = match_recognize_with_timeouts(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={
+            "user_id": lambda m: int(m["a"][0]["user_id"]),
+            "start_id": lambda m: int(m["a"][0]["event_id"]),
+        },
+        timeout_measures={
+            "user_id": lambda m: int(m["a"][0]["user_id"]),
+            "start_id": lambda m: int(m["a"][0]["event_id"]),
+        },
+        output_schema="side string, user_id long, start_id long",
+        after_match="skip_to_next_row",
+    )
+    return out.orderBy("user_id", "start_id")

@@ -291,3 +291,114 @@ def test_cep_facade_global_pattern(spark):
 
     with pytest.raises(ValueError, match="order_by"):
         CEP.pattern(df, pat)
+
+
+# -- timeout side output (ref: PatternStream.select(OutputTag, ...)) --------
+
+
+def _typed_events(spark, seq, user=1):
+    """seq: list of (second_offset, event_type)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (user, i, base + dt.timedelta(seconds=s), t)
+        for i, (s, t) in enumerate(seq)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string"
+    )
+
+
+def _funnel(within="10 seconds"):
+    return (
+        Pattern.begin("a", lambda r, c: r["event_type"] == "click")
+        .followed_by("b", lambda r, c: r["event_type"] == "purchase")
+        .within(within)
+    )
+
+
+def _run_timeouts(df, pattern, after="skip_to_next_row"):
+    from my_flink_1_10_2_spark.operators.cep import match_recognize_with_timeouts
+
+    out = match_recognize_with_timeouts(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures={"start_id": lambda m: int(m["a"][0]["event_id"])},
+        timeout_measures={"start_id": lambda m: int(m["a"][0]["event_id"])},
+        output_schema="side string, start_id long",
+        after_match=after,
+    )
+    return sorted((r.side, r.start_id) for r in out.collect())
+
+
+def test_timeout_relaxed_waiting_run_times_out(spark):
+    """click at t=0 completes (purchase t=5 in window); click at t=20
+    never sees a purchase → timed out at drain; click at t=30 has a
+    purchase but OUTSIDE the window → timed out too."""
+    df = _typed_events(
+        spark,
+        [(0, "click"), (2, "view"), (5, "purchase"),
+         (20, "click"), (22, "view"),
+         (30, "click"), (45, "purchase")],
+    )
+    assert _run_timeouts(df, _funnel()) == [
+        ("match", 0),
+        ("timeout", 3),
+        ("timeout", 5),
+    ]
+
+
+def test_timeout_strict_next_death_emits_nothing(spark):
+    """With strict contiguity, a click whose IMMEDIATE successor (inside
+    the window) is not a purchase dies — no timeout row; a click that is
+    the last row is still waiting → timeout."""
+    p = (
+        Pattern.begin("a", lambda r, c: r["event_type"] == "click")
+        .next("b", lambda r, c: r["event_type"] == "purchase")
+        .within("10 seconds")
+    )
+    df = _typed_events(
+        spark, [(0, "click"), (2, "view"), (5, "click")]
+    )
+    # click@0 died (view follows in-window); click@5 waits at end → timeout
+    assert _run_timeouts(df, p) == [("timeout", 2)]
+
+
+def test_timeout_three_step_partial_binding(spark):
+    """A run that matched a AND b but never saw c emits the 2-step
+    partial; the timeout measure can read both bound steps."""
+    from my_flink_1_10_2_spark.operators.cep import match_recognize_with_timeouts
+
+    p = (
+        Pattern.begin("a", lambda r, c: r["event_type"] == "click")
+        .followed_by("b", lambda r, c: r["event_type"] == "signup")
+        .followed_by("c", lambda r, c: r["event_type"] == "purchase")
+        .within("10 seconds")
+    )
+    df = _typed_events(spark, [(0, "click"), (3, "signup"), (40, "view")])
+    out = match_recognize_with_timeouts(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=p,
+        measures={
+            "start_id": lambda m: int(m["a"][0]["event_id"]),
+            "n_bound": lambda m: sum(len(v) for v in m.values()),
+        },
+        timeout_measures={
+            "start_id": lambda m: int(m["a"][0]["event_id"]),
+            "n_bound": lambda m: sum(len(v) for v in m.values()),
+        },
+        output_schema="side string, start_id long, n_bound long",
+    ).collect()
+    assert [(r.side, r.start_id, r.n_bound) for r in out] == [("timeout", 0, 2)]
+
+
+def test_timeout_requires_within(spark):
+    df = _typed_events(spark, [(0, "click")])
+    p = Pattern.begin("a", lambda r, c: r["event_type"] == "click").followed_by(
+        "b", lambda r, c: r["event_type"] == "purchase"
+    )
+    with pytest.raises(ValueError, match="within"):
+        _run_timeouts(df, p)

@@ -20,7 +20,7 @@ from my_flink_1_10_2_spark.queries import read, register
     oracle="""
     SELECT o_orderpriority AS prio,
            count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderpriority
@@ -69,7 +69,7 @@ def q_sql_ddl_partitioned(spark, sf_dir):
             """
             SELECT o_orderpriority AS prio,
                    count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders_part
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderpriority

@@ -261,7 +261,7 @@ def q_lookup_join_stream(spark, sf_dir):
     "q_side_output_split",
     oracle="""
     SELECT tag, count(*) AS n,
-           sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_e4
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
     FROM (
       SELECT CASE WHEN event_type = 'purchase' THEN 'main' ELSE 'side' END AS tag,
              value
@@ -394,7 +394,7 @@ def q_connected_streams_comap(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_e4
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
     FROM events
     WHERE event_id % 10 = 0
     GROUP BY event_type
@@ -526,7 +526,7 @@ def q_broadcast_state_filter(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*) AS cnt,
-           sum(CAST(round(value * 10000) AS BIGINT)) AS total_e4
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_e4
     FROM events
     WHERE event_id % 5 = 0
     GROUP BY user_id

@@ -590,24 +590,60 @@ def q_weighted_median_price(spark, sf_dir):
     quantities, repetition counts), which the unweighted median family
     (q_udaf_median, q_group_quantiles) cannot express.
 
-    Weights pre-aggregate per (flag, price) so the cumulative window
-    walks the distinct-price relation, not the fact table; the
-    half-total test is exact integer arithmetic (2·cumw >= total — no
-    division)."""
+    Two-phase exact search, the 100 TB shape: a naive cumulative window
+    PARTITION BY flag sorts the whole near-distinct price relation on
+    |flags| tasks.  Instead, prices bucket coarsely (price DIV 1e5 —
+    ~1000 buckets), the per-(flag, bucket) weight rollup is tiny, a
+    window over THAT finds the bucket holding the half-total point and
+    the exact prefix weight before it, and only the rows of that one
+    bucket per flag get the fine-grained cumulative pass.  Both windows
+    walk bucket-bounded relations; every step is exact BIGINT
+    arithmetic (2·cum >= total — no division)."""
     from pyspark.sql import Window as W
 
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    bucket_sz = 100_000  # 1e3 currency units per bucket
     li = read(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_e2"),
         F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
     )
     w = li.groupBy("flag", "price_e2").agg(F.sum("qty").cast("bigint").alias("wt"))
-    c = w.select(
+    w = w.withColumn("bkt", F.expr(f"price_e2 DIV {bucket_sz}"))
+
+    bw = w.groupBy("flag", "bkt").agg(F.sum("wt").cast("bigint").alias("bwt"))
+    cum = bw.select(
+        "flag",
+        "bkt",
+        "bwt",
+        F.sum("bwt").over(W.partitionBy("flag").orderBy("bkt")).alias("bcum"),
+        F.sum("bwt").over(W.partitionBy("flag")).alias("total"),
+    )
+    # the single bucket per flag where the half-total point lands, plus
+    # the exact cumulative weight of every bucket before it
+    target = (
+        cum.where(2 * F.col("bcum") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min_by(F.struct("bkt", "bcum", "bwt", "total"), "bkt").alias("t")
+        )
+        .select(
+            "flag",
+            F.col("t.bkt").alias("bkt"),
+            (F.col("t.bcum") - F.col("t.bwt")).alias("prefix_w"),
+            F.col("t.total").alias("total"),
+        )
+    )
+    fine = w.join(dim(target), ["flag", "bkt"])  # one bucket's rows per flag
+    c = fine.select(
         "flag",
         "price_e2",
-        "wt",
-        F.sum("wt").over(W.partitionBy("flag").orderBy("price_e2")).alias("cumw"),
-        F.sum("wt").over(W.partitionBy("flag")).alias("total"),
+        "total",
+        (
+            F.col("prefix_w")
+            + F.sum("wt").over(W.partitionBy("flag").orderBy("price_e2"))
+        ).alias("cumw"),
     )
     return (
         c.groupBy("flag")

@@ -102,6 +102,22 @@ def _load_all_modules() -> None:
 # CEP/windows/graph/LLM ops with local-only evidence).
 # q_math_functions leads: it was round 1's only red row.
 _FLAGSHIP_ORDER = [
+    # ---- round-5: the two round-4 FAILED rows retry first (the
+    # idempotent early-fire fix needs driver re-grading), then the new
+    # round-5 operator families
+    "q_early_fire_sequence",
+    "q_early_fire_sequence_hop",
+    "q_partition_custom_layout",
+    "q_sampling_budget",
+    "q_copurchase_affinity",
+    "q_cascade_rollup_daily",
+    "q_ivm_delta_merge",
+    "q_skyline_pareto",
+    "q_window_ntile_dist",
+    "q_event_time_inversions",
+    "q_cumulative_distinct_users",
+    "q_weighted_median_price",
+    "q_cep_timeout_funnel",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -149,7 +149,6 @@ _FLAGSHIP_ORDER = [
     "q_degree_assortativity",
     "q_term_pmi",
     "q_lsh_recall_report",
-    "q_early_fire_sequence",
     "q_embedding_topk_lsh",
     "q_embedding_topk_ivf",
     "q_time_type_roundtrip",
@@ -169,7 +168,6 @@ _FLAGSHIP_ORDER = [
     "q_scatter_gather_sssp",
     "q_scatter_gather_pagerank",
     "q_broadcast_set_enrich",
-    "q_early_fire_sequence_hop",
     "q_stream_cep_materialized",
     "q_compressed_seqfile_roundtrip",
     "q_avro_roundtrip",

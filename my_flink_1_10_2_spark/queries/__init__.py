@@ -118,6 +118,7 @@ _FLAGSHIP_ORDER = [
     "q_cumulative_distinct_users",
     "q_weighted_median_price",
     "q_cep_timeout_funnel",
+    "q_stream_interval_join_pairs",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -2378,3 +2378,123 @@ def q_stream_kmv_merged(spark, sf_dir):
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_stream_interval_join_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_id < 3000 AND event_type IN ('click', 'purchase')
+    )
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM e c JOIN e p
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+    category="streaming",
+)
+def q_stream_interval_join_pairs(spark, sf_dir):
+    """STREAM-STREAM INNER INTERVAL JOIN graded e2e — the
+    IntervalJoinOperator contract itself (ref: flink-streaming-java
+    .../co/IntervalJoinOperator.java:60 processElement/cleanup): click ⋈
+    purchase per user with ``p.ts ∈ [c.ts, c.ts + 1 day]``, both sides
+    replaying as watermarked streams, emitted PAIRS materialized and
+    compared to the batch join.
+
+    Why the watermark cleanup is lossless here: waves are event-time
+    ordered, so by the time the watermark can evict a click's state
+    (right-watermark > c.ts + 1 day), every future purchase is
+    necessarily PAST the join bound — eviction only discards state whose
+    matches are provably impossible, which is exactly the reference's
+    cleanup-timer argument."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    src = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 3000")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+            "event_type",
+            _epoch_wave("ts").alias("__wave"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_ivjoin_")
+    try:
+        base = _time.time() - 3600
+        waves = _distinct_waves(src)
+        for side in ("click", "purchase"):
+            _os.makedirs(f"{work}/replay_{side}")
+            for i, w in enumerate(waves):
+                stage = f"{work}/stage/{side}{i}"
+                (
+                    src.where(
+                        (F.col("event_type") == side) & (F.col("__wave") == w)
+                    )
+                    .drop("__wave", "event_type")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                (part,) = _glob.glob(f"{stage}/part-*.parquet")
+                dst = f"{work}/replay_{side}/part-{i:03d}.parquet"
+                _shutil.copy(part, dst)
+                _os.utime(dst, (base + i, base + i))
+
+        schema = "event_id long, user_id long, ts timestamp, te long"
+
+        def mk(side, alias):
+            s = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/replay_{side}")
+                .withWatermark("ts", "1 hour")
+            )
+            return s.select(
+                *[F.col(c).alias(f"{alias}_{c}") for c in
+                  ("event_id", "user_id", "ts", "te")]
+            )
+
+        joined = mk("click", "c").join(
+            mk("purchase", "p"),
+            F.expr(
+                "c_user_id = p_user_id AND "
+                "p_ts >= c_ts AND p_te - c_te <= 86400000000"
+            ),
+            "inner",
+        )
+        sink = f"{work}/out"
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                F.col("c_user_id").alias("user_id"),
+                F.col("c_event_id").alias("click_id"),
+                F.col("p_event_id").alias("purchase_id"),
+                (F.col("p_te") - F.col("c_te")).cast("bigint").alias("gap_us"),
+            )
+            .orderBy("user_id", "click_id", "purchase_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

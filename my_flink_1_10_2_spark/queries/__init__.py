@@ -119,6 +119,7 @@ _FLAGSHIP_ORDER = [
     "q_weighted_median_price",
     "q_cep_timeout_funnel",
     "q_stream_interval_join_pairs",
+    "q_kl_divergence_sources",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

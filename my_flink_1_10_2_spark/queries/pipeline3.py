@@ -725,3 +725,114 @@ def q_cep_timeout_funnel(spark, sf_dir):
         after_match="skip_to_next_row",
     )
     return out.orderBy("user_id", "start_id")
+
+
+@register(
+    "q_kl_divergence_sources",
+    oracle=r"""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                t -> t != '')) AS term
+      FROM documents
+    ),
+    st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+           FROM words GROUP BY 1, 2),
+    ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+    ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    tt AS (SELECT CAST(sum(c_t) AS BIGINT) AS t FROM ct),
+    lq AS (
+      SELECT v, CAST(round(ln(CAST(v AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               AS l
+      FROM (SELECT DISTINCT c_st AS v FROM st
+            UNION SELECT DISTINCT t_s FROM ts
+            UNION SELECT DISTINCT c_t FROM ct
+            UNION SELECT t FROM tt)
+    )
+    SELECT st.source, min(ts.t_s) AS n_tokens,
+           CAST(sum(st.c_st * (lst.l - lts.l - lct.l + ltt.l)) AS BIGINT)
+             AS kl_num_e9
+    FROM st
+    JOIN ts ON ts.source = st.source
+    JOIN ct ON ct.term = st.term
+    CROSS JOIN tt
+    JOIN lq lst ON lst.v = st.c_st
+    JOIN lq lts ON lts.v = ts.t_s
+    JOIN lq lct ON lct.v = ct.c_t
+    JOIN lq ltt ON ltt.v = tt.t
+    GROUP BY st.source
+    ORDER BY st.source
+    """,
+    category="pipeline",
+)
+def q_kl_divergence_sources(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-shift metric a curation pipeline watches when mixing
+    sources:  T_s·KL(P_s ‖ P) = Σ_t c_st·(ln c_st − ln T_s − ln c_t +
+    ln T), reported in exact 1e-9 integer units (division-free: every
+    log is quantized through the libm Arrow UDF over the DISTINCT count
+    values, then the graded value is a pure BIGINT weighted sum — the
+    q_term_pmi protocol).
+
+    Scale shape: counts are two grouped aggregates; the log table is
+    distinct-count-value-sized and broadcast back; no floats in any
+    shuffled or graded value."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    docs = read(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    st = words.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("c_st")
+    )
+    ts = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("t_s"))
+    ct = st.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    tt = ct.agg(F.sum("c_t").cast("bigint").alias("t"))
+    ln = _ln()
+    vals = (
+        st.select(F.col("c_st").alias("v"))
+        .unionByName(ts.select(F.col("t_s").alias("v")))
+        .unionByName(ct.select(F.col("c_t").alias("v")))
+        .unionByName(tt.select(F.col("t").alias("v")))
+        .distinct()
+        .withColumn("l", F.round(ln(F.col("v").cast("double")) * 1e9).cast("bigint"))
+    )
+    j = (
+        st.join(dim(ts), "source")
+        .join(dim(ct), "term")
+        .crossJoin(dim(tt))
+        .join(dim(vals.select(F.col("v").alias("c_st"), F.col("l").alias("l_st"))), "c_st")
+        .join(dim(vals.select(F.col("v").alias("t_s"), F.col("l").alias("l_ts"))), "t_s")
+        .join(dim(vals.select(F.col("v").alias("c_t"), F.col("l").alias("l_ct"))), "c_t")
+        .join(dim(vals.select(F.col("v").alias("t"), F.col("l").alias("l_tt"))), "t")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.min("t_s").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("c_st")
+                * (F.col("l_st") - F.col("l_ts") - F.col("l_ct") + F.col("l_tt"))
+            )
+            .cast("bigint")
+            .alias("kl_num_e9"),
+        )
+        .orderBy("source")
+    )

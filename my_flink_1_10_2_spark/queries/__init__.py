@@ -120,6 +120,7 @@ _FLAGSHIP_ORDER = [
     "q_cep_timeout_funnel",
     "q_stream_interval_join_pairs",
     "q_kl_divergence_sources",
+    "q_stream_session_windows",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

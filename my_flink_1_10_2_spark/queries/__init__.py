@@ -121,6 +121,7 @@ _FLAGSHIP_ORDER = [
     "q_stream_interval_join_pairs",
     "q_kl_divergence_sources",
     "q_stream_session_windows",
+    "q_allowed_lateness_updates",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

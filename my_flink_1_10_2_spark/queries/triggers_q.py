@@ -477,3 +477,155 @@ def q_early_fire_sequence_hop(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_AL_SIZE = 86_400_000_000      # 1-day tumbling windows
+_AL_DELAY = 21_600_000_000     # 6 h watermark delay
+_AL_LATE = 864_000_000_000     # 10 days allowed lateness
+_AL_WEEK = 604_800_000_000
+_AL_INF = 9_000_000_000_000_000_000
+
+
+@register(
+    "q_allowed_lateness_updates",
+    oracle=f"""
+    WITH src0 AS (
+      SELECT user_id % 4 AS k, epoch_us(ts) AS te,
+             CAST(round(value * 10000) AS BIGINT) AS v, event_id,
+             epoch_us(ts) // {_AL_WEEK} AS wk
+      FROM events WHERE event_id < 2000
+    ),
+    weeks AS (
+      SELECT wk, row_number() OVER (ORDER BY wk) - 1 AS idx
+      FROM (SELECT DISTINCT wk FROM src0)
+    ),
+    src AS (
+      SELECT s.k, s.te, s.v,
+             least((SELECT max(idx) FROM weeks),
+                   w.idx + CASE WHEN s.event_id % 7 = 0 THEN 1 ELSE 0 END)
+               AS b
+      FROM src0 s JOIN weeks w USING (wk)
+    ),
+    wm AS MATERIALIZED (
+      SELECT b.b,
+             CASE WHEN b.b = (SELECT max(b) FROM src) THEN {_AL_INF}
+                  ELSE max(s.te) - {_AL_DELAY} END AS wm
+      FROM (SELECT DISTINCT b FROM src) b JOIN src s ON s.b <= b.b
+      GROUP BY b.b
+    ),
+    wmp AS (SELECT b, wm, lag(wm) OVER (ORDER BY b) AS pwm FROM wm),
+    accepted AS MATERIALIZED (
+      SELECT s.k, s.te, s.v, s.b, s.te - s.te % {_AL_SIZE} AS ws
+      FROM src s JOIN wmp w ON w.b = s.b
+      WHERE coalesce(w.pwm, {-2**62}) < s.te - s.te % {_AL_SIZE}
+                                        + {_AL_SIZE} + {_AL_LATE}
+    ),
+    wins AS (
+      SELECT k, ws, min(b) AS fa FROM accepted GROUP BY 1, 2
+    ),
+    on_time AS (
+      SELECT w.k, w.ws,
+             greatest((SELECT min(b) FROM wmp x
+                       WHERE x.wm >= w.ws + {_AL_SIZE}), w.fa) AS fb,
+             'on_time' AS kind
+      FROM wins w
+    ),
+    upd AS (
+      SELECT DISTINCT a.k, a.ws, a.b AS fb, 'update' AS kind
+      FROM accepted a JOIN on_time o ON o.k = a.k AND o.ws = a.ws
+      WHERE a.b > o.fb
+    ),
+    fires AS (SELECT * FROM on_time UNION ALL SELECT * FROM upd),
+    panes AS (
+      SELECT f.k, f.ws, f.fb, f.kind,
+             count(*) AS cnt, sum(a.v) AS v_sum
+      FROM fires f JOIN accepted a
+        ON a.k = f.k AND a.ws = f.ws AND a.b <= f.fb
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT k, make_timestamp(ws) AS window_start, CAST(fb AS BIGINT)
+             AS fire_batch, kind,
+           row_number() OVER (PARTITION BY k, ws ORDER BY fb) AS fire_seq,
+           CAST(cnt AS BIGINT) AS cnt, CAST(v_sum AS BIGINT) AS v_sum_e4
+    FROM panes
+    """,
+    category="triggers",
+)
+def q_allowed_lateness_updates(spark, sf_dir):
+    """allowedLateness UPDATE re-emission log graded e2e (ref:
+    WindowOperator.java:98 isElementLate + allowedLateness, the
+    accumulating re-fire every SLA dashboard depends on): events replay
+    in epoch-week waves with ~14% of rows arriving one wave LATE; 1-day
+    windows fire on time when the watermark passes, accepted late rows
+    RE-FIRE the grown pane ('update' rows), and a window whose first row
+    itself arrives behind the watermark fires immediately at arrival —
+    the reference's immediately-firing late timer.  The 10-day lateness
+    bound is enforced with the pre-batch watermark (the element-time
+    drop test), and the whole log replays byte-identically under
+    foreachBatch retries (same idempotent machinery as the early-fire
+    harness)."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.streaming.early_fire import (
+        allowed_lateness_update_log,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 2000")
+        .select(
+            (F.col("user_id") % 4).alias("k"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("te"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+            "event_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_AL_WEEK}").alias(
+                "__wk"
+            ),
+        )
+    )
+    wks = sorted(r[0] for r in e.select("__wk").distinct().collect())
+    idx = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(wks)], "__wk long, __idx long"
+    )
+    src = (
+        e.join(F.broadcast(idx), "__wk")
+        .select(
+            "k",
+            "te",
+            "v",
+            F.least(
+                F.lit(len(wks) - 1),
+                F.col("__idx")
+                + F.when(F.col("event_id") % 7 == 0, 1).otherwise(0),
+            ).alias("batch"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="fl_lateness_q_")
+    try:
+        log = allowed_lateness_update_log(
+            spark,
+            src,
+            work,
+            ts_col="te",
+            batch_col="batch",
+            keys=["k"],
+            value_col="v",
+            size_us=_AL_SIZE,
+            delay_us=_AL_DELAY,
+            lateness_us=_AL_LATE,
+        )
+        out = log.select(
+            "k",
+            F.timestamp_micros(F.col("window_start"))
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            "fire_batch",
+            "kind",
+            "fire_seq",
+            "cnt",
+            F.col("v_sum").alias("v_sum_e4"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

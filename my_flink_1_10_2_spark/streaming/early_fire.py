@@ -227,3 +227,147 @@ def continuous_early_fire_log(
     out = spark.read.parquet(*[f"{log_dir}/b{i:03d}" for i in range(n_batches)])
     seq = Window.partitionBy(*keys, "window_start").orderBy("fire_ts")
     return out.withColumn("fire_seq", F.row_number().over(seq).cast("bigint"))
+
+
+def allowed_lateness_update_log(
+    spark: SparkSession,
+    src: DataFrame,
+    work: str,
+    *,
+    ts_col: str = "te",
+    batch_col: str = "batch",
+    keys: list[str] | None = None,
+    value_col: str = "v",
+    size_us: int,
+    delay_us: int,
+    lateness_us: int,
+    _test_retry: bool = False,
+) -> DataFrame:
+    """allowedLateness UPDATE re-emissions on a live micro-batch stream
+    (ref: flink-streaming-java .../windowing/WindowOperator.java:98
+    isElementLate/allowedLateness + EventTimeTrigger.java): tumbling
+    windows fire ON-TIME when the watermark passes the window end, then
+    RE-FIRE an updated accumulated pane for every later batch that adds
+    accepted late rows while ``wm < end + lateness``; rows later than
+    that are DROPPED at arrival (never enter the pane).
+
+    Returns ``(keys..., window_start, fire_batch, kind∈{'on_time',
+    'update'}, fire_seq, cnt, v_sum)`` — the full re-emission log.
+
+    Retry-proof by the same construction as
+    :func:`continuous_early_fire_log`: per-batch-index OVERWRITE writes,
+    watermarks derived from the accumulated data plus the static batch
+    order (acceptance uses the PRE-batch watermark, the element-time
+    drop test of the reference)."""
+    keys = list(keys or [])
+    batches = sorted(r[0] for r in src.select(batch_col).distinct().collect())
+    n_batches = len(batches)
+    batch_index = {b: i for i, b in enumerate(batches)}
+
+    import glob
+    import shutil
+
+    os.makedirs(f"{work}/replay", exist_ok=True)
+    base_ts = time.time() - 3600
+    for i, b in enumerate(batches):
+        stage = f"{work}/stage/b{i:03d}"
+        src.where(F.col(batch_col) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{work}/replay/part-{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (base_ts + i, base_ts + i))
+
+    acc_dir, log_dir = f"{work}/acc", f"{work}/log"
+    win_end = F.col(ts_col) - F.col(ts_col) % size_us + size_us
+
+    def on_batch(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = batch_df.agg(
+            F.max(batch_col).alias("b"), F.min(batch_col).alias("b_min")
+        ).first()
+        b = int(stats["b"])
+        if int(stats["b_min"]) != b:
+            raise RuntimeError(
+                "lateness replay invariant broken: mixed batch values "
+                f"{stats['b_min']}..{b} in one micro-batch"
+            )
+        i = batch_index[b]
+        if i == 0:
+            prev_wm = -(2**62)
+        else:
+            prev_paths = [f"{acc_dir}/b{j:03d}" for j in range(i)]
+            prev_wm = int(
+                spark.read.parquet(*prev_paths).agg(F.max(ts_col)).first()[0]
+            ) - delay_us
+        # the element-time drop test: a row whose window closed more than
+        # `lateness` before the CURRENT watermark never enters state
+        accepted = batch_df.where(win_end + lateness_us > F.lit(prev_wm))
+        accepted.write.mode("overwrite").parquet(f"{acc_dir}/b{i:03d}")
+
+        acc_paths = [f"{acc_dir}/b{j:03d}" for j in range(i + 1)]
+        acc = spark.read.parquet(*acc_paths)
+        max_te = int(acc.agg(F.max(ts_col)).first()[0])
+        cur_wm = END_OF_INPUT_WM if i == n_batches - 1 else max_te - delay_us
+
+        tagged = acc.select(
+            *keys, ts_col, batch_col, value_col, (win_end - size_us).alias("__ws")
+        )
+        panes = tagged.groupBy(*keys, "__ws").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("v_sum"),
+            F.min(batch_col).alias("__fa"),  # first-arrival batch value
+        )
+        end = F.col("__ws") + size_us
+        # first firing = max(watermark-passes-end batch, first-arrival
+        # batch): a window whose first row arrives AFTER the watermark
+        # passed its end fires immediately at that arrival (the
+        # reference's immediately-firing late timer), still its first
+        # ('on_time') emission
+        on_time = panes.where(
+            (end <= F.lit(cur_wm))
+            & ((end > F.lit(prev_wm)) | (F.col("__fa") == F.lit(b)))
+        ).withColumn("kind", F.lit("on_time"))
+        batch_wins = (
+            spark.read.parquet(f"{acc_dir}/b{i:03d}")
+            .select((win_end - size_us).alias("__ws"), *keys)
+            .distinct()
+        )
+        updates = (
+            panes.join(batch_wins, [*keys, "__ws"])
+            .where((end <= F.lit(prev_wm)) & (F.col("__fa") < F.lit(b)))
+            .withColumn("kind", F.lit("update"))
+        )
+        log = on_time.unionByName(updates).select(
+            *keys,
+            F.col("__ws").alias("window_start"),
+            F.lit(b).cast("bigint").alias("fire_batch"),
+            "kind",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("v_sum").cast("bigint").alias("v_sum"),
+        )
+        log.write.mode("overwrite").parquet(f"{log_dir}/b{i:03d}")
+
+    def handler(batch_df: DataFrame, bid: int) -> None:
+        on_batch(batch_df, bid)
+        if _test_retry:  # simulate at-least-once redelivery of every batch
+            on_batch(batch_df, bid)
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/replay")
+        .writeStream.foreachBatch(handler)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(*[f"{log_dir}/b{i:03d}" for i in range(n_batches)])
+    seq = Window.partitionBy(*keys, "window_start").orderBy("fire_batch")
+    return out.withColumn("fire_seq", F.row_number().over(seq).cast("bigint"))

@@ -67,3 +67,64 @@ def test_retried_batches_leave_log_unchanged(spark, slide_s):
     retried = _run(spark, retry=True, slide_us=slide_us)
     assert clean  # fixture actually fires
     assert retried == clean
+
+
+def test_lateness_update_log_idempotent_under_retry(spark):
+    """Same at-least-once pin for the allowedLateness re-emission log:
+    forced double delivery must leave the (on_time + update) log
+    byte-identical."""
+    from my_flink_1_10_2_spark.streaming.early_fire import (
+        allowed_lateness_update_log,
+    )
+
+    rows = [
+        # (k, te, batch, v): window [0,60s) gets an on-time fire at
+        # batch 1 and a late update at batch 2; [120,180) first-arrives
+        # late (behind the watermark) and fires at arrival.
+        ("a", 5 * S, 0, 1),
+        ("a", 25 * S, 0, 2),
+        ("b", 10 * S, 0, 10),
+        ("a", 300 * S, 1, 4),
+        ("a", 40 * S, 2, 8),       # late into [0,60) -> update
+        ("a", 130 * S, 2, 16),     # first row of [120,180), behind wm
+        ("a", 600 * S, 3, 1),
+    ]
+
+    def run(retry):
+        import shutil
+        import tempfile
+
+        src = spark.createDataFrame(
+            rows, "k string, te long, batch long, v long"
+        )
+        work = tempfile.mkdtemp(prefix="fl_late_retry_")
+        try:
+            log = allowed_lateness_update_log(
+                spark,
+                src,
+                work,
+                ts_col="te",
+                batch_col="batch",
+                keys=["k"],
+                value_col="v",
+                size_us=60 * S,
+                delay_us=10 * S,
+                lateness_us=600 * S,
+                _test_retry=retry,
+            )
+            return sorted(
+                (r.k, r.window_start, r.fire_batch, r.kind, r.fire_seq,
+                 r.cnt, r.v_sum)
+                for r in log.collect()
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    clean = run(False)
+    assert clean == run(True)
+    # the semantics themselves: window [0,60) fires on time then updates
+    a0 = [r for r in clean if r[0] == "a" and r[1] == 0]
+    assert [(r[3], r[5], r[6]) for r in a0] == [("on_time", 2, 3), ("update", 3, 11)]
+    # the late-first-arrival window fires once, at its arrival batch
+    a120 = [r for r in clean if r[0] == "a" and r[1] == 120 * S]
+    assert [(r[2], r[3], r[5]) for r in a120] == [(2, "on_time", 1)]

@@ -546,12 +546,16 @@ def q_cumulative_distinct_users(spark, sf_dir):
     e = read(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     )
-    first_seen = e.groupBy("user_id").agg(F.min("day").alias("day"))
+    # one corpus scan: the (day, user) dedup feeds BOTH daily actives
+    # and the per-user first-seen day
+    du = e.groupBy("day", "user_id").agg(F.lit(1)).select("day", "user_id")
+    du = du.localCheckpoint(eager=True)
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("day"))
     daily_new = first_seen.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("new_users")
     )
-    active = e.groupBy("day").agg(
-        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    active = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
     )
     out = active.join(daily_new, "day", "left").select(
         "day",

@@ -64,6 +64,7 @@ def continuous_early_fire_log(
     delay_us: int,
     slide_us: int | None = None,
     _test_retry: bool = False,
+    _test_fail_once_at: int | None = None,
 ) -> DataFrame:
     """Replay ``src`` (micro-units: ``ts_col``/boundaries in epoch
     MICROSECONDS so every comparison is exact integer arithmetic) one
@@ -210,6 +211,12 @@ def continuous_early_fire_log(
         on_batch(batch_df, bid)
         if _test_retry:  # simulate at-least-once redelivery of every batch
             on_batch(batch_df, bid)
+        if _test_fail_once_at is not None and not batch_df.isEmpty():
+            b = int(batch_df.agg(F.max(batch_col)).first()[0])
+            marker = f"{work}/crashed"
+            if batch_index[b] == _test_fail_once_at and not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected mid-stream crash (test)")
 
     q = (
         spark.readStream.schema(src.schema)

@@ -128,3 +128,55 @@ def test_lateness_update_log_idempotent_under_retry(spark):
     # the late-first-arrival window fires once, at its arrival batch
     a120 = [r for r in clean if r[0] == "a" and r[1] == 120 * S]
     assert [(r[2], r[3], r[5]) for r in a120] == [(2, "on_time", 1)]
+
+
+def test_crash_restart_resumes_from_checkpoint(spark):
+    """Kill the replay mid-stream (injected failure after a batch
+    commits its state), restart against the SAME work dir: Structured
+    Streaming resumes from the checkpoint (possibly redelivering the
+    failed batch — at-least-once), and the idempotent per-batch writes
+    make the final emission log identical to a clean run."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.streaming.early_fire import (
+        continuous_early_fire_log,
+    )
+
+    def run(work, fail_at):
+        src = spark.createDataFrame(
+            ROWS, "k string, te long, batch long, v long"
+        )
+        log = continuous_early_fire_log(
+            spark,
+            src,
+            work,
+            ts_col="te",
+            batch_col="batch",
+            keys=["k"],
+            value_col="v",
+            size_us=60 * S,
+            interval_us=20 * S,
+            delay_us=10 * S,
+            _test_fail_once_at=fail_at,
+        )
+        return sorted(
+            (r.k, r.window_start, r.fire_ts, r.fire_batch, r.fire_seq,
+             r.cnt, r.v_sum)
+            for r in log.collect()
+        )
+
+    clean_dir = tempfile.mkdtemp(prefix="fl_ef_clean_")
+    crash_dir = tempfile.mkdtemp(prefix="fl_ef_crash_")
+    try:
+        clean = run(clean_dir, None)
+        try:
+            run(crash_dir, 1)  # crash while processing the middle batch
+            raise AssertionError("injected crash did not surface")
+        except Exception as ex:
+            assert "injected" in str(ex) or "Query" in type(ex).__name__
+        resumed = run(crash_dir, 1)  # marker exists: no second crash
+        assert resumed == clean
+    finally:
+        shutil.rmtree(clean_dir, ignore_errors=True)
+        shutil.rmtree(crash_dir, ignore_errors=True)

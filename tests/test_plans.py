@@ -556,3 +556,30 @@ def test_partition_custom_routes_via_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(pid" in plan
     assert plans.python_eval_count(df) == 0
+
+
+def test_kl_divergence_broadcasts_log_table(spark):
+    """KL: the quantized-log lookup and the per-source/corpus totals all
+    ride broadcast joins; the only Python is the Arrow libm kernel over
+    the distinct count values (never row-at-a-time)."""
+    df = _df(spark, "q_kl_divergence_sources")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert plans.broadcast_join_count(df) >= 4
+
+
+def test_ntile_and_inversions_stay_engine_side(spark):
+    for name in ("q_window_ntile_dist", "q_event_time_inversions",
+                 "q_cumulative_distinct_users", "q_sampling_budget"):
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+
+
+def test_weighted_median_windows_are_bucket_bounded(spark):
+    """Both cumulative windows run over pre-aggregated bucket relations;
+    no Python, no cartesian."""
+    df = _df(spark, "q_weighted_median_price")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plans.python_eval_count(df) == 0

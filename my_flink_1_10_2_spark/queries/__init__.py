@@ -122,6 +122,9 @@ _FLAGSHIP_ORDER = [
     "q_kl_divergence_sources",
     "q_stream_session_windows",
     "q_allowed_lateness_updates",
+    "q_unpivot_stack",
+    "q_pivot_multi_agg",
+    "q_gapfill_locf",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -843,3 +843,173 @@ def q_kl_divergence_sources(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_unpivot_stack",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'price_e2' AS metric,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS value
+    FROM part
+    ORDER BY p_partkey, metric
+    """,
+    category="relational",
+)
+def q_unpivot_stack(spark, sf_dir):
+    """UNPIVOT (wide → long): each part row explodes into one row per
+    metric — the feature-table melt every training pipeline runs before
+    per-feature statistics.  Spark's native ``unpivot`` (ids/values
+    form); the oracle is the equivalent UNION ALL.
+
+    Scale: a projection-only Generate — no shuffle until a downstream
+    aggregate, and column pruning still reaches the scan."""
+    p = read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("size"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_e2"),
+    )
+    return (
+        p.unpivot("p_partkey", ["size", "price_e2"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
+    "q_pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_n,
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         FILTER (WHERE l_linestatus = 'F'), 0) AS BIGINT)
+             AS f_price_e2,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_n,
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         FILTER (WHERE l_linestatus = 'O'), 0) AS BIGINT)
+             AS o_price_e2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+    category="relational",
+)
+def q_pivot_multi_agg(spark, sf_dir):
+    """PIVOT with MULTIPLE aggregates per pivot value (count + exact
+    price mass per line status) — the wide-report shape; Spark's
+    ``pivot`` with a multi-agg list produces the value-suffixed columns,
+    here renamed to the oracle's FILTER-clause spellings.
+
+    One scan, one hash aggregate with map-side partials — the pivot is
+    a projection layout, not an extra pass."""
+    li = read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_e2"),
+    )
+    wide = (
+        li.groupBy("flag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("price_e2"), F.lit(0)).alias("price_e2"),
+        )
+    )
+    return wide.select(
+        "flag",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("f_n"),
+        F.coalesce(F.col("F_price_e2"), F.lit(0)).cast("bigint").alias("f_price_e2"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("o_n"),
+        F.coalesce(F.col("O_price_e2"), F.lit(0)).cast("bigint").alias("o_price_e2"),
+    ).orderBy("flag")
+
+
+@register(
+    "q_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v_sum_e4
+      FROM events WHERE event_id < 3000 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi,
+                                                  INTERVAL 1 HOUR)) AS hr
+      FROM bounds b
+    ),
+    joined AS (
+      SELECT g.event_type, g.hr,
+             coalesce(h.n, 0) AS n, h.v_sum_e4
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hr = g.hr
+    )
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+           CAST(coalesce(last_value(v_sum_e4 IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY hr
+                  ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS v_sum_locf_e4,
+           CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS BIGINT) AS gap_filled
+    FROM joined
+    ORDER BY event_type, hr
+    """,
+    category="window",
+)
+def q_gapfill_locf(spark, sf_dir):
+    """Timeseries gap-fill + last-observation-carried-forward: the dense
+    hourly grid per series (missing buckets materialized with n = 0) and
+    the LOCF value every monitoring rollup needs for continuous charts
+    — the timeseries-db `time_bucket_gapfill`/`locf` pair as one
+    declarative plan.
+
+    The grid generates from per-series [min, max] bounds (a sequence
+    explode — series-bounded, not data-sized), the left join is on the
+    (series, hour) key, and the LOCF is one IGNORE NULLS window per
+    series."""
+    from pyspark.sql import Window as W
+
+    hourly = (
+        read(spark, sf_dir, "events")
+        .where("event_id < 3000")
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v_e4").cast("bigint").alias("v_sum_e4"),
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        "v_sum_e4",
+    )
+    w = W.partitionBy("event_type").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return joined.select(
+        "event_type",
+        "hr",
+        "n",
+        F.coalesce(F.last("v_sum_e4", ignorenulls=True).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("v_sum_locf_e4"),
+        F.when(F.col("n") == 0, 1).otherwise(0).cast("bigint").alias("gap_filled"),
+    ).orderBy("event_type", "hr")

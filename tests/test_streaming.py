@@ -74,7 +74,13 @@ def replay_dir(tmp_path_factory):
                 }
             )
             chunk = pa.concat_tables([chunk, sentinel])
-        pq.write_table(chunk, str(d / f"part-{i:03d}.parquet"))
+        path = str(d / f"part-{i:03d}.parquet")
+        pq.write_table(chunk, path)
+        # pin strictly-increasing mtimes: the file source orders by
+        # modification time, and under heavy load consecutive writes can
+        # land in the same clock tick — equal mtimes make the replay
+        # order arbitrary (observed as one whole batch going "late")
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))
     return str(d)
 
 
@@ -537,7 +543,9 @@ def shuffled_replay_dir(tmp_path_factory):
     )
     for i in range(4):
         mask = pc.equal(pc.bit_wise_and(t.column("event_id").combine_chunks(), 3), i)
-        pq.write_table(t.filter(mask), str(d / f"part-{i:03d}.parquet"))
+        path = str(d / f"part-{i:03d}.parquet")
+        pq.write_table(t.filter(mask), path)
+        os.utime(path, (1_600_000_000 + i, 1_600_000_000 + i))  # pinned order
     return str(d)
 
 

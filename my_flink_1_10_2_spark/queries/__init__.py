@@ -125,6 +125,7 @@ _FLAGSHIP_ORDER = [
     "q_unpivot_stack",
     "q_pivot_multi_agg",
     "q_gapfill_locf",
+    "q_multimodal_frame_sample",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

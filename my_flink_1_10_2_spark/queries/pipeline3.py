@@ -1013,3 +1013,52 @@ def q_gapfill_locf(spark, sf_dir):
         .alias("v_sum_locf_e4"),
         F.when(F.col("n") == 0, 1).otherwise(0).cast("bigint").alias("gap_filled"),
     ).orderBy("event_type", "hr")
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                  ELSE 'audio/wav' END AS mime,
+             text
+      FROM documents
+    ),
+    frames AS (
+      SELECT media_id, mime, i.i AS frame_idx,
+             substr(text, i.i * 64 + 1, 64) AS frame
+      FROM media CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT media_id, mime, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(frame) AS BIGINT) AS frame_len,
+           md5(frame) AS frame_md5
+    FROM frames WHERE length(frame) > 0
+    ORDER BY media_id, frame_idx
+    """,
+    category="multimodal",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Multimodal FRAME SAMPLING graded e2e (the brief's frame-sample
+    slot): deterministic byte-offset slices of the opaque payload stand
+    in for video frame extraction — the Spark-side plumbing (binary
+    column model, JVM-side substring, posexplode fan-out) is real; a
+    production decoder swaps in at the same operator position.  Graded
+    by per-frame length + md5 digest (payloads are ASCII, so byte and
+    character offsets coincide — the oracle slices the string form).
+
+    Plan: projection + Generate only — frame sampling shuffles nothing."""
+    from my_flink_1_10_2_spark.llm.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    media = documents_as_media(read(spark, sf_dir, "documents"))
+    frames = frame_sample(media, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "media_id",
+        "mime",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    ).orderBy("media_id", "frame_idx")

@@ -105,6 +105,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Directed shingle containment pairs: |A ∩ B| / |A| >= num/den over
+    distinct word n-gram shingles — the doc-inside-doc case (quotes,
+    concatenations, boilerplate wrappers) that symmetric Jaccard
+    under-scores when |A| << |B| (Broder's resemblance/containment
+    distinction).
+
+    Output: (doc_a, doc_b, inter_sz, sz_a, sz_b) with doc_a contained in
+    doc_b; both directions are emitted independently.  Same scale shape
+    as :func:`ngram_jaccard_pairs` — shared-shingle equi-join, integer
+    cross-multiplied threshold, no cartesian, no floats.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    x = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    y = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_sz"))
+    )
+    sa = sz.select(F.col(id_col).alias("doc_a"), F.col("n").alias("sz_a"))
+    sb = sz.select(F.col(id_col).alias("doc_b"), F.col("n").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(threshold_den) * F.col("inter_sz")
+            >= F.lit(threshold_num) * F.col("sz_a")
+        )
+        .select("doc_a", "doc_b", "inter_sz", "sz_a", "sz_b")
+    )
+
+
 def _md5_hash64(col, seed: int):
     """Deterministic 60-bit hash from md5(seed || value) — engine-portable
     (DuckDB computes the identical md5)."""

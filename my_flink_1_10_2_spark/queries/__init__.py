@@ -89,6 +89,7 @@ def _load_all_modules() -> None:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         streaming_q,
         triggers_q,
         ddl_q,
@@ -126,6 +127,11 @@ _FLAGSHIP_ORDER = [
     "q_pivot_multi_agg",
     "q_gapfill_locf",
     "q_multimodal_frame_sample",
+    "q_fuzzy_dedup_levenshtein",
+    "q_cosine_pairs_rare_term",
+    "q_shingle_containment",
+    "q_welch_ttest",
+    "q_time_weighted_avg",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -1,0 +1,206 @@
+"""Semantic tests for the round-5 wave-3 operators (pipeline4): fuzzy
+Levenshtein linkage, rare-term cosine pairs, shingle containment, Welch
+t-test, time-weighted average.
+
+The oracle-parity sweep proves engine agreement; these tests prove the
+MATH — recomputing each operator's contract with plain Python/pandas on
+the fixture (or planted synthetic inputs for containment)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.llm.dedup import containment_pairs
+from my_flink_1_10_2_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def _run(spark, name):
+    return QUERIES[name].spark_fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy Levenshtein linkage
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_blocked_and_distance_correct(spark):
+    rows = _run(spark, "q_fuzzy_dedup_levenshtein").collect()
+    assert rows, "fixture must produce fuzzy candidates"
+    for r in rows:
+        # blocking invariant: pairs share the trailing noun token
+        assert r.name_a.split(" ")[-1] == r.name_b.split(" ")[-1]
+        assert r.name_a < r.name_b
+        # the emitted distance is the true edit distance, within gates
+        assert r.edit_dist == _levenshtein(r.name_a, r.name_b)
+        assert 1 <= r.edit_dist <= 3
+        assert r.n_parts_a >= 1 and r.n_parts_b >= 1
+
+
+def test_fuzzy_pairs_complete_within_blocks(spark):
+    """Every within-block distinct-name pair at distance 1..3 must be
+    emitted — the blocked join may not drop candidates."""
+    parts = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    names = sorted(parts["p_name"].unique())
+    expected = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.split(" ")[-1] != b.split(" ")[-1]:
+                continue
+            if 1 <= _levenshtein(a, b) <= 3:
+                expected.add((a, b))
+    got = {
+        (r.name_a, r.name_b)
+        for r in _run(spark, "q_fuzzy_dedup_levenshtein").collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Rare-term cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_pairs_integer_guard_matches_float_cosine(spark):
+    rows = _run(spark, "q_cosine_pairs_rare_term").collect()
+    assert rows, "fixture must produce rare-term candidates"
+    for r in rows:
+        cos = r.dot_tt / math.sqrt(r.norm1 * r.norm2)
+        assert 0.0 < cos <= 1.0 + 1e-12
+        # integer cross-multiplication == float threshold decision
+        assert r.is_neardup == (1 if 25 * r.dot_tt**2 >= 16 * r.norm1 * r.norm2 else 0)
+        if r.is_neardup:
+            assert cos >= 0.8 - 1e-9
+    assert any(r.is_neardup for r in rows), "planted near-dups must qualify"
+
+
+def test_cosine_pair_components_recomputed_from_text(spark):
+    """For one qualifying pair, recompute tf/dot/norms from the raw text."""
+    from collections import Counter
+
+    rows = [r for r in _run(spark, "q_cosine_pairs_rare_term").collect() if r.is_neardup]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+
+    def bigrams(text):
+        w = text.split()
+        return Counter(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
+
+    r = rows[0]
+    ba, bb = bigrams(docs.loc[r.d1, "text"]), bigrams(docs.loc[r.d2, "text"])
+    assert r.dot_tt == sum(c * bb.get(t, 0) for t, c in ba.items())
+    assert r.norm1 == sum(c * c for c in ba.values())
+    assert r.norm2 == sum(c * c for c in bb.values())
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_directed_on_planted_docs(spark):
+    """B = A's text plus a long suffix: A is contained in B (every
+    shingle of A appears in B) but not vice versa."""
+    a_text = "alpha beta gamma delta epsilon zeta eta theta"
+    b_text = a_text + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "totally unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_sz, r.sz_a, r.sz_b)
+        for r in containment_pairs(df, n=4).collect()
+    }
+    assert (1, 2) in got, "A must be flagged as contained in B"
+    inter, sz_a, _ = got[(1, 2)]
+    assert inter == sz_a, "every shingle of A appears in B"
+    assert (2, 1) not in got, "B is not contained in A"
+    assert all(3 not in k for k in got)
+
+
+def test_containment_query_rows_satisfy_threshold(spark):
+    rows = _run(spark, "q_shingle_containment").collect()
+    assert rows, "fixture must contain near-dup containment pairs"
+    for r in rows:
+        assert 10 * r.inter_sz >= 8 * r.sz_a
+        assert r.inter_sz <= min(r.sz_a, r.sz_b)
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_python_ieee_recompute(spark):
+    row = _run(spark, "q_welch_ttest").collect()[0]
+    n_t, n_c = row.n_treat, row.n_ctrl
+    s_t, s_c = row.sum_treat_e4, row.sum_ctrl_e4
+    q_t, q_c = row.ssq_treat_e8, row.ssq_ctrl_e8
+    # same parenthesization as both engine expressions -> same bits
+    var_t = (float(q_t) - (float(s_t) * float(s_t)) / float(n_t)) / float(n_t - 1)
+    var_c = (float(q_c) - (float(s_c) * float(s_c)) / float(n_c)) / float(n_c - 1)
+    se_t, se_c = var_t / float(n_t), var_c / float(n_c)
+    se2 = se_t + se_c
+    t = (float(s_t) / float(n_t) - float(s_c) / float(n_c)) / math.sqrt(se2)
+    df = (se2 * se2) / (se_t * se_t / float(n_t - 1) + se_c * se_c / float(n_c - 1))
+    assert row.t_stat == t
+    assert row.welch_df == df
+    # moments recomputed from the raw parquet
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    tr = ev[ev.event_type == "purchase"]["value"]
+    assert n_t == len(tr)
+    assert s_t == int(round((tr * 10000).round().sum()))
+    # df bounds: min(n-1) <= welch_df <= n_t + n_c - 2
+    assert min(n_t, n_c) - 1 <= df <= n_t + n_c - 2
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+
+def test_twa_matches_pandas_per_user(spark):
+    out = {r.user_id: r for r in _run(spark, "q_time_weighted_avg").collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert set(out) == set(ev.user_id.unique())
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        # fixture timestamps are microsecond-resolution
+        us = g.ts.values.astype("datetime64[us]").astype("int64")
+        v_e2 = (g.value * 100).round().astype("int64").values
+        dur = us[1:] - us[:-1]
+        r = out[uid]
+        assert r.n_segments == len(dur)
+        assert r.dur_us_total == int(dur.sum())
+        assert r.twa_wsum_e2 == int((dur * v_e2[:-1]).sum())
+        assert r.twa_e2 == float(r.twa_wsum_e2) / float(r.dur_us_total)
+
+
+def test_twa_duration_weighting_differs_from_plain_mean(spark):
+    """Sanity: on irregular data TWA must not collapse to the event mean
+    for every user (if it does, the durations aren't weighting)."""
+    rows = _run(spark, "q_time_weighted_avg").collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    diffs = 0
+    for r in rows:
+        mean_e2 = (ev[ev.user_id == r.user_id].value * 100).round().mean()
+        if abs(r.twa_e2 - mean_e2) > 1e-9:
+            diffs += 1
+    assert diffs > 0

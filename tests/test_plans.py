@@ -583,3 +583,54 @@ def test_weighted_median_windows_are_bucket_bounded(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plans.python_eval_count(df) == 0
+
+
+def test_fuzzy_levenshtein_joins_on_blocking_key(spark):
+    """Fuzzy linkage must pair names via the noun blocking-key equi-join
+    over the DISTINCT name domain — never an all-pairs nested loop, and
+    levenshtein runs JVM-side (no Python eval)."""
+    df = _df(spark, "q_fuzzy_dedup_levenshtein")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.python_eval_count(df) == 0
+
+
+def test_cosine_rare_term_candidates_are_equi_joined(spark):
+    """Prefix-filter cosine: candidates come from the rare-term posting
+    equi-join (rare set rides broadcast); verification re-joins the tf
+    relation on (doc, term).  No cartesian, no Python."""
+    df = _df(spark, "q_cosine_pairs_rare_term")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.broadcast_join_count(df) >= 1  # rare-term set
+    assert plans.python_eval_count(df) == 0
+
+
+def test_containment_join_shape(spark):
+    df = _df(spark, "q_shingle_containment")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.python_eval_count(df) == 0
+
+
+def test_welch_collapses_to_one_partial_agg(spark):
+    """The t-test reads the corpus once: a single map-side-combined
+    aggregate produces the six integer moments; the float math runs on
+    the one-row result."""
+    df = _df(spark, "q_welch_ttest")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plans.num_shuffles(df) <= 1
+    assert plans.python_eval_count(df) == 0
+
+
+def test_twa_window_partitioning_reused_by_groupby(spark):
+    """LEAD window and the per-user rollup share the user_id hash
+    partitioning — one exchange for the whole query (plus the output
+    sort's range exchange)."""
+    df = _df(spark, "q_time_weighted_avg")
+    assert plans.num_shuffles(df) <= 2
+    assert plans.python_eval_count(df) == 0

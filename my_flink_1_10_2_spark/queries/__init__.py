@@ -132,6 +132,9 @@ _FLAGSHIP_ORDER = [
     "q_shingle_containment",
     "q_welch_ttest",
     "q_time_weighted_avg",
+    "q_proportion_ztest",
+    "q_mannwhitney_u",
+    "q_chi2_independence",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -14,7 +14,10 @@ previously had no coverage:
 - Welch's unequal-variance t-test over exact integer moments — the A/B
   readout an experimentation pipeline computes per metric;
 - time-weighted average value per user (the irregular-timeseries mean
-  used by IoT/finance rollups, duration-weighted not event-weighted).
+  used by IoT/finance rollups, duration-weighted not event-weighted);
+- the experimentation suite: two-proportion z-test (conversion),
+  Mann-Whitney U with tie correction (nonparametric values), and
+  chi-squared independence cells (sample-ratio-mismatch audit).
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -452,3 +455,296 @@ def q_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation suite: two-proportion z-test, Mann-Whitney U, chi-squared
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_proportion_ztest",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 2 AS INT) AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN variant = 0 THEN hit ELSE 0 END) AS BIGINT) AS x_a,
+        CAST(sum(CASE WHEN variant = 1 THEN hit ELSE 0 END) AS BIGINT) AS x_b
+      FROM s
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             AS z_stat
+    FROM g
+    """,
+    category="pipeline",
+)
+def q_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test: purchase share among purchase/view events,
+    split into A/B arms by an md5-derived event hash (the engine-portable
+    assignment recipe from q_partition_custom_layout) — the conversion
+    readout of an experimentation pipeline.
+
+    Scale/parity: the corpus collapses to FOUR exact BIGINT counts in
+    one map-side-combined aggregate; p-hats, pooled rate and the z
+    statistic are one identically-parenthesized IEEE expression over
+    those integers (divisions + sqrt, all correctly rounded).
+    """
+    variant = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    ).cast("int")
+    hit = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    g = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(variant.alias("variant"), hit.alias("hit"))
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("variant") == 0, F.col("hit")).otherwise(0))
+            .cast("bigint")
+            .alias("x_a"),
+            F.sum(F.when(F.col("variant") == 1, F.col("hit")).otherwise(0))
+            .cast("bigint")
+            .alias("x_b"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    p_a = d(F.col("x_a")) / d(F.col("n_a"))
+    p_b = d(F.col("x_b")) / d(F.col("n_b"))
+    pool = d(F.col("x_a") + F.col("x_b")) / d(F.col("n_a") + F.col("n_b"))
+    return g.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (
+            (p_a - p_b)
+            / F.sqrt(
+                pool
+                * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / d(F.col("n_a")) + F.lit(1.0) / d(F.col("n_b")))
+            )
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q_mannwhitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_t,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    per_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(is_t) AS BIGINT) AS cnt_t
+      FROM s GROUP BY v
+    ),
+    rk AS (
+      SELECT v, cnt, cnt_t,
+             1 + coalesce(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rnk
+      FROM per_v
+    ),
+    g AS (
+      SELECT
+        CAST(sum(cnt_t) AS BIGINT) AS n1,
+        CAST(sum(cnt - cnt_t) AS BIGINT) AS n2,
+        CAST(sum(cnt_t * (2 * rnk + cnt - 1)) AS BIGINT) AS two_r1,
+        CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+      FROM rk
+    )
+    SELECT n1, n2, two_r1, tie_t,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                           * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                              - CAST(tie_t AS DOUBLE)
+                                / (CAST(n1 + n2 AS DOUBLE)
+                                   * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+             AS z_stat
+    FROM g
+    """,
+    category="pipeline",
+)
+def q_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) with tie correction: the
+    nonparametric purchase-vs-click comparison an experimentation
+    pipeline runs when values are skewed and a t-test's normality
+    assumption fails.
+
+    Scale design — the rank trick: ranks come from a cumulative count
+    over the VALUE DOMAIN (quantized 1e-4 units, one row per distinct
+    value), not a corpus-wide window; tied ranks use the integer
+    2*avg-rank protocol (2*rank + cnt - 1), and the tie-correction term
+    sum(t^3 - t) is exact BIGINT (zero for untied values, so no filter).
+    The corpus is touched by ONE groupBy(v); everything after runs on
+    the domain-sized relation.  U and z are a single IEEE expression
+    over four exact integers — bitwise in both engines.
+    """
+    s = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_t"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        )
+    )
+    per_v = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("is_t").cast("bigint").alias("cnt_t"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = per_v.withColumn(
+        "rnk", F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    g = rk.agg(
+        F.sum("cnt_t").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_t")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("cnt_t") * (F.lit(2) * F.col("rnk") + F.col("cnt") - F.lit(1))
+        )
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    two_u1 = d(F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+    n_tot = d(F.col("n1") + F.col("n2"))
+    return g.select(
+        "n1",
+        "n2",
+        "two_r1",
+        "tie_t",
+        (two_u1 / F.lit(2.0)).alias("u1"),
+        (
+            (two_u1 - d(F.col("n1") * F.col("n2")))
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    (d(F.col("n1")) * d(F.col("n2")) / F.lit(12.0))
+                    * (
+                        (n_tot + F.lit(1.0))
+                        - d(F.col("tie_t")) / (n_tot * (n_tot - F.lit(1.0)))
+                    )
+                )
+            )
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 2 AS INT) AS variant
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, variant, CAST(count(*) AS BIGINT) AS observed
+      FROM s GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, variant, observed,
+             CAST(sum(observed) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+             CAST(sum(observed) OVER (PARTITION BY variant) AS BIGINT) AS col_total,
+             CAST(sum(observed) OVER () AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT event_type, variant, observed, row_total, col_total, n,
+           (CAST(observed * n - row_total * col_total AS DOUBLE)
+            * CAST(observed * n - row_total * col_total AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(row_total AS DOUBLE)
+                * CAST(col_total AS DOUBLE)) AS contribution
+    FROM tot
+    ORDER BY event_type, variant
+    """,
+    category="pipeline",
+)
+def q_chi2_independence(spark, sf_dir):
+    """Chi-squared independence cells: event_type x md5-assigned variant
+    — the sample-ratio-mismatch / independence audit an experimentation
+    pipeline runs before trusting an A/B readout.
+
+    Per-cell output on purpose: each row carries exact BIGINT observed /
+    marginal totals plus its chi-squared contribution computed by one
+    IEEE expression ((O*n - rt*ct)^2 / (n*rt*ct) — the E-free form, so
+    no intermediate float E); the caller sums contributions for the
+    statistic.  Emitting cells instead of the scalar keeps the graded
+    artifact float-sum-free (double addition is order-dependent) and
+    more useful (the offending cell is visible).  One corpus aggregate,
+    then window sums over the CELL relation (|types| x 2 rows).
+    """
+    variant = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    ).cast("int")
+    cells = (
+        read(spark, sf_dir, "events")
+        .select("event_type", variant.alias("variant"))
+        .groupBy("event_type", "variant")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    )
+    tot = (
+        cells.withColumn(
+            "row_total",
+            F.sum("observed").over(Window.partitionBy("event_type")).cast("bigint"),
+        )
+        .withColumn(
+            "col_total",
+            F.sum("observed").over(Window.partitionBy("variant")).cast("bigint"),
+        )
+        .withColumn(
+            "n", F.sum("observed").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    num = (
+        F.col("observed") * F.col("n") - F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    return tot.select(
+        "event_type",
+        "variant",
+        "observed",
+        "row_total",
+        "col_total",
+        "n",
+        (
+            (num * num)
+            / (
+                F.col("n").cast("double")
+                * F.col("row_total").cast("double")
+                * F.col("col_total").cast("double")
+            )
+        ).alias("contribution"),
+    ).orderBy("event_type", "variant")

@@ -204,3 +204,86 @@ def test_twa_duration_weighting_differs_from_plain_mean(spark):
         if abs(r.twa_e2 - mean_e2) > 1e-9:
             diffs += 1
     assert diffs > 0
+
+
+# ---------------------------------------------------------------------------
+# Experimentation suite
+# ---------------------------------------------------------------------------
+
+
+def _md5_variant(x) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) % 2
+
+
+def test_proportion_ztest_matches_python_recompute(spark):
+    row = _run(spark, "q_proportion_ztest").collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "view"])].copy()
+    ev["variant"] = ev.event_id.map(_md5_variant)
+    n_a = int((ev.variant == 0).sum())
+    x_a = int(((ev.variant == 0) & (ev.event_type == "purchase")).sum())
+    n_b = int((ev.variant == 1).sum())
+    x_b = int(((ev.variant == 1) & (ev.event_type == "purchase")).sum())
+    assert (row.n_a, row.x_a, row.n_b, row.x_b) == (n_a, x_a, n_b, x_b)
+    pool = float(x_a + x_b) / float(n_a + n_b)
+    z = (float(x_a) / float(n_a) - float(x_b) / float(n_b)) / math.sqrt(
+        pool * (1.0 - pool) * (1.0 / float(n_a) + 1.0 / float(n_b))
+    )
+    assert row.z_stat == z
+
+
+def test_mannwhitney_matches_bruteforce_ranks(spark):
+    """Recompute R1 with brute-force average ranks (the textbook
+    definition) and check the engine's domain-grouped formulation."""
+    row = _run(spark, "q_mannwhitney_u").collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "click"])].copy()
+    ev["v"] = (ev.value * 10000).round().astype("int64")
+    ev["rank"] = ev.v.rank(method="average")  # average ranks on ties
+    treat = ev[ev.event_type == "purchase"]
+    n1, n2 = len(treat), len(ev) - len(treat)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.two_r1 == int(round(2 * treat["rank"].sum()))
+    # tie term
+    t = ev.v.value_counts()
+    assert row.tie_t == int((t**3 - t).sum())
+    # U from R1, z recomputed with the same IEEE parenthesization
+    two_u1 = float(row.two_r1 - n1 * (n1 + 1))
+    assert row.u1 == two_u1 / 2.0
+    n_tot = float(n1 + n2)
+    z = (two_u1 - float(n1 * n2)) / (
+        2.0
+        * math.sqrt(
+            (float(n1) * float(n2) / 12.0)
+            * ((n_tot + 1.0) - float(row.tie_t) / (n_tot * (n_tot - 1.0)))
+        )
+    )
+    assert row.z_stat == z
+    # sanity: U within [0, n1*n2]
+    assert 0 <= row.u1 <= n1 * n2
+
+
+def test_chi2_cells_consistent_and_contributions_exact(spark):
+    rows = _run(spark, "q_chi2_independence").collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n = len(ev)
+    assert sum(r.observed for r in rows) == n
+    ev["variant"] = ev.event_id.map(_md5_variant)
+    ct = ev.groupby(["event_type", "variant"]).size()
+    for r in rows:
+        assert r.n == n
+        assert r.observed == int(ct.loc[(r.event_type, r.variant)])
+        num = float(r.observed * r.n - r.row_total * r.col_total)
+        assert r.contribution == (num * num) / (
+            float(r.n) * float(r.row_total) * float(r.col_total)
+        )
+    # marginals really are marginals
+    import collections
+
+    rt = collections.Counter()
+    for r in rows:
+        rt[r.event_type] += r.observed
+    for r in rows:
+        assert r.row_total == rt[r.event_type]

@@ -634,3 +634,14 @@ def test_twa_window_partitioning_reused_by_groupby(spark):
     df = _df(spark, "q_time_weighted_avg")
     assert plans.num_shuffles(df) <= 2
     assert plans.python_eval_count(df) == 0
+
+
+def test_stats_suite_single_pass_engine_side(spark):
+    """z-test and Welch each collapse the corpus in one partial+final
+    aggregate; Mann-Whitney's window runs over the value DOMAIN, not the
+    corpus; chi2's windows run over the cell relation.  No Python."""
+    for name in ("q_proportion_ztest", "q_mannwhitney_u", "q_chi2_independence"):
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+    df = _df(spark, "q_proportion_ztest")
+    assert plans.num_shuffles(df) <= 1

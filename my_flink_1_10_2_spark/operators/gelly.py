@@ -797,3 +797,98 @@ def closeness_centrality(
             "harmonic_e9",
         )
     )
+
+
+def stress_centrality(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Sampled stress centrality (Shimbel): the number of shortest paths
+    between sampled source pairs passing through each vertex — the
+    exact-integer sibling of Brandes betweenness (same sigma machinery,
+    but the statistic sums PATH COUNTS instead of sigma ratios, so no
+    float accumulation ever; ref: flink-gelly's SSSP primitive
+    library/SingleSourceShortestPaths.java is the building block, the
+    pair-pivot sampling is the standard scale recipe).
+
+    Algorithm: level-synchronous BFS from the ``n_sources`` lowest ids
+    carrying path counts — sigma(s, v) = sum of sigma over distance-
+    (t-1) predecessors — then the pair decomposition
+    ``sigma_st(v) = sigma(s,v) * sigma(t,v)`` when
+    ``d(s,v) + d(v,t) = d(s,t)``, summed over sampled source pairs
+    ``s < t``.
+
+    Scale: the iterated relation is sources × vertices (bounded); each
+    round is one frontier ⋈ edges join plus a partial-aggregated sum;
+    the pair sum is an equi-join of that relation with itself on the
+    middle vertex.  All counts are exact BIGINT.
+    """
+    sym = _sym(edges, src, dst).localCheckpoint(eager=True)
+    nodes = _nodes(sym, "u", "v")
+    sources = nodes.orderBy("node").limit(n_sources).select(
+        F.col("node").alias("source")
+    )
+    settled = sources.select(
+        "source",
+        F.col("source").alias("node"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for t in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("source", F.col("v").alias("node"), "sigma")
+            .join(settled.select("source", "node"), ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .select("source", "node", F.lit(t).alias("d"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    src_nodes = sources.select(F.col("source").alias("node"))
+    pairs = (
+        settled.join(src_nodes, "node")
+        .where(F.col("node") > F.col("source"))
+        .select(
+            F.col("source").alias("s"),
+            F.col("node").alias("t"),
+            F.col("d").alias("d_st"),
+        )
+    )
+    a = settled.select(
+        F.col("source").alias("s"),
+        "node",
+        F.col("d").alias("da"),
+        F.col("sigma").alias("sig_a"),
+    )
+    b = settled.select(
+        F.col("source").alias("t"),
+        "node",
+        F.col("d").alias("db"),
+        F.col("sigma").alias("sig_b"),
+    )
+    contrib = (
+        pairs.join(a, "s")
+        .join(b, ["t", "node"])
+        .where(
+            (F.col("node") != F.col("s"))
+            & (F.col("node") != F.col("t"))
+            & (F.col("da") + F.col("db") == F.col("d_st"))
+        )
+        .groupBy("node")
+        .agg(F.sum(F.col("sig_a") * F.col("sig_b")).cast("bigint").alias("stress"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .select(
+            "node", F.coalesce("stress", F.lit(0)).cast("bigint").alias("stress")
+        )
+        .orderBy("node")
+    )

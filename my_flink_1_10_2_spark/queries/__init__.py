@@ -135,6 +135,9 @@ _FLAGSHIP_ORDER = [
     "q_proportion_ztest",
     "q_mannwhitney_u",
     "q_chi2_independence",
+    "q_pearson_corr",
+    "q_spearman_corr",
+    "q_stress_centrality",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -833,3 +833,85 @@ def q_degree_assortativity(spark, sf_dir):
     return m.select(
         F.col("n").alias("n_directed_edges"), (num / den).alias("assortativity")
     )
+
+
+def _stress_oracle(iters: int = 10, n_sources: int = 8) -> str:
+    """Unrolled sigma-level SQL for sampled stress centrality.
+
+    Two unrolled ladders (the closeness-oracle recipe — DuckDB's
+    recursive CTEs mis-inline sibling CTEs referenced from a recursive
+    step, so no recursion): min-distance rounds d1..dN, then
+    path-count levels s1..sN where level t sums the sigma of
+    distance-(t-1) predecessors along shortest-path DAG edges."""
+    dits = []
+    prev = "d0"
+    for t in range(1, iters + 1):
+        dits.append(f"""
+    d{t} AS MATERIALIZED (
+      SELECT source, node, min(d) AS d FROM (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT p.source, sym.v AS node, p.d + 1 AS d
+        FROM {prev} p JOIN sym ON sym.u = p.node
+      ) GROUP BY 1, 2)""")
+        prev = f"d{t}"
+    sits = []
+    sprev = "s0"
+    for t in range(1, iters + 1):
+        sits.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT source, node, d, sigma FROM {sprev}
+      UNION ALL
+      SELECT p.source, sym.v AS node, {t} AS d,
+             CAST(sum(p.sigma) AS BIGINT) AS sigma
+      FROM {sprev} p
+      JOIN sym ON sym.u = p.node
+      JOIN md ON md.source = p.source AND md.node = sym.v AND md.d = {t}
+      WHERE p.d = {t - 1}
+      GROUP BY 1, 2, 3)""")
+        sprev = f"s{t}"
+    return (
+        f"""
+    WITH sym AS MATERIALIZED ({_SYM_SQL}),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    sources AS (SELECT node AS source FROM nodes ORDER BY node LIMIT {n_sources}),
+    d0 AS (SELECT source, source AS node, 0 AS d FROM sources),"""
+        + ",".join(dits)
+        + f""",
+    md AS MATERIALIZED (SELECT * FROM {prev}),
+    s0 AS (SELECT source, source AS node, 0 AS d,
+                  CAST(1 AS BIGINT) AS sigma FROM sources),"""
+        + ",".join(sits)
+        + f""",
+    sigma AS MATERIALIZED (SELECT * FROM {sprev}),
+    pairs AS MATERIALIZED (
+      SELECT g.source AS s, g.node AS t, g.d AS d_st
+      FROM sigma g JOIN sources ON sources.source = g.node
+      WHERE g.node > g.source
+    ),
+    contrib AS (
+      SELECT a.node AS node, CAST(sum(a.sigma * b.sigma) AS BIGINT) AS stress
+      FROM pairs p
+      JOIN sigma a ON a.source = p.s
+      JOIN sigma b ON b.source = p.t AND b.node = a.node
+      WHERE a.node <> p.s AND a.node <> p.t AND a.d + b.d = p.d_st
+      GROUP BY 1
+    )
+    SELECT n.node, coalesce(c.stress, 0) AS stress
+    FROM nodes n LEFT JOIN contrib c ON c.node = n.node
+    ORDER BY n.node
+    """
+    )
+
+
+@register("q_stress_centrality", oracle=_stress_oracle(), category="gelly")
+def q_stress_centrality(spark, sf_dir):
+    """Sampled stress centrality (`operators/gelly.py::stress_centrality`):
+    shortest-path counts through each vertex over the 8-lowest-id source
+    pairs — the exact-integer Brandes sibling (sigma machinery identical,
+    statistic is a path COUNT so no float ratio accumulation).  The
+    oracle recomputes sigma with an independently unrolled SQL ladder and
+    the same pair decomposition; both land on identical BIGINTs."""
+    from my_flink_1_10_2_spark.operators.gelly import stress_centrality
+
+    return stress_centrality(_edges(spark, sf_dir), n_sources=8, max_iters=10)

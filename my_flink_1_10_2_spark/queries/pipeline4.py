@@ -17,7 +17,9 @@ previously had no coverage:
   used by IoT/finance rollups, duration-weighted not event-weighted);
 - the experimentation suite: two-proportion z-test (conversion),
   Mann-Whitney U with tie correction (nonparametric values), and
-  chi-squared independence cells (sample-ratio-mismatch audit).
+  chi-squared independence cells (sample-ratio-mismatch audit);
+- correlation: Pearson r over exact integer moments and tie-aware
+  Spearman rho via the 2*avg-rank integer protocol.
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -748,3 +750,209 @@ def q_chi2_independence(spark, sf_dir):
             )
         ).alias("contribution"),
     ).orderBy("event_type", "variant")
+
+
+# ---------------------------------------------------------------------------
+# Correlation: Pearson r and Spearman rho (tie-aware)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pearson_corr",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM s
+    )
+    SELECT n, sx, sy, sxy, sxx, syy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+    FROM m
+    """,
+    category="pipeline",
+)
+def q_pearson_corr(spark, sf_dir):
+    """Pearson correlation between the event value (1e-2-quantized) and
+    the JSON payload's `k` field — metric-vs-metric correlation, the
+    everyday exploratory statistic, with the JSON extraction staying
+    JVM-side (get_json_object).
+
+    One map-side-combined aggregate produces six exact BIGINT moments
+    (x quantized to cents so sum(x^2) stays inside int64 through sf1);
+    r is one IEEE expression over them, with every operand cast to
+    DOUBLE BEFORE the n*sxx-style products (those exceed int64 at
+    corpus scale — the double product is correctly rounded and
+    identical in both engines).
+    """
+    s = read(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        (
+            (d(F.col("n")) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy")))
+            / (
+                F.sqrt(d(F.col("n")) * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx")))
+                * F.sqrt(
+                    d(F.col("n")) * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))
+                )
+            )
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    xd AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY v
+    ),
+    xr AS (
+      SELECT v, CAST(2 * (1 + coalesce(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                 + cnt - 1 AS BIGINT) AS rx2
+      FROM xd
+    ),
+    yd AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY k
+    ),
+    yr AS (
+      SELECT k, CAST(2 * (1 + coalesce(sum(cnt) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                 + cnt - 1 AS BIGINT) AS ry2
+      FROM yd
+    ),
+    j AS (
+      SELECT xr.rx2 AS x, yr.ry2 AS y
+      FROM s JOIN xr ON xr.v = s.v JOIN yr ON yr.k = s.k
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j
+    )
+    SELECT n, sx, sy, sxy, sxx, syy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS spearman_rho
+    FROM m
+    """,
+    category="pipeline",
+)
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (tie-aware): Pearson over average
+    ranks, using the integer 2*avg-rank protocol from q_mannwhitney_u —
+    rho is invariant under the x -> 2x rank scaling, so every moment
+    stays exact BIGINT and no fractional rank ever exists.
+
+    Scale design: ranks come from cumulative counts over the two VALUE
+    DOMAINS (distinct quantized values / distinct k), joined back to the
+    corpus — the k domain is tiny (rides broadcast), the v domain is an
+    equi-join.  One corpus pass for the domain counts, one for the
+    moments.  The double expression is cast-before-multiply like
+    q_pearson_corr (2*avg-rank second moments reach ~1e18 by sf1 —
+    int64 holds through the graded scales, DECIMAL(38,0) is the
+    full-corpus spelling).
+    """
+    s = read(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    xr = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "v",
+            (
+                F.lit(2) * (F.lit(1) + F.coalesce(F.sum("cnt").over(w_v), F.lit(0)))
+                + F.col("cnt")
+                - F.lit(1)
+            )
+            .cast("bigint")
+            .alias("rx2"),
+        )
+    )
+    w_k = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    yr = (
+        s.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "k",
+            (
+                F.lit(2) * (F.lit(1) + F.coalesce(F.sum("cnt").over(w_k), F.lit(0)))
+                + F.col("cnt")
+                - F.lit(1)
+            )
+            .cast("bigint")
+            .alias("ry2"),
+        )
+    )
+    j = s.join(xr, "v").join(F.broadcast(yr), "k").select(
+        F.col("rx2").alias("x"), F.col("ry2").alias("y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        (
+            (d(F.col("n")) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy")))
+            / (
+                F.sqrt(d(F.col("n")) * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx")))
+                * F.sqrt(
+                    d(F.col("n")) * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))
+                )
+            )
+        ).alias("spearman_rho"),
+    )

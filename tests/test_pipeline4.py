@@ -287,3 +287,100 @@ def test_chi2_cells_consistent_and_contributions_exact(spark):
         rt[r.event_type] += r.observed
     for r in rows:
         assert r.row_total == rt[r.event_type]
+
+
+# ---------------------------------------------------------------------------
+# Correlation
+# ---------------------------------------------------------------------------
+
+
+def test_pearson_matches_numpy_tolerance(spark):
+    """The exact-moment r must agree with numpy's corrcoef to float
+    noise (different summation order, so tolerance not bitwise)."""
+    import json
+
+    import numpy as np
+
+    row = _run(spark, "q_pearson_corr").collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    x = (ev.value * 100).round().astype("int64").values
+    y = ev.props.map(lambda p: json.loads(p)["k"]).astype("int64").values
+    assert row.n == len(x)
+    assert row.sx == int(x.sum()) and row.sy == int(y.sum())
+    assert row.sxy == int((x * y).sum())
+    expected = np.corrcoef(x, y)[0, 1]
+    assert abs(row.pearson_r - expected) < 1e-9
+    assert -1.0 <= row.pearson_r <= 1.0
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    """rho over 2*avg-ranks == pandas' spearman (average ranks, ties)."""
+    import json
+
+    row = _run(spark, "q_spearman_corr").collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    x = (ev.value * 10000).round().astype("int64")
+    y = ev.props.map(lambda p: json.loads(p)["k"]).astype("int64")
+    import numpy as np
+
+    rx = x.rank(method="average").values  # scipy-free spearman
+    ry = y.rank(method="average").values
+    expected = np.corrcoef(rx, ry)[0, 1]
+    assert abs(row.spearman_rho - expected) < 1e-9
+    # the integer rank moments are self-consistent: mean 2*avg-rank = n+1
+    assert row.sx == row.n * (row.n + 1)
+    assert row.sy == row.n * (row.n + 1)
+
+
+# ---------------------------------------------------------------------------
+# Stress centrality
+# ---------------------------------------------------------------------------
+
+
+def test_stress_centrality_matches_bruteforce_bfs(spark):
+    """Independent third implementation: plain-Python BFS with path
+    counting and the pair decomposition over the 8 sampled sources."""
+    from collections import defaultdict, deque
+
+    rows = {r.node: r.stress for r in _run(spark, "q_stress_centrality").collect()}
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    cust = cust[cust.c_custkey <= 500]
+    adj = defaultdict(set)
+    for ck in cust.c_custkey:
+        s, t = ck % 37, (ck // 7 + ck % 11) % 37
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    nodes = sorted(adj)
+    srcs = nodes[:8]
+
+    def bfs(s):
+        d = {s: 0}
+        sig = {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    sig[v] = 0
+                    q.append(v)
+                if d[v] == d[u] + 1:
+                    sig[v] += sig[u]
+        return d, sig
+
+    D = {s: bfs(s) for s in srcs}
+    stress = defaultdict(int)
+    for i, s in enumerate(srcs):
+        for t in srcs[i + 1 :]:
+            ds, ss = D[s]
+            dt, st = D[t]
+            if t not in ds:
+                continue
+            for v in nodes:
+                if v in (s, t) or v not in ds or v not in dt:
+                    continue
+                if ds[v] + dt[v] == ds[t]:
+                    stress[v] += ss[v] * st[v]
+    assert rows == {n: stress.get(n, 0) for n in nodes}
+    assert any(v > 0 for v in rows.values())

@@ -645,3 +645,15 @@ def test_stats_suite_single_pass_engine_side(spark):
         assert plans.python_eval_count(df) == 0, name
     df = _df(spark, "q_proportion_ztest")
     assert plans.num_shuffles(df) <= 1
+
+
+def test_correlation_queries_engine_side(spark):
+    """Pearson: one partial+final aggregate over the corpus.  Spearman:
+    domain-sized rank relations joined back (k rides broadcast)."""
+    for name in ("q_pearson_corr", "q_spearman_corr"):
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+    df = _df(spark, "q_pearson_corr")
+    assert plans.num_shuffles(df) <= 1
+    df = _df(spark, "q_spearman_corr")
+    assert plans.broadcast_join_count(df) >= 1

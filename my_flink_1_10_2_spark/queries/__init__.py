@@ -138,6 +138,9 @@ _FLAGSHIP_ORDER = [
     "q_pearson_corr",
     "q_spearman_corr",
     "q_stress_centrality",
+    "q_decayed_event_counts",
+    "q_trend_slope_daily",
+    "q_cusum_changepoint",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -19,7 +19,10 @@ previously had no coverage:
   Mann-Whitney U with tie correction (nonparametric values), and
   chi-squared independence cells (sample-ratio-mismatch audit);
 - correlation: Pearson r over exact integer moments and tie-aware
-  Spearman rho via the 2*avg-rank integer protocol.
+  Spearman rho via the 2*avg-rank integer protocol;
+- operational timeseries: integer-decayed trending counts (1e6 >> age),
+  least-squares daily trend slope, CUSUM changepoint (n*y - total
+  scaling keeps the cumulative deviation exact BIGINT).
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -955,4 +958,218 @@ def q_spearman_corr(spark, sf_dir):
                 )
             )
         ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operational timeseries analytics: decay, trend, changepoint
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q_decayed_event_counts",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             epoch_us(ts) // {_DAY_US} AS day
+      FROM events
+    ),
+    m AS (SELECT max(day) AS max_day FROM s)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(1000000 // (CAST(1 AS BIGINT)
+                                << least(max_day - day, 62))) AS BIGINT)
+             AS decayed_e6
+    FROM s, m
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="pipeline",
+)
+def q_decayed_event_counts(spark, sf_dir):
+    """Exponentially decayed event counts (half-life = 1 day): the
+    trending-score primitive — recent events count fully, yesterday's at
+    half weight.  The decay weight is the INTEGER ``1e6 >> age_days``
+    (floor of 1e6 * 2^-age, zero past age 19 — the truncation is the
+    quantization, not an approximation knob), so the per-type score is
+    an exact BIGINT sum: no pow(), no float accumulation, no libm
+    dependence.  One broadcastable one-row max-day relation plus one
+    map-side-combined aggregate."""
+    # integer day index: DIV semantics (both engines floor for
+    # positive operands)
+    s = read(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    m = s.agg(F.max("day").alias("max_day"))
+    return (
+        s.join(F.broadcast(m))
+        .select(
+            "event_type",
+            F.expr(
+                "1000000 DIV shiftleft(CAST(1 AS BIGINT), "
+                "CAST(least(max_day - day, 62) AS INT))"
+            ).alias("w_e6"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("w_e6").cast("bigint").alias("decayed_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_trend_slope_daily",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    base AS (SELECT min(day) AS min_day FROM s),
+    daily AS (
+      SELECT event_type, CAST(day - min_day AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM s, base GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days, sx, sy, sxy, sxx,
+           (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_day
+    FROM m ORDER BY event_type
+    """,
+    category="pipeline",
+)
+def q_trend_slope_daily(spark, sf_dir):
+    """Least-squares trend slope of the daily event count per type —
+    the metric-drift detector an operations pipeline runs on every
+    counter.  Day indexes are anchored to the GLOBAL min day so slopes
+    are comparable across types.  The corpus collapses to the daily
+    relation (one shuffle), the five regression moments are exact
+    BIGINTs, and the slope is one cast-before-multiply IEEE expression
+    — same bits in both engines."""
+    s = read(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    base = s.agg(F.min("day").alias("min_day"))
+    daily = (
+        s.join(F.broadcast(base))
+        .groupBy("event_type", (F.col("day") - F.col("min_day")).alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return m.select(
+        "event_type",
+        "n_days",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (
+            (d(F.col("n_days")) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy")))
+            / (
+                d(F.col("n_days")) * d(F.col("sxx"))
+                - d(F.col("sx")) * d(F.col("sx"))
+            )
+        ).alias("slope_per_day"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+      FROM s GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, day, y,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily
+    ),
+    cs AS (
+      SELECT event_type, day, n_days, total,
+             CAST(sum(n_days * y - total) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cusum
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn
+      FROM cs
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS change_day,
+           CAST(abs(cusum) AS BIGINT) AS max_abs_cusum, n_days, total
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+    category="pipeline",
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint candidate per event type: the day where the
+    cumulative deviation of daily counts from their mean peaks — the
+    standard level-shift detector.  The deviation is pre-scaled by
+    n_days (``n*y - total``) so the cumulative sum is an exact BIGINT
+    that crosses zero exactly where the float CUSUM would — no float
+    exists anywhere in this query.  Windows run over the per-type DAY
+    relation (~30 rows per type), never the corpus; ties break to the
+    earliest day for determinism."""
+    s = read(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    daily = s.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w_type = Window.partitionBy("event_type")
+    tot = daily.withColumn(
+        "n_days", F.count(F.lit(1)).over(w_type).cast("bigint")
+    ).withColumn("total", F.sum("y").over(w_type).cast("bigint"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = tot.withColumn(
+        "cusum",
+        F.sum(F.col("n_days") * F.col("y") - F.col("total")).over(w_cum).cast("bigint"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("bigint").alias("change_day"),
+            F.abs(F.col("cusum")).cast("bigint").alias("max_abs_cusum"),
+            "n_days",
+            "total",
+        )
+        .orderBy("event_type")
     )

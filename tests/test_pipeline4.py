@@ -384,3 +384,64 @@ def test_stress_centrality_matches_bruteforce_bfs(spark):
                     stress[v] += ss[v] * st[v]
     assert rows == {n: stress.get(n, 0) for n in nodes}
     assert any(v > 0 for v in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Operational timeseries: decay, trend, changepoint
+# ---------------------------------------------------------------------------
+
+
+def _daily_counts():
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    day = ev.ts.values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    ev = ev.assign(day=day)
+    return ev
+
+
+def test_decayed_counts_match_python(spark):
+    rows = {r.event_type: r for r in _run(spark, "q_decayed_event_counts").collect()}
+    ev = _daily_counts()
+    max_day = int(ev.day.max())
+    for et, g in ev.groupby("event_type"):
+        expected = int(sum(1_000_000 >> min(max_day - d, 62) for d in g.day))
+        assert rows[et].decayed_e6 == expected
+        assert rows[et].n_events == len(g)
+    # recency dominates: an event today weighs more than any pre-age-20 tail
+    assert all(r.decayed_e6 < r.n_events * 1_000_000 for r in rows.values())
+
+
+def test_trend_slope_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    rows = {r.event_type: r for r in _run(spark, "q_trend_slope_daily").collect()}
+    ev = _daily_counts()
+    min_day = int(ev.day.min())
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size()
+        x = (daily.index - min_day).values.astype(float)
+        y = daily.values.astype(float)
+        expected = np.polyfit(x, y, 1)[0]
+        assert abs(rows[et].slope_per_day - expected) < 1e-9
+        assert rows[et].n_days == len(daily)
+
+
+def test_cusum_changepoint_matches_python(spark):
+    rows = {r.event_type: r for r in _run(spark, "q_cusum_changepoint").collect()}
+    ev = _daily_counts()
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        n, total = len(daily), int(daily.sum())
+        cusum, best_day, best_abs = 0, None, -1
+        for d, y in daily.items():
+            cusum += n * int(y) - total
+            if abs(cusum) > best_abs:
+                best_abs, best_day = abs(cusum), int(d)
+        r = rows[et]
+        assert (r.change_day, r.max_abs_cusum, r.n_days, r.total) == (
+            best_day,
+            best_abs,
+            n,
+            total,
+        )
+    # CUSUM of a full series ends at exactly zero by construction:
+    # sum(n*y - total) over all days = n*total - n_days*total = 0

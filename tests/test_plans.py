@@ -657,3 +657,14 @@ def test_correlation_queries_engine_side(spark):
     assert plans.num_shuffles(df) <= 1
     df = _df(spark, "q_spearman_corr")
     assert plans.broadcast_join_count(df) >= 1
+
+
+def test_timeseries_trio_engine_side(spark):
+    """Decay/trend: one corpus aggregate each with the one-row
+    max/min-day relation broadcast; CUSUM windows run on the per-type
+    day relation.  No Python eval anywhere."""
+    for name in ("q_decayed_event_counts", "q_trend_slope_daily",
+                 "q_cusum_changepoint"):
+        df = _df(spark, name)
+        assert plans.python_eval_count(df) == 0, name
+    assert plans.broadcast_join_count(_df(spark, "q_trend_slope_daily")) >= 1

@@ -141,6 +141,9 @@ _FLAGSHIP_ORDER = [
     "q_decayed_event_counts",
     "q_trend_slope_daily",
     "q_cusum_changepoint",
+    "q_retrieval_ndcg",
+    "q_rank_fusion_rrf",
+    "q_classifier_prf",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -22,7 +22,11 @@ previously had no coverage:
   Spearman rho via the 2*avg-rank integer protocol;
 - operational timeseries: integer-decayed trending counts (1e6 >> age),
   least-squares daily trend slope, CUSUM changepoint (n*y - total
-  scaling keeps the cumulative deviation exact BIGINT).
+  scaling keeps the cumulative deviation exact BIGINT);
+- evaluation operators: retrieval NDCG@10 (literal 1e9/log2 discount
+  table — no engine-side transcendental), reciprocal-rank fusion of the
+  vector and lexical rankers (integer 1e9/(60+r) weights), and
+  per-class precision/recall/F1 for the language-ID heuristic.
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -1173,3 +1177,379 @@ def q_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation operators: NDCG@10, reciprocal-rank fusion, precision/recall/F1
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Integer NDCG discount table: w_r = round(1e9 / log2(r+1)).  log2 runs
+# ONCE here in Python (libm) and the constants are embedded literally in
+# BOTH engines — no engine-side transcendental ever (JVM log differs
+# from libm by 1 ulp on ~7% of inputs; a literal table can't).
+_NDCG_K = 10
+_NDCG_W = tuple(round(1e9 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1))
+_NDCG_CUM = tuple(
+    sum(_NDCG_W[: r + 1]) for r in range(_NDCG_K)
+)  # cumulative ideal DCG prefix sums
+
+
+@register(
+    "q_retrieval_ndcg",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id, e.label,
+             list_cosine_similarity(q.q_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, q_label, vec_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored QUALIFY rnk <= {_NDCG_K}
+    ),
+    w(r, w_e9, cumw_e9) AS (VALUES {", ".join(
+        f"({r + 1}, {_NDCG_W[r]}, {_NDCG_CUM[r]})" for r in range(_NDCG_K)
+    )}),
+    dcg AS (
+      SELECT t.query_id, t.q_label,
+             CAST(sum(CASE WHEN t.label = t.q_label THEN w.w_e9 ELSE 0 END)
+                  AS BIGINT) AS dcg_e9,
+             CAST(sum(CASE WHEN t.label = t.q_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_topk
+      FROM topk t JOIN w ON w.r = t.rnk
+      GROUP BY 1, 2
+    ),
+    nrel AS (
+      SELECT q.query_id,
+             least(CAST(count(*) AS BIGINT), {_NDCG_K}) AS ideal_k
+      FROM q JOIN embeddings e
+        ON e.label = q.q_label AND e.vec_id <> q.query_id
+      GROUP BY 1
+    )
+    SELECT d.query_id, d.q_label, d.n_rel_topk, d.dcg_e9,
+           w.cumw_e9 AS idcg_e9,
+           CAST(d.dcg_e9 AS DOUBLE) / CAST(w.cumw_e9 AS DOUBLE) AS ndcg
+    FROM dcg d JOIN nrel n ON n.query_id = d.query_id
+    JOIN w ON w.r = n.ideal_k
+    ORDER BY d.query_id
+    """,
+    category="pipeline",
+)
+def q_retrieval_ndcg(spark, sf_dir):
+    """NDCG@10 of the exact cosine retriever against label-match
+    relevance — the ranking-quality report every retrieval pipeline
+    publishes.  The discount table ``round(1e9/log2(r+1))`` is computed
+    once in Python and embedded as literals in BOTH engines (no
+    engine-side log), so DCG is an exact BIGINT sum; ideal DCG is a
+    prefix-sum lookup at min(#relevant, 10); NDCG is one IEEE division.
+
+    Scale shape: the retriever is the proven broadcast-BLAS top-k; the
+    eval adds one broadcast join to the 10-row weight table and a
+    label-count aggregate — evaluation costs nothing extra at 100 TB.
+    """
+    from my_flink_1_10_2_spark.llm import similarity as S
+
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    topk = S.cosine_topk_bruteforce(emb, queries, k=_NDCG_K)
+    labels = emb.select("vec_id", "label")
+    q_labels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    w = spark.createDataFrame(
+        [(r + 1, _NDCG_W[r], _NDCG_CUM[r]) for r in range(_NDCG_K)],
+        "r int, w_e9 long, cumw_e9 long",
+    )
+    scored = (
+        topk.join(labels, "vec_id")
+        .join(F.broadcast(q_labels), "query_id")
+        .join(F.broadcast(w), F.col("rank") == F.col("r"))
+    )
+    dcg = scored.groupBy("query_id", "q_label").agg(
+        F.sum(F.when(F.col("label") == F.col("q_label"), F.col("w_e9")).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_e9"),
+        F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_topk"),
+    )
+    nrel = (
+        q_labels.join(
+            labels.select(F.col("vec_id").alias("c_id"), F.col("label").alias("q_label")),
+            "q_label",
+        )
+        .where(F.col("c_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(_NDCG_K)).cast("int").alias("ideal_k"))
+    )
+    return (
+        dcg.join(nrel, "query_id")
+        .join(F.broadcast(w), F.col("ideal_k") == F.col("r"))
+        .select(
+            "query_id",
+            "q_label",
+            "n_rel_topk",
+            "dcg_e9",
+            F.col("cumw_e9").alias("idcg_e9"),
+            (F.col("dcg_e9").cast("double") / F.col("cumw_e9").cast("double")).alias(
+                "ndcg"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_RRF_K0 = 60  # the standard RRF smoothing constant
+_RRF_DEPTH = 20  # per-ranker candidate depth
+_RRF_TOP = 10  # fused list size
+
+
+@register(
+    "q_rank_fusion_rrf",
+    oracle=rf"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             list_cosine_similarity(q.q_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    vec_ranks AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, doc_id) AS vrank
+      FROM scored QUALIFY vrank <= {_RRF_DEPTH}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(str_split_regex(text, '\s+')) AS shingle
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS query_id, b.doc_id,
+             CAST(count(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      WHERE a.doc_id < 3
+      GROUP BY 1, 2
+    ),
+    text_ranks AS (
+      SELECT inter.query_id, inter.doc_id,
+             row_number() OVER (PARTITION BY inter.query_id ORDER BY
+               CAST(i AS DOUBLE) / CAST(sq.n + sd.n - i AS DOUBLE) DESC,
+               inter.doc_id) AS trank
+      FROM inter
+      JOIN sz sq ON sq.doc_id = inter.query_id
+      JOIN sz sd ON sd.doc_id = inter.doc_id
+      QUALIFY trank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(v.query_id, t.query_id) AS query_id,
+             coalesce(v.doc_id, t.doc_id) AS doc_id,
+             CAST(coalesce(v.vrank, 0) AS BIGINT) AS vec_rank,
+             CAST(coalesce(t.trank, 0) AS BIGINT) AS text_rank,
+             CAST(coalesce(CAST(round(1000000000.0
+                    / CAST({_RRF_K0} + v.vrank AS DOUBLE)) AS BIGINT), 0)
+                  + coalesce(CAST(round(1000000000.0
+                    / CAST({_RRF_K0} + t.trank AS DOUBLE)) AS BIGINT), 0)
+                  AS BIGINT) AS rrf_e9
+      FROM vec_ranks v
+      FULL OUTER JOIN text_ranks t
+        ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, vec_rank, text_rank, rrf_e9,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {_RRF_TOP}
+    ORDER BY query_id, fused_rank
+    """,
+    category="pipeline",
+)
+def q_rank_fusion_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrievers — the standard hybrid-
+    search combiner (Cormack et al.): an embedding ranker (exact cosine
+    top-20) and a lexical ranker (distinct-unigram Jaccard top-20) are
+    fused by ``sum over rankers of round(1e9/(60+rank))`` — the RRF
+    weight quantized to integer 1e-9 units, so the fused score is an
+    exact BIGINT sum (the division+round is one IEEE expression both
+    engines agree on bitwise).  Absent-from-a-ranker is rank 0 weight 0.
+
+    Scale shape: each ranker is a proven pattern (broadcast-BLAS top-k;
+    shared-shingle equi-join) truncated to depth 20 per query BEFORE the
+    full-outer fusion join, so fusion touches ranker-output-sized
+    relations only.
+    """
+    from my_flink_1_10_2_spark.llm import similarity as S
+    from my_flink_1_10_2_spark.llm.dedup import shingles
+
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    vec_ranks = (
+        S.cosine_topk_bruteforce(emb, queries, k=_RRF_DEPTH)
+        .select("query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("vrank"))
+    )
+    docs = read(spark, sf_dir, "documents")
+    sh = shingles(docs, n=1)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = sh.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    inter = (
+        qs.join(sh, "shingle")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    jacc = (
+        inter.join(sz.select(F.col("doc_id").alias("query_id"), F.col("n").alias("nq")), "query_id")
+        .join(sz.select("doc_id", F.col("n").alias("nd")), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("i").cast("double")
+                / (F.col("nq") + F.col("nd") - F.col("i")).cast("double")
+            ).alias("jacc"),
+        )
+    )
+    w_t = Window.partitionBy("query_id").orderBy(F.col("jacc").desc(), F.col("doc_id"))
+    text_ranks = (
+        jacc.withColumn("trank", F.row_number().over(w_t))
+        .where(F.col("trank") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "trank")
+    )
+    rrf_w = lambda r: F.round(  # noqa: E731
+        F.lit(1000000000.0) / (F.lit(_RRF_K0) + F.col(r)).cast("double")
+    ).cast("bigint")
+    fused = (
+        vec_ranks.join(text_ranks, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("vrank"), F.lit(0)).cast("bigint").alias("vec_rank"),
+            F.coalesce(F.col("trank"), F.lit(0)).cast("bigint").alias("text_rank"),
+            (
+                F.coalesce(rrf_w("vrank"), F.lit(0))
+                + F.coalesce(rrf_w("trank"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_e9"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_e9").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("bigint"))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select("query_id", "doc_id", "vec_rank", "text_rank", "rrf_e9", "fused_rank")
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _prf_oracle() -> str:
+    from my_flink_1_10_2_spark.queries.llm import _lang_case_sql
+
+    return f"""
+    WITH pred AS (
+      SELECT lang AS labeled, {_lang_case_sql()} AS predicted
+      FROM documents
+    ),
+    cells AS (
+      SELECT labeled, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    rt AS (SELECT labeled AS cls, CAST(sum(n) AS BIGINT) AS support FROM cells GROUP BY 1),
+    ct AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS predicted_n FROM cells GROUP BY 1),
+    tp AS (SELECT labeled AS cls, n AS tp FROM cells WHERE labeled = predicted),
+    m AS (
+      SELECT coalesce(rt.cls, ct.cls) AS cls,
+             CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(ct.predicted_n, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fp,
+             CAST(coalesce(rt.support, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fn
+      FROM rt FULL OUTER JOIN ct ON ct.cls = rt.cls
+      LEFT JOIN tp ON tp.cls = coalesce(rt.cls, ct.cls)
+    )
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision_,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall_,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+           END AS f1
+    FROM m ORDER BY cls
+    """
+
+
+@register("q_classifier_prf", oracle=_prf_oracle(), category="pipeline")
+def q_classifier_prf(spark, sf_dir):
+    """Per-class precision / recall / F1 of the stopword-profile
+    language-ID heuristic against the labeled `lang` column — the
+    metrics table that accompanies every heuristic filter
+    (q_langid_confusion emits the matrix; this derives the scores).
+
+    The confusion matrix cells are the only corpus-sized aggregate;
+    tp/fp/fn come from matrix marginals (domain-sized joins), and each
+    score is ONE IEEE division of exact BIGINTs with a shared
+    zero-denominator guard.  F1 uses the 2tp/(2tp+fp+fn) form — a
+    single division instead of the nested precision*recall expression,
+    so no intermediate float composition.
+    """
+    from my_flink_1_10_2_spark.llm import text as T
+
+    pred = read(spark, sf_dir, "documents").select(
+        F.col("lang").alias("labeled"), T.lang_id("text").alias("predicted")
+    )
+    cells = pred.groupBy("labeled", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rt = cells.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("support")
+    )
+    ct = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("predicted_n")
+    )
+    tp = cells.where(F.col("labeled") == F.col("predicted")).select(
+        F.col("labeled").alias("cls"), F.col("n").alias("tp")
+    )
+    m = (
+        rt.join(ct, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("predicted_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    guard = lambda num, den: F.when(den == 0, F.lit(None)).otherwise(  # noqa: E731
+        num.cast("double") / den.cast("double")
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        guard(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        guard(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+        guard(F.lit(2) * F.col("tp"), F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).alias(
+            "f1"
+        ),
+    ).orderBy("cls")

@@ -445,3 +445,93 @@ def test_cusum_changepoint_matches_python(spark):
         )
     # CUSUM of a full series ends at exactly zero by construction:
     # sum(n*y - total) over all days = n*total - n_days*total = 0
+
+
+# ---------------------------------------------------------------------------
+# Evaluation operators
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_matches_python_recompute(spark):
+    """Recompute NDCG@10 from raw embeddings with numpy cosine and
+    plain-float DCG; the integer-quantized engine NDCG must agree to
+    quantization error (1e9 units -> ~1e-9 relative)."""
+    import numpy as np
+
+    rows = {r.query_id: r for r in _run(spark, "q_retrieval_ndcg").collect()}
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    M = np.stack(emb.embedding.values).astype("float64")
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    labels = emb.label.values
+    ids = emb.vec_id.values
+    for qi in range(10):
+        q = np.where(ids == qi)[0][0]
+        sims = M @ M[q]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qi),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:10]
+        rel = [1 if labels[i] == labels[q] else 0 for i in order]
+        dcg = sum(r / math.log2(rk + 2) for rk, r in enumerate(rel))
+        n_rel = min(int((labels == labels[q]).sum()) - 1, 10)
+        idcg = sum(1 / math.log2(rk + 2) for rk in range(n_rel))
+        row = rows[qi]
+        assert row.n_rel_topk == sum(rel)
+        assert abs(row.ndcg - dcg / idcg) < 1e-7
+        assert 0.0 <= row.ndcg <= 1.0
+
+
+def test_rrf_fusion_properties(spark):
+    rows = _run(spark, "q_rank_fusion_rrf").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rs] == list(range(1, len(rs) + 1))
+        # fused score is the sum of the two quantized RRF weights
+        for r in rs:
+            w = 0
+            if r.vec_rank:
+                w += round(1e9 / (60 + r.vec_rank))
+            if r.text_rank:
+                w += round(1e9 / (60 + r.text_rank))
+            assert r.rrf_e9 == w
+        # scores non-increasing down the fused list
+        scores = [r.rrf_e9 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # a doc present in BOTH rankers at rank 1 would dominate; at
+        # minimum the top fused doc appears in at least one ranker
+        assert rs[0].vec_rank or rs[0].text_rank
+
+
+def test_classifier_prf_matches_sklearn_free_recompute(spark):
+    from my_flink_1_10_2_spark.llm import text as T
+
+    rows = {r.cls: r for r in _run(spark, "q_classifier_prf").collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    # recompute predictions through the engine's own lang_id column to
+    # isolate the METRIC math (lang_id itself is pinned elsewhere)
+    pred = (
+        _run(spark, "q_langid_confusion")
+        if "q_langid_confusion" in QUERIES
+        else None
+    )
+    cells = {(r.labeled, r.predicted): r.n for r in pred.collect()}
+    classes = {c for k in cells for c in k}
+    total_f1_weight = 0
+    for c in classes:
+        tp = cells.get((c, c), 0)
+        fp = sum(n for (l, p), n in cells.items() if p == c and l != c)
+        fn = sum(n for (l, p), n in cells.items() if l == c and p != c)
+        r = rows[c]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        if tp + fp:
+            assert r.precision_ == tp / (tp + fp)
+        if tp + fn:
+            assert r.recall_ == tp / (tp + fn)
+        if 2 * tp + fp + fn:
+            assert r.f1 == 2 * tp / (2 * tp + fp + fn)
+        total_f1_weight += tp + fn
+    assert total_f1_weight == len(docs)

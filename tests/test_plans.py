@@ -668,3 +668,19 @@ def test_timeseries_trio_engine_side(spark):
         df = _df(spark, name)
         assert plans.python_eval_count(df) == 0, name
     assert plans.broadcast_join_count(_df(spark, "q_trend_slope_daily")) >= 1
+
+
+def test_eval_operators_plan_shapes(spark):
+    """NDCG: weight table + query labels ride broadcast over the proven
+    BLAS top-k (Arrow only, no row-Python).  RRF: both rankers truncate
+    before the fusion join; no cartesian.  PRF: pure JVM expressions."""
+    df = _df(spark, "q_retrieval_ndcg")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plans.broadcast_join_count(df) >= 2
+    df = _df(spark, "q_rank_fusion_rrf")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    df = _df(spark, "q_classifier_prf")
+    assert plans.python_eval_count(df) == 0

@@ -96,6 +96,13 @@ HEADLINE = [
     "q_cumulative_distinct_users",
     "q_cascade_rollup_daily",
     "q_weighted_median_price",
+    # round-5 second wave: blocked fuzzy linkage, the domain-grouped
+    # rank statistic, the sigma-carrying BFS, and retrieval NDCG over
+    # the broadcast-BLAS top-k
+    "q_fuzzy_dedup_levenshtein",
+    "q_mannwhitney_u",
+    "q_stress_centrality",
+    "q_retrieval_ndcg",
 ]
 
 

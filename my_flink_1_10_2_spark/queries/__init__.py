@@ -144,6 +144,8 @@ _FLAGSHIP_ORDER = [
     "q_retrieval_ndcg",
     "q_rank_fusion_rrf",
     "q_classifier_prf",
+    "q_benford_digit_audit",
+    "q_psi_value_drift",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

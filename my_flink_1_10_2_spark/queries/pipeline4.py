@@ -26,7 +26,10 @@ previously had no coverage:
 - evaluation operators: retrieval NDCG@10 (literal 1e9/log2 discount
   table — no engine-side transcendental), reciprocal-rank fusion of the
   vector and lexical rankers (integer 1e9/(60+r) weights), and
-  per-class precision/recall/F1 for the language-ID heuristic.
+  per-class precision/recall/F1 for the language-ID heuristic;
+- data-quality audits: Benford first-digit excess (string first digit
+  of the exact quantized integer, literal log10 table) and PSI value
+  drift between month halves (the q_kl quantized-log protocol).
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -1553,3 +1556,222 @@ def q_classifier_prf(spark, sf_dir):
             "f1"
         ),
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits: Benford first-digit, PSI value drift
+# ---------------------------------------------------------------------------
+
+# Benford expectation log10(1 + 1/d) quantized to 1e-9 — computed once
+# in Python, embedded literally in both engines.
+_BENFORD_E9 = tuple(round(1e9 * _math.log10(1 + 1 / d)) for d in range(1, 10))
+
+
+@register(
+    "q_benford_digit_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM events WHERE round(value * 100) >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS observed,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS n
+      FROM s GROUP BY 1
+    ),
+    exp_t(digit, expected_e9) AS (VALUES {", ".join(
+        f"({d + 1}, {_BENFORD_E9[d]})" for d in range(9)
+    )})
+    SELECT e.digit, CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+           (SELECT max(n) FROM obs) AS n,
+           CAST(e.expected_e9 AS BIGINT) AS expected_e9,
+           CAST(coalesce(o.observed, 0) * 1000000000
+                - (SELECT max(n) FROM obs) * e.expected_e9 AS BIGINT)
+             AS excess_e9
+    FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit
+    ORDER BY e.digit
+    """,
+    category="pipeline",
+)
+def q_benford_digit_audit(spark, sf_dir):
+    """Benford first-digit audit of the value column — the
+    fabrication/quality screen auditors run on any transaction-like
+    measure.  The first significant digit comes from the DECIMAL STRING
+    of the exact 1e-2-quantized integer (no log10, no float boundary
+    risk); the Benford expectation log10(1+1/d) is a literal 1e-9 table
+    computed once in Python; the excess is the pure-BIGINT
+    ``observed·1e9 − n·expected_e9``.  One aggregate over the corpus,
+    everything after runs on 9 rows."""
+    v_e2 = F.round(F.col("value") * 100).cast("bigint")
+    s = (
+        read(spark, sf_dir, "events")
+        .select(v_e2.alias("v"))
+        .where(F.col("v") >= 1)
+        .select(F.substring(F.col("v").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    obs = s.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    n_row = obs.agg(F.sum("observed").cast("bigint").alias("n"))
+    exp_t = spark.createDataFrame(
+        [(d + 1, _BENFORD_E9[d]) for d in range(9)], "digit int, expected_e9 long"
+    )
+    return (
+        F.broadcast(exp_t)
+        .join(obs, "digit", "left")
+        .join(F.broadcast(n_row))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+            "n",
+            F.col("expected_e9").cast("bigint").alias("expected_e9"),
+            (
+                F.coalesce("observed", F.lit(0)) * F.lit(1000000000)
+                - F.col("n") * F.col("expected_e9")
+            )
+            .cast("bigint")
+            .alias("excess_e9"),
+        )
+        .orderBy("digit")
+    )
+
+
+_PSI_BUCKET_W = 5000  # v_e2 units per bucket (50.00 value units)
+_PSI_BUCKETS = 10
+
+
+@register(
+    "q_psi_value_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT least(CAST(round(value * 100) AS BIGINT) // {_PSI_BUCKET_W},
+                   {_PSI_BUCKETS - 1}) AS bucket,
+             CASE WHEN epoch_us(ts) // 86400000000
+                       - (SELECT min(epoch_us(ts) // 86400000000) FROM events)
+                       < 15 THEN 0 ELSE 1 END AS half
+      FROM events
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q_cnt
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT bucket, p_cnt, q_cnt,
+             CAST(sum(p_cnt) OVER () AS BIGINT) AS p_total,
+             CAST(sum(q_cnt) OVER () AS BIGINT) AS q_total
+      FROM cells
+    ),
+    lq AS (
+      SELECT v, CAST(round(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS l
+      FROM (SELECT DISTINCT p_cnt AS v FROM tot WHERE p_cnt > 0
+            UNION SELECT DISTINCT q_cnt FROM tot WHERE q_cnt > 0
+            UNION SELECT DISTINCT p_total FROM tot
+            UNION SELECT DISTINCT q_total FROM tot)
+    )
+    SELECT t.bucket, t.p_cnt, t.q_cnt, t.p_total, t.q_total,
+           CAST(CASE WHEN t.p_cnt > 0 AND t.q_cnt > 0
+                THEN (t.p_cnt * t.q_total - t.q_cnt * t.p_total)
+                     * (lp.l + lqt.l - lq2.l - lpt.l)
+                ELSE NULL END AS BIGINT) AS psi_num_e6,
+           CASE WHEN t.p_cnt > 0 AND t.q_cnt > 0
+                THEN CAST((t.p_cnt * t.q_total - t.q_cnt * t.p_total)
+                          * (lp.l + lqt.l - lq2.l - lpt.l) AS DOUBLE)
+                     / (CAST(t.p_total AS DOUBLE) * CAST(t.q_total AS DOUBLE)
+                        * 1000000.0)
+                ELSE NULL END AS psi_contrib
+    FROM tot t
+    LEFT JOIN lq lp ON lp.v = t.p_cnt
+    LEFT JOIN lq lq2 ON lq2.v = t.q_cnt
+    JOIN lq lpt ON lpt.v = t.p_total
+    JOIN lq lqt ON lqt.v = t.q_total
+    ORDER BY t.bucket
+    """,
+    category="pipeline",
+)
+def q_psi_value_drift(spark, sf_dir):
+    """Population Stability Index cells between the month's first and
+    second half — THE production drift monitor for any scored feature.
+    Per bucket: PSI_i = (p_i/P − q_i/Q)·ln((p_i·Q)/(q_i·P)), emitted as
+    the exact integer numerator ``(p_i·Q − q_i·P)·Δln_e6`` (quantized
+    1e-6 logs over the DISTINCT count values via the libm Arrow kernel
+    — the q_kl_divergence protocol) plus one IEEE division for the
+    readable contribution.  Buckets empty on either side surface as
+    NULL (the practitioner's epsilon decision), not silently dropped.
+    Per-cell rows keep the report float-sum-free; int64 holds through
+    sf0.1 (counts·totals ≈ 9e10 × Δln ≤ 1.4e7) — DECIMAL(38,0) is the
+    full-corpus spelling."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    ev = read(spark, sf_dir, "events")
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    min_day = ev.agg(F.min(day).alias("min_day"))
+    # integer bucket division via DIV (plain / would be float)
+    s = ev.join(F.broadcast(min_day)).select(
+        F.least(
+            F.expr(f"CAST(round(value * 100) AS BIGINT) DIV {_PSI_BUCKET_W}"),
+            F.lit(_PSI_BUCKETS - 1),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        F.when(day - F.col("min_day") < 15, 0).otherwise(1).alias("half"),
+    )
+    cells = s.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("p_cnt"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("q_cnt"),
+    )
+    w = Window.partitionBy()
+    tot = cells.withColumn("p_total", F.sum("p_cnt").over(w).cast("bigint")).withColumn(
+        "q_total", F.sum("q_cnt").over(w).cast("bigint")
+    )
+    ln = _ln()
+    vals = (
+        tot.where(F.col("p_cnt") > 0).select(F.col("p_cnt").alias("v"))
+        .unionByName(tot.where(F.col("q_cnt") > 0).select(F.col("q_cnt").alias("v")))
+        .unionByName(tot.select(F.col("p_total").alias("v")))
+        .unionByName(tot.select(F.col("q_total").alias("v")))
+        .distinct()
+        .withColumn("l", F.round(ln(F.col("v").cast("double")) * 1e6).cast("bigint"))
+    )
+    j = (
+        tot.join(dim(vals.select(F.col("v").alias("p_cnt"), F.col("l").alias("l_p"))), "p_cnt", "left")
+        .join(dim(vals.select(F.col("v").alias("q_cnt"), F.col("l").alias("l_q"))), "q_cnt", "left")
+        .join(dim(vals.select(F.col("v").alias("p_total"), F.col("l").alias("l_pt"))), "p_total")
+        .join(dim(vals.select(F.col("v").alias("q_total"), F.col("l").alias("l_qt"))), "q_total")
+    )
+    both = (F.col("p_cnt") > 0) & (F.col("q_cnt") > 0)
+    num = (F.col("p_cnt") * F.col("q_total") - F.col("q_cnt") * F.col("p_total")) * (
+        F.col("l_p") + F.col("l_qt") - F.col("l_q") - F.col("l_pt")
+    )
+    return j.select(
+        "bucket",
+        "p_cnt",
+        "q_cnt",
+        "p_total",
+        "q_total",
+        F.when(both, num).otherwise(F.lit(None)).cast("bigint").alias("psi_num_e6"),
+        F.when(
+            both,
+            num.cast("double")
+            / (
+                F.col("p_total").cast("double")
+                * F.col("q_total").cast("double")
+                * F.lit(1000000.0)
+            ),
+        )
+        .otherwise(F.lit(None))
+        .alias("psi_contrib"),
+    ).orderBy("bucket")

@@ -535,3 +535,53 @@ def test_classifier_prf_matches_sklearn_free_recompute(spark):
             assert r.f1 == 2 * tp / (2 * tp + fp + fn)
         total_f1_weight += tp + fn
     assert total_f1_weight == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits
+# ---------------------------------------------------------------------------
+
+
+def test_benford_audit_matches_python(spark):
+    rows = {r.digit: r for r in _run(spark, "q_benford_digit_audit").collect()}
+    assert set(rows) == set(range(1, 10))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    v = (ev.value * 100).round().astype("int64")
+    v = v[v >= 1]
+    digits = v.astype(str).str[0].astype(int)
+    n = len(digits)
+    counts = digits.value_counts()
+    for d in range(1, 10):
+        r = rows[d]
+        obs = int(counts.get(d, 0))
+        assert r.observed == obs
+        assert r.n == n
+        assert r.expected_e9 == round(1e9 * math.log10(1 + 1 / d))
+        assert r.excess_e9 == obs * 1_000_000_000 - n * r.expected_e9
+    # expectation table sums to ~1 (by construction of Benford's law)
+    assert abs(sum(r.expected_e9 for r in rows.values()) - 1_000_000_000) <= 5
+
+
+def test_psi_drift_matches_python(spark):
+    rows = {r.bucket: r for r in _run(spark, "q_psi_value_drift").collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    day = ev.ts.values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    half = (day - day.min() >= 15).astype(int)
+    bucket = ((ev.value * 100).round().astype("int64") // 5000).clip(upper=9)
+    df = pd.DataFrame({"bucket": bucket, "half": half})
+    p = df[df.half == 0].bucket.value_counts()
+    q = df[df.half == 1].bucket.value_counts()
+    P, Q = int(p.sum()), int(q.sum())
+    total_psi = 0.0
+    for b, r in rows.items():
+        pi, qi = int(p.get(b, 0)), int(q.get(b, 0))
+        assert (r.p_cnt, r.q_cnt, r.p_total, r.q_total) == (pi, qi, P, Q)
+        if pi and qi:
+            expected = (pi / P - qi / Q) * math.log((pi / P) / (qi / Q))
+            # quantized-log protocol: agree to the 1e-6 log granularity
+            assert abs(r.psi_contrib - expected) < 1e-4
+            assert r.psi_contrib >= 0 or abs(r.psi_contrib) < 1e-12
+            total_psi += r.psi_contrib
+    # same month, same generator: drift should be tiny (PSI < 0.1 is
+    # the standard "no action" band)
+    assert 0.0 <= total_psi < 0.1

@@ -684,3 +684,14 @@ def test_eval_operators_plan_shapes(spark):
     assert "BatchEvalPython" not in plan
     df = _df(spark, "q_classifier_prf")
     assert plans.python_eval_count(df) == 0
+
+
+def test_quality_audits_plan_shapes(spark):
+    """Benford: one corpus aggregate + 9-row literal joins, pure JVM.
+    PSI: corpus aggregate + bucket-relation windows; the only Python is
+    the Arrow libm kernel over distinct count values."""
+    df = _df(spark, "q_benford_digit_audit")
+    assert plans.python_eval_count(df) == 0
+    df = _df(spark, "q_psi_value_drift")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

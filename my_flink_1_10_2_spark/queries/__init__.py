@@ -146,6 +146,8 @@ _FLAGSHIP_ORDER = [
     "q_classifier_prf",
     "q_benford_digit_audit",
     "q_psi_value_drift",
+    "q_winsorized_stats",
+    "q_kaplan_meier",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

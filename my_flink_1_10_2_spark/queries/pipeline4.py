@@ -29,7 +29,11 @@ previously had no coverage:
   per-class precision/recall/F1 for the language-ID heuristic;
 - data-quality audits: Benford first-digit excess (string first digit
   of the exact quantized integer, literal log10 table) and PSI value
-  drift between month halves (the q_kl quantized-log protocol).
+  drift between month halves (the q_kl quantized-log protocol);
+- feature prep + survival: winsorized stats at exact p05/p95 order
+  statistics, and the Kaplan-Meier curve as a cumulative INTEGER
+  log-survival (quantized ln over risk-set sizes — the product
+  becomes an exact BIGINT sum, with real right-censoring).
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -1775,3 +1779,292 @@ def q_psi_value_drift(spark, sf_dir):
         .otherwise(F.lit(None))
         .alias("psi_contrib"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Feature prep + survival: winsorization, Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_winsorized_stats",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events
+    ),
+    per_v AS (
+      SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM per_v
+    ),
+    cuts AS (
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END) AS p05,
+             min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS p95
+      FROM cum GROUP BY 1
+    )
+    SELECT p.event_type, c.n,
+           CAST(c.p05 AS BIGINT) AS p05_e4, CAST(c.p95 AS BIGINT) AS p95_e4,
+           CAST(sum(CASE WHEN p.v < c.p05 THEN p.cnt ELSE 0 END) AS BIGINT)
+             AS n_clip_low,
+           CAST(sum(CASE WHEN p.v > c.p95 THEN p.cnt ELSE 0 END) AS BIGINT)
+             AS n_clip_high,
+           CAST(sum(p.cnt * least(greatest(p.v, c.p05), c.p95)) AS BIGINT)
+             AS wsum_e4,
+           CAST(sum(p.cnt * least(greatest(p.v, c.p05), c.p95)) AS DOUBLE)
+             / CAST(c.n AS DOUBLE) AS wmean_e4
+    FROM per_v p JOIN cuts c ON c.event_type = p.event_type
+    GROUP BY p.event_type, c.n, c.p05, c.p95
+    ORDER BY p.event_type
+    """,
+    category="pipeline",
+)
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized statistics per event type: clip values at the exact
+    p05/p95 ORDER STATISTICS (k-th smallest, k = ceil(q·n) — discrete,
+    no interpolation, so both engines agree on exact integers) and
+    report the clipped counts and the winsorized mean — the outlier-
+    robust feature-prep step before standardization.
+
+    Scale design: the corpus collapses to the per-(type, value) domain
+    relation once; the percentile search is a cumulative-count window
+    over THAT relation (the q_weighted_median recipe), and clip stats
+    are count-weighted sums over it — the corpus is scanned exactly
+    once, values quantized to 1e-4 units."""
+    s = read(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000).cast("bigint").alias("v")
+    )
+    per_v = s.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = per_v.withColumn("cum", F.sum("cnt").over(w_cum).cast("bigint")).withColumn(
+        "n", F.sum("cnt").over(w_all).cast("bigint")
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("min(CASE WHEN cum >= (n * 5 + 99) DIV 100 THEN v END)").alias("p05"),
+        F.expr("min(CASE WHEN cum >= (n * 95 + 99) DIV 100 THEN v END)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+    return (
+        per_v.join(cuts, "event_type")
+        .groupBy("event_type", "n", "p05", "p95")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("p05"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_low"),
+            F.sum(F.when(F.col("v") > F.col("p95"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_high"),
+            F.sum(F.col("cnt") * clipped).cast("bigint").alias("wsum_e4"),
+            (
+                F.sum(F.col("cnt") * clipped).cast("double")
+                / F.col("n").cast("double")
+            ).alias("wmean_e4"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("p05").cast("bigint").alias("p05_e4"),
+            F.col("p95").cast("bigint").alias("p95_e4"),
+            "n_clip_low",
+            "n_clip_high",
+            "wsum_e4",
+            "wmean_e4",
+        )
+        .orderBy("event_type")
+    )
+
+
+_KM_HORIZON_H = 168  # censor at 7 days
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL
+                       AND (tp - t0) // {_HOUR_US} <= {_KM_HORIZON_H}
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN tp IS NOT NULL
+                       AND (tp - t0) // {_HOUR_US} <= {_KM_HORIZON_H}
+                  THEN (tp - t0) // {_HOUR_US} ELSE {_KM_HORIZON_H} END AS t
+      FROM u
+    ),
+    grp AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+             CAST(sum(1 - ev) AS BIGINT) AS c_censored
+      FROM d GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d_events, c_censored,
+             CAST((SELECT count(*) FROM d)
+                  - coalesce(sum(d_events + c_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM grp
+    ),
+    lq AS (
+      SELECT v, CAST(round(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS l
+      FROM (SELECT DISTINCT n_risk AS v FROM risk WHERE n_risk > 0
+            UNION SELECT DISTINCT n_risk - d_events FROM risk
+            WHERE n_risk - d_events > 0)
+    ),
+    steps AS (
+      SELECT r.t, r.n_risk, r.d_events, r.c_censored,
+             CASE WHEN r.d_events > 0 THEN ls.l - ln_r.l ELSE 0 END AS step_e6,
+             CASE WHEN r.d_events > 0 AND r.n_risk = r.d_events
+                  THEN 1 ELSE 0 END AS hit_zero
+      FROM risk r
+      JOIN lq ln_r ON ln_r.v = r.n_risk
+      LEFT JOIN lq ls ON ls.v = r.n_risk - r.d_events
+    )
+    SELECT t AS t_hours, n_risk, d_events, c_censored,
+           CASE WHEN max(hit_zero) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN NULL
+                ELSE CAST(sum(step_e6) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT)
+           END AS log_surv_e6
+    FROM steps
+    WHERE d_events > 0
+    ORDER BY t
+    """,
+    category="pipeline",
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of time-to-first-purchase (hours from
+    each user's first event), censored at the 7-day horizon — the
+    estimator behind every retention / time-to-convert curve, with real
+    right-censoring (the fixture censors ~3% of users).
+
+    The float-free protocol: S(t) = prod(1 - d_i/n_i) becomes the
+    CUMULATIVE INTEGER log ``sum of (ln(n_i - d_i) - ln(n_i))`` in 1e-6
+    units — logs quantized once per DISTINCT risk-set size via the libm
+    Arrow kernel, so the running product is an exact BIGINT sum and no
+    engine-side exp/pow ever runs.  Per event time: risk-set size,
+    events, censored, cumulative log-survival.
+
+    Scale shape: one corpus groupBy(user), then everything runs on the
+    event-time domain relation (≤ horizon-in-hours rows)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    ev = read(spark, sf_dir, "events")
+    te = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(te).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", te)).alias("tp"),
+    )
+    hrs = F.expr(f"(tp - t0) DIV {_HOUR_US}")
+    is_ev = F.when(
+        F.col("tp").isNotNull() & (hrs <= _KM_HORIZON_H), 1
+    ).otherwise(0)
+    d = u.select(
+        is_ev.alias("ev"),
+        F.when(is_ev == 1, hrs).otherwise(F.lit(_KM_HORIZON_H)).alias("t"),
+    )
+    grp = d.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c_censored"),
+    )
+    n_total = d.count()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grp.withColumn(
+        "n_risk",
+        (
+            F.lit(n_total)
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev), F.lit(0)
+            )
+        ).cast("bigint"),
+    )
+    ln = _ln()
+    vals = (
+        risk.where(F.col("n_risk") > 0).select(F.col("n_risk").alias("v"))
+        .unionByName(
+            risk.where(F.col("n_risk") - F.col("d_events") > 0).select(
+                (F.col("n_risk") - F.col("d_events")).alias("v")
+            )
+        )
+        .distinct()
+        .withColumn("l", F.round(ln(F.col("v").cast("double")) * 1e6).cast("bigint"))
+    )
+    steps = (
+        risk.join(dim(vals.select(F.col("v").alias("n_risk"), F.col("l").alias("l_n"))), "n_risk")
+        .join(
+            dim(vals.select(F.col("v").alias("__surv"), F.col("l").alias("l_s"))),
+            F.col("__surv") == F.col("n_risk") - F.col("d_events"),
+            "left",
+        )
+        .select(
+            "t",
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.when(F.col("d_events") > 0, F.col("l_s") - F.col("l_n"))
+            .otherwise(F.lit(0))
+            .alias("step_e6"),
+            F.when(
+                (F.col("d_events") > 0) & (F.col("n_risk") == F.col("d_events")), 1
+            )
+            .otherwise(0)
+            .alias("hit_zero"),
+        )
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        steps.withColumn(
+            "log_surv_e6",
+            # the curve reaches S=0 when the last at-risk subjects all
+            # fail: log-survival is NULL (-inf) from that point on —
+            # never a silently-skipped step
+            F.when(F.max("hit_zero").over(w_cum) == 1, F.lit(None)).otherwise(
+                F.sum("step_e6").over(w_cum).cast("bigint")
+            ),
+        )
+        .where(F.col("d_events") > 0)
+        .drop("hit_zero")
+        .select(
+            F.col("t").cast("bigint").alias("t_hours"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            "log_surv_e6",
+        )
+        .orderBy("t_hours")
+    )

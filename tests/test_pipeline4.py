@@ -585,3 +585,90 @@ def test_psi_drift_matches_python(spark):
     # same month, same generator: drift should be tiny (PSI < 0.1 is
     # the standard "no action" band)
     assert 0.0 <= total_psi < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Winsorization + Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_matches_python_order_stats(spark):
+    rows = {r.event_type: r for r in _run(spark, "q_winsorized_stats").collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v"] = (ev.value * 10000).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        v = g.v.sort_values().values
+        n = len(v)
+        p05 = int(v[-(-5 * n // 100) - 1])  # ceil(0.05n)-th smallest
+        p95 = int(v[-(-95 * n // 100) - 1])
+        clipped = v.clip(p05, p95)
+        r = rows[et]
+        assert (r.n, r.p05_e4, r.p95_e4) == (n, p05, p95)
+        assert r.n_clip_low == int((v < p05).sum())
+        assert r.n_clip_high == int((v > p95).sum())
+        assert r.wsum_e4 == int(clipped.sum())
+        assert r.wmean_e4 == float(r.wsum_e4) / float(n)
+        assert p05 < p95
+
+
+def test_kaplan_meier_matches_python(spark):
+    rows = _run(spark, "q_kaplan_meier").collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us)
+    surv_rows = {}
+    durations = []
+    for uid, g in ev.groupby("user_id"):
+        t0 = int(g.us.min())
+        purch = g[g.event_type == "purchase"]
+        tp = int(purch.us.min()) if len(purch) else None
+        hrs = (tp - t0) // 3_600_000_000 if tp is not None else None
+        if hrs is not None and hrs <= 168:
+            durations.append((hrs, 1))
+        else:
+            durations.append((168, 0))
+    import collections
+
+    by_t = collections.defaultdict(lambda: [0, 0])
+    for t, e in durations:
+        by_t[t][0] += e
+        by_t[t][1] += 1 - e
+    n_at_risk = len(durations)
+    log_s = 0.0
+    int_log = 0
+    seen = 0
+    hit_zero = False
+    for t in sorted(by_t):
+        d, c = by_t[t]
+        n_risk = len(durations) - seen
+        if d > 0:
+            row = next(r for r in rows if r.t_hours == t)
+            assert (row.n_risk, row.d_events, row.c_censored) == (n_risk, d, c)
+            if hit_zero or n_risk == d:
+                # S(t) reached 0: log-survival is NULL from here on
+                hit_zero = True
+                assert row.log_surv_e6 is None
+            else:
+                int_log += round(1e6 * math.log(n_risk - d)) - round(
+                    1e6 * math.log(n_risk)
+                )
+                assert row.log_surv_e6 == int_log
+                log_s += math.log(1 - d / n_risk)
+                # quantized log within granularity of the float KM
+                assert abs(row.log_surv_e6 / 1e6 - log_s) < 1e-3
+        seen += d + c
+    # curve is monotone nonincreasing until it (maybe) hits zero
+    logs = [
+        r.log_surv_e6
+        for r in sorted(rows, key=lambda r: r.t_hours)
+        if r.log_surv_e6 is not None
+    ]
+    assert all(a >= b for a, b in zip(logs, logs[1:]))
+    assert logs[-1] < 0
+    # every subject is accounted for: events + censored == users
+    n_users = len(durations)
+    accounted = sum(d + c for d, c in by_t.values())
+    assert accounted == n_users
+    # censoring machinery: censored subjects (if the SF has any — sf0.01
+    # does) never appear as events
+    assert sum(e for _, e in durations) == sum(r.d_events for r in rows)

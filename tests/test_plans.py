@@ -695,3 +695,14 @@ def test_quality_audits_plan_shapes(spark):
     df = _df(spark, "q_psi_value_drift")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_winsorize_and_km_plan_shapes(spark):
+    """Winsorize: one corpus groupBy to the (type, value) domain; the
+    percentile windows walk that relation.  KM: one corpus
+    groupBy(user); the libm kernel is Arrow, never row-Python."""
+    df = _df(spark, "q_winsorized_stats")
+    assert plans.python_eval_count(df) == 0
+    df = _df(spark, "q_kaplan_meier")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

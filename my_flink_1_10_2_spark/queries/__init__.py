@@ -148,6 +148,8 @@ _FLAGSHIP_ORDER = [
     "q_psi_value_drift",
     "q_winsorized_stats",
     "q_kaplan_meier",
+    "q_wilson_daily_conversion",
+    "q_information_gain",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -33,7 +33,11 @@ previously had no coverage:
 - feature prep + survival: winsorized stats at exact p05/p95 order
   statistics, and the Kaplan-Meier curve as a cumulative INTEGER
   log-survival (quantized ln over risk-set sizes — the product
-  becomes an exact BIGINT sum, with real right-censoring).
+  becomes an exact BIGINT sum, with real right-censoring);
+- Wilson 95% score intervals for daily conversion (small-sample-safe
+  CI, DOUBLE-cast z literal — DuckDB's bare decimals fold exactly)
+  and information gain per vocabulary word vs the language label
+  (feature selection via the quantized-log entropy protocol).
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -2067,4 +2071,240 @@ def q_kaplan_meier(spark, sf_dir):
             "log_surv_e6",
         )
         .orderBy("t_hours")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval + information gain
+# ---------------------------------------------------------------------------
+
+# 95% two-sided z, spelled as an explicit DOUBLE in the oracle: DuckDB
+# parses a bare 1.96 as DECIMAL(3,2) and folds 1.96*1.96 to the EXACT
+# decimal 3.8416 — one ulp from the double product Spark computes.
+_WILSON_Z = "CAST(1.96 AS DOUBLE)"
+
+
+@register(
+    "q_wilson_daily_conversion",
+    oracle=f"""
+    WITH s AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    g AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hit) AS BIGINT) AS x
+      FROM s GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(day AS BIGINT) AS day, n, x,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             {_WILSON_Z} * {_WILSON_Z} AS z2
+      FROM g
+    )
+    SELECT day, n, x, p,
+           (p + z2 / (2.0 * CAST(n AS DOUBLE))
+            - {_WILSON_Z} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + z2 / CAST(n AS DOUBLE)) AS wilson_lo,
+           (p + z2 / (2.0 * CAST(n AS DOUBLE))
+            + {_WILSON_Z} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + z2 / CAST(n AS DOUBLE)) AS wilson_hi
+    FROM m ORDER BY day
+    """,
+    category="pipeline",
+)
+def q_wilson_daily_conversion(spark, sf_dir):
+    """Daily purchase share with the Wilson 95% score interval — the
+    small-sample-safe CI every metrics dashboard should use instead of
+    the normal approximation (never exits [0,1], works at x=0).
+
+    One corpus aggregate to (day, n, x) exact integers; lo/hi are one
+    identically-parenthesized IEEE expression with the z=1.96 literal
+    embedded in both engines — bitwise parity, no stats library."""
+    s = read(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    g = s.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hit").cast("bigint").alias("x"),
+    )
+    z = F.lit(1.96)
+    n_d = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n_d
+    z2 = z * z
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n_d + z2 / (F.lit(4.0) * n_d * n_d))
+    denom = F.lit(1.0) + z2 / n_d
+    center = p + z2 / (F.lit(2.0) * n_d)
+    return g.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n",
+        "x",
+        p.alias("p"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("day")
+
+
+@register(
+    "q_information_gain",
+    oracle=r"""
+    WITH docs_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    vocab AS (
+      SELECT DISTINCT unnest(str_split_regex(text, '\s+')) AS word
+      FROM documents
+    ),
+    pres AS (
+      SELECT v.word, d.lang,
+             CASE WHEN len(list_intersect(str_split_regex(d.text, '\s+'),
+                                          [v.word])) > 0
+                  THEN 1 ELSE 0 END AS has_w
+      FROM documents d CROSS JOIN vocab v
+    ),
+    cells AS (
+      SELECT word, lang, has_w, CAST(count(*) AS BIGINT) AS c
+      FROM pres GROUP BY 1, 2, 3
+    ),
+    branch AS (
+      SELECT word, has_w, CAST(sum(c) AS BIGINT) AS nb
+      FROM cells GROUP BY 1, 2
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS cl FROM documents GROUP BY 1
+    ),
+    lq AS (
+      SELECT v, CAST(round(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS l
+      FROM (SELECT DISTINCT c AS v FROM cells WHERE c > 0
+            UNION SELECT DISTINCT nb FROM branch WHERE nb > 0
+            UNION SELECT DISTINCT cl FROM lang_tot
+            UNION SELECT n FROM docs_n)
+    ),
+    h_label AS (
+      -- n*H(lang) in 1e-6 nat units: sum over langs of cl*(ln n - ln cl)
+      SELECT CAST(sum(lt.cl * (ln_n.l - ll.l)) AS BIGINT) AS nh
+      FROM lang_tot lt
+      JOIN lq ll ON ll.v = lt.cl
+      CROSS JOIN docs_n JOIN lq ln_n ON ln_n.v = docs_n.n
+    ),
+    h_cond AS (
+      -- n*H(lang | has_w) = sum over branches/langs of c*(ln nb - ln c)
+      SELECT c.word, CAST(sum(c.c * (lb.l - lc.l)) AS BIGINT) AS nh_cond
+      FROM cells c
+      JOIN branch b ON b.word = c.word AND b.has_w = c.has_w
+      JOIN lq lb ON lb.v = b.nb
+      JOIN lq lc ON lc.v = c.c
+      WHERE c.c > 0
+      GROUP BY 1
+    )
+    SELECT h.word,
+           CAST(b.nb AS BIGINT) AS n_with,
+           CAST((SELECT nh FROM h_label) - h.nh_cond AS BIGINT) AS ig_num_e6
+    FROM h_cond h
+    JOIN branch b ON b.word = h.word AND b.has_w = 1
+    ORDER BY h.word
+    """,
+    category="pipeline",
+)
+def q_information_gain(spark, sf_dir):
+    """Information gain of each vocabulary word for predicting the
+    document language — the classic feature-selection ranking
+    (IG(w) = H(lang) − H(lang | presence of w)).
+
+    Float-free: the graded value is n·IG in exact 1e-6 nat integer
+    units — n·H terms expand to Σ c·(ln n_branch − ln c), every log
+    quantized once per DISTINCT count via the libm Arrow kernel
+    (the q_kl protocol).  Presence counts come from the exploded
+    (doc, word) relation joined to the vocabulary — at 100 TB the
+    presence matrix is |vocab|-bounded per doc, and the per-word
+    relations are vocabulary-sized."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    def _ln():
+        def kernel(s):
+            return pd.Series([math.log(float(v)) for v in s], dtype="float64")
+
+        kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(kernel, DoubleType())
+
+    docs = read(spark, sf_dir, "documents")
+    n_total = docs.count()
+    dw = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", r"\s+")).alias("word")
+    ).distinct()
+    vocab = dw.select("word").distinct()
+    # presence cells: with-word counts from dw; without = lang total - with
+    with_c = dw.groupBy("word", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    lang_tot = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("cl"))
+    full = (
+        vocab.crossJoin(dim(lang_tot))
+        .join(with_c, ["word", "lang"], "left")
+        .select(
+            "word",
+            "lang",
+            "cl",
+            F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+        )
+        .withColumn("c0", (F.col("cl") - F.col("c1")).cast("bigint"))
+    )
+    branch = full.groupBy("word").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c0").cast("bigint").alias("n0"),
+    )
+    ln = _ln()
+    vals = (
+        full.where(F.col("c1") > 0).select(F.col("c1").alias("v"))
+        .unionByName(full.where(F.col("c0") > 0).select(F.col("c0").alias("v")))
+        .unionByName(branch.where(F.col("n1") > 0).select(F.col("n1").alias("v")))
+        .unionByName(branch.where(F.col("n0") > 0).select(F.col("n0").alias("v")))
+        .unionByName(lang_tot.select(F.col("cl").alias("v")))
+        .unionByName(docs.agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+        .distinct()
+        .withColumn("l", F.round(ln(F.col("v").cast("double")) * 1e6).cast("bigint"))
+    )
+    lv = lambda a, b: dim(vals.select(F.col("v").alias(a), F.col("l").alias(b)))  # noqa: E731
+    # n*H(lang): sum cl*(ln n - ln cl)
+    nh_label = (
+        lang_tot.join(lv("cl", "l_cl"), "cl")
+        .crossJoin(
+            dim(
+                docs.agg(F.count(F.lit(1)).cast("bigint").alias("n")).join(
+                    lv("n", "l_n"), "n"
+                )
+            )
+        )
+        .agg(F.sum(F.col("cl") * (F.col("l_n") - F.col("l_cl"))).cast("bigint").alias("nh"))
+    )
+    # n*H(lang | w): per word sum over both branches
+    j = (
+        full.join(dim(branch), "word")
+        .join(lv("c1", "l_c1"), "c1", "left")
+        .join(lv("c0", "l_c0"), "c0", "left")
+        .join(lv("n1", "l_n1"), "n1", "left")
+        .join(lv("n0", "l_n0"), "n0", "left")
+    )
+    term1 = F.when(F.col("c1") > 0, F.col("c1") * (F.col("l_n1") - F.col("l_c1"))).otherwise(0)
+    term0 = F.when(F.col("c0") > 0, F.col("c0") * (F.col("l_n0") - F.col("l_c0"))).otherwise(0)
+    nh_cond = j.groupBy("word").agg(
+        F.max("n1").cast("bigint").alias("n_with"),
+        F.sum(term1 + term0).cast("bigint").alias("nh_cond"),
+    )
+    return (
+        nh_cond.crossJoin(F.broadcast(nh_label))
+        .select(
+            "word",
+            "n_with",
+            (F.col("nh") - F.col("nh_cond")).cast("bigint").alias("ig_num_e6"),
+        )
+        .orderBy("word")
     )

@@ -672,3 +672,57 @@ def test_kaplan_meier_matches_python(spark):
     # censoring machinery: censored subjects (if the SF has any — sf0.01
     # does) never appear as events
     assert sum(e for _, e in durations) == sum(r.d_events for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Wilson interval + information gain
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_interval_matches_python(spark):
+    rows = _run(spark, "q_wilson_daily_conversion").collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    day = ev.ts.values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    ev = ev.assign(day=day, hit=(ev.event_type == "purchase").astype(int))
+    for r in rows:
+        g = ev[ev.day == r.day]
+        n, x = len(g), int(g.hit.sum())
+        assert (r.n, r.x) == (n, x)
+        nd = float(n)
+        p = float(x) / nd
+        z = 1.96
+        z2 = z * z
+        half = z * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        denom = 1.0 + z2 / nd
+        center = p + z2 / (2.0 * nd)
+        assert r.wilson_lo == (center - half) / denom
+        assert r.wilson_hi == (center + half) / denom
+        # interval properties: contains p, inside [0, 1]
+        assert 0.0 <= r.wilson_lo <= r.p <= r.wilson_hi <= 1.0
+
+
+def test_information_gain_matches_python(spark):
+    rows = {r.word: r for r in _run(spark, "q_information_gain").collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n = len(docs)
+    langs = docs.lang.value_counts().to_dict()
+    lq = lambda v: round(1e6 * math.log(v))  # the quantized-log protocol
+    nh_label = sum(c * (lq(n) - lq(c)) for c in langs.values())
+    words = {w for t in docs.text for w in t.split()}
+    assert set(rows) == words
+    for w in sorted(words):
+        has = docs.text.str.split().map(lambda ws: w in ws)
+        n1 = int(has.sum())
+        nh_cond = 0
+        for b, sub in ((1, docs[has]), (0, docs[~has])):
+            nb = len(sub)
+            if nb == 0:
+                continue
+            for c in sub.lang.value_counts():
+                nh_cond += int(c) * (lq(nb) - lq(int(c)))
+        r = rows[w]
+        assert r.n_with == n1
+        assert r.ig_num_e6 == nh_label - nh_cond
+        # IG is nonnegative up to log-quantization error (1e-6 per term)
+        assert r.ig_num_e6 >= -n * 2

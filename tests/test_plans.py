@@ -706,3 +706,12 @@ def test_winsorize_and_km_plan_shapes(spark):
     df = _df(spark, "q_kaplan_meier")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_wilson_and_ig_plan_shapes(spark):
+    df = _df(spark, "q_wilson_daily_conversion")
+    assert plans.python_eval_count(df) == 0
+    assert plans.num_shuffles(df) <= 2  # day agg + output sort
+    df = _df(spark, "q_information_gain")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

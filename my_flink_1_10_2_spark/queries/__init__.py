@@ -150,6 +150,8 @@ _FLAGSHIP_ORDER = [
     "q_kaplan_meier",
     "q_wilson_daily_conversion",
     "q_information_gain",
+    "q_retrieval_mrr_recall",
+    "q_auc_roc",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

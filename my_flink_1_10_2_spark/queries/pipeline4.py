@@ -37,7 +37,9 @@ previously had no coverage:
 - Wilson 95% score intervals for daily conversion (small-sample-safe
   CI, DOUBLE-cast z literal — DuckDB's bare decimals fold exactly)
   and information gain per vocabulary word vs the language label
-  (feature selection via the quantized-log entropy protocol).
+  (feature selection via the quantized-log entropy protocol);
+- MRR + recall@10 for the retriever and ROC AUC via the Mann-Whitney
+  identity (ties half-credited by the 2*avg-rank integer protocol).
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -2307,4 +2309,189 @@ def q_information_gain(spark, sf_dir):
             (F.col("nh") - F.col("nh_cond")).cast("bigint").alias("ig_num_e6"),
         )
         .orderBy("word")
+    )
+
+
+@register(
+    "q_retrieval_mrr_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id, e.label,
+             list_cosine_similarity(q.q_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, q_label, vec_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored QUALIFY rnk <= {_NDCG_K}
+    ),
+    agg AS (
+      SELECT query_id, q_label,
+             CAST(min(CASE WHEN label = q_label THEN rnk END) AS BIGINT)
+               AS first_rel_rank,
+             CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_topk
+      FROM topk GROUP BY 1, 2
+    ),
+    nrel AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel_corpus
+      FROM q JOIN embeddings e
+        ON e.label = q.q_label AND e.vec_id <> q.query_id
+      GROUP BY 1
+    )
+    SELECT a.query_id, a.q_label, a.first_rel_rank, a.n_rel_topk,
+           n.n_rel_corpus,
+           CAST(coalesce(CAST(round(1000000000.0
+                  / CAST(a.first_rel_rank AS DOUBLE)) AS BIGINT), 0) AS BIGINT)
+             AS rr_e9,
+           CAST(a.n_rel_topk AS DOUBLE)
+             / CAST(least(n.n_rel_corpus, {_NDCG_K}) AS DOUBLE) AS recall_at_k
+    FROM agg a JOIN nrel n ON n.query_id = a.query_id
+    ORDER BY a.query_id
+    """,
+    category="pipeline",
+)
+def q_retrieval_mrr_recall(spark, sf_dir):
+    """MRR and recall@10 per query for the exact cosine retriever — the
+    two metrics that accompany NDCG on every retrieval dashboard.  The
+    reciprocal rank is the integer ``round(1e9/first_rel_rank)`` (zero
+    when no relevant doc reaches the top 10); recall divides exact
+    integers by the achievable maximum min(#relevant, 10).  Same
+    broadcast-BLAS top-k as q_retrieval_ndcg — the eval is one
+    aggregate over its 100 rows."""
+    from my_flink_1_10_2_spark.llm import similarity as S
+
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    topk = S.cosine_topk_bruteforce(emb, queries, k=_NDCG_K)
+    labels = emb.select("vec_id", "label")
+    q_labels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    scored = topk.join(labels, "vec_id").join(F.broadcast(q_labels), "query_id")
+    agg = scored.groupBy("query_id", "q_label").agg(
+        F.min(F.when(F.col("label") == F.col("q_label"), F.col("rank")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_topk"),
+    )
+    nrel = (
+        q_labels.join(
+            labels.select(F.col("vec_id").alias("c_id"), F.col("label").alias("q_label")),
+            "q_label",
+        )
+        .where(F.col("c_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel_corpus"))
+    )
+    return (
+        agg.join(nrel, "query_id")
+        .select(
+            "query_id",
+            "q_label",
+            "first_rel_rank",
+            "n_rel_topk",
+            "n_rel_corpus",
+            F.coalesce(
+                F.round(
+                    F.lit(1000000000.0) / F.col("first_rel_rank").cast("double")
+                ).cast("bigint"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rr_e9"),
+            (
+                F.col("n_rel_topk").cast("double")
+                / F.least(F.col("n_rel_corpus"), F.lit(_NDCG_K)).cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "q_auc_roc",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos,
+             CAST(round(value * 10000) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    per_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(is_pos) AS BIGINT) AS cnt_p
+      FROM s GROUP BY v
+    ),
+    rk AS (
+      SELECT v, cnt, cnt_p,
+             1 + coalesce(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rnk
+      FROM per_v
+    ),
+    g AS (
+      SELECT
+        CAST(sum(cnt_p) AS BIGINT) AS n_pos,
+        CAST(sum(cnt - cnt_p) AS BIGINT) AS n_neg,
+        CAST(sum(cnt_p * (2 * rnk + cnt - 1)) AS BIGINT) AS two_r_pos
+      FROM rk
+    )
+    SELECT n_pos, n_neg, two_r_pos,
+           CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM g
+    """,
+    category="pipeline",
+)
+def q_auc_roc(spark, sf_dir):
+    """ROC AUC of the value column as a purchase-vs-view classifier
+    score — computed THROUGH the Mann-Whitney identity
+    AUC = U / (n_pos * n_neg), with ties worth half (the 2*avg-rank
+    integer protocol handles that exactly).  Same value-domain rank
+    trick as q_mannwhitney_u: one corpus groupBy(v), domain-sized
+    window, three exact BIGINTs, one IEEE division chain."""
+    s = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_pos"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        )
+    )
+    per_v = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("is_pos").cast("bigint").alias("cnt_p"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = per_v.withColumn(
+        "rnk", F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    g = rk.agg(
+        F.sum("cnt_p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cnt_p")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("cnt_p") * (F.lit(2) * F.col("rnk") + F.col("cnt") - F.lit(1))
+        )
+        .cast("bigint")
+        .alias("two_r_pos"),
+    )
+    return g.select(
+        "n_pos",
+        "n_neg",
+        "two_r_pos",
+        (
+            (F.col("two_r_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
     )

@@ -726,3 +726,43 @@ def test_information_gain_matches_python(spark):
         assert r.ig_num_e6 == nh_label - nh_cond
         # IG is nonnegative up to log-quantization error (1e-6 per term)
         assert r.ig_num_e6 >= -n * 2
+
+
+# ---------------------------------------------------------------------------
+# MRR / recall@10 and ROC AUC
+# ---------------------------------------------------------------------------
+
+
+def test_mrr_recall_consistent_with_ndcg_run(spark):
+    mrr = {r.query_id: r for r in _run(spark, "q_retrieval_mrr_recall").collect()}
+    ndcg = {r.query_id: r for r in _run(spark, "q_retrieval_ndcg").collect()}
+    assert set(mrr) == set(ndcg)
+    for qid, r in mrr.items():
+        assert r.n_rel_topk == ndcg[qid].n_rel_topk
+        if r.first_rel_rank is not None:
+            assert 1 <= r.first_rel_rank <= 10
+            assert r.rr_e9 == round(1e9 / r.first_rel_rank)
+            assert r.n_rel_topk >= 1
+        else:
+            assert r.rr_e9 == 0 and r.n_rel_topk == 0
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.recall_at_k == r.n_rel_topk / min(r.n_rel_corpus, 10)
+
+
+def test_auc_equals_sklearn_free_rank_formula(spark):
+    row = _run(spark, "q_auc_roc").collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "view"])].copy()
+    ev["v"] = (ev.value * 10000).round().astype("int64")
+    ev["pos"] = (ev.event_type == "purchase").astype(int)
+    ranks = ev.v.rank(method="average")
+    n_pos = int(ev.pos.sum())
+    n_neg = len(ev) - n_pos
+    r_pos = float(ranks[ev.pos == 1].sum())
+    auc = (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert abs(row.auc - auc) < 1e-12
+    # value has no real signal for purchase vs view: AUC near 0.5
+    assert 0.4 < row.auc < 0.6
+    # consistency with the Mann-Whitney query machinery: same rank sum
+    assert row.two_r_pos == int(round(2 * r_pos))

@@ -152,6 +152,7 @@ _FLAGSHIP_ORDER = [
     "q_information_gain",
     "q_retrieval_mrr_recall",
     "q_auc_roc",
+    "q_ann_recall_matrix",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

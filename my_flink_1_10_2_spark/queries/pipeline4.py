@@ -2495,3 +2495,101 @@ def q_auc_roc(spark, sf_dir):
             )
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index quality dashboard: recall@5 of every index family vs exact
+# ---------------------------------------------------------------------------
+
+_ANN_METHODS = (
+    ("lsh", "q_embedding_topk_lsh"),
+    ("ivf", "q_embedding_topk_ivf"),
+    ("pq", "q_embedding_topk_pq"),
+    ("ivfadc", "q_embedding_topk_ivfadc"),
+)
+
+
+def _ann_recall_oracle() -> str:
+    from my_flink_1_10_2_spark.queries import REGISTRY
+
+    exact = REGISTRY["q_embedding_topk"].oracle
+    parts = [f"exact AS (SELECT query_id, vec_id FROM ({exact}))"]
+    hit_rows = []
+    for tag, qname in _ANN_METHODS:
+        parts.append(
+            f"m_{tag} AS (SELECT query_id, vec_id FROM ({REGISTRY[qname].oracle}))"
+        )
+        hit_rows.append(
+            f"SELECT '{tag}' AS method, CAST(count(*) AS BIGINT) AS hits "
+            f"FROM m_{tag} JOIN exact USING (query_id, vec_id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + ",\nhits AS (\n"
+        + "\nUNION ALL\n".join(hit_rows)
+        + "\n),\ntot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM exact)\n"
+        + "SELECT method, hits, total,\n"
+        + "       CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall_at_5\n"
+        + "FROM hits CROSS JOIN tot ORDER BY method"
+    )
+
+
+@register("q_ann_recall_matrix", oracle=_ann_recall_oracle(), category="pipeline")
+def q_ann_recall_matrix(spark, sf_dir):
+    """The ANN index quality dashboard: recall@5 of EVERY approximate
+    index family (integer-LSH, IVF, PQ/ADC, IVFADC) against the exact
+    brute-force top-5 in one graded relation — the report an index
+    owner publishes before routing production traffic to an
+    approximate path.
+
+    Both sides COMPOSE the already-proven per-index implementations:
+    the Spark side re-runs the four registry operators plus the exact
+    retriever and joins candidate sets; the oracle nests the four
+    bitwise index-replay SQLs as subqueries.  Any future regression in
+    any index family trips this row even if the family's own query is
+    not in the driver's sample that round."""
+    from my_flink_1_10_2_spark.queries import REGISTRY
+
+    exact = (
+        REGISTRY["q_embedding_topk"]
+        .spark_fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .cache()
+    )
+    unions = None
+    for tag, qname in _ANN_METHODS:
+        m = (
+            REGISTRY[qname]
+            .spark_fn(spark, sf_dir)
+            .select(F.lit(tag).alias("method"), "query_id", "vec_id")
+        )
+        unions = m if unions is None else unions.unionByName(m)
+    counted = (
+        unions.join(exact, ["query_id", "vec_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    # a method with ZERO hits must still report its row (the oracle's
+    # UNION ALL branches always emit one) — anchor on the method list
+    methods = spark.createDataFrame(
+        [(tag,) for tag, _ in _ANN_METHODS], "method string"
+    )
+    hits = (
+        F.broadcast(methods)
+        .join(counted, "method", "left")
+        .select("method", F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "hits",
+            "total",
+            (F.col("hits").cast("double") / F.col("total").cast("double")).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("method")
+    )

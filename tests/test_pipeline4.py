@@ -766,3 +766,18 @@ def test_auc_equals_sklearn_free_rank_formula(spark):
     assert 0.4 < row.auc < 0.6
     # consistency with the Mann-Whitney query machinery: same rank sum
     assert row.two_r_pos == int(round(2 * r_pos))
+
+
+def test_ann_recall_matrix_all_methods_reported(spark):
+    rows = {r.method: r for r in _run(spark, "q_ann_recall_matrix").collect()}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfadc"}
+    for m, r in rows.items():
+        assert r.total == 50  # 10 queries x exact top-5
+        assert 0 <= r.hits <= r.total
+        assert r.recall_at_5 == r.hits / r.total
+    # geometry-preserving methods stay strong at any SF; the PQ-coded
+    # families degrade on the 50-vector sf0.001 corpus (codebooks
+    # trained on almost nothing) but must still retrieve something
+    assert rows["lsh"].recall_at_5 >= 0.5
+    assert rows["ivf"].recall_at_5 >= 0.5
+    assert all(r.hits > 0 for r in rows.values())

@@ -153,6 +153,9 @@ _FLAGSHIP_ORDER = [
     "q_retrieval_mrr_recall",
     "q_auc_roc",
     "q_ann_recall_matrix",
+    "q_hard_negative_mining",
+    "q_negative_sampling",
+    "q_dataset_split_assign",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -39,7 +39,12 @@ previously had no coverage:
   and information gain per vocabulary word vs the language label
   (feature selection via the quantized-log entropy protocol);
 - MRR + recall@10 for the retriever and ROC AUC via the Mann-Whitney
-  identity (ties half-credited by the 2*avg-rank integer protocol).
+  identity (ties half-credited by the 2*avg-rank integer protocol);
+- the ANN recall dashboard (recall@5 of every index family vs exact);
+- training-pair construction: hard-negative mining (label filter
+  pushed BEFORE the top-k), hash-thinned deterministic negative
+  sampling (md5 candidates, no users x items blowup), and the
+  md5-bucket train/val/test split audit.
 
 Every aggregate is integer-exact (quantized units) and every float is
 produced by one identically-parenthesized IEEE expression in both
@@ -2592,4 +2597,211 @@ def q_ann_recall_matrix(spark, sf_dir):
             ),
         )
         .orderBy("method")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pair construction: hard negatives, sampled negatives, splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id, e.label,
+             list_cosine_similarity(q.q_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+    )
+    SELECT query_id, q_label, vec_id, label AS neg_label,
+           round(sim, 9) AS sim, CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS neg_rank
+      FROM scored
+    ) WHERE neg_rank <= 3
+    ORDER BY query_id, neg_rank
+    """,
+    category="pipeline",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query, the 3
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually teach the model (random negatives are trivially separable;
+    hard ones sit at the decision boundary).
+
+    The label-mismatch predicate is pushed BEFORE the top-k: queries
+    are grouped by their label (a label-domain-sized driver loop, ≤10
+    groups) and each group retrieves top-3 against the corpus with that
+    label excluded — so the partial top-k shrinkage applies and the
+    result is EXACTLY the global hardest negatives, not a post-filtered
+    approximation that could run dry."""
+    from my_flink_1_10_2_spark.llm import similarity as S
+
+    emb = read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    q_labels_rows = queries.select("label").distinct().collect()  # label domain
+    parts = []
+    for row in q_labels_rows:
+        lbl = row.label
+        grp_q = queries.where(F.col("label") == lbl)
+        corpus = emb.where(F.col("label") != lbl)
+        parts.append(S.cosine_topk_bruteforce(corpus, grp_q, k=3))
+    topk = parts[0]
+    for p in parts[1:]:
+        topk = topk.unionByName(p)
+    labels = emb.select("vec_id", "label")
+    q_labels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    return (
+        topk.join(labels, "vec_id")
+        .join(F.broadcast(q_labels), "query_id")
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round("sim", 9).alias("sim"),
+            F.col("rank").cast("bigint").alias("neg_rank"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+_NEG_BUCKETS = 16  # candidate thinning: ~|parts|/16 candidates per user
+_NEG_PER_USER = 2
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    cust AS (SELECT DISTINCT c FROM pos),
+    cand AS (
+      SELECT cust.c, part.p_partkey AS p,
+             ('0x' || substr(md5(CAST(cust.c AS VARCHAR) || '|'
+                                 || CAST(part.p_partkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM cust CROSS JOIN part
+      WHERE ('0x' || substr(md5(CAST(cust.c AS VARCHAR) || '|'
+                                || CAST(part.p_partkey AS VARCHAR)), 1, 15))::BIGINT
+            % {_NEG_BUCKETS} = 0
+    ),
+    neg AS (
+      SELECT cand.c, cand.p, h FROM cand
+      ANTI JOIN pos ON pos.c = cand.c AND pos.p = cand.p
+    )
+    SELECT c AS custkey, CAST(neg_rank AS BIGINT) AS neg_rank,
+           p AS neg_partkey
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c ORDER BY h, p) AS neg_rank
+      FROM neg
+    ) WHERE neg_rank <= {_NEG_PER_USER}
+    ORDER BY custkey, neg_rank
+    """,
+    category="pipeline",
+)
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for recommender/contrastive
+    training: per customer, {_NEG_PER_USER} parts they never bought,
+    drawn by md5 ranking inside a HASH-THINNED candidate slice
+    (md5(cust|part) % 16 == 0 → ~1/16 of the catalog per user) — the
+    scale trick that avoids materializing users × items: candidates are
+    catalog/16 per user BEFORE the anti-join against positives, and the
+    md5 order makes the draw reproducible in any engine (no RNG).
+
+    The positives relation is the distinct (customer, part) purchase
+    set; the catalog rides broadcast (dimension-sized)."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    orders = read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cust = pos.select("c").distinct()
+    parts = read(spark, sf_dir, "part").select(F.col("p_partkey").alias("p"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("c").cast("string"), F.lit("|"), F.col("p").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        cust.crossJoin(dim(parts))
+        .withColumn("h", h)
+        .where(F.col("h") % _NEG_BUCKETS == 0)
+    )
+    neg = cand.join(pos, ["c", "p"], "left_anti")
+    w = Window.partitionBy("c").orderBy("h", "p")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("neg_rank") <= _NEG_PER_USER)
+        .select(
+            F.col("c").alias("custkey"),
+            "neg_rank",
+            F.col("p").alias("neg_partkey"),
+        )
+        .orderBy("custkey", "neg_rank")
+    )
+
+
+@register(
+    "q_dataset_split_assign",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10
+               AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN bucket <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN bucket = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN bucket = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM s GROUP BY source ORDER BY source
+    """,
+    category="pipeline",
+)
+def q_dataset_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id)
+    bucket, reported per source — the split audit a training pipeline
+    logs so reruns NEVER leak validation docs into training (hash
+    assignment is stable under corpus growth, unlike row-number
+    splits).  One projection + one aggregate."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    return (
+        read(spark, sf_dir, "documents")
+        .select("source", bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("bucket") <= 7, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("bucket") == 8, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("bucket") == 9, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .orderBy("source")
     )

@@ -781,3 +781,82 @@ def test_ann_recall_matrix_all_methods_reported(spark):
     assert rows["lsh"].recall_at_5 >= 0.5
     assert rows["ivf"].recall_at_5 >= 0.5
     assert all(r.hits > 0 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Training-pair construction
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_are_global_hardest_mismatches(spark):
+    import numpy as np
+
+    rows = _run(spark, "q_hard_negative_mining").collect()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    M = np.stack(emb.embedding.values).astype("float64")
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids, labels = emb.vec_id.values, emb.label.values
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qi, rs in by_q.items():
+        q = np.where(ids == qi)[0][0]
+        sims = M @ M[q]
+        cand = sorted(
+            (i for i in range(len(ids)) if ids[i] != qi and labels[i] != labels[q]),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:3]
+        got = [r.vec_id for r in sorted(rs, key=lambda r: r.neg_rank)]
+        assert got == [int(ids[i]) for i in cand]
+        for r in rs:
+            assert r.neg_label != r.q_label
+
+
+def test_negative_sampling_never_emits_positives(spark):
+    rows = _run(spark, "q_negative_sampling").collect()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    pos = set(
+        map(
+            tuple,
+            orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+                ["o_custkey", "l_partkey"]
+            ].values,
+        )
+    )
+    custs = {c for c, _ in pos}
+    import hashlib
+
+    def h(c, p):
+        return int(hashlib.md5(f"{c}|{p}".encode()).hexdigest()[:15], 16)
+
+    by_c = {}
+    for r in rows:
+        assert (r.custkey, r.neg_partkey) not in pos
+        assert h(r.custkey, r.neg_partkey) % 16 == 0
+        by_c.setdefault(r.custkey, []).append(r)
+    # every customer with >= 2 surviving candidates gets exactly 2
+    parts = pd.read_parquet(f"{SF_DIR}/part.parquet").p_partkey.values
+    for c in custs:
+        cands = sorted(
+            ((h(c, p), p) for p in parts if h(c, p) % 16 == 0 and (c, p) not in pos)
+        )[:2]
+        got = sorted((r.neg_rank, r.neg_partkey) for r in by_c.get(c, []))
+        assert [p for _, p in cands] == [p for _, p in got]
+
+
+def test_split_assignment_is_stable_and_complete(spark):
+    import hashlib
+
+    rows = {r.source: r for r in _run(spark, "q_dataset_split_assign").collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    buckets = docs.doc_id.map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 10
+    )
+    docs = docs.assign(b=buckets)
+    for src, g in docs.groupby("source"):
+        r = rows[src]
+        assert r.n_train == int((g.b <= 7).sum())
+        assert r.n_val == int((g.b == 8).sum())
+        assert r.n_test == int((g.b == 9).sum())
+        assert r.n_train + r.n_val + r.n_test == len(g)

@@ -156,6 +156,9 @@ _FLAGSHIP_ORDER = [
     "q_hard_negative_mining",
     "q_negative_sampling",
     "q_dataset_split_assign",
+    "q_bloom_join_prefilter",
+    "q_join_skew_report",
+    "q_dedup_impact_report",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -2805,3 +2805,212 @@ def q_dataset_split_assign(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Systems audits: bloom-join prefilter, self-join skew, dedup impact
+# ---------------------------------------------------------------------------
+
+_BJ_K, _BJ_M = 4, 8192
+
+
+def _bloom_prefilter_oracle() -> str:
+    def pos(j: int, expr: str) -> str:
+        return (
+            f"('0x' || substr(md5('b{j}:' || CAST({expr} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {_BJ_M}"
+        )
+
+    bits = "\n      UNION\n".join(
+        f"      SELECT DISTINCT {pos(j, 'v')} AS bit FROM build"
+        for j in range(_BJ_K)
+    )
+    probes = "\n      UNION ALL\n".join(
+        f"      SELECT o_orderkey, o_custkey, {pos(j, 'o_custkey')} AS bit FROM orders"
+        for j in range(_BJ_K)
+    )
+    return f"""
+    WITH build AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS v FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS MATERIALIZED ({bits}
+    ),
+    probes AS ({probes}
+    ),
+    verdict AS (
+      SELECT p.o_orderkey, p.o_custkey,
+             count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+               AS pass
+      FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT v.o_orderkey, v.pass,
+             CASE WHEN bu.v IS NOT NULL THEN 1 ELSE 0 END AS is_match
+      FROM verdict v LEFT JOIN build bu ON bu.v = v.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(is_match) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN pass AND is_match = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN pass AND is_match = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) - sum(is_match) AS DOUBLE) AS fpr
+    FROM truth
+    """
+
+
+@register(
+    "q_bloom_join_prefilter", oracle=_bloom_prefilter_oracle(), category="pipeline"
+)
+def q_bloom_join_prefilter(spark, sf_dir):
+    """The bloom-join runtime filter, audited end-to-end: a Bloom
+    filter built from the urgent-order customer keys prefilters the
+    orders probe side before any shuffle — the optimization the
+    reference applies to spilled hash-join partitions
+    (flink-runtime/.../hashtable/) and Spark ships as runtime row-group
+    filtering.  Graded artifact: probe rows, bloom-passed rows, true
+    semi-join matches, false positives, and the realized FPR (one IEEE
+    division) — no false negatives is the structural guarantee, so
+    n_pass >= n_true always.
+
+    At 100 TB the filter is <= m_bits rows (broadcast by construction)
+    and the probe side is touched once; the exact md5 bit arithmetic
+    makes the whole audit engine-replayable."""
+    from my_flink_1_10_2_spark.operators.sketch import bloom_build, bloom_probe
+
+    orders = read(spark, sf_dir, "orders")
+    build = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("v"))
+    )
+    bloom = bloom_build(build, "v", k_hashes=_BJ_K, m_bits=_BJ_M)
+    probe = orders.select("o_orderkey", "o_custkey")
+    # bloom_probe verdicts per DISTINCT key; re-expand to probe rows
+    verdict = probe.join(
+        bloom_probe(
+            bloom,
+            probe.select("o_custkey").distinct(),
+            "o_custkey",
+            k_hashes=_BJ_K,
+            m_bits=_BJ_M,
+        ),
+        "o_custkey",
+    )
+    truth = verdict.join(
+        build.distinct().withColumnRenamed("v", "o_custkey").withColumn(
+            "__m", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).select(
+        "o_orderkey",
+        F.col("maybe_present").alias("pass"),
+        F.coalesce("__m", F.lit(0)).alias("is_match"),
+    )
+    return truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.sum("is_match").cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("pass") & (F.col("is_match") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        (
+            F.sum(F.when(F.col("pass") & (F.col("is_match") == 0), 1).otherwise(0)).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) - F.sum("is_match")).cast("double")
+        ).alias("fpr"),
+    )
+
+
+@register(
+    "q_join_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS total_pairs FROM c)
+    SELECT user_id, cnt, CAST(cnt * cnt AS BIGINT) AS pairs,
+           CAST((cnt * cnt * 1000000) // total_pairs AS BIGINT) AS share_e6
+    FROM c CROSS JOIN tot
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+    category="pipeline",
+)
+def q_join_skew_report(spark, sf_dir):
+    """The pre-self-join skew audit: top keys by their self-join fanout
+    cnt^2 with each key's share of the total pair count — the single
+    number to check before any sessionization/co-occurrence self-join
+    (one hot key can be the entire shuffle).  One corpus aggregate to
+    the key-domain relation; the total rides a one-row broadcast; the
+    share is integer-floored at 1e-6 so no float division is graded."""
+    c = read(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = c.agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("total_pairs"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt") * F.col("cnt")).cast("bigint").alias("pairs"),
+            F.expr("(cnt * cnt * 1000000) DIV total_pairs")
+            .cast("bigint")
+            .alias("share_e6"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q_dedup_impact_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars, md5(text) AS digest,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n_chars) AS DOUBLE) AS savings_ratio
+    FROM d
+    """,
+    category="pipeline",
+)
+def q_dedup_impact_report(spark, sf_dir):
+    """The dedup business case in one row: docs, unique digests,
+    dropped duplicates, and the exact character mass removed by
+    keep-smallest-id exact dedup — the savings number that justifies
+    the pipeline stage.  One digest window over the corpus (keyed
+    shuffle on the digest), one aggregate; the ratio is one IEEE
+    division of exact BIGINTs."""
+    w = Window.partitionBy(F.md5("text"))
+    d = read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    dropped = F.when(F.col("doc_id") != F.col("keeper"), F.col("n_chars")).otherwise(0)
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique"),
+        F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(dropped).cast("bigint").alias("chars_dropped"),
+        (F.sum(dropped).cast("double") / F.sum("n_chars").cast("double")).alias(
+            "savings_ratio"
+        ),
+    )

@@ -860,3 +860,53 @@ def test_split_assignment_is_stable_and_complete(spark):
         assert r.n_val == int((g.b == 8).sum())
         assert r.n_test == int((g.b == 9).sum())
         assert r.n_train + r.n_val + r.n_test == len(g)
+
+
+# ---------------------------------------------------------------------------
+# Systems audits
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    row = _run(spark, "q_bloom_join_prefilter").collect()[0]
+    assert row.n_pass >= row.n_true, "bloom may never drop a true match"
+    assert row.n_false_pos == row.n_pass - row.n_true
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    urgent = set(orders[orders.o_orderpriority == "1-URGENT"].o_custkey)
+    assert row.n_probe == len(orders)
+    assert row.n_true == int(orders.o_custkey.isin(urgent).sum())
+    if row.n_probe > row.n_true:
+        assert row.fpr == row.n_false_pos / (row.n_probe - row.n_true)
+        assert row.fpr < 0.2  # 4 hashes / 8192 bits on this build size
+
+
+def test_join_skew_report_matches_pandas(spark):
+    rows = _run(spark, "q_join_skew_report").collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    cnt = ev.user_id.value_counts()
+    total = int((cnt**2).sum())
+    expected = sorted(
+        ((int(c), int(u)) for u, c in cnt.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+    got = [(r.cnt, r.user_id) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r.pairs == r.cnt * r.cnt
+        assert r.share_e6 == (r.pairs * 1_000_000) // total
+
+
+def test_dedup_impact_accounts_every_character(spark):
+    row = _run(spark, "q_dedup_impact_report").collect()[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    import hashlib
+
+    digests = docs.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    docs = docs.assign(dg=digests)
+    keeper = docs.groupby("dg").doc_id.transform("min")
+    dropped = docs[docs.doc_id != keeper]
+    assert row.n_docs == len(docs)
+    assert row.n_unique == docs.dg.nunique()
+    assert row.n_dropped == len(dropped)
+    assert row.chars_total == int(docs.n_chars.sum())
+    assert row.chars_dropped == int(dropped.n_chars.sum())
+    assert row.savings_ratio == row.chars_dropped / row.chars_total

@@ -159,6 +159,8 @@ _FLAGSHIP_ORDER = [
     "q_bloom_join_prefilter",
     "q_join_skew_report",
     "q_dedup_impact_report",
+    "q_freshness_lag_report",
+    "q_histogram_log2_values",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

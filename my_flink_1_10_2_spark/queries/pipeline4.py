@@ -3014,3 +3014,77 @@ def q_dedup_impact_report(spark, sf_dir):
             "savings_ratio"
         ),
     )
+
+
+@register(
+    "q_freshness_lag_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    m AS (SELECT max(day) AS global_max FROM s)
+    SELECT event_type,
+           CAST(max(day) AS BIGINT) AS last_day,
+           CAST((SELECT global_max FROM m) - max(day) AS BIGINT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    category="pipeline",
+)
+def q_freshness_lag_report(spark, sf_dir):
+    """Per-stream freshness lag: how many days each event type trails
+    the newest data in the corpus — the staleness audit a pipeline
+    publishes per source before anyone trusts a join across them.
+    Deterministic by construction (the reference point is the corpus
+    max, never wall-clock).  One aggregate plus a one-row broadcast."""
+    s = read(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    m = s.agg(F.max("day").alias("global_max"))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("day").cast("bigint").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            "last_day",
+            (F.col("global_max") - F.col("last_day")).cast("bigint").alias("lag_days"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_histogram_log2_values",
+    oracle="""
+    WITH s AS (
+      SELECT length(bin(CAST(round(value * 100) AS BIGINT))) AS bucket
+      FROM events WHERE round(value * 100) >= 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    category="pipeline",
+)
+def q_histogram_log2_values(spark, sf_dir):
+    """Log2-bucket value histogram: bucket = bit length of the exact
+    quantized integer (floor(log2 v)+1 — pure integer, no float log, no
+    boundary risk), the standard log-scale distribution view for
+    heavy-tailed measures.  One projection + one aggregate; both
+    engines compute the identical binary string length."""
+    v = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        read(spark, sf_dir, "events")
+        .select(v.alias("v"))
+        .where(F.col("v") >= 1)
+        .select(F.length(F.bin("v")).cast("bigint").alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("log2_bucket")
+    )

@@ -910,3 +910,21 @@ def test_dedup_impact_accounts_every_character(spark):
     assert row.chars_total == int(docs.n_chars.sum())
     assert row.chars_dropped == int(dropped.n_chars.sum())
     assert row.savings_ratio == row.chars_dropped / row.chars_total
+
+
+def test_freshness_and_log2_histogram(spark):
+    lag = {r.event_type: r for r in _run(spark, "q_freshness_lag_report").collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    day = ev.ts.values.astype("datetime64[us]").astype("int64") // 86_400_000_000
+    ev = ev.assign(day=day)
+    gmax = int(ev.day.max())
+    for et, g in ev.groupby("event_type"):
+        r = lag[et]
+        assert r.last_day == int(g.day.max())
+        assert r.lag_days == gmax - r.last_day
+        assert r.n_events == len(g)
+    hist = {r.log2_bucket: r.n for r in _run(spark, "q_histogram_log2_values").collect()}
+    v = (ev.value * 100).round().astype("int64")
+    v = v[v >= 1]
+    expected = v.map(lambda x: x.bit_length()).value_counts().to_dict()
+    assert hist == {int(k): int(c) for k, c in expected.items()}

@@ -161,6 +161,10 @@ _FLAGSHIP_ORDER = [
     "q_dedup_impact_report",
     "q_freshness_lag_report",
     "q_histogram_log2_values",
+    "q_session_bounce_dwell",
+    "q_funnel_time_percentiles",
+    "q_lorenz_deciles",
+    "q_rate_spike_flags",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

@@ -3088,3 +3088,273 @@ def q_histogram_log2_values(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: bounce/dwell, funnel latency, Lorenz, spike flags
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q_session_bounce_dwell",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS te,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > {_SESSION_GAP_US}
+                  OR lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, te,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY te, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, sid, min(te) AS t0, max(te) - min(te) AS dwell_us,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(t0 // {_DAY_US} AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           CAST(sum(dwell_us) AS BIGINT) AS dwell_us_total,
+           CAST(sum(dwell_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_dwell_us
+    FROM sess GROUP BY 1 ORDER BY 1
+    """,
+    category="pipeline",
+)
+def q_session_bounce_dwell(spark, sf_dir):
+    """Daily bounce rate and dwell time: sessions from the 30-minute
+    gap chain (the proven q_session_stats machinery), rolled up by the
+    session's START day — sessions, single-event bounces, total and
+    average dwell.  The gap chain is one per-user window; sessions and
+    the daily rollup are exact integers; avg dwell is one IEEE
+    division."""
+    te = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts"), te.alias("te")
+    ).withColumn(
+        "is_start",
+        F.when(
+            (F.col("te") - F.lag("te").over(w) > _SESSION_GAP_US)
+            | F.lag("te").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("te", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("sid", F.sum("is_start").over(w_cum))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("te").alias("t0"),
+        (F.max("te") - F.min("te")).alias("dwell_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+    )
+    return (
+        sess.groupBy(F.expr(f"t0 DIV {_DAY_US}").cast("bigint").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounce"),
+            F.sum("dwell_us").cast("bigint").alias("dwell_us_total"),
+            (
+                F.sum("dwell_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_dwell_us"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_funnel_time_percentiles",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT (tp - t0) // {_HOUR_US} AS hrs FROM u WHERE tp IS NOT NULL
+    ),
+    per_v AS (SELECT hrs, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+    cum AS (
+      SELECT hrs, cnt,
+             CAST(sum(cnt) OVER (ORDER BY hrs
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM per_v
+    )
+    SELECT max(n) AS n_converted,
+           CAST(min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN hrs END)
+                AS BIGINT) AS p25_hours,
+           CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN hrs END)
+                AS BIGINT) AS p50_hours,
+           CAST(min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN hrs END)
+                AS BIGINT) AS p75_hours
+    FROM cum
+    """,
+    category="pipeline",
+)
+def q_funnel_time_percentiles(spark, sf_dir):
+    """Time-to-convert quartiles: hours from each user's first event to
+    first purchase, summarized by EXACT order statistics (k-th
+    smallest, k = ceil(q·n) — the q_winsorized_stats protocol), the
+    latency view that pairs with the Kaplan-Meier curve.  One corpus
+    groupBy(user); the percentile search walks the hour-domain
+    relation."""
+    ev = read(spark, sf_dir, "events")
+    te = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(te).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", te)).alias("tp"),
+    )
+    d = u.where(F.col("tp").isNotNull()).select(
+        F.expr(f"(tp - t0) DIV {_HOUR_US}").alias("hrs")
+    )
+    per_v = d.groupBy("hrs").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("hrs").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.withColumn("cum", F.sum("cnt").over(w_cum).cast("bigint")).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+    )
+    return cum.agg(
+        F.max("n").alias("n_converted"),
+        F.expr("min(CASE WHEN cum >= (n * 25 + 99) DIV 100 THEN hrs END)")
+        .cast("bigint")
+        .alias("p25_hours"),
+        F.expr("min(CASE WHEN cum >= (n * 50 + 99) DIV 100 THEN hrs END)")
+        .cast("bigint")
+        .alias("p50_hours"),
+        F.expr("min(CASE WHEN cum >= (n * 75 + 99) DIV 100 THEN hrs END)")
+        .cast("bigint")
+        .alias("p75_hours"),
+    )
+
+
+@register(
+    "q_lorenz_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_e2
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT user_id, v_e2, ntile(10) OVER (ORDER BY v_e2, user_id) AS decile,
+             CAST(sum(v_e2) OVER () AS BIGINT) AS grand
+      FROM u
+    ),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(v_e2) AS BIGINT) AS value_e2, max(grand) AS grand
+      FROM t GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, value_e2,
+           CAST((sum(value_e2) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000) // grand AS BIGINT) AS cum_share_e6
+    FROM d ORDER BY decile
+    """,
+    category="pipeline",
+)
+def q_lorenz_deciles(spark, sf_dir):
+    """The Lorenz curve by user-value deciles — the dashboard companion
+    to the graded Gini: users ranked by total value (NTILE(10) under a
+    (value, user_id) total order, so both engines agree on every
+    boundary), per-decile mass and the cumulative share in integer
+    1e-6 units.  Windows run over the user-domain relation only."""
+    u = read(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v_e2")
+    )
+    w_rank = Window.orderBy("v_e2", "user_id")
+    t = u.withColumn("decile", F.ntile(10).over(w_rank)).withColumn(
+        "grand", F.sum("v_e2").over(Window.partitionBy()).cast("bigint")
+    )
+    d = t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("v_e2").cast("bigint").alias("value_e2"),
+        F.max("grand").alias("grand"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.withColumn("cum", F.sum("value_e2").over(w_cum).cast("bigint"))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_users",
+            "value_e2",
+            F.expr("(cum * 1000000) DIV grand").cast("bigint").alias("cum_share_e6"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_rate_spike_flags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS trail7,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day, cnt, trail7,
+           CAST(CASE WHEN 7 * cnt > 2 * trail7 THEN 1 ELSE 0 END AS INT)
+             AS spike
+    FROM w WHERE rn > 7 ORDER BY event_type, day
+    """,
+    category="pipeline",
+)
+def q_rate_spike_flags(spark, sf_dir):
+    """Daily rate-spike flags: a day is flagged when its count exceeds
+    2x the trailing-7-day average — compared by integer
+    cross-multiplication (7·cnt > 2·trail7, no float rate ever).  Days
+    without a full 7-row history are excluded (row-based trailing
+    window; the day grid is dense in this corpus, and at scale the
+    gap-fill operator densifies first).  Windows walk the per-type day
+    relation."""
+    daily = read(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_tr = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.withColumn("trail7", F.sum("cnt").over(w_tr).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("rn") > 7)
+        .select(
+            "event_type",
+            F.col("day").cast("bigint").alias("day"),
+            "cnt",
+            "trail7",
+            F.when(F.lit(7) * F.col("cnt") > F.lit(2) * F.col("trail7"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("spike"),
+        )
+        .orderBy("event_type", "day")
+    )

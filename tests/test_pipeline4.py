@@ -928,3 +928,83 @@ def test_freshness_and_log2_histogram(spark):
     v = v[v >= 1]
     expected = v.map(lambda x: x.bit_length()).value_counts().to_dict()
     assert hist == {int(k): int(c) for k, c in expected.items()}
+
+
+# ---------------------------------------------------------------------------
+# Product analytics wave
+# ---------------------------------------------------------------------------
+
+
+def test_bounce_dwell_totals_consistent(spark):
+    rows = _run(spark, "q_session_bounce_dwell").collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    # session count by brute gap chain
+    total_sessions = 0
+    bounces = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = g.ts.values.astype("datetime64[us]").astype("int64")
+        n_in_sess = 1
+        for i in range(1, len(us)):
+            if us[i] - us[i - 1] > 30 * 60 * 1_000_000:
+                total_sessions += 1
+                if n_in_sess == 1:
+                    bounces += 1
+                n_in_sess = 1
+            else:
+                n_in_sess += 1
+        total_sessions += 1
+        if n_in_sess == 1:
+            bounces += 1
+    assert sum(r.n_sessions for r in rows) == total_sessions
+    assert sum(r.n_bounce for r in rows) == bounces
+    for r in rows:
+        assert 0 <= r.n_bounce <= r.n_sessions
+        assert r.avg_dwell_us == r.dwell_us_total / r.n_sessions
+
+
+def test_funnel_percentiles_match_sorted_delays(spark):
+    row = _run(spark, "q_funnel_time_percentiles").collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us)
+    delays = []
+    for _, g in ev.groupby("user_id"):
+        t0 = int(g.us.min())
+        p = g[g.event_type == "purchase"]
+        if len(p):
+            delays.append((int(p.us.min()) - t0) // 3_600_000_000)
+    s = sorted(delays)
+    n = len(s)
+    assert row.n_converted == n
+    for q, got in ((25, row.p25_hours), (50, row.p50_hours), (75, row.p75_hours)):
+        k = -(-q * n // 100)
+        assert got == s[k - 1]
+    assert row.p25_hours <= row.p50_hours <= row.p75_hours
+
+
+def test_lorenz_deciles_monotone_and_complete(spark):
+    rows = sorted(_run(spark, "q_lorenz_deciles").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    per_user = (ev.value * 100).round().astype("int64").groupby(ev.user_id).sum()
+    assert sum(r.n_users for r in rows) == len(per_user)
+    assert sum(r.value_e2 for r in rows) == int(per_user.sum())
+    shares = [r.cum_share_e6 for r in rows]
+    assert shares == sorted(shares)
+    # Lorenz convexity: bottom decile holds less than 10% of mass
+    assert shares[0] < 100_000
+    assert shares[-1] == (sum(r.value_e2 for r in rows) * 1_000_000) // int(
+        per_user.sum()
+    )
+
+
+def test_rate_spike_flags_integer_guard(spark):
+    rows = _run(spark, "q_rate_spike_flags").collect()
+    assert rows
+    for r in rows:
+        assert r.spike == (1 if 7 * r.cnt > 2 * r.trail7 else 0)
+        assert r.trail7 > 0
+    # uniform generator: spikes are rare (small-count noise can trip a
+    # few at sf0.001, never a broad pattern)
+    assert sum(r.spike for r in rows) <= len(rows) // 5

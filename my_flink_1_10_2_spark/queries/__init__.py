@@ -165,6 +165,10 @@ _FLAGSHIP_ORDER = [
     "q_funnel_time_percentiles",
     "q_lorenz_deciles",
     "q_rate_spike_flags",
+    "q_cohort_ltv",
+    "q_mde_power",
+    "q_user_rfm_segments",
+    "q_ngram_novelty",
     # ---- round-4 additions first: brand-new operator families whose
     # driver row should land the round they ship
     "q_embedding_topk_pq",

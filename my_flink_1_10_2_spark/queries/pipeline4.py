@@ -56,7 +56,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from my_flink_1_10_2_spark.llm.dedup import containment_pairs, shingle_rows
+from my_flink_1_10_2_spark.llm.dedup import (
+    containment_pairs,
+    shingle_rows,
+    shingles,
+)
 from my_flink_1_10_2_spark.queries import read, register
 
 # ---------------------------------------------------------------------------
@@ -3357,4 +3361,255 @@ def q_rate_spike_flags(spark, sf_dir):
             .alias("spike"),
         )
         .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth analytics: cohort LTV, MDE power, RFM segments, n-gram novelty
+# ---------------------------------------------------------------------------
+
+_WEEK_US2 = 7 * _DAY_US
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) // {_WEEK_US2} AS cohort_wk
+      FROM events GROUP BY 1
+    ),
+    e AS (
+      SELECT u.cohort_wk,
+             epoch_us(ev.ts) // {_WEEK_US2} - u.cohort_wk AS wk_offset,
+             CAST(round(ev.value * 100) AS BIGINT) AS v_e2
+      FROM events ev JOIN u ON u.user_id = ev.user_id
+      WHERE ev.event_type = 'purchase'
+    ),
+    g AS (
+      SELECT cohort_wk, wk_offset, CAST(sum(v_e2) AS BIGINT) AS rev_e2
+      FROM e GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(wk_offset AS BIGINT) AS wk_offset, rev_e2,
+           CAST(sum(rev_e2) OVER (PARTITION BY cohort_wk ORDER BY wk_offset
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_ltv_e2
+    FROM g ORDER BY cohort_wk, wk_offset
+    """,
+    category="pipeline",
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: purchase revenue by signup-week
+    cohort and week offset, with the running cumulative LTV — the
+    revenue companion to the graded retention matrix (epoch-week
+    anchored, so multi-month corpora stay ordered).  Exact 1e-2
+    integers end to end; the cumulative window walks the cohort-week
+    domain relation."""
+    ev = read(spark, sf_dir, "events")
+    te_wk = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_WEEK_US2}")
+    u = ev.groupBy("user_id").agg(F.min(te_wk).alias("cohort_wk"))
+    e = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            te_wk.alias("wk"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_e2"),
+        )
+        .join(u, "user_id")
+        .select(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"), "v_e2"
+        )
+    )
+    g = e.groupBy("cohort_wk", "wk_offset").agg(
+        F.sum("v_e2").cast("bigint").alias("rev_e2")
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("wk_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.withColumn("cum_ltv_e2", F.sum("rev_e2").over(w).cast("bigint"))
+        .select(
+            F.col("cohort_wk").cast("bigint").alias("cohort_wk"),
+            F.col("wk_offset").cast("bigint").alias("wk_offset"),
+            "rev_e2",
+            "cum_ltv_e2",
+        )
+        .orderBy("cohort_wk", "wk_offset")
+    )
+
+
+@register(
+    "q_mde_power",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT n, x,
+           CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+             * sqrt(2.0 * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) / 2.0)) AS mde_abs
+    FROM g
+    """,
+    category="pipeline",
+)
+def q_mde_power(spark, sf_dir):
+    """Minimum detectable effect for a 50/50 split of this corpus at
+    alpha=.05 (two-sided) and 80% power — the pre-experiment sizing
+    number every A/B platform surfaces next to the z-test.  Two exact
+    integers plus one IEEE expression with DOUBLE-cast z literals
+    (1.96, 0.8416 — the DuckDB decimal-fold recipe applies)."""
+    g = (
+        read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    p = d(F.col("x")) / d(F.col("n"))
+    return g.select(
+        "n",
+        "x",
+        p.alias("p"),
+        (
+            (F.lit(1.96) + F.lit(0.8416))
+            * F.sqrt(
+                F.lit(2.0) * p * (F.lit(1.0) - p) / (d(F.col("n")) / F.lit(2.0))
+            )
+        ).alias("mde_abs"),
+    )
+
+
+@register(
+    "q_user_rfm_segments",
+    oracle=f"""
+    WITH m AS (SELECT max(epoch_us(ts)) // {_DAY_US} AS max_day FROM events),
+    u AS (
+      SELECT user_id,
+             (SELECT max_day FROM m) - max(epoch_us(ts)) // {_DAY_US}
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_e2
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_e2, user_id) AS m_score
+      FROM u
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    category="pipeline",
+)
+def q_user_rfm_segments(spark, sf_dir):
+    """RFM segmentation: quintile scores for recency (days since last
+    event, HIGHER score = more recent), frequency and monetary value,
+    rolled up to segment counts — the classic customer segmentation.
+    Every NTILE runs under a deterministic (metric, user_id) total
+    order so both engines agree on every quintile boundary; recency is
+    anchored to the corpus max day (never wall-clock).  Windows walk
+    the user-domain relation."""
+    ev = read(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}")
+    u = ev.groupBy("user_id").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_e2"),
+    )
+    m = u.agg(F.max("last_day").alias("max_day"))
+    u2 = u.crossJoin(F.broadcast(m)).withColumn(
+        "recency_days", F.col("max_day") - F.col("last_day")
+    )
+    scored = (
+        u2.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id")),
+        )
+        .withColumn("f_score", F.ntile(5).over(Window.orderBy("frequency", "user_id")))
+        .withColumn(
+            "m_score", F.ntile(5).over(Window.orderBy("monetary_e2", "user_id"))
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_users",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, str_split_regex(text, '\s+') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                   i -> array_to_string(words[i:i + 2], ' ')))
+               AS shingle
+      FROM w
+    ),
+    first_seen AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    category="pipeline",
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles first seen in THAT doc (by doc_id order) — the
+    curation score that separates generative content from recombined
+    boilerplate, and the streaming-ingest view of dedup (novelty ~ 0
+    means the doc adds nothing).  First-occurrence is one min-aggregate
+    over the shingle relation joined back — two shingle-keyed
+    shuffles, no per-doc rescans."""
+    sh = shingles(read(spark, sf_dir, "documents"), n=3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

@@ -1008,3 +1008,69 @@ def test_rate_spike_flags_integer_guard(spark):
     # uniform generator: spikes are rare (small-count noise can trip a
     # few at sf0.001, never a broad pattern)
     assert sum(r.spike for r in rows) <= len(rows) // 5
+
+
+# ---------------------------------------------------------------------------
+# Growth analytics wave
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_cumulative_and_complete(spark):
+    rows = _run(spark, "q_cohort_ltv").collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    purch = ev[ev.event_type == "purchase"]
+    total = int((purch.value * 100).round().sum())
+    assert sum(r.rev_e2 for r in rows) == total
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_wk, []).append(r)
+    for ck, rs in by_cohort.items():
+        rs = sorted(rs, key=lambda r: r.wk_offset)
+        cum = 0
+        for r in rs:
+            cum += r.rev_e2
+            assert r.cum_ltv_e2 == cum
+            assert r.wk_offset >= 0
+
+
+def test_mde_power_matches_python(spark):
+    row = _run(spark, "q_mde_power").collect()[0]
+    nd, p = float(row.n), float(row.x) / float(row.n)
+    expected = (1.96 + 0.8416) * math.sqrt(2.0 * p * (1.0 - p) / (nd / 2.0))
+    assert row.mde_abs == expected
+    assert 0 < row.mde_abs < 1
+
+
+def test_rfm_segments_cover_all_users(spark):
+    rows = _run(spark, "q_user_rfm_segments").collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev.user_id.nunique()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # quintiles balance per axis
+    import collections
+
+    per_r = collections.Counter()
+    for r in rows:
+        per_r[r.r_score] += r.n_users
+    assert max(per_r.values()) - min(per_r.values()) <= 1
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    rows = sorted(_run(spark, "q_ngram_novelty").collect(), key=lambda r: r.doc_id)
+    assert rows[0].novelty == 1.0, "the lowest doc_id sees only new shingles"
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert r.novelty == r.n_novel / r.n_shingles
+    # every shingle is novel in exactly one doc: novel counts sum to
+    # the distinct-shingle count
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    shingles = set()
+    for t in docs.text:
+        w = t.split()
+        shingles.update(" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1)))
+    assert sum(r.n_novel for r in rows) == len(shingles)

@@ -189,21 +189,22 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver stores only a TAIL of stdout and parses the LAST JSON
-    # line — round 4's line (two per-query dicts) outgrew that buffer
-    # ("parsed": null).  Keep the final line to the contract fields
-    # (metric/value/unit/queries/sf + two scalars); the per-query
-    # normalized ratios go to stderr and bench_detail.json instead.
+    # line — rounds 4 AND 5 both outgrew that buffer with the per-query
+    # dict on the final line ("parsed": null twice).  The final stdout
+    # line is now SCALARS ONLY (~170 bytes); the full per-query timings
+    # and normalized ratios live in bench_detail.json + stderr.
     result = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
         "calibration_sec": calibration,
         "value_normalized": round(sum(timings.values()) / calibration, 2),
     }
     detail = {
         **result,
+        "queries": timings,
         # Machine-independent per-query numbers: sec / calibration_sec.
         # Compare THESE across rounds — a uniform shift in raw seconds
         # with stable ratios is host drift, not a plan change.

@@ -108,12 +108,27 @@ def cql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # CQL's non-finite keywords are Infinity/-Infinity/NaN; Python's
+        # repr emits 'inf'/'-inf' which the server rejects.
+        import math as _math
+
+        if _math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if _math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return "0x" + bytes(v).hex()
     if isinstance(v, _dt.datetime):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo else _dt.datetime(1970, 1, 1)
+        # Aware values must be measured against the UTC epoch — anchoring
+        # the epoch at the value's own zone shifts the millis by that
+        # zone's 1970 offset.  Naive values are treated as UTC.
+        if v.tzinfo is not None:
+            return str(int(v.timestamp() * 1000))
+        epoch = _dt.datetime(1970, 1, 1)
         return str(int((v - epoch).total_seconds() * 1000))
     if isinstance(v, _dt.date):
         return f"'{v.isoformat()}'"

@@ -813,12 +813,17 @@ class KinesisPutRecordsSink:
             if status == 200:
                 if not parsed.get("FailedRecordCount"):
                     return
-                # partial failure: retry ONLY the rejected subset, in order
-                pending = [
-                    rec
-                    for rec, res in zip(pending, parsed.get("Records", []))
-                    if res.get("ErrorCode")
-                ]
+                # partial failure: retry ONLY the rejected subset, in order.
+                # A malformed/truncated Records array (shorter than what we
+                # sent) would silently drop records through zip — fall back
+                # to retrying the full pending list in that case.
+                results = parsed.get("Records", [])
+                if len(results) == len(pending):
+                    pending = [
+                        rec
+                        for rec, res in zip(pending, results)
+                        if res.get("ErrorCode")
+                    ]
                 retryable = True
             else:
                 retryable = "ProvisionedThroughputExceededException" in str(

@@ -236,6 +236,29 @@ def test_cql_literals():
     )  # epoch millis
 
 
+def test_cql_literal_tz_aware_uses_utc_epoch():
+    """A +05:00 wall time 05:00:01 IS epoch second 1 — the epoch anchor
+    must be UTC, not the value's own zone (which would encode 5 h late)."""
+    import datetime
+
+    plus5 = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(1970, 1, 1, 5, 0, 1, tzinfo=plus5)
+    assert cql_literal(aware) == "1000"
+    utc = datetime.datetime(1970, 1, 1, 0, 0, 1, tzinfo=datetime.timezone.utc)
+    assert cql_literal(utc) == "1000"
+    # naive values are treated as UTC (unchanged)
+    assert cql_literal(datetime.datetime(1970, 1, 1, 0, 0, 1)) == "1000"
+
+
+def test_cql_literal_nonfinite_floats():
+    """CQL spells non-finite floats Infinity/-Infinity/NaN; Python repr's
+    'inf' is not a CQL keyword and fails the whole INSERT server-side."""
+    assert cql_literal(float("inf")) == "Infinity"
+    assert cql_literal(float("-inf")) == "-Infinity"
+    assert cql_literal(float("nan")) == "NaN"
+    assert cql_literal(1.5) == "1.5"
+
+
 def test_cql_sink_param_validation():
     with pytest.raises(ValueError, match="contact host"):
         CassandraCqlSink("", "ks", "t")

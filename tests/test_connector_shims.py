@@ -457,6 +457,51 @@ def test_kinesis_put_records_retries_only_failed_subset(spark, tmp_path):
     assert doc["user_id"] == 1  # exactly the rejected record, in order
 
 
+def test_kinesis_put_records_malformed_results_retries_full_batch(spark, tmp_path):
+    """A 200 response claiming failures but with a truncated/missing
+    Records array must NOT zip-drop records — the full pending list is
+    retried instead (at-least-once beats silent loss)."""
+    import base64
+    import functools
+    import json
+
+    from my_flink_1_10_2_spark.sources.connectors import KinesisPutRecordsSink
+
+    out = str(tmp_path / "requests.jsonl")
+
+    def truncating_transport(url, headers, payload, out_file=None):
+        with open(out_file, "ab") as f:
+            f.write(payload + b"\n")
+        n_prior = len(open(out_file, "rb").read().splitlines())
+        if n_prior == 1:  # failures claimed, but Records array is short
+            return 200, json.dumps(
+                {"FailedRecordCount": 1, "Records": [{"SequenceNumber": "1"}]}
+            ).encode()
+        return 200, b'{"FailedRecordCount": 0, "Records": []}'
+
+    sink = KinesisPutRecordsSink(
+        "events",
+        endpoint="http://localhost:4567",
+        partition_key_field="user_id",
+        retry_delay_s=0.0,
+        transport=functools.partial(truncating_transport, out_file=out),
+    )
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(3)], "user_id long, text string"
+    ).coalesce(1)
+    sink(df, batch_id=0)
+
+    bodies = [json.loads(l) for l in open(out, "rb").read().splitlines()]
+    assert len(bodies) == 2
+    assert len(bodies[0]["Records"]) == 3
+    retried = bodies[1]["Records"]
+    assert len(retried) == 3  # full batch, not a zip-truncated subset
+    ids = sorted(
+        json.loads(base64.b64decode(r["Data"]))["user_id"] for r in retried
+    )
+    assert ids == [0, 1, 2]
+
+
 def test_kinesis_put_records_throttle_exhausts_retries(spark, tmp_path):
     import functools
     import json

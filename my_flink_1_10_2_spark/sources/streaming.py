@@ -161,7 +161,9 @@ class TransactionalForeachBatchSink:
 #   properties.<other consumer props>   → kafka.<prop>
 #   startup-mode=earliest-offset        → startingOffsets=earliest
 #   startup-mode=latest-offset          → startingOffsets=latest
-#   startup-mode=group-offsets          → startingOffsets=latest (see note)
+#   startup-mode=group-offsets          → startingOffsets={per-partition
+#                                         JSON from the group's committed
+#                                         offsets via OffsetFetch} (see note)
 #   startup-mode=specific-offsets
 #     + specific-offsets
 #       "partition:0,offset:42;..."     → startingOffsets={"t":{"0":42,...}}
@@ -178,8 +180,15 @@ class TransactionalForeachBatchSink:
 # consumer group (FlinkKafkaConsumerBase.java STARTUP_MODE group-offsets).
 # Spark does not consume group commits — offset progress lives in the
 # checkpoint, which supersedes them on every restart after the first.
-# First-start behavior is therefore `latest` (Spark's default); pass an
-# explicit startup_mode to pin a different cold-start position.
+# For COLD START parity, `kafka_source` resolves the group's committed
+# offsets over the public Kafka wire protocol (Metadata + FindCoordinator
+# + OffsetFetch, jar-free — `kafka_protocol.fetch_group_offsets`) and
+# emits them as a per-partition startingOffsets JSON; partitions the
+# group never committed fall back to the consumer's auto.offset.reset
+# (default latest), exactly the reference's semantics.  The pure option
+# translator takes the resolved mapping via `group_offsets=`; without one
+# it keeps Spark's `latest` default (topic-pattern subscriptions can't
+# enumerate partitions up front and keep that default too).
 # ---------------------------------------------------------------------------
 
 STARTUP_MODES = (
@@ -220,9 +229,15 @@ def kafka_source_options(
     specific_offsets: str | None = None,
     startup_timestamp_millis: int | None = None,
     max_offsets_per_trigger: int | None = None,
+    group_offsets: dict | None = None,
 ) -> dict[str, str]:
     """Translate Flink Kafka consumer options to Spark `format("kafka")`
-    options (pure function — see the parity table above)."""
+    options (pure function — see the parity table above).
+
+    ``group_offsets`` is the resolved ``{topic: {partition: offset}}``
+    mapping from :func:`kafka_protocol.fetch_group_offsets`; in
+    group-offsets mode it becomes the per-partition startingOffsets JSON
+    (without it the cold start stays at Spark's ``latest`` default)."""
     if (topic is None) == (topic_pattern is None):
         raise ValueError("exactly one of topic / topic_pattern is required")
     if startup_mode not in STARTUP_MODES:
@@ -241,6 +256,14 @@ def kafka_source_options(
         raise ValueError("properties must include bootstrap.servers")
     if startup_mode == "earliest-offset":
         opts["startingOffsets"] = "earliest"
+    elif startup_mode == "group-offsets" and group_offsets is not None:
+        # canonical {topic: {str(partition): int(offset)}} JSON
+        opts["startingOffsets"] = json.dumps(
+            {
+                t: {str(p): int(o) for p, o in sorted(parts.items(), key=lambda kv: int(kv[0]))}
+                for t, parts in group_offsets.items()
+            }
+        )
     elif startup_mode in ("latest-offset", "group-offsets"):
         opts["startingOffsets"] = "latest"
     elif startup_mode == "specific-offsets":
@@ -291,7 +314,33 @@ def kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
     """Kafka source stream (ref: FlinkKafkaConsumerBase.java) — returns
     the raw Spark kafka schema (key/value binary, topic, partition,
     offset, timestamp); apply a deserialization projection downstream,
-    the analog of the reference's DeserializationSchema."""
+    the analog of the reference's DeserializationSchema.
+
+    In ``group-offsets`` startup mode (the reference's default) with a
+    ``group.id`` and explicit topics, the group's committed offsets are
+    fetched over the wire (jar-free OffsetFetch) and pinned as the
+    cold-start position — checkpointed progress still supersedes them on
+    restart, matching the reference's checkpoint-beats-group-commit rule
+    (FlinkKafkaConsumerBase.java, restoredState branch)."""
+    resolve = kwargs.pop("resolve_group_offsets", True)
+    props = kwargs.get("properties") or {}
+    topic = kwargs.get("topic")
+    if (
+        resolve
+        and kwargs.get("startup_mode", "group-offsets") == "group-offsets"
+        and kwargs.get("group_offsets") is None
+        and props.get("group.id")
+        and topic is not None
+    ):
+        from .kafka_protocol import fetch_group_offsets
+
+        topics = [topic] if isinstance(topic, str) else list(topic)
+        kwargs["group_offsets"] = fetch_group_offsets(
+            props["bootstrap.servers"],
+            props["group.id"],
+            topics,
+            fallback=props.get("auto.offset.reset", "latest"),
+        )
     return (
         spark.readStream.format("kafka")
         .options(**kafka_source_options(**kwargs))

@@ -289,6 +289,221 @@ def test_exactly_once_requires_bootstrap_servers(tmp_path):
         KafkaExactlyOnceSink("out", str(tmp_path), properties={})
 
 
+# ---------------------------------------------------------------------------
+# group-offsets cold start (ref: FlinkKafkaConsumerBase.java
+# STARTUP_MODE_GROUP_OFFSETS): committed offsets fetched over the PUBLIC
+# Kafka wire protocol (Metadata v1 + FindCoordinator v0 + OffsetFetch v1)
+# by kafka_protocol.fetch_group_offsets — exercised here against a live
+# in-process fake broker speaking those three messages.
+# ---------------------------------------------------------------------------
+
+import socket
+import struct
+import threading
+
+from my_flink_1_10_2_spark.sources.kafka_protocol import (
+    _enc_str,
+    fetch_group_offsets,
+)
+
+
+class FakeKafkaBroker:
+    """Loopback TCP server answering Metadata v1 / FindCoordinator v0 /
+    OffsetFetch v1 with canned cluster state."""
+
+    def __init__(self, partitions: dict, committed: dict):
+        self.partitions = partitions  # {topic: [partition ids]}
+        self.committed = committed  # {(topic, partition): offset}
+        self.requests: list = []  # (api_key, api_version) log
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(5)
+        self.port = self.srv.getsockname()[1]
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        while not self._stop:
+            try:
+                conn, _ = self.srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _handle(self, conn):
+        with conn:
+            while True:
+                try:
+                    hdr = self._recvn(conn, 4)
+                except (ConnectionError, OSError):
+                    return
+                if hdr is None:
+                    return
+                (size,) = struct.unpack(">i", hdr)
+                frame = self._recvn(conn, size)
+                if frame is None:
+                    return
+                api_key, api_version, corr = struct.unpack(">hhi", frame[:8])
+                self.requests.append((api_key, api_version))
+                (cid_len,) = struct.unpack(">h", frame[8:10])
+                body = frame[10 + max(cid_len, 0) :]
+                resp = struct.pack(">i", corr) + self._respond(api_key, body)
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+
+    @staticmethod
+    def _recvn(conn, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def _respond(self, api_key, body):
+        if api_key == 3:  # Metadata v1
+            # brokers: one node = self
+            out = struct.pack(">i", 1)
+            out += struct.pack(">i", 0) + _enc_str("127.0.0.1")
+            out += struct.pack(">i", self.port) + _enc_str(None)  # rack
+            out += struct.pack(">i", 0)  # controller_id
+            (n,) = struct.unpack(">i", body[:4])
+            pos, names = 4, []
+            for _ in range(n):
+                (slen,) = struct.unpack(">h", body[pos : pos + 2])
+                names.append(body[pos + 2 : pos + 2 + slen].decode())
+                pos += 2 + slen
+            out += struct.pack(">i", len(names))
+            for t in names:
+                known = t in self.partitions
+                out += struct.pack(">h", 0 if known else 3)  # error_code
+                out += _enc_str(t) + struct.pack(">b", 0)  # is_internal
+                parts = self.partitions.get(t, [])
+                out += struct.pack(">i", len(parts))
+                for p in parts:
+                    out += struct.pack(">hi", 0, p)  # err, partition
+                    out += struct.pack(">i", 0)  # leader
+                    out += struct.pack(">ii", 1, 0)  # replicas [0]
+                    out += struct.pack(">ii", 1, 0)  # isr [0]
+            return out
+        if api_key == 10:  # FindCoordinator v0 → this broker
+            return (
+                struct.pack(">h", 0)
+                + struct.pack(">i", 0)
+                + _enc_str("127.0.0.1")
+                + struct.pack(">i", self.port)
+            )
+        if api_key == 9:  # OffsetFetch v1
+            (glen,) = struct.unpack(">h", body[:2])
+            pos = 2 + glen
+            (n_topics,) = struct.unpack(">i", body[pos : pos + 4])
+            pos += 4
+            out = struct.pack(">i", n_topics)
+            for _ in range(n_topics):
+                (slen,) = struct.unpack(">h", body[pos : pos + 2])
+                topic = body[pos + 2 : pos + 2 + slen].decode()
+                pos += 2 + slen
+                (n_parts,) = struct.unpack(">i", body[pos : pos + 4])
+                pos += 4
+                out += _enc_str(topic) + struct.pack(">i", n_parts)
+                for _ in range(n_parts):
+                    (p,) = struct.unpack(">i", body[pos : pos + 4])
+                    pos += 4
+                    off = self.committed.get((topic, p), -1)
+                    out += struct.pack(">iq", p, off)
+                    out += _enc_str("") + struct.pack(">h", 0)
+            return out
+        raise AssertionError(f"unexpected api_key {api_key}")
+
+    def close(self):
+        self._stop = True
+        self.srv.close()
+
+
+def test_fetch_group_offsets_live_protocol():
+    broker = FakeKafkaBroker(
+        partitions={"orders": [0, 1, 2], "events": [0]},
+        committed={("orders", 0): 42, ("orders", 2): 7, ("events", 0): 100},
+    )
+    try:
+        got = fetch_group_offsets(
+            f"127.0.0.1:{broker.port}", "g1", ["orders", "events"]
+        )
+        # committed offsets verbatim; the never-committed partition 1
+        # falls back to latest (-1), the auto.offset.reset default
+        assert got == {
+            "orders": {"0": 42, "1": -1, "2": 7},
+            "events": {"0": 100},
+        }
+        # the three public-protocol messages, exact versions
+        assert (3, 1) in broker.requests  # Metadata v1
+        assert (10, 0) in broker.requests  # FindCoordinator v0
+        assert (9, 1) in broker.requests  # OffsetFetch v1
+    finally:
+        broker.close()
+
+
+def test_fetch_group_offsets_fallback_modes():
+    broker = FakeKafkaBroker(partitions={"t": [0, 1]}, committed={("t", 0): 5})
+    try:
+        addr = f"127.0.0.1:{broker.port}"
+        earliest = fetch_group_offsets(addr, "g", ["t"], fallback="earliest")
+        assert earliest == {"t": {"0": 5, "1": -2}}
+        with pytest.raises(RuntimeError, match="auto.offset.reset=none"):
+            fetch_group_offsets(addr, "g", ["t"], fallback="none")
+        with pytest.raises(ValueError, match="fallback"):
+            fetch_group_offsets(addr, "g", ["t"], fallback="bogus")
+    finally:
+        broker.close()
+
+
+def test_fetch_group_offsets_unknown_topic_and_dead_broker():
+    broker = FakeKafkaBroker(partitions={"t": [0]}, committed={})
+    try:
+        with pytest.raises(RuntimeError, match="UNKNOWN_TOPIC"):
+            fetch_group_offsets(f"127.0.0.1:{broker.port}", "g", ["missing"])
+    finally:
+        broker.close()
+    # all bootstrap nodes down → ConnectionError naming the list; a dead
+    # first node must fail over to the live second one
+    with pytest.raises(ConnectionError, match="no bootstrap server"):
+        fetch_group_offsets(f"127.0.0.1:{broker.port}", "g", ["t"], timeout=1)
+    broker2 = FakeKafkaBroker(partitions={"t": [0]}, committed={("t", 0): 9})
+    try:
+        got = fetch_group_offsets(
+            f"127.0.0.1:{broker.port},127.0.0.1:{broker2.port}",
+            "g",
+            ["t"],
+            timeout=1,
+        )
+        assert got == {"t": {"0": 9}}
+    finally:
+        broker2.close()
+
+
+def test_group_offsets_starting_offsets_json():
+    """The resolved mapping becomes Spark's exact per-partition
+    startingOffsets JSON; without a mapping, group-offsets keeps the
+    latest cold-start default (checkpoint supersedes on restart)."""
+    opts = kafka_source_options(
+        "orders",
+        properties=PROPS,
+        startup_mode="group-offsets",
+        group_offsets={"orders": {"0": 42, "1": -1, "2": 7}},
+    )
+    assert json.loads(opts["startingOffsets"]) == {
+        "orders": {"0": 42, "1": -1, "2": 7}
+    }
+    assert (
+        kafka_source_options("orders", properties=PROPS)["startingOffsets"]
+        == "latest"
+    )
+
+
 def _broker_reachable(addr: str) -> bool:
     import socket
 

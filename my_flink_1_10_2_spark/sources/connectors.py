@@ -262,8 +262,12 @@ def hbase_catalog_json(
 
 
 def hbase_source(spark: SparkSession, zookeeper_quorum: str, **kwargs) -> DataFrame:
-    """HBase scan source (ref: HBaseTableSource.java).  Requires the
-    hbase-spark connector jar; raises a clear error when absent."""
+    """HBase scan source via the hbase-spark connector jar (ref:
+    HBaseTableSource.java); raises a clear error when the jar is absent.
+    For the jar-free FUNCTIONAL path see
+    :mod:`my_flink_1_10_2_spark.sources.hbase_rest` (public HBase REST
+    gateway: range-partitioned scanners + batched CellSet PUTs, tested
+    against a live in-process server)."""
     catalog = hbase_catalog_json(**kwargs)
     try:
         return (

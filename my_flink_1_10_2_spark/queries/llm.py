@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from my_flink_1_10_2_spark.llm import dedup as D
 from my_flink_1_10_2_spark.llm import similarity as S
 from my_flink_1_10_2_spark.llm import text as T
-from my_flink_1_10_2_spark.llm.multimodal import documents_as_media, extract_features
+from my_flink_1_10_2_spark.llm.multimodal import (
+    documents_as_media,
+    extract_features,
+    synthetic_png_media,
+)
 from my_flink_1_10_2_spark.queries import read, register
 
 # ---------------------------------------------------------------------------
@@ -457,6 +461,43 @@ def q_multimodal_features(spark, sf_dir):
     feats = extract_features(media, fake=True)
     return feats.select(
         "media_id", "mime", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+@register(
+    "q_png_pixel_stats",
+    oracle="""
+    SELECT media_id, width, height,
+           CAST(SUM((media_id*31 + i*7) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN((media_id*31 + i*7) % 256) AS BIGINT) AS px_min,
+           CAST(MAX((media_id*31 + i*7) % 256) AS BIGINT) AS px_max
+    FROM (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS width,
+             CAST(3 + doc_id % 4 AS BIGINT) AS height,
+             unnest(range((4 + doc_id % 5) * (3 + doc_id % 4))) AS i
+      FROM documents)
+    GROUP BY media_id, width, height
+    """,
+    category="llm_multimodal",
+)
+def q_png_pixel_stats(spark, sf_dir):
+    """REAL image decode (ref-brief multimodal slot): per-document PNGs
+    are encoded executor-side with mixed scanline filters, then decoded
+    by the pure-stdlib baseline PNG codec (llm/png.py — zlib inflate +
+    Sub/Up/Average/Paeth unfiltering), and the DECODED pixel statistics
+    are graded against the closed-form SQL replay of the pixel rule.
+    Any inflate/unfilter defect mismatches; the JPEG/video codecs stay
+    honestly gated."""
+    docs = read(spark, sf_dir, "documents")
+    feats = extract_features(synthetic_png_media(docs), fake=False)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("bigint").alias("width"),
+        F.element_at("features", 2).cast("bigint").alias("height"),
+        F.element_at("features", 5).cast("bigint").alias("px_sum"),
+        F.element_at("features", 6).cast("bigint").alias("px_min"),
+        F.element_at("features", 7).cast("bigint").alias("px_max"),
     )
 
 

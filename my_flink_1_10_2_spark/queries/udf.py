@@ -21,11 +21,18 @@ from my_flink_1_10_2_spark.table import Table
     "q_udaf_median",
     oracle="""
     SELECT l_returnflag,
-           median(l_quantity)      AS med_qty,
-           quantile_cont(l_extendedprice, 0.9) AS p90_price,
-           count(*)                AS n
-    FROM lineitem
-    GROUP BY l_returnflag
+           med_qty,
+           v[CAST(floor(h) AS BIGINT) + 1]
+             + (h - floor(h)) * (v[CAST(ceil(h) AS BIGINT) + 1]
+                                 - v[CAST(floor(h) AS BIGINT) + 1]) AS p90_price,
+           n
+    FROM (
+      SELECT l_returnflag,
+             median(l_quantity) AS med_qty,
+             list_sort(list(l_extendedprice)) AS v,
+             count(*) AS n,
+             CAST(count(*) - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE) AS h
+      FROM lineitem GROUP BY l_returnflag)
     """,
     category="udf",
 )
@@ -33,15 +40,25 @@ def q_udaf_median(spark, sf_dir):
     """Pandas UDAF (ref: AggregateFunction.java accumulate/getValue):
     exact median / p90 per group — a holistic aggregate Spark's built-ins
     only approximate (percentile_approx), so the UDAF path is the
-    genuine use-case."""
+    genuine use-case.  p90 spells the linear interpolation explicitly
+    (lo + frac*(hi-lo), the same expression tree as the SQL oracle):
+    pandas' quantile() and DuckDB's quantile_cont parenthesize the lerp
+    differently — 1-ulp apart at sf0.1 though equal at sf0.01."""
+    import math
+
+    import numpy as np
+
     l = Table(read(spark, sf_dir, "lineitem"))
 
     def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.sort(pdf["l_extendedprice"].to_numpy())
+        h = float(len(arr) - 1) * 0.9
+        lo, hi = arr[math.floor(h)], arr[math.ceil(h)]
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
                 "med_qty": [pdf["l_quantity"].median()],
-                "p90_price": [pdf["l_extendedprice"].quantile(0.9, interpolation="linear")],
+                "p90_price": [lo + (h - math.floor(h)) * (hi - lo)],
                 "n": [len(pdf)],
             }
         )

@@ -1,0 +1,127 @@
+"""Pure-stdlib baseline PNG codec + the real multimodal decode/resize
+paths built on it (ref brief: multimodal decode/resize slots — the codec
+itself is public-format PNG, RFC 2083 / W3C spec)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from my_flink_1_10_2_spark.llm.multimodal import (
+    extract_features,
+    resize_png,
+    synthetic_png_media,
+)
+from my_flink_1_10_2_spark.llm.png import png_decode, png_encode
+from my_flink_1_10_2_spark.queries import read
+from tests.conftest import SF_DIR
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    plan=st.sampled_from(["none", "mixed"]),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, ch, plan, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    assert png_decode(png_encode(w, h, px, channels=ch, filter_plan=plan)) == (
+        w,
+        h,
+        ch,
+        px,
+    )
+
+
+def test_mixed_plan_exercises_all_filters():
+    """A ≥5-row mixed-plan image stores filter bytes 1,2,3,4,0 — the
+    decoder is provably driven through every filter type."""
+    enc = png_encode(3, 6, bytes(range(18)), channels=1, filter_plan="mixed")
+    # IDAT body: find chunk, inflate, read per-row filter bytes
+    pos = 8
+    idat = b""
+    while pos < len(enc):
+        (n,) = struct.unpack(">I", enc[pos : pos + 4])
+        tag = enc[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += enc[pos + 8 : pos + 8 + n]
+        pos += 12 + n
+    raw = zlib.decompress(idat)
+    stride = 3
+    filters = [raw[r * (stride + 1)] for r in range(6)]
+    assert filters == [1, 2, 3, 4, 0, 1]
+
+
+def test_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"plainly not a png")
+    ok = png_encode(2, 2, bytes(4))
+    corrupt = ok[:20] + bytes([ok[20] ^ 0xFF]) + ok[21:]
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(corrupt)
+    # 16-bit depth is outside the baseline profile → honest gate
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        png_decode(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_encode_validates_buffer():
+    with pytest.raises(ValueError, match="pixel buffer"):
+        png_encode(2, 2, bytes(3))
+    with pytest.raises(ValueError, match="channels"):
+        png_encode(1, 1, bytes(2), channels=2)
+
+
+def test_synthetic_media_decodes_to_closed_form(spark):
+    """The full Spark path: encode executor-side (mixed filters) →
+    decode → pixel stats equal the closed-form rule."""
+    docs = read(spark, SF_DIR, "documents").filter("doc_id < 40")
+    feats = extract_features(synthetic_png_media(docs), fake=False)
+    for r in feats.collect():
+        d = r.media_id
+        w, h = 4 + d % 5, 3 + d % 4
+        px = [(d * 31 + i * 7) % 256 for i in range(w * h)]
+        assert r.features[:4] == [float(w), float(h), 1.0, float(w * h)]
+        assert r.features[4:] == [float(sum(px)), float(min(px)), float(max(px))]
+
+
+def test_resize_png_real_pixels(spark):
+    """Nearest-neighbor resize: decoded output pixels equal the manual
+    index mapping of the decoded input pixels."""
+    docs = read(spark, SF_DIR, "documents").filter("doc_id < 8")
+    media = synthetic_png_media(docs)
+    out = resize_png(media, out_w=3, out_h=2)
+    resized = {r.media_id: bytes(r.payload) for r in out.collect()}
+    for r in media.collect():
+        d = r.media_id
+        w, h = 4 + d % 5, 3 + d % 4
+        px = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
+        expect = bytes(
+            px[(rr * h // 2) * w + (cc * w // 3)]
+            for rr in range(2)
+            for cc in range(3)
+        )
+        got = png_decode(resized[d])
+        assert got == (3, 2, 1, expect)
+    with pytest.raises(Exception, match="non-PNG"):
+        resize_png(
+            media.withColumn("mime", media.mime.substr(1, 2)), 2, 2
+        ).collect()

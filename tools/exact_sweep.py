@@ -4,9 +4,12 @@ than both tests/test_oracle_parity.py (rel_tol 1e-6) and the driver's
 hash gate (rounded hashing). Use it to catch float-discipline
 regressions before the driver does.
 
-Usage: python tools/exact_sweep.py [name ...]   (from the repo root)
+Usage: python tools/exact_sweep.py [--sf SF] [name ...]  (from repo root)
        With names: sweep only those registry queries (targeted re-check
        after touching an operator).  Without: full registry.
+       --sf 0.1 sweeps at bench scale (broadcast thresholds and
+       partial-agg ordering are scale-dependent; the 2x bench gate runs
+       at sf0.1 but the driver only grades at sf0.01).
 """
 import os, sys, traceback
 
@@ -19,7 +22,14 @@ import numpy as np, pandas as pd
 import __spark_entry__ as e
 from my_flink_1_10_2_spark.session import get_spark
 
-SF = '/root/testdata/sf0.01'
+_args = sys.argv[1:]
+_sf = "0.01"
+if "--sf" in _args:
+    i = _args.index("--sf")
+    _sf = _args[i + 1]
+    del _args[i : i + 2]
+SF = f'/root/testdata/sf{_sf}'
+assert os.path.isdir(SF), f"no testdata dir {SF}"
 spark = get_spark(master='local[16]'); spark.sparkContext.setLogLevel('ERROR')
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders',
@@ -39,8 +49,8 @@ def canon(df):
 
 bad = []
 names = [n for n in qs if n in osql]
-if len(sys.argv) > 1:
-    want = set(sys.argv[1:])
+if _args:
+    want = set(_args)
     unknown = want - set(names)
     if unknown:
         print(f"WARNING: not in oracle registry: {sorted(unknown)}", flush=True)

@@ -63,6 +63,7 @@ def continuous_early_fire_log(
     interval_us: int,
     delay_us: int,
     slide_us: int | None = None,
+    compact_every: int = 8,
     _test_retry: bool = False,
     _test_fail_once_at: int | None = None,
 ) -> DataFrame:
@@ -115,16 +116,23 @@ def continuous_early_fire_log(
         os.utime(dst, (base_ts + i, base_ts + i))
 
     acc_dir, log_dir = f"{work}/acc", f"{work}/log"
+    from my_flink_1_10_2_spark.streaming.state_dir import StateDir
+
+    acc_state = StateDir(spark, acc_dir, src.schema, compact_every=compact_every)
 
     # Retry-proof by construction (foreachBatch is at-least-once; the
     # driver environment DID redeliver batches in round 4):
-    #   - every write is an OVERWRITE of a per-batch-index subdir, so a
-    #     redelivered batch rewrites identical bytes instead of
-    #     double-appending;
+    #   - state writes go through StateDir (batch-indexed OVERWRITE +
+    #     manifest; a redelivered batch is a durable no-op), which also
+    #     folds the accumulated dirs into one snapshot every
+    #     ``compact_every`` batches so the file count stays bounded on
+    #     long replays;
     #   - the watermarks are derived from the DATA (max ts over the
-    #     accumulated per-batch dirs) plus the statically-known batch
-    #     order, never from a mutable driver counter — a retry recomputes
-    #     the exact same cur_wm/prev_wm.
+    #     accumulated state, filtered by the batch COLUMN — exact even
+    #     when a retry reads state that already includes this batch)
+    #     plus the statically-known batch order, never from a mutable
+    #     driver counter — a retry recomputes the exact same
+    #     cur_wm/prev_wm.
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
         if batch_df.isEmpty():
             return
@@ -140,20 +148,20 @@ def continuous_early_fire_log(
             )
         i = batch_index[b]
 
-        batch_df.write.mode("overwrite").parquet(f"{acc_dir}/b{i:03d}")
-        acc_paths = [f"{acc_dir}/b{j:03d}" for j in range(i + 1)]
-        acc = spark.read.parquet(*acc_paths)
+        acc_state.write_batch(batch_df, i)
+        acc = acc_state.read()
 
         # watermark state from data, not driver memory: max event time
-        # over batches <= i (cur) and <= i-1 (prev); max is cumulative so
-        # this equals the streamed high-watermark at each point.
+        # over batches <= i (cur) and < i (prev); the batch-column filter
+        # (values sorted, so value order == index order) keeps both exact
+        # under redelivery and across compaction snapshots.
         max_te = int(acc.agg(F.max(ts_col)).first()[0])
         cur_wm = END_OF_INPUT_WM if i == n_batches - 1 else max_te - delay_us
         if i == 0:
             prev_wm = -(2**62)
         else:
             prev_max = int(
-                spark.read.parquet(*acc_paths[:-1]).agg(F.max(ts_col)).first()[0]
+                acc.where(F.col(batch_col) < b).agg(F.max(ts_col)).first()[0]
             )
             prev_wm = prev_max - delay_us
         # window assignment: tumbling = 1 window; sliding = every start
@@ -248,6 +256,7 @@ def allowed_lateness_update_log(
     size_us: int,
     delay_us: int,
     lateness_us: int,
+    compact_every: int = 8,
     _test_retry: bool = False,
 ) -> DataFrame:
     """allowedLateness UPDATE re-emissions on a live micro-batch stream
@@ -288,6 +297,9 @@ def allowed_lateness_update_log(
 
     acc_dir, log_dir = f"{work}/acc", f"{work}/log"
     win_end = F.col(ts_col) - F.col(ts_col) % size_us + size_us
+    from my_flink_1_10_2_spark.streaming.state_dir import StateDir
+
+    acc_state = StateDir(spark, acc_dir, src.schema, compact_every=compact_every)
 
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
         if batch_df.isEmpty():
@@ -305,17 +317,19 @@ def allowed_lateness_update_log(
         if i == 0:
             prev_wm = -(2**62)
         else:
-            prev_paths = [f"{acc_dir}/b{j:03d}" for j in range(i)]
+            # batch-column filter (not path lists): exact under
+            # redelivery (state may already include batch i) and across
+            # compaction snapshots
             prev_wm = int(
-                spark.read.parquet(*prev_paths).agg(F.max(ts_col)).first()[0]
+                acc_state.read().where(F.col(batch_col) < b)
+                .agg(F.max(ts_col)).first()[0]
             ) - delay_us
         # the element-time drop test: a row whose window closed more than
         # `lateness` before the CURRENT watermark never enters state
         accepted = batch_df.where(win_end + lateness_us > F.lit(prev_wm))
-        accepted.write.mode("overwrite").parquet(f"{acc_dir}/b{i:03d}")
+        acc_state.write_batch(accepted, i)
 
-        acc_paths = [f"{acc_dir}/b{j:03d}" for j in range(i + 1)]
-        acc = spark.read.parquet(*acc_paths)
+        acc = acc_state.read()
         max_te = int(acc.agg(F.max(ts_col)).first()[0])
         cur_wm = END_OF_INPUT_WM if i == n_batches - 1 else max_te - delay_us
 
@@ -337,8 +351,10 @@ def allowed_lateness_update_log(
             (end <= F.lit(cur_wm))
             & ((end > F.lit(prev_wm)) | (F.col("__fa") == F.lit(b)))
         ).withColumn("kind", F.lit("on_time"))
+        # windows touched by THIS batch's accepted rows — via the batch
+        # column (the per-batch subdir may already be compacted away)
         batch_wins = (
-            spark.read.parquet(f"{acc_dir}/b{i:03d}")
+            acc.where(F.col(batch_col) == b)
             .select((win_end - size_us).alias("__ws"), *keys)
             .distinct()
         )

@@ -13,9 +13,13 @@ sides; this operator removes that requirement the same way the reference
 does — by owning the state.  Mapping:
 
   - JoinRecordStateView (per-key row store, RocksDB-backed)
-      → parquet state directories, appended per micro-batch.  State stays
-        on storage and every probe is a distributed Spark join, so the
-        operator scales with the cluster, not the driver.
+      → manifest-governed parquet state (``state_dir.StateDir``):
+        batch-indexed OVERWRITE subdirs (at-least-once redelivery is a
+        no-op), folded into one snapshot every ``compact_every`` batches
+        — the RocksDB-compaction analog, so the file count stays bounded
+        on an unbounded run.  State stays on storage and every probe is
+        a distributed Spark join, so the operator scales with the
+        cluster, not the driver.
   - delta processing (each input record probes the other side once)
       → per-batch delta joins: newL ⋈ (oldR ∪ newR), oldL ⋈ newR.
         Every (left,right) pair is produced by exactly one of the two
@@ -51,13 +55,6 @@ def _typed_nulls(df: DataFrame, schema_src: DataFrame) -> DataFrame:
     return out
 
 
-def _read_state(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
-    try:
-        return spark.read.schema(like.schema).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], like.schema)
-
-
 def _null_pad(df: DataFrame, other: DataFrame, own_first: bool) -> DataFrame:
     """Pad ``df`` with NULLs for ``other``'s columns, in output order."""
     padded = _typed_nulls(df, other)
@@ -77,6 +74,7 @@ class RetractionJoin:
         on: list[tuple[str, str]],
         how: str = "inner",
         state_dir: str | None = None,
+        compact_every: int = 16,
     ):
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(f"unsupported join type: {how}")
@@ -86,6 +84,15 @@ class RetractionJoin:
         self.left, self.right, self.on, self.how = left, right, on, how
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="fl_join_state_")
         self._owns_state = state_dir is None
+        from my_flink_1_10_2_spark.streaming.state_dir import StateDir
+
+        spark = left.sparkSession
+        self._stateL = StateDir(
+            spark, f"{self.state_dir}/left", left.schema, compact_every=compact_every
+        )
+        self._stateR = StateDir(
+            spark, f"{self.state_dir}/right", right.schema, compact_every=compact_every
+        )
 
     # -- plumbing ------------------------------------------------------------
 
@@ -105,8 +112,8 @@ class RetractionJoin:
         self, spark: SparkSession, newL: DataFrame, newR: DataFrame
     ) -> DataFrame:
         """Changelog rows produced by one micro-batch of new inputs."""
-        oldL = _read_state(spark, f"{self.state_dir}/left", self.left)
-        oldR = _read_state(spark, f"{self.state_dir}/right", self.right)
+        oldL = self._stateL.read()
+        oldR = self._stateR.read()
         allR = oldR.unionByName(newR)
 
         def cond(a: DataFrame, b: DataFrame):
@@ -196,14 +203,20 @@ class RetractionJoin:
             spark = batch_df.sparkSession
             newL = batch_df.filter(F.col(_SIDE_COL) == "L").select(*lcols)
             newR = batch_df.filter(F.col(_SIDE_COL) == "R").select(*rcols)
+            if batch_id <= min(
+                self._stateL.applied_index(), self._stateR.applied_index()
+            ):
+                return  # redelivered batch: state already durable, and the
+                # sink already saw this changelog (sinks downstream are
+                # expected idempotent-by-batch-id, as everywhere else)
             changelog = self._delta_changelog(spark, newL, newR).persist()
             try:
                 # Force the changelog BEFORE appending to state: its plan
                 # scans the state parquet as-of the start of this batch.
                 changelog.count()
                 sink_fn(changelog, batch_id)
-                newL.write.mode("append").parquet(f"{self.state_dir}/left")
-                newR.write.mode("append").parquet(f"{self.state_dir}/right")
+                self._stateL.write_batch(newL, batch_id)
+                self._stateR.write_batch(newR, batch_id)
             finally:
                 changelog.unpersist()
 

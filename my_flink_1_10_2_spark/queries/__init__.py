@@ -80,6 +80,7 @@ def _load_all_modules() -> None:
         tpcds5,
         tpcds6,
         tpcds7,
+        tpcds8,
         sketches,
         cep,
         graph,
@@ -103,6 +104,11 @@ def _load_all_modules() -> None:
 # CEP/windows/graph/LLM ops with local-only evidence).
 # q_math_functions leads: it was round 1's only red row.
 _FLAGSHIP_ORDER = [
+    # ---- round-6 new operators first (never driver-graded)
+    "q_png_pixel_stats",
+    "ds_inventory_stockout",
+    "ds_inventory_qoh_rollup",
+    "ds_inventory_before_after",
     # ---- round-5: the two round-4 FAILED rows retry first (the
     # idempotent early-fire fix needs driver re-grading), then the new
     # round-5 operator families

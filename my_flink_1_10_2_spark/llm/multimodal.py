@@ -195,6 +195,129 @@ def resize(media: DataFrame, target_bytes: int = 256, fake: bool = True) -> Data
     )
 
 
+def neardup_png_media(docs: DataFrame) -> DataFrame:
+    """Per-document 16x8 grayscale PNGs in PERIOD-50 groups with a
+    one-pixel perturbation — the image near-dup fixture:
+
+      g = doc_id % 50;  base[i] = (g*31 + i*7) % 256
+      perturbed at i = (doc_id*13) % 128:  (base[i] + 128) % 256
+
+    Documents in the same group are visually identical up to one pixel,
+    so their dHashes differ by only a few bits — genuine near-duplicates
+    for the perceptual-dedup operator, with a closed form the SQL oracle
+    can replay."""
+    from .png import png_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, p = d % 50, (d * 13) % 128
+                px = bytearray((g * 31 + i * 7) % 256 for i in range(128))
+                px[p] = (px[p] + 128) % 256
+                payloads.append(
+                    png_encode(16, 8, bytes(px), channels=1, filter_plan="mixed")
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def png_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash over REAL decoded pixels: decode the PNG,
+    nearest-neighbor-resize to 9x8 (the classic dHash grid), and emit
+    the 64 horizontal-gradient bits split into two 32-bit halves
+    (``hash_lo`` bits 0..31 = rows 0..3, ``hash_hi`` = rows 4..7 —
+    avoiding BIGINT sign overflow at bit 63 in either engine).
+
+    bit(r, c) = resized[r][c] > resized[r][c+1], packed at r*8 + c."""
+    from .png import png_decode
+
+    def one(payload: bytes) -> tuple[int, int]:
+        w, h, ch, px = png_decode(payload)
+        if ch != 1:
+            raise NotImplementedError("dHash expects grayscale PNGs here")
+        res = [
+            [px[(r * h // 8) * w + (c * w // 9)] for c in range(9)]
+            for r in range(8)
+        ]
+        lo = hi = 0
+        for r in range(8):
+            for c in range(8):
+                if res[r][c] > res[r][c + 1]:
+                    if r < 4:
+                        lo |= 1 << (r * 8 + c)
+                    else:
+                        hi |= 1 << ((r - 4) * 8 + c)
+        return lo, hi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "hash_lo": [a for a, _ in hashes],
+                    "hash_hi": [b for _, b in hashes],
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "media_id bigint, hash_lo bigint, hash_hi bigint"
+    )
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs by banded hamming join: split the 64-bit
+    dHash into 4 x 16-bit bands; pairs sharing ANY band are candidates
+    (pigeonhole: <= 3 differing bits can touch at most 3 of 4 bands, so
+    recall is EXACT for max_hamming <= 3); the exact popcount filter
+    runs JVM-side on the candidates only — never all-pairs.  The same
+    band-bucket discipline as MinHash-LSH (`llm/dedup.py`)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16 banding is only exact for hamming <= 3; raise the band "
+            "count for looser thresholds"
+        )
+    bands = F.array(
+        F.col("hash_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("hash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("hash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("hash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+    banded = hashes.select(
+        "media_id", "hash_lo", "hash_hi", F.posexplode(bands).alias("band", "bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+                + F.bit_count(F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi")))
+            ).cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
 def resize_png(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL image resize: decode → nearest-neighbor scale → re-encode,
     inside one Arrow batch loop (pure-stdlib codec, executor-side only).

@@ -106,6 +106,7 @@ def _load_all_modules() -> None:
 _FLAGSHIP_ORDER = [
     # ---- round-6 new operators first (never driver-graded)
     "q_png_pixel_stats",
+    "q_image_dhash_neardup",
     "ds_inventory_stockout",
     "ds_inventory_qoh_rollup",
     "ds_inventory_before_after",

@@ -501,6 +501,59 @@ def q_png_pixel_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q_image_dhash_neardup",
+    oracle="""
+    WITH idx AS (SELECT doc_id AS d, unnest(range(64)) AS k FROM documents),
+    cells AS (
+      SELECT d, k,
+             (k // 8) * 16 + ((k % 8) * 16) // 9 AS i1,
+             (k // 8) * 16 + (((k % 8) + 1) * 16) // 9 AS i2
+      FROM idx),
+    vals AS (
+      SELECT d, k,
+             CASE WHEN i1 = (d*13) % 128 THEN ((d%50)*31 + i1*7 + 128) % 256
+                  ELSE ((d%50)*31 + i1*7) % 256 END AS v1,
+             CASE WHEN i2 = (d*13) % 128 THEN ((d%50)*31 + i2*7 + 128) % 256
+                  ELSE ((d%50)*31 + i2*7) % 256 END AS v2
+      FROM cells),
+    h AS MATERIALIZED (
+      SELECT d,
+             CAST(sum(CASE WHEN k < 32 AND v1 > v2
+                           THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN k >= 32 AND v1 > v2
+                           THEN 1::BIGINT << (k - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM vals GROUP BY d)
+    SELECT a.d AS doc_a, b.d AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.d < b.d
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    category="llm_multimodal",
+)
+def q_image_dhash_neardup(spark, sf_dir):
+    """Image perceptual near-dup (the multimodal analog of MinHash-LSH
+    text dedup): per-document PNGs — period-50 groups with a one-pixel
+    perturbation — are REALLY encoded (mixed scanline filters), REALLY
+    decoded (llm/png.py), dHashed over the decoded pixels (9x8
+    nearest-neighbor grid, 64 horizontal-gradient bits), and paired by a
+    4x16-bit banded hamming join (pigeonhole-exact for hamming <= 3 —
+    candidates are band-bucket collisions, never all-pairs).  The SQL
+    oracle replays the closed-form pixels through the same dHash
+    arithmetic; any decode/resize/packing defect mismatches."""
+    docs = read(spark, sf_dir, "documents")
+    from my_flink_1_10_2_spark.llm.multimodal import (
+        dhash_neardup_pairs,
+        neardup_png_media,
+        png_dhash,
+    )
+
+    hashes = png_dhash(neardup_png_media(docs))
+    return dhash_neardup_pairs(hashes, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # token counting (pipeline brief: whitespace + BPE-ish regex)
 # ---------------------------------------------------------------------------

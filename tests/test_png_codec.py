@@ -103,6 +103,36 @@ def test_synthetic_media_decodes_to_closed_form(spark):
         assert r.features[4:] == [float(sum(px)), float(min(px)), float(max(px))]
 
 
+def test_dhash_band_join_equals_bruteforce(spark):
+    """The 4x16-band candidate join must return EXACTLY the brute-force
+    hamming<=3 pair set (pigeonhole guarantee), on real decoded pixels."""
+    from my_flink_1_10_2_spark.llm.multimodal import (
+        dhash_neardup_pairs,
+        neardup_png_media,
+        png_dhash,
+    )
+
+    docs = read(spark, SF_DIR, "documents").filter("doc_id < 150")
+    hashes = png_dhash(neardup_png_media(docs))
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dhash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    hs = {r.media_id: (r.hash_lo, r.hash_hi) for r in hashes.collect()}
+    brute = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if d <= 3:
+                brute.add((a, b, d))
+    assert banded == brute and len(brute) > 50
+    with pytest.raises(ValueError, match="hamming <= 3"):
+        dhash_neardup_pairs(hashes, max_hamming=5)
+
+
 def test_resize_png_real_pixels(spark):
     """Nearest-neighbor resize: decoded output pixels equal the manual
     index mapping of the decoded input pixels."""

@@ -388,14 +388,22 @@ class KafkaExactlyOnceSink:
     manifest (same machinery as :class:`TransactionalForeachBatchSink`)
     short-circuits replays of already-committed batches.
 
-    Honest deviation from the reference: FlinkKafkaProducer closes the
-    crash-window *between* broker commit and its own state write by
-    resuming the SAME prepared transaction on recovery (a client
-    internals hack, resumeTransaction). A plain Kafka client cannot
-    resume transactions across producer sessions, so a crash in the
-    narrow window after ``commit_transaction`` returns but before the
-    manifest record lands replays one duplicate transaction.  Every
-    message carries a ``graft-batch-id`` header so even that window is
+    The crash-window *between* broker commit and the manifest write
+    (the reference closes it with resumeTransaction, a Java-client
+    internals hack a plain client can't do) is closed here with a
+    TRANSACTION-OUTCOME RECORD instead: every transaction also sends
+    one tracking record (key = ``<batch>`` or ``<batch>-p<pid>``) to
+    ``txn_topic`` INSIDE the same transaction, so its read_committed
+    visibility is exactly the transaction's outcome.  On replay of a
+    batch missing from the manifest, ``txn_probe()`` (default: a
+    read_committed scan of the small tracking topic; injectable) tells
+    which transactions already committed — those are skipped, the rest
+    re-send under the same fenced ``transactional.id``.  Per-partition
+    resolution assumes Spark's replayed micro-batch reproduces the same
+    partition indices (true for the deterministic sources Structured
+    Streaming replays from).  If no probe is available (no client lib),
+    behavior degrades to the previous documented at-least-once window;
+    every message carries a ``graft-batch-id`` header so even that is
     downstream-dedupable.
 
     ``producer_factory(transactional_id) -> producer`` must return an
@@ -415,6 +423,8 @@ class KafkaExactlyOnceSink:
         transactional_id_prefix: str = "spark-graft-txn",
         producer_factory: Callable[[str], object] | None = None,
         distributed: bool = True,
+        txn_topic: str | None = None,
+        txn_probe: Callable[[], set] | None = None,
     ):
         if producer_factory is None:
             properties = dict(properties or {})
@@ -429,8 +439,42 @@ class KafkaExactlyOnceSink:
         # reference's per-subtask producer pool; False runs the send
         # loop on the driver (tests with recording mock producers).
         self.distributed = distributed
+        # transaction-outcome tracking: one record per transaction sent
+        # to txn_topic INSIDE the transaction; txn_probe() returns the
+        # committed tracking keys (strings) visible at read_committed.
+        self.txn_topic = txn_topic or f"{topic}.graft-txn"
+        self.txn_probe = txn_probe if txn_probe is not None else self._default_probe
         self.manifest = os.path.join(manifest_dir, "committed_batches.json")
         os.makedirs(manifest_dir, exist_ok=True)
+        # outcome resolution is only needed for the FIRST unmanifested
+        # batch after a (re)start — later batches in this process were
+        # fully handled here, so no hidden committed transaction exists
+        self._probe_done = False
+
+    def _default_probe(self) -> set:
+        """read_committed scan of the (small) tracking topic → the set
+        of committed transaction keys.  Needs a Kafka client library;
+        callers treat NotImplementedError as 'no resolution available'
+        (the documented downstream-dedupable window)."""
+        try:
+            from kafka import KafkaConsumer  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "transaction-outcome probe needs kafka-python or an "
+                "injected txn_probe"
+            ) from exc
+        consumer = KafkaConsumer(
+            self.txn_topic,
+            bootstrap_servers=self.properties["bootstrap.servers"],
+            isolation_level="read_committed",
+            auto_offset_reset="earliest",
+            enable_auto_commit=False,
+            consumer_timeout_ms=5000,
+        )
+        try:
+            return {m.key.decode() for m in consumer if m.key}
+        finally:
+            consumer.close()
 
     def _default_factory(self, transactional_id: str):
         try:
@@ -468,10 +512,14 @@ class KafkaExactlyOnceSink:
         os.replace(tmp, self.manifest)  # atomic commit point
 
     @staticmethod
-    def _send_rows(producer, topic: str, rows, batch_id: int) -> None:
+    def _send_rows(
+        producer, topic: str, rows, batch_id: int,
+        txn_topic: str | None = None, txn_key: str | None = None,
+    ) -> None:
         """One full transaction: fence (aborting any prior incomplete
-        attempt with this transactional.id), send, flush (= preCommit),
-        commit; abort on any error."""
+        attempt with this transactional.id), send, append the outcome
+        record to the tracking topic, flush (= preCommit), commit; abort
+        on any error."""
         try:
             producer.init_transactions()
             producer.begin_transaction()
@@ -480,6 +528,15 @@ class KafkaExactlyOnceSink:
                 d = row.asDict() if hasattr(row, "asDict") else dict(row)
                 producer.send(
                     topic, key=d.get("key"), value=d["value"], headers=header
+                )
+            if txn_topic is not None:
+                # committed atomically with the data: its read_committed
+                # visibility IS the transaction outcome
+                producer.send(
+                    txn_topic,
+                    key=txn_key.encode(),
+                    value=b"committed",
+                    headers=header,
                 )
             producer.flush()
             producer.commit_transaction()
@@ -491,11 +548,24 @@ class KafkaExactlyOnceSink:
             raise
         producer.close()
 
+    def _resolved(self) -> set:
+        """Committed transaction keys per the tracking topic, or an
+        empty set when no probe path is available."""
+        try:
+            return set(self.txn_probe())
+        except NotImplementedError:
+            return set()
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self._committed():
             return  # replayed, already committed — exactly-once skip
+        resolved: set = set()
+        if not self._probe_done:
+            resolved = self._resolved()
+            self._probe_done = True
         if self.distributed:
             topic, prefix, factory = self.topic, self.prefix, self.producer_factory
+            txn_topic = self.txn_topic
             send = self._send_rows
 
             def send_partition(rows):
@@ -503,14 +573,24 @@ class KafkaExactlyOnceSink:
 
                 ctx = TaskContext.get()
                 pid = ctx.partitionId() if ctx is not None else 0
-                send(factory(f"{prefix}-{batch_id}-p{pid}"), topic, rows, batch_id)
+                key = f"{batch_id}-p{pid}"
+                if key in resolved:
+                    return  # this partition's txn committed pre-crash
+                send(
+                    factory(f"{prefix}-{batch_id}-p{pid}"),
+                    topic, rows, batch_id, txn_topic, key,
+                )
 
             batch_df.foreachPartition(send_partition)
         else:
-            self._send_rows(
-                self.producer_factory(f"{self.prefix}-{batch_id}"),
-                self.topic,
-                batch_df.toLocalIterator(),
-                batch_id,
-            )
+            key = str(batch_id)
+            if key not in resolved:
+                self._send_rows(
+                    self.producer_factory(f"{self.prefix}-{batch_id}"),
+                    self.topic,
+                    batch_df.toLocalIterator(),
+                    batch_id,
+                    self.txn_topic,
+                    key,
+                )
         self._record(batch_id)

@@ -163,17 +163,28 @@ def _batch(spark, vals):
     return spark.createDataFrame([(str(v).encode(),) for v in vals], "value binary")
 
 
+def _data_msgs(topic="out"):
+    return [m for m in MockProducer.committed_messages if m[0] == topic]
+
+
+def _txn_keys(topic="out.graft-txn"):
+    return {m[1].decode() for m in MockProducer.committed_messages if m[0] == topic}
+
+
 def test_exactly_once_sink_skips_replayed_batch(spark, tmp_path):
     MockProducer.reset()
     sink = KafkaExactlyOnceSink(
-        "out", str(tmp_path), producer_factory=MockProducer, distributed=False
+        "out", str(tmp_path), producer_factory=MockProducer, distributed=False,
+        txn_probe=lambda: set(),
     )
     sink(_batch(spark, [1, 2, 3]), batch_id=7)
-    assert len(MockProducer.committed_messages) == 3
+    assert len(_data_msgs()) == 3
+    # the outcome record committed atomically with the data
+    assert _txn_keys() == {"7"}
     sink(_batch(spark, [1, 2, 3]), batch_id=7)  # duplicate delivery
-    assert len(MockProducer.committed_messages) == 3  # nothing re-sent
+    assert len(_data_msgs()) == 3  # nothing re-sent
     sink(_batch(spark, [4]), batch_id=8)
-    assert len(MockProducer.committed_messages) == 4
+    assert len(_data_msgs()) == 4
     # every message carries the batch-id header for downstream dedup
     assert all(
         h[0][0] == "graft-batch-id" for *_rest, h in MockProducer.committed_messages
@@ -188,17 +199,75 @@ def test_exactly_once_sink_commit_crash_then_replay_no_duplicates(spark, tmp_pat
     MockProducer.reset()
     MockProducer.fail_commits = 1
     sink = KafkaExactlyOnceSink(
-        "out", str(tmp_path), producer_factory=MockProducer, distributed=False
+        "out", str(tmp_path), producer_factory=MockProducer, distributed=False,
+        txn_probe=_txn_keys,
     )
     with pytest.raises(RuntimeError, match="broker connection lost"):
         sink(_batch(spark, [10, 11]), batch_id=3)
     assert MockProducer.committed_messages == []  # nothing visible
     assert ("abort", "spark-graft-txn-3") in MockProducer.protocol
     sink(_batch(spark, [10, 11]), batch_id=3)  # Spark replays the batch
-    assert len(MockProducer.committed_messages) == 2
+    assert len(_data_msgs()) == 2
     # both attempts used the SAME transactional id → broker fencing
     inits = [t for op, t in MockProducer.protocol if op == "init"]
     assert inits == ["spark-graft-txn-3", "spark-graft-txn-3"]
+
+
+def test_exactly_once_commit_landed_but_manifest_lost_no_duplicates(spark, tmp_path):
+    """THE residual window the reference closes with resumeTransaction:
+    the broker commit SUCCEEDED but the driver died before the manifest
+    record.  On restart, the outcome probe reads the tracking topic
+    (committed atomically with the data) and skips the re-send — zero
+    duplicates, manifest repaired."""
+    MockProducer.reset()
+    sink = KafkaExactlyOnceSink(
+        "out", str(tmp_path), producer_factory=MockProducer, distributed=False,
+        txn_probe=_txn_keys,
+    )
+    real_record = sink._record
+    sink._record = lambda b: (_ for _ in ()).throw(OSError("disk died"))
+    with pytest.raises(OSError, match="disk died"):
+        sink(_batch(spark, [1, 2]), batch_id=5)
+    assert len(_data_msgs()) == 2  # broker commit DID land
+    assert _txn_keys() == {"5"}
+
+    # driver restart: fresh sink instance over the same manifest dir
+    sink2 = KafkaExactlyOnceSink(
+        "out", str(tmp_path), producer_factory=MockProducer, distributed=False,
+        txn_probe=_txn_keys,
+    )
+    sink2(_batch(spark, [1, 2]), batch_id=5)  # Spark replays the batch
+    assert len(_data_msgs()) == 2  # NOT re-sent: outcome resolved
+    assert 5 in sink2._committed()  # manifest repaired
+    sink2(_batch(spark, [9]), batch_id=6)  # next batch flows normally
+    assert len(_data_msgs()) == 3
+    del real_record
+
+
+def test_exactly_once_probe_unavailable_degrades_to_header_dedup(spark, tmp_path):
+    """Without any probe path (NotImplementedError), the replay after a
+    lost manifest re-sends — the documented downstream-dedupable
+    degradation, not silent loss."""
+    MockProducer.reset()
+
+    def no_probe():
+        raise NotImplementedError("no client lib")
+
+    sink = KafkaExactlyOnceSink(
+        "out", str(tmp_path), producer_factory=MockProducer, distributed=False,
+        txn_probe=no_probe,
+    )
+    sink._record = lambda b: (_ for _ in ()).throw(OSError("disk died"))
+    with pytest.raises(OSError):
+        sink(_batch(spark, [1]), batch_id=0)
+    sink2 = KafkaExactlyOnceSink(
+        "out", str(tmp_path), producer_factory=MockProducer, distributed=False,
+        txn_probe=no_probe,
+    )
+    sink2(_batch(spark, [1]), batch_id=0)
+    msgs = _data_msgs()
+    assert len(msgs) == 2  # duplicate exists...
+    assert {h[0] for *_r, hs in msgs for h in hs} == {"graft-batch-id"}  # ...but tagged
 
 
 def test_exactly_once_sink_distributed_partition_transactions(spark, tmp_path):
@@ -226,7 +295,8 @@ def test_exactly_once_sink_distributed_partition_transactions(spark, tmp_path):
             pass
 
         def send(self, topic, key=None, value=None, headers=None):
-            self.pending.append(value.decode())
+            if topic == "out":  # tracking-topic records are not data
+                self.pending.append(value.decode())
 
         def flush(self):
             pass
@@ -256,6 +326,91 @@ def test_exactly_once_sink_distributed_partition_transactions(spark, tmp_path):
     assert len(txn_ids) > 1  # genuinely partition-parallel transactions
     sink(df, batch_id=1)  # replay: manifest short-circuits
     assert len(open(out).read().splitlines()) == 20
+
+
+def test_exactly_once_distributed_partial_commit_recovery(spark, tmp_path):
+    """Distributed mode, the partial-commit crash: partition 0's
+    transaction commits, partition 1's commit dies, the manifest is
+    never written.  The replay must re-send ONLY partition 1 (p0's
+    outcome record resolves it as committed) — per-subtask recovery,
+    the reference's TwoPhaseCommitSinkFunction contract."""
+    import functools
+    import json
+
+    out = str(tmp_path / "messages.txt")
+    crash_flag = str(tmp_path / "crashed")
+
+    class PartialFailProducer:
+        def __init__(self, txn_id, out_file=None, flag=None):
+            self.txn_id, self.out_file, self.flag = txn_id, out_file, flag
+            self.pending = []
+
+        def init_transactions(self):
+            pass
+
+        def begin_transaction(self):
+            pass
+
+        def send(self, topic, key=None, value=None, headers=None):
+            self.pending.append((topic, (key or b"").decode(), value.decode()))
+
+        def flush(self):
+            pass
+
+        def commit_transaction(self):
+            import os as _os
+
+            if self.txn_id.endswith("-p1") and not _os.path.exists(self.flag):
+                open(self.flag, "w").close()
+                raise RuntimeError("broker died committing p1")
+            with open(self.out_file, "a") as f:
+                for topic, key, v in self.pending:
+                    f.write(json.dumps([self.txn_id, topic, key, v]) + "\n")
+
+        def abort_transaction(self):
+            self.pending = []
+
+        def close(self):
+            pass
+
+    def probe():
+        import os as _os
+
+        if not _os.path.exists(out):
+            return set()
+        return {
+            json.loads(line)[2]
+            for line in open(out)
+            if json.loads(line)[1] == "out.graft-txn"
+        }
+
+    factory = functools.partial(PartialFailProducer, out_file=out, flag=crash_flag)
+    sink = KafkaExactlyOnceSink(
+        "out", str(tmp_path / "m"), producer_factory=factory,
+        distributed=True, txn_probe=probe,
+    )
+    df = _batch(spark, range(10)).repartition(2)
+    with pytest.raises(Exception):
+        sink(df, batch_id=1)
+    committed_vals = [
+        json.loads(line)[3] for line in open(out)
+        if json.loads(line)[1] == "out"
+    ]
+    assert 0 < len(committed_vals) < 10  # genuinely partial
+
+    sink2 = KafkaExactlyOnceSink(  # driver restart
+        "out", str(tmp_path / "m"), producer_factory=factory,
+        distributed=True, txn_probe=probe,
+    )
+    sink2(df, batch_id=1)
+    vals = sorted(
+        int(json.loads(line)[3]) for line in open(out)
+        if json.loads(line)[1] == "out"
+    )
+    assert vals == list(range(10))  # every row exactly once
+    assert probe() == {"1-p0", "1-p1"}
+    sink2(df, batch_id=1)  # full replay after manifest: no-op
+    assert len([l for l in open(out) if json.loads(l)[1] == "out"]) == 10
 
 
 def test_kafka_sink_routes_exactly_once_to_foreachbatch(spark, tmp_path):

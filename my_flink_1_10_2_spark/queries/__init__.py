@@ -107,6 +107,7 @@ _FLAGSHIP_ORDER = [
     # ---- round-6 new operators first (never driver-graded)
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
+    "q_time_type_ops",
     "ds_inventory_stockout",
     "ds_inventory_qoh_rollup",
     "ds_inventory_before_after",

@@ -371,3 +371,70 @@ def q_sql_flink_functions(spark, sf_dir):
         ORDER BY doc_id
         """
     ).df
+
+
+@register(
+    "q_time_type_ops",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             ((hour(ts)*60 + minute(ts))*60 + second(ts))*1000
+               + (CAST(date_part('microsecond', ts) AS BIGINT) % 1000000) // 1000
+               AS tod
+      FROM events)
+    SELECT event_type,
+           CAST(min(tod) AS BIGINT) AS min_t,
+           CAST(max(tod) AS BIGINT) AS max_t,
+           lpad(CAST(min(tod) // 3600000 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST((min(tod) // 60000) % 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST((min(tod) // 1000) % 60 AS VARCHAR), 2, '0') AS min_fmt,
+           CAST(sum(CASE WHEN tod >= 43200000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_afternoon,
+           CAST(count(*) AS BIGINT) AS n_fmt_roundtrip
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    category="scalar_functions",
+)
+def q_time_type_ops(spark, sf_dir):
+    """TIME(p) type surface (SURVEY §1.2 gap closed by evidence):
+    time-of-day carried as the reference's canonical millis-of-day
+    integer encoding (TimeType.java / LocalTime millis), with CAST
+    (timestamp→TIME via time_of_day, TIME→STRING via time_format,
+    STRING→TIME via to_time), field extraction (HOUR/MINUTE/SECOND),
+    TIME literals (time_lit '12:00:00'), all as exact JVM integer
+    arithmetic.  n_fmt_roundtrip re-parses the formatted string with
+    to_time and must equal count(*) — the oracle grades the Spark parse
+    path against the identity it must satisfy."""
+    from my_flink_1_10_2_spark.functions.time_type import (
+        time_format,
+        time_lit,
+        time_of_day,
+        to_time,
+    )
+
+    e = read(spark, sf_dir, "events")
+    t = e.select("event_type", time_of_day("ts").alias("tod"))
+    noon = time_lit("12:00:00")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.min("tod").cast("bigint").alias("min_t"),
+            F.max("tod").cast("bigint").alias("max_t"),
+            F.sum((F.col("tod") >= noon).cast("int")).cast("bigint").alias("n_afternoon"),
+            F.sum(
+                (
+                    to_time(time_format(F.col("tod")))
+                    == F.col("tod") - F.col("tod") % 1000
+                ).cast("int")
+            ).cast("bigint").alias("n_fmt_roundtrip"),
+        )
+        .select(
+            "event_type",
+            "min_t",
+            "max_t",
+            time_format(F.col("min_t")).alias("min_fmt"),
+            "n_afternoon",
+            "n_fmt_roundtrip",
+        )
+        .orderBy("event_type")
+    )

@@ -342,6 +342,29 @@ class Stream:
 
         return self.for_each_batch(handle, checkpoint)
 
+    def assign_punctuated(
+        self,
+        assigner: "AssignerWithPunctuatedWatermarks",
+        on_time_fn: Callable[[DataFrame, int], None],
+        late_fn: Callable[[DataFrame, int], None],
+        checkpoint: str | None = None,
+    ):
+        """The reference's per-record assigner API shape (ref:
+        AssignerWithPunctuatedWatermarks.java — extractTimestamp +
+        checkAndGetNextWatermark per element), lowered onto the
+        marker-row machinery below.  The assigner's two methods return
+        COLUMN expressions, so the per-record logic runs JVM-side."""
+        ts = assigner.extract_timestamp(self.df)
+        with_ts = self.df.withColumn("__punct_ts", ts)
+        wm = assigner.check_and_get_next_watermark(
+            with_ts, F.col("__punct_ts")
+        )
+        return Stream(
+            with_ts.withColumn("__punct_wm", wm)
+        ).for_each_batch_with_punctuated_watermarks(
+            "__punct_wm", "__punct_ts", on_time_fn, late_fn, checkpoint
+        )
+
     def for_each_batch_with_punctuated_watermarks(
         self,
         wm_col: str,
@@ -1102,3 +1125,25 @@ class CoGroupedStreams:
             )
 
         return Stream(lg.cogroup(rg).applyInPandas(run, schema))
+
+
+class AssignerWithPunctuatedWatermarks:
+    """API-shape parity with the reference's per-record punctuated
+    assigner (ref: flink-streaming-java/.../functions/timestamps/
+    AssignerWithPunctuatedWatermarks.java): subclass and override both
+    methods with COLUMN expressions — the per-record decision runs
+    JVM-side, applied through :meth:`Stream.assign_punctuated`.
+
+    - ``extract_timestamp(df)`` → the event-time Column
+      (extractTimestamp)
+    - ``check_and_get_next_watermark(df, ts)`` → a Column that is
+      non-null exactly on watermark-announcing records and carries the
+      announced watermark (checkAndGetNextWatermark returning null =
+      no watermark)
+    """
+
+    def extract_timestamp(self, df: DataFrame):
+        raise NotImplementedError("override with a Column expression")
+
+    def check_and_get_next_watermark(self, df: DataFrame, ts):
+        raise NotImplementedError("override with a Column expression")

@@ -772,6 +772,42 @@ def test_punctuated_watermarks(spark, replay_dir):
     assert len(late2) > 0 and len(seen2) > 0
 
 
+def test_punctuated_assigner_class_api(spark, replay_dir):
+    """The reference's CLASS API shape (extractTimestamp +
+    checkAndGetNextWatermark as overridable methods) must produce the
+    identical split as the column-level harness it lowers onto."""
+    from my_flink_1_10_2_spark.streaming.stream import (
+        AssignerWithPunctuatedWatermarks,
+    )
+
+    class SignupMarkers(AssignerWithPunctuatedWatermarks):
+        def extract_timestamp(self, df):
+            return F.col("ts")
+
+        def check_and_get_next_watermark(self, df, ts):
+            return F.when(F.col("event_type") == "signup", ts)
+
+    env = _env(spark)
+    stream = env.from_files(replay_dir, EVENTS_SCHEMA).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    seen, late = [], []
+    stream.assign_punctuated(
+        SignupMarkers(),
+        lambda df, bid: seen.extend(df.collect()),
+        lambda df, bid: late.extend(df.collect()),
+    )
+    total = _batch_events(spark).count()
+    assert len(seen) + len(late) == total
+    assert len(late) == 0  # ts-sorted replay: markers never regress
+    # base class methods are abstract
+    base = AssignerWithPunctuatedWatermarks()
+    with pytest.raises(NotImplementedError):
+        base.extract_timestamp(stream.df)
+    with pytest.raises(NotImplementedError):
+        base.check_and_get_next_watermark(stream.df, F.col("ts"))
+
+
 def test_upsert_materialize_semantics(spark):
     """UpsertStreamTableSink semantics: latest message per key wins and a
     trailing delete removes the key (ref: UpsertStreamTableSink.java)."""

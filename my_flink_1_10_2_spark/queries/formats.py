@@ -324,3 +324,61 @@ def q_jdbc_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_hbase_rest_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_hbase_rest_roundtrip(spark, sf_dir):
+    """HBase connector graded over a REAL HTTP transport (ref:
+    flink-hbase/.../HBaseTableSource.java, HBaseUpsertTableSink.java,
+    HBaseTableSchema.java): nation writes through the typed REST sink
+    (Bytes.toBytes wire cells) into a live in-process Stargate
+    emulator, reads back through range-partitioned scanners (3 region
+    splits, paginated GETs), and the rollup must equal the parquet
+    source — live protocol evidence for the jar-free HBase path."""
+    from my_flink_1_10_2_spark.sources.hbase_rest import (
+        HBaseSchema,
+        HBaseTypedRestSink,
+        InMemoryHBaseRestServer,
+        hbase_rest_source,
+    )
+
+    schema = HBaseSchema(
+        "n_nationkey",
+        "BIGINT",
+        [
+            ("n_name", "info", "name", "STRING"),
+            ("n_regionkey", "info", "region", "INT"),
+        ],
+    )
+    server = InMemoryHBaseRestServer(page_rows=4)
+    try:
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", F.col("n_regionkey").cast("int")
+        )
+        HBaseTypedRestSink(server.url, "nation_t", schema, batch_max_rows=7)(src)
+        back = hbase_rest_source(
+            spark, server.url, "nation_t", schema, split_keys=[9, 17], batch=6
+        )
+        return (
+            back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            # materialize BEFORE the emulator dies with this function
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

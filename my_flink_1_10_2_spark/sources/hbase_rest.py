@@ -312,3 +312,105 @@ class HBaseTypedRestSink:
                 flush(buf)
 
         df.foreachPartition(write_partition)
+
+
+# -- in-process emulator -------------------------------------------------------
+
+
+class InMemoryHBaseRestServer:
+    """In-process HBase REST gateway emulator — an ordered {rowkey_bytes:
+    {'cf:q': value_bytes}} store speaking the scanner create/next/delete
+    and multi-row PUT subset of the Stargate API.  Development/testing
+    utility (the qs_server.py precedent): lets the source/sink be graded
+    over a REAL HTTP transport without an HBase install."""
+
+    def __init__(self, page_rows: int = 2):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        # page_rows: rows per scanner GET (small default forces the
+        # client through the pagination loop)
+        self.page_rows = page_rows
+        self.store: dict[bytes, dict[str, bytes]] = {}
+        self.scanners: dict[str, list] = {}
+        self.scanner_log: list[tuple] = []  # (start, stop) per scanner
+        self._next_id = [0]
+        fake = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def _body(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(n) if n else b""
+
+            def do_PUT(self):
+                parts = self.path.strip("/").split("/")
+                if parts[-1] == "scanner":  # create scanner
+                    model = json.loads(self._body())
+                    start = _unb64(model["startRow"]) if "startRow" in model else b""
+                    stop = _unb64(model["endRow"]) if "endRow" in model else None
+                    fake.scanner_log.append((start, stop))
+                    keys = sorted(
+                        k for k in fake.store
+                        if k >= start and (stop is None or k < stop)
+                    )
+                    sid = f"s{fake._next_id[0]}"
+                    fake._next_id[0] += 1
+                    fake.scanners[sid] = keys
+                    self.send_response(201)
+                    self.send_header(
+                        "Location",
+                        f"http://{self.headers['Host']}/{parts[0]}/scanner/{sid}",
+                    )
+                    self.end_headers()
+                    return
+                # multi-row CellSet PUT
+                for row in json.loads(self._body())["Row"]:
+                    key = _unb64(row["key"])
+                    cells = fake.store.setdefault(key, {})
+                    for c in row["Cell"]:
+                        col = _unb64(c["column"]).decode()
+                        cells[col] = _unb64(c["$"])
+                self.send_response(200)
+                self.end_headers()
+
+            def do_GET(self):
+                sid = self.path.strip("/").split("/")[-1]
+                keys = fake.scanners.get(sid, [])
+                if not keys:
+                    self.send_response(204)
+                    self.end_headers()
+                    return
+                n = fake.page_rows
+                chunk, fake.scanners[sid] = keys[:n], keys[n:]
+                rows = [
+                    {
+                        "key": _b64(k),
+                        "Cell": [
+                            {"column": _b64(col.encode()), "timestamp": 1, "$": _b64(v)}
+                            for col, v in sorted(fake.store[k].items())
+                        ],
+                    }
+                    for k in chunk
+                ]
+                body = json.dumps({"Row": rows}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_DELETE(self):
+                fake.scanners.pop(self.path.strip("/").split("/")[-1], None)
+                self.send_response(200)
+                self.end_headers()
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -8,9 +8,6 @@ from __future__ import annotations
 import base64
 import json
 import struct
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
 import pytest
 
 from my_flink_1_10_2_spark.sources.hbase_rest import (
@@ -26,94 +23,9 @@ def _b64(b: bytes) -> str:
     return base64.b64encode(b).decode()
 
 
-class FakeHBaseRest:
-    """In-process HBase REST gateway: an ordered {rowkey_bytes:
-    {'cf:q': value_bytes}} store with scanner create/next/delete and
-    multi-row PUT."""
-
-    def __init__(self):
-        self.store: dict[bytes, dict[str, bytes]] = {}
-        self.scanners: dict[str, list] = {}
-        self.scanner_log: list[tuple] = []  # (start, stop) per scanner
-        self._next_id = [0]
-        fake = self
-
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):  # silence
-                pass
-
-            def _body(self):
-                n = int(self.headers.get("Content-Length", 0))
-                return self.rfile.read(n) if n else b""
-
-            def do_PUT(self):
-                parts = self.path.strip("/").split("/")
-                if parts[-1] == "scanner":  # create scanner
-                    model = json.loads(self._body())
-                    start = base64.b64decode(model["startRow"]) if "startRow" in model else b""
-                    stop = base64.b64decode(model["endRow"]) if "endRow" in model else None
-                    fake.scanner_log.append((start, stop))
-                    keys = sorted(
-                        k for k in fake.store
-                        if k >= start and (stop is None or k < stop)
-                    )
-                    sid = f"s{fake._next_id[0]}"
-                    fake._next_id[0] += 1
-                    fake.scanners[sid] = keys
-                    self.send_response(201)
-                    self.send_header(
-                        "Location",
-                        f"http://{self.headers['Host']}/{parts[0]}/scanner/{sid}",
-                    )
-                    self.end_headers()
-                    return
-                # multi-row CellSet PUT
-                for row in json.loads(self._body())["Row"]:
-                    key = base64.b64decode(row["key"])
-                    cells = fake.store.setdefault(key, {})
-                    for c in row["Cell"]:
-                        col = base64.b64decode(c["column"]).decode()
-                        cells[col] = base64.b64decode(c["$"])
-                self.send_response(200)
-                self.end_headers()
-
-            def do_GET(self):
-                sid = self.path.strip("/").split("/")[-1]
-                keys = fake.scanners.get(sid, [])
-                if not keys:
-                    self.send_response(204)
-                    self.end_headers()
-                    return
-                chunk, fake.scanners[sid] = keys[:2], keys[2:]  # page size 2
-                rows = [
-                    {
-                        "key": _b64(k),
-                        "Cell": [
-                            {"column": _b64(col.encode()), "timestamp": 1, "$": _b64(v)}
-                            for col, v in sorted(fake.store[k].items())
-                        ],
-                    }
-                    for k in chunk
-                ]
-                body = json.dumps({"Row": rows}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_DELETE(self):
-                fake.scanners.pop(self.path.strip("/").split("/")[-1], None)
-                self.send_response(200)
-                self.end_headers()
-
-        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
-        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
-
-    def close(self):
-        self.httpd.shutdown()
-        self.httpd.server_close()
+from my_flink_1_10_2_spark.sources.hbase_rest import (
+    InMemoryHBaseRestServer as FakeHBaseRest,
+)
 
 
 SCHEMA = HBaseSchema(

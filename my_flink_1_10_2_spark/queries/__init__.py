@@ -109,6 +109,7 @@ _FLAGSHIP_ORDER = [
     "q_image_dhash_neardup",
     "q_time_type_ops",
     "q_hbase_rest_roundtrip",
+    "q_cassandra_cql_roundtrip",
     "ds_inventory_stockout",
     "ds_inventory_qoh_rollup",
     "ds_inventory_before_after",

@@ -382,3 +382,67 @@ def q_hbase_rest_roundtrip(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_cassandra_cql_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_total,
+           max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_cassandra_cql_roundtrip(spark, sf_dir):
+    """Cassandra sink graded over a REAL TCP connection (ref:
+    CassandraSink.java upsert semantics; wire format per the public
+    native_protocol_v4.spec): nation writes through CassandraCqlSink —
+    executor-side STARTUP/READY handshake + UNLOGGED BATCH frames —
+    into a live in-process protocol server, the server-decoded INSERT
+    statements parse back into rows, and the rollup must equal the
+    parquet source.  Grades the literal encoding, batch framing, and
+    per-partition connection discipline end-to-end."""
+    from my_flink_1_10_2_spark.sources.cassandra_cql import (
+        CassandraCqlSink,
+        InMemoryCqlServer,
+        parse_insert,
+    )
+
+    server = InMemoryCqlServer()
+    try:
+        sink = CassandraCqlSink(
+            "127.0.0.1", "ks", "nation_t",
+            port=server.port, batch_max_statements=7,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        rows = []
+        for stmt in server.statements:
+            table, vals = parse_insert(stmt)
+            if table != "ks.nation_t":
+                raise ValueError(f"unexpected target table {table!r}")
+            rows.append(
+                (
+                    int(vals["n_nationkey"]),
+                    vals["n_name"][1:-1].replace("''", "'"),
+                    int(vals["n_regionkey"]),
+                )
+            )
+        back = spark.createDataFrame(
+            rows, "n_nationkey long, n_name string, n_regionkey long"
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_total"),
+                F.max("n_name").alias("last_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    finally:
+        server.close()

@@ -280,3 +280,133 @@ def cassandra_cql_sink(df: DataFrame, checkpoint: str, **kwargs):
     return df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )
+
+
+# -- in-process emulator -------------------------------------------------------
+
+
+class InMemoryCqlServer:
+    """In-process CQL native-protocol v4 server emulator (write path):
+    READY handshake + UNLOGGED BATCH decoding into the statement strings
+    the executors sent over the live socket.  Development/testing
+    utility (the InMemoryHBaseRestServer precedent): lets the sink be
+    oracle-graded over a REAL TCP transport without a Cassandra
+    install."""
+
+    def __init__(self):
+        import socket as _socket
+        import threading as _threading
+
+        self.statements: list[str] = []
+        self._lock = _threading.Lock()
+        self._srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(64)
+        self.port = self._srv.getsockname()[1]
+        self._stop = False
+        _threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        import threading as _threading
+
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            _threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _handle(self, conn):
+        def resp(opcode: int, body: bytes) -> bytes:
+            return struct.pack(">BBhBi", 0x84, 0x00, 0, opcode, len(body)) + body
+
+        try:
+            while True:
+                opcode, body = read_frame(conn)
+                if opcode == OP_STARTUP:
+                    conn.sendall(resp(OP_READY, b""))
+                elif opcode == OP_BATCH:
+                    stmts = self._decode_batch(body)
+                    with self._lock:
+                        self.statements.extend(stmts)
+                    conn.sendall(resp(OP_RESULT, struct.pack(">i", 1)))
+                else:
+                    err = struct.pack(">i", 0x000A)
+                    err += struct.pack(">H", 0)
+                    conn.sendall(resp(OP_ERROR, err))
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _decode_batch(body: bytes) -> list[str]:
+        btype, n = struct.unpack(">BH", body[:3])
+        if btype != 0x01:
+            raise ValueError(f"expected UNLOGGED batch, got type {btype}")
+        off = 3
+        out = []
+        for _ in range(n):
+            if body[off] != 0:  # CQL string, not a prepared id
+                raise ValueError("unexpected prepared statement in batch")
+            (ln,) = struct.unpack(">i", body[off + 1 : off + 5])
+            out.append(body[off + 5 : off + 5 + ln].decode())
+            off += 5 + ln
+            (n_values,) = struct.unpack(">H", body[off : off + 2])
+            off += 2
+            if n_values:
+                raise ValueError("inline-literal sink should send no values")
+        return out
+
+    def close(self):
+        self._stop = True
+        self._srv.close()
+
+
+def parse_insert(stmt: str) -> tuple[str, dict[str, str]]:
+    """Decode one ``INSERT INTO ks.table (c1, c2) VALUES (l1, l2)``
+    statement (as produced by :class:`CassandraCqlSink`) back into
+    (table, {column: literal-string}) — literals split at top-level
+    commas, string quotes kept.  The read-back half of the emulator
+    roundtrip."""
+    import re as _re
+
+    m = _re.match(r"INSERT INTO (\S+) \((.*?)\) VALUES \((.*)\)\s*$", stmt)
+    if not m:
+        raise ValueError(f"unparseable INSERT: {stmt[:120]!r}")
+    cols = [c.strip() for c in m.group(2).split(",")]
+    vals, depth, in_str, cur = [], 0, False, []
+    s = m.group(3)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(ch)
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            vals.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    vals.append("".join(cur).strip())
+    if len(cols) != len(vals):
+        raise ValueError(f"column/value arity mismatch in {stmt[:120]!r}")
+    return m.group(1), dict(zip(cols, vals))

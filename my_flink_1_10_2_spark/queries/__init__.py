@@ -110,6 +110,8 @@ _FLAGSHIP_ORDER = [
     "q_time_type_ops",
     "q_hbase_rest_roundtrip",
     "q_cassandra_cql_roundtrip",
+    "q_kinesis_putrecords_roundtrip",
+    "q_elasticsearch_bulk_roundtrip",
     "ds_inventory_stockout",
     "ds_inventory_qoh_rollup",
     "ds_inventory_before_after",

@@ -446,3 +446,126 @@ def q_cassandra_cql_roundtrip(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_kinesis_putrecords_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_kinesis_putrecords_roundtrip(spark, sf_dir):
+    """Kinesis producer graded over REAL HTTP (ref: flink-connector-
+    kinesis/.../FlinkKinesisProducer.java serialization + partition-key
+    contract): nation flows through KinesisPutRecordsSink — executor-
+    side JSON serialization, base64 Data, deterministic partition keys,
+    API-limit chunking — into a live in-process PutRecords endpoint;
+    the recorded payloads decode back into rows and the rollup must
+    equal the parquet source."""
+    import base64
+    import json as _json
+
+    from my_flink_1_10_2_spark.sources.connectors import (
+        InMemoryJsonHttpServer,
+        KinesisPutRecordsSink,
+    )
+
+    server = InMemoryJsonHttpServer(
+        response=b'{"FailedRecordCount": 0, "Records": []}'
+    )
+    try:
+        sink = KinesisPutRecordsSink(
+            "nation-stream",
+            endpoint=server.url,
+            partition_key_field="n_nationkey",
+            batch_max_records=7,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        rows = []
+        for body in server.bodies:
+            for rec in _json.loads(body)["Records"]:
+                doc = _json.loads(base64.b64decode(rec["Data"]))
+                rows.append((int(doc["n_nationkey"]), int(doc["n_regionkey"])))
+        back = spark.createDataFrame(rows, "n_nationkey long, n_regionkey long")
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_recs"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            )
+            .orderBy("n_regionkey")
+        )
+    finally:
+        server.close()
+
+
+@register(
+    "q_elasticsearch_bulk_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_nationkey) AS BIGINT) AS id_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_elasticsearch_bulk_roundtrip(spark, sf_dir):
+    """Elasticsearch sink graded over REAL HTTP (ref: flink-connectors/
+    flink-connector-elasticsearch-base/.../ElasticsearchSinkBase.java
+    bulk processor): nation flows through ElasticsearchBulkSink —
+    executor-side NDJSON bulk framing, deterministic _id routing,
+    max-actions chunking — into a live in-process _bulk endpoint; the
+    recorded action/doc line pairs decode back into rows and the rollup
+    must equal the parquet source."""
+    import json as _json
+
+    from my_flink_1_10_2_spark.sources.connectors import (
+        ElasticsearchBulkSink,
+        InMemoryJsonHttpServer,
+    )
+
+    server = InMemoryJsonHttpServer(response=b'{"errors": false, "items": []}')
+    try:
+        sink = ElasticsearchBulkSink(
+            server.url, "nation_idx", key_field="n_nationkey",
+            bulk_max_actions=9,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        rows = []
+        for body in server.bodies:
+            lines = body.decode().splitlines()
+            for action, doc in zip(lines[0::2], lines[1::2]):
+                meta = _json.loads(action)["index"]
+                if meta["_index"] != "nation_idx":
+                    raise ValueError(f"unexpected index {meta['_index']!r}")
+                d = _json.loads(doc)
+                if int(meta["_id"]) != int(d["n_nationkey"]):
+                    raise ValueError("_id routing mismatch")
+                rows.append(
+                    (int(d["n_nationkey"]), d["n_name"], int(d["n_regionkey"]))
+                )
+        back = spark.createDataFrame(
+            rows, "n_nationkey long, n_name string, n_regionkey long"
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_nationkey").cast("bigint").alias("id_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    finally:
+        server.close()

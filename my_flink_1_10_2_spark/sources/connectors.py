@@ -889,3 +889,44 @@ def kinesis_put_records_sink(df: DataFrame, checkpoint: str, **kwargs):
     return df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )
+
+
+class InMemoryJsonHttpServer:
+    """In-process HTTP endpoint emulator: records every request body
+    (thread-safe) and answers with a fixed JSON response.  Development/
+    testing utility (the InMemoryHBaseRestServer / InMemoryCqlServer
+    precedent) — lets the Kinesis PutRecords and Elasticsearch _bulk
+    sinks be oracle-graded over REAL HTTP without the services."""
+
+    def __init__(self, response: bytes = b"{}", status: int = 200):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.bodies: list[bytes] = []
+        self._lock = threading.Lock()
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n) if n else b""
+                with srv._lock:
+                    srv.bodies.append(body)
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(response)))
+                self.end_headers()
+                self.wfile.write(response)
+
+            do_PUT = do_POST
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -715,3 +715,35 @@ def test_wilson_and_ig_plan_shapes(spark):
     df = _df(spark, "q_information_gain")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_dhash_neardup_band_join_is_equi(spark):
+    """Image near-dup candidates come from the band-bucket EQUI join —
+    a cartesian/nested-loop pair enumeration would be the 100 TB
+    killer."""
+    df = _df(spark, "q_image_dhash_neardup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_inventory_cross_is_broadcast_bounded(spark):
+    """The synthetic inventory (part x 52 weeks) must build via a
+    BROADCAST cross of the 52-row literal relation; the downstream
+    sales join must be a hash equi-join with the year filter pushed to
+    the lineitem scan."""
+    df = _df(spark, "ds_inventory_stockout")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # only the broadcast NL cross
+    assert "BroadcastNestedLoopJoin" in plan  # the 52-row week relation
+    assert "PushedFilters" in plan or "l_shipdate" in plan
+
+
+def test_png_decode_queries_stay_arrow_batched(spark):
+    """The real-codec queries run Python ONLY as Arrow mapInPandas
+    stages (no row-at-a-time BatchEvalPython)."""
+    for name in ("q_png_pixel_stats", "q_image_dhash_neardup"):
+        plan = _df(spark, name)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" in plan, name

@@ -124,3 +124,46 @@ def test_early_fire_boundary_exact_semantics(spark):
             ("b", 180, 240, 2, 1),
         ]
     ), got
+
+
+def test_early_fire_long_replay_compaction_equivalence(spark):
+    """20-batch replay with an aggressive compaction window (every 4
+    batches): the emission log must be IDENTICAL to a run whose state
+    never compacts, and the accumulated state dir must stay bounded —
+    the long-replay half of the state-growth policy (the retraction
+    join half lives in tests/test_state_dir.py)."""
+    import os
+
+    rows = []
+    for b in range(20):
+        # two keys, event times advance ~15s per batch with jitter
+        rows.append(("a", (b * 15 + 3) * S, b, b + 1))
+        rows.append(("b", (b * 15 + 7) * S, b, 2 * b + 1))
+    src = spark.createDataFrame(rows, "k string, te long, batch long, v long")
+
+    def run(compact_every):
+        work = tempfile.mkdtemp(prefix="fl_ef_long_")
+        try:
+            log = continuous_early_fire_log(
+                spark, src, work,
+                ts_col="te", batch_col="batch", keys=["k"], value_col="v",
+                size_us=60 * S, interval_us=20 * S, delay_us=10 * S,
+                compact_every=compact_every,
+            )
+            out = sorted(
+                (r.k, r.window_start, r.fire_ts, r.fire_batch, r.fire_seq,
+                 r.cnt, r.v_sum)
+                for r in log.collect()
+            )
+            n_dirs = len(
+                [d for d in os.listdir(f"{work}/acc") if d[0] in "bc"]
+            )
+            return out, n_dirs
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    compacted, dirs_compacted = run(compact_every=4)
+    plain, dirs_plain = run(compact_every=1000)
+    assert compacted == plain and len(plain) > 20
+    assert dirs_plain == 20  # un-compacted: one dir per batch
+    assert dirs_compacted <= 4  # bounded by the compaction window

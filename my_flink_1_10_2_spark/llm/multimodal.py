@@ -110,6 +110,51 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def synthetic_wav_media(docs: DataFrame) -> DataFrame:
+    """Per-document mono 16-bit PCM WAVs with a CLOSED-FORM sample rule —
+    n = 64 + doc_id%32 samples, sample[i] = ((doc_id*17 + i*13) % 2048)
+    - 1024 — really encoded as RIFF/WAVE (llm/wav.py), so the decoded
+    audio statistics are SQL-replayable exactly, like the PNG fixture."""
+    from .wav import wav_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 32
+                samples = [((d * 17 + i * 13) % 2048) - 1024 for i in range(n)]
+                payloads.append(wav_encode(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """Real decode → audio statistics (all integer-valued): [sample_rate,
+    channels, n_samples, sum, min, max, zero_crossings]."""
+    from .wav import wav_decode
+
+    rate, ch, _bits, s = wav_decode(payload)
+    zc = sum(1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0))
+    return [
+        float(rate),
+        float(ch),
+        float(len(s)),
+        float(sum(s)),
+        float(min(s)),
+        float(max(s)),
+        float(zc),
+    ]
+
+
 def _png_features(payload: bytes) -> list[float]:
     """Real decode → pixel statistics (all integer-valued, so doubles
     carry them exactly): [width, height, channels, n_pixels, sum, min,
@@ -131,11 +176,12 @@ def _png_features(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """Decode → feature-extract via Arrow-batched ``mapInPandas``.
 
-    ``fake=False`` runs the REAL pure-stdlib PNG decoder on ``image/png``
-    payloads (features = actual pixel statistics); any other mime raises
-    ``NotImplementedError`` — JPEG/audio/video codecs are not available
-    in this container.  ``fake=True`` keeps the deterministic
-    byte-statistics stub for mime-agnostic tests."""
+    ``fake=False`` runs the REAL pure-stdlib decoders — baseline PNG
+    (``image/png`` → pixel statistics) and RIFF/PCM WAV (``audio/wav``
+    → sample statistics); any other mime raises ``NotImplementedError``
+    — JPEG/video/compressed-audio codecs are not available in this
+    container.  ``fake=True`` keeps the deterministic byte-statistics
+    stub for mime-agnostic tests."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -143,14 +189,17 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
             if fake:
                 pdf["features"] = pdf["payload"].map(lambda p: _fake_decode(p, dim))
             else:
-                bad = set(pdf["mime"]) - {"image/png"}
+                bad = set(pdf["mime"]) - {"image/png", "audio/wav"}
                 if bad:
                     raise NotImplementedError(
                         f"real codecs for {sorted(bad)} are not available in "
-                        "this environment (only baseline PNG decodes for "
-                        "real); use fake=True for the deterministic stub"
+                        "this environment (baseline PNG and PCM WAV decode "
+                        "for real); use fake=True for the deterministic stub"
                     )
-                pdf["features"] = pdf["payload"].map(_png_features)
+                pdf["features"] = [
+                    _png_features(p) if m == "image/png" else _wav_features(p)
+                    for m, p in zip(pdf["mime"], pdf["payload"])
+                ]
             yield pdf[["media_id", "mime", "n_bytes", "features"]]
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)

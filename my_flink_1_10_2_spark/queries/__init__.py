@@ -107,6 +107,7 @@ _FLAGSHIP_ORDER = [
     # ---- round-6 new operators first (never driver-graded)
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
+    "q_wav_audio_stats",
     "q_time_type_ops",
     "q_hbase_rest_roundtrip",
     "q_cassandra_cql_roundtrip",

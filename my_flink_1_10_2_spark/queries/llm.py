@@ -554,6 +554,50 @@ def q_image_dhash_neardup(spark, sf_dir):
     return dhash_neardup_pairs(hashes, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "q_wav_audio_stats",
+    oracle="""
+    SELECT media_id, n_samples,
+           CAST(sum(s) AS BIGINT) AS s_sum,
+           CAST(min(s) AS BIGINT) AS s_min,
+           CAST(max(s) AS BIGINT) AS s_max,
+           CAST(sum(CASE WHEN i > 0
+                         AND ((((media_id*17 + (i-1)*13) % 2048) - 1024 < 0)
+                              <> (s < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM (
+      SELECT media_id, n_samples, i,
+             ((media_id*17 + i*13) % 2048) - 1024 AS s
+      FROM (
+        SELECT doc_id AS media_id,
+               CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+               unnest(range(64 + doc_id % 32)) AS i
+        FROM documents))
+    GROUP BY media_id, n_samples
+    """,
+    category="llm_multimodal",
+)
+def q_wav_audio_stats(spark, sf_dir):
+    """REAL audio decode (the WAV leg of the multimodal column):
+    per-document PCM waveforms are encoded as genuine RIFF/WAVE files
+    executor-side, decoded back by the pure-stdlib codec (llm/wav.py —
+    RIFF chunk walk + little-endian PCM frames), and the DECODED sample
+    statistics (sum/min/max/zero-crossings) are graded against the
+    closed-form SQL replay.  Compressed audio stays honestly gated."""
+    from my_flink_1_10_2_spark.llm.multimodal import synthetic_wav_media
+
+    docs = read(spark, sf_dir, "documents")
+    feats = extract_features(synthetic_wav_media(docs), fake=False)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 3).cast("bigint").alias("n_samples"),
+        F.element_at("features", 4).cast("bigint").alias("s_sum"),
+        F.element_at("features", 5).cast("bigint").alias("s_min"),
+        F.element_at("features", 6).cast("bigint").alias("s_max"),
+        F.element_at("features", 7).cast("bigint").alias("zero_crossings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # token counting (pipeline brief: whitespace + BPE-ish regex)
 # ---------------------------------------------------------------------------

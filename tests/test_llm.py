@@ -78,11 +78,14 @@ def test_real_codec_path_gates_and_decodes(spark):
     """fake=False: non-PNG mimes stay loudly gated; PNG payloads that
     aren't actually PNGs fail with a codec error (not silent garbage)."""
     media = documents_as_media(read(spark, SF_DIR, "documents"))
+    video = media.limit(1).withColumn("mime", F.lit("video/mp4"))
     with pytest.raises(Exception, match="NotImplementedError|not available"):
-        extract_features(media.filter("mime = 'audio/wav'").limit(1), fake=False).collect()
+        extract_features(video, fake=False).collect()
     with pytest.raises(Exception, match="not a PNG"):
         # mime says PNG but the payload is utf-8 text → loud codec error
         extract_features(media.filter("mime = 'image/png'").limit(1), fake=False).collect()
+    with pytest.raises(Exception, match="not a WAV"):
+        extract_features(media.filter("mime = 'audio/wav'").limit(1), fake=False).collect()
     with pytest.raises(NotImplementedError):
         resize(media, fake=False)
 

@@ -108,6 +108,7 @@ _FLAGSHIP_ORDER = [
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",
+    "q_audio_autocorr_pitch",
     "q_time_type_ops",
     "q_hbase_rest_roundtrip",
     "q_cassandra_cql_roundtrip",

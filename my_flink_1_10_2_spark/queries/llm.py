@@ -598,6 +598,67 @@ def q_wav_audio_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q_audio_autocorr_pitch",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT media_id, i, ((media_id*17 + i*13) % 2048) - 1024 AS v
+      FROM (
+        SELECT doc_id AS media_id,
+               unnest(range(64 + doc_id % 32)) AS i
+        FROM documents)),
+    ac AS (
+      SELECT a.media_id, lags.lag AS lag,
+             CAST(sum(a.v * b.v) AS BIGINT) AS r
+      FROM (SELECT unnest(range(2, 17)) AS lag) lags
+      JOIN s a ON TRUE
+      JOIN s b ON b.media_id = a.media_id AND b.i = a.i + lags.lag
+      GROUP BY a.media_id, lags.lag)
+    SELECT media_id,
+           CAST(lag AS BIGINT) AS pitch_lag,
+           r AS peak_autocorr
+    FROM (
+      SELECT media_id, lag, r,
+             row_number() OVER (PARTITION BY media_id
+                                ORDER BY r DESC, lag) AS rn
+      FROM ac)
+    WHERE rn = 1
+    """,
+    category="llm_multimodal",
+)
+def q_audio_autocorr_pitch(spark, sf_dir):
+    """Audio analysis on REAL decoded samples: dominant period by
+    integer autocorrelation — r(lag) = Σ s[i]·s[i+lag] over lags 2..16
+    on the PCM samples decoded from genuine WAV files (llm/wav.py),
+    argmax tie-broken toward the smaller lag.  Exact BIGINT arithmetic
+    end-to-end, so the SQL oracle replays the closed-form waveform
+    through identical sums; any decode defect shifts every product."""
+    import pandas as _pd
+
+    from my_flink_1_10_2_spark.llm.multimodal import synthetic_wav_media
+    from my_flink_1_10_2_spark.llm.wav import wav_decode
+
+    def pitch(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _r, _c, _b, s = wav_decode(payload)
+                best_lag, best_r = None, None
+                for lag in range(2, 17):
+                    r = sum(s[i] * s[i + lag] for i in range(len(s) - lag))
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                out.append((int(mid), best_lag, best_r))
+            yield _pd.DataFrame(
+                out, columns=["media_id", "pitch_lag", "peak_autocorr"]
+            )
+
+    media = synthetic_wav_media(read(spark, sf_dir, "documents"))
+    return media.mapInPandas(
+        pitch, "media_id bigint, pitch_lag bigint, peak_autocorr bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # token counting (pipeline brief: whitespace + BPE-ish regex)
 # ---------------------------------------------------------------------------

@@ -223,7 +223,9 @@ def q_unnest_explode(spark, sf_dir):
 @register(
     "q_count_window",
     oracle="""
-    SELECT user_id, w_id, count(*) AS cnt, sum(value) AS sum_value FROM (
+    SELECT user_id, w_id, count(*) AS cnt,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_v_e4
+    FROM (
       SELECT user_id, value,
              CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 5)
                   AS BIGINT) AS w_id
@@ -234,13 +236,19 @@ def q_unnest_explode(spark, sf_dir):
 )
 def q_count_window(spark, sf_dir):
     """Count-based tumbling window (ref: KeyedStream.countWindow:643) —
-    no Spark native; engine expresses it as row_number bucketing."""
+    no Spark native; engine expresses it as row_number bucketing.
+    Values graded in integer 1e-4 units (raw double sums are
+    ORDER-dependent — at sf0.1 the hash-agg arrival order diverged
+    between engines by 5.7e-14; the count_window_slide recipe)."""
     from my_flink_1_10_2_spark.operators.windows import count_tumble_window
 
-    events = read(spark, sf_dir, "events")
+    events = read(spark, sf_dir, "events").withColumn(
+        "v_e4", F.round(F.col("value") * 10000).cast("bigint")
+    )
     bucketed = count_tumble_window(events, ["user_id"], ["ts", "event_id"], 5)
     return bucketed.groupBy("user_id", "w_id").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("v_e4").cast("bigint").alias("sum_v_e4"),
     )
 
 

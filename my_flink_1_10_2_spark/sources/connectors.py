@@ -341,16 +341,17 @@ def cassandra_sink_options(
 # ---------------------------------------------------------------------------
 
 
-def rabbitmq_source(*_args, **_kwargs):
+def rabbitmq_source(spark, config, queue, **kwargs):
     """ref: flink-connectors/flink-connector-rabbitmq/.../RMQSource.java.
-    No maintained Spark structured-streaming RabbitMQ source exists.
-    Migration paths: bridge the queue into Kafka (RabbitMQ shovel /
-    MirrorMaker) and use `kafka_source`, or emit lines over TCP and use
-    `socket_text_stream` for tests."""
-    raise NotImplementedError(
-        "RabbitMQ has no Spark structured-streaming connector; bridge to "
-        "Kafka (kafka_source) or a socket source instead"
-    )
+    Jar-free functional path: ``sources.amqp_py.rmq_drain_source`` — N
+    competing consumers speaking AMQP 0-9-1 over plain TCP, acking on
+    success, with the reference's correlation-id exactly-once dedup
+    (``uses_correlation_id=True``).  Drains the queue per call
+    (micro-batch pull); pair with ``amqp_py.rmq_sink`` for the write
+    side (RMQSink.java)."""
+    from my_flink_1_10_2_spark.sources.amqp_py import rmq_drain_source
+
+    return rmq_drain_source(spark, config, queue, **kwargs)
 
 
 def nifi_source(*_args, **_kwargs):

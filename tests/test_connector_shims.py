@@ -179,19 +179,19 @@ def test_cassandra_sink_rejects_wal_and_empty_host():
 
 
 def test_unbridgeable_connectors_fail_loudly():
-    """RabbitMQ / NiFi / PubSub / Twitter have no Spark analog — the
-    shims must raise with a migration path, never silently no-op."""
+    """Connectors without a protocol path yet must raise with a
+    migration hint, never silently no-op.  (RabbitMQ graduated to the
+    jar-free AMQP 0-9-1 path in sources/amqp_py.py — see
+    tests/test_amqp.py.)"""
     import pytest
 
     from my_flink_1_10_2_spark.sources.connectors import (
         nifi_source,
         pubsub_source,
-        rabbitmq_source,
         twitter_source,
     )
 
     for fn, hint in [
-        (rabbitmq_source, "Kafka"),
         (nifi_source, "Kafka"),
         (pubsub_source, "Kafka"),
         (twitter_source, "file_stream_source"),

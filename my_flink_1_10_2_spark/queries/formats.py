@@ -637,3 +637,85 @@ def q_rabbitmq_amqp_roundtrip(spark, sf_dir):
         )
     finally:
         broker.close()
+
+
+@register(
+    "q_pubsub_rest_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_pubsub_rest_roundtrip(spark, sf_dir):
+    """GCP Pub/Sub connector graded over REAL HTTP (ref:
+    flink-connectors/flink-connector-gcp-pubsub/.../PubSubSink.java,
+    PubSubSource.java acknowledge-on-checkpoint): nation publishes
+    through PubSubRestSink — executor-side base64 message framing,
+    attribute mapping, API-limit chunking — into a live in-process
+    REST emulator; a first pull pass takes leases WITHOUT acking and
+    the leases expire (the ack-deadline redelivery path), then
+    pubsub_pull_source drains with 3 parallel pullers, acks, and drops
+    the at-least-once redeliveries on the server messageId.  The
+    rollup must equal the parquet source."""
+    import json as _json
+
+    from my_flink_1_10_2_spark.sources.pubsub_rest import (
+        InMemoryPubSubServer,
+        PubSubRestSink,
+        pubsub_pull_source,
+    )
+
+    server = InMemoryPubSubServer()
+    try:
+        server.create_subscription("nation_topic", "nation_sub")
+        sink = PubSubRestSink(
+            server.url, "proj", "nation_topic",
+            attribute_fields=("n_regionkey",), batch_max_messages=7,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        # crash-before-ack: lease a prefix, EMIT it downstream, never
+        # ack; the deadline passes and those messages are REDELIVERED
+        # with the same messageId — the union below therefore carries
+        # real duplicates that the messageId dedup must drop.
+        emitted_before_crash = pubsub_pull_source(
+            spark, server.url, "proj", "nation_sub",
+            consumers=1, max_messages=9, max_pulls=1, ack=False,
+        ).localCheckpoint()  # secure rows NOW (a re-pull would differ)
+        n_leased = server.expire_leases()
+        if emitted_before_crash.count() != n_leased:
+            raise ValueError("lease bookkeeping out of step")
+        drained = pubsub_pull_source(
+            spark, server.url, "proj", "nation_sub",
+            consumers=3,
+        )
+        merged = emitted_before_crash.unionByName(drained).dropDuplicates(
+            ["message_id"]
+        )
+        back = merged.select(
+            F.col("body").cast("string").alias("doc"),
+            F.col("attributes").getItem("n_regionkey").cast("long").alias("attr_rk"),
+        ).select(
+            F.get_json_object("doc", "$.n_nationkey").cast("long").alias("n_nationkey"),
+            F.get_json_object("doc", "$.n_name").alias("n_name"),
+            F.col("attr_rk").alias("n_regionkey"),
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_msgs"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            # materialize BEFORE the emulator dies with this function
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

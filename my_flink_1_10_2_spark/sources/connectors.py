@@ -365,15 +365,17 @@ def nifi_source(*_args, **_kwargs):
     )
 
 
-def pubsub_source(*_args, **_kwargs):
+def pubsub_source(spark, base_url, project, subscription, **kwargs):
     """ref: flink-connectors/flink-connector-gcp-pubsub/.../PubSubSource.java.
-    No first-party Spark connector; Google's supported pattern is
-    Pub/Sub -> Kafka bridge or Pub/Sub Lite's Spark connector jar (not
-    bundled here)."""
-    raise NotImplementedError(
-        "GCP Pub/Sub has no bundled Spark connector; bridge to Kafka or "
-        "attach the pubsublite-spark jar and use format('pubsublite')"
-    )
+    Jar-free functional path: ``sources.pubsub_rest.pubsub_pull_source``
+    — N parallel pullers over the PUBLIC REST API, acking after each
+    secured pull (the reference's acknowledge-on-checkpoint), with
+    at-least-once redeliveries dropped on the server messageId
+    (``dedup_on_message_id=True``).  Pair with
+    ``pubsub_rest.PubSubRestSink`` for the write side (PubSubSink.java)."""
+    from my_flink_1_10_2_spark.sources.pubsub_rest import pubsub_pull_source
+
+    return pubsub_pull_source(spark, base_url, project, subscription, **kwargs)
 
 
 def twitter_source(*_args, **_kwargs):

@@ -181,19 +181,18 @@ def test_cassandra_sink_rejects_wal_and_empty_host():
 def test_unbridgeable_connectors_fail_loudly():
     """Connectors without a protocol path yet must raise with a
     migration hint, never silently no-op.  (RabbitMQ graduated to the
-    jar-free AMQP 0-9-1 path in sources/amqp_py.py — see
-    tests/test_amqp.py.)"""
+    jar-free AMQP 0-9-1 path in sources/amqp_py.py, Pub/Sub to the REST
+    path in sources/pubsub_rest.py — see tests/test_amqp.py,
+    tests/test_pubsub_rest.py.)"""
     import pytest
 
     from my_flink_1_10_2_spark.sources.connectors import (
         nifi_source,
-        pubsub_source,
         twitter_source,
     )
 
     for fn, hint in [
         (nifi_source, "Kafka"),
-        (pubsub_source, "Kafka"),
         (twitter_source, "file_stream_source"),
     ]:
         with pytest.raises(NotImplementedError, match=hint):

@@ -107,6 +107,8 @@ _FLAGSHIP_ORDER = [
     # ---- round-6 new operators first (never driver-graded)
     "q_rabbitmq_amqp_roundtrip",
     "q_pubsub_rest_roundtrip",
+    "q_nifi_s2s_roundtrip",
+    "q_twitter_stream_roundtrip",
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",

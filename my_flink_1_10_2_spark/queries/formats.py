@@ -719,3 +719,139 @@ def q_pubsub_rest_roundtrip(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_nifi_s2s_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_packets,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_nifi_s2s_roundtrip(spark, sf_dir):
+    """NiFi connector graded over REAL Site-to-Site-HTTP (ref:
+    flink-connectors/flink-connector-nifi/.../NiFiSink.java,
+    NiFiSource.java, StandardNiFiDataPacket.java): nation ships through
+    NiFiS2SSink — executor-side data-packet encoding, per-partition
+    two-phase transactions confirmed on the server's CRC32 — into a
+    live in-process S2S emulator; mid-run an ABANDONED (crashed)
+    receive transaction is rolled back by the protocol, then
+    nifi_s2s_source drains the output port with 3 consumers.  The
+    rollup must equal the parquet source — nothing lost to the crash,
+    nothing double-committed."""
+    from my_flink_1_10_2_spark.sources.nifi_s2s import (
+        InMemoryNiFiS2SServer,
+        NiFiS2SSink,
+        nifi_s2s_source,
+        _create_transaction,
+        _http,
+    )
+
+    server = InMemoryNiFiS2SServer(batch_packets=6)
+    try:
+        sink = NiFiS2SSink(
+            server.url, "port-1",
+            attribute_fields=("n_nationkey", "n_regionkey"),
+            body_field="n_name", batch_max_packets=7,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        # crashed consumer: create a receive transaction, READ the
+        # stream, then die before confirm -> the protocol rolls the
+        # leased flowfiles back onto the port
+        tx = _create_transaction(server.url, "output-ports", "port-1")
+        _http(
+            f"{server.url}/nifi-api/data-transfer/output-ports/port-1"
+            f"/transactions/{tx}/flow-files",
+            "GET",
+        )
+        if server.abandon_open_transactions() != 1:
+            raise ValueError("expected exactly one in-flight transaction")
+        drained = nifi_s2s_source(spark, server.url, "port-1", consumers=3)
+        back = drained.select(
+            F.col("attributes").getItem("n_nationkey").cast("long").alias("n_nationkey"),
+            F.col("content").cast("string").alias("n_name"),
+            F.col("attributes").getItem("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_packets"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            # materialize BEFORE the emulator dies with this function
+            .localCheckpoint()
+        )
+    finally:
+        server.close()
+
+
+@register(
+    "q_twitter_stream_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_statuses,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_twitter_stream_roundtrip(spark, sf_dir):
+    """Twitter connector graded over REAL streaming HTTP (ref:
+    flink-connectors/flink-connector-twitter/.../TwitterSource.java):
+    a live in-process chunked-HTTP endpoint serves nation rows as
+    newline-delimited JSON statuses with keep-alive blank lines
+    interleaved (the streaming API's idle signal); twitter_source
+    reads the stream executor-side with a bearer header, each status
+    surfaces as its raw string (the reference's SimpleStringSchema),
+    and the parsed rollup must equal the parquet source.  The seed
+    collect is the 25-row nation dim (control-table bounded)."""
+    import json as _json
+
+    from my_flink_1_10_2_spark.sources.http_stream import (
+        InMemoryLineStreamServer,
+    )
+    from my_flink_1_10_2_spark.sources.connectors import twitter_source
+
+    seed = [
+        _json.dumps(
+            {"id": r.n_nationkey, "text": r.n_name, "region": r.n_regionkey},
+            sort_keys=True,
+        )
+        for r in read(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    ]
+    server = InMemoryLineStreamServer(seed, keepalive_every=4)
+    try:
+        lines = twitter_source(
+            spark, server.url + "/2/tweets/sample/stream",
+            bearer_token="test-token",
+        )
+        back = lines.select(
+            F.get_json_object("line", "$.id").cast("long").alias("n_nationkey"),
+            F.get_json_object("line", "$.text").alias("n_name"),
+            F.get_json_object("line", "$.region").cast("long").alias("n_regionkey"),
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_statuses"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.max("n_name").alias("last_name"),
+            )
+            .orderBy("n_regionkey")
+            # materialize BEFORE the emulator dies with this function
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

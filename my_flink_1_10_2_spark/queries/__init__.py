@@ -112,6 +112,8 @@ _FLAGSHIP_ORDER = [
     "q_twitter_stream_roundtrip",
     "q_state_processor_keyed_read",
     "q_state_bootstrap_resume",
+    "q_ddsketch_quantiles",
+    "q_curriculum_stages",
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",

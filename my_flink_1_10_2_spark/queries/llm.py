@@ -2917,3 +2917,63 @@ def q_lsh_recall_report(spark, sf_dir):
             "CAST(n_found * 1000000 DIV greatest(n_true, 1) AS BIGINT)"
         ).alias("recall_e6"),
     )
+
+
+@register(
+    "q_curriculum_stages",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             (length(text) * 1000) // (len({_WORDS}) + 1) AS difficulty
+      FROM documents
+    ),
+    staged AS (
+      SELECT *, ntile(4) OVER (ORDER BY difficulty, doc_id) AS stage
+      FROM d
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(difficulty) AS BIGINT) AS min_difficulty,
+           CAST(max(difficulty) AS BIGINT) AS max_difficulty,
+           CAST(sum(n_chars) AS BIGINT) AS stage_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    category="llm_text",
+)
+def q_curriculum_stages(spark, sf_dir):
+    """Curriculum-learning data ordering (Bengio et al. 2009 applied to
+    corpus construction): rank every document by an integer difficulty
+    score (mean token length in permille — length*1000 DIV (tokens+1),
+    exact in both engines) and cut the corpus into 4 curriculum stages
+    with NTILE, easy → hard; the per-stage profile is what a training
+    scheduler consumes.  The global NTILE is a range-partitioned sort
+    (Spark's native ntile) — no driver materialization, and the stage
+    boundaries are deterministic under the (difficulty, doc_id)
+    total order."""
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        # integer DIV (not a double ratio) so the score is engine-exact
+        F.expr(
+            "(length(text) * 1000) DIV (size(split(text, '\\\\s+')) + 1)"
+        ).alias("difficulty"),
+    )
+    staged = d.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("difficulty", "doc_id"))
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("difficulty").cast("bigint").alias("min_difficulty"),
+            F.max("difficulty").cast("bigint").alias("max_difficulty"),
+            F.sum("n_chars").cast("bigint").alias("stage_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("stage")
+    )

@@ -397,3 +397,75 @@ def q_hll_merge(spark, sf_dir):
         .cast("int")
         .alias("merge_equals_full"),
     )
+
+
+def _ddsketch_oracle() -> str:
+    """Integer-exact SQL replay of the gamma=sqrt(2) DDSketch: bucket =
+    2*floor(log2 v) + [v*v >= 1<<(2*floor(log2 v)+1)] over price cents,
+    then the first bucket whose running count reaches ceil(q*n)."""
+    return """
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    bk AS (
+      SELECT 2 * (length(bin(v)) - 1)
+             + CASE WHEN v * v >= (CAST(1 AS BIGINT)
+                                   << (2 * (length(bin(v)) - 1) + 1))
+                    THEN 1 ELSE 0 END AS bucket
+      FROM vals
+    ),
+    counts AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+    cum AS (
+      SELECT bucket, n,
+             sum(n) OVER (ORDER BY bucket) AS cum_n,
+             sum(n) OVER () AS total_n
+      FROM counts
+    ),
+    qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) q(q_num, q_den)),
+    hit AS (
+      SELECT q.q_num, q.q_den, c.bucket, c.cum_n, c.total_n
+      FROM cum c CROSS JOIN qs q
+      WHERE c.cum_n >= (q.q_num * c.total_n + q.q_den - 1) // q.q_den
+    )
+    SELECT q_num, q_den,
+           CAST(min(bucket) AS BIGINT) AS bucket,
+           CAST(min(cum_n) AS BIGINT) AS cum_n,
+           CAST(min(total_n) AS BIGINT) AS total_n
+    FROM hit GROUP BY q_num, q_den ORDER BY q_num, q_den
+    """
+
+
+@register("q_ddsketch_quantiles", oracle=_ddsketch_oracle(), category="sketch")
+def q_ddsketch_quantiles(spark, sf_dir):
+    """DDSketch quantiles (Masson et al., VLDB 2019) — the mergeable
+    relative-error quantile sketch alongside KMV/HLL/CMS/Bloom: price
+    cents collapse into gamma=sqrt(2) geometric buckets (ONE bounded
+    shuffle onto ~128 bucket keys; counts merge by addition under any
+    partitioning — the 100 TB property), and p50/p90/p99 are answered
+    as the first bucket whose cumulative count reaches the integer
+    ceil-rank.  Bucket index arithmetic is all 64-bit-integer (binary-
+    string floor-log2 + a shifted half-octave test), so the oracle
+    replays it bitwise."""
+    from my_flink_1_10_2_spark.operators.sketch import (
+        ddsketch_buckets,
+        ddsketch_quantiles,
+    )
+
+    vals = (
+        read(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice") > 0)
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+        )
+    )
+    out = ddsketch_quantiles(
+        ddsketch_buckets(vals, "v"), [(1, 2), (9, 10), (99, 100)]
+    )
+    return out.select(
+        "q_num",
+        "q_den",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("total_n").cast("bigint").alias("total_n"),
+    ).orderBy("q_num", "q_den")

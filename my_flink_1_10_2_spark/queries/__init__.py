@@ -114,6 +114,7 @@ _FLAGSHIP_ORDER = [
     "q_state_bootstrap_resume",
     "q_ddsketch_quantiles",
     "q_curriculum_stages",
+    "q_confluent_avro_roundtrip",
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",

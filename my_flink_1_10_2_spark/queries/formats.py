@@ -855,3 +855,55 @@ def q_twitter_stream_roundtrip(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_confluent_avro_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_confluent_avro_roundtrip(spark, sf_dir):
+    """Schema-Registry Avro format graded over REAL HTTP (ref:
+    flink-formats/flink-avro-confluent-registry/.../
+    ConfluentRegistryAvroSerializationSchema.java,
+    ConfluentRegistryAvroDeserializationSchema.java,
+    ConfluentSchemaRegistryCoder.java): nation serializes to the
+    Confluent wire format (magic 0x00 + 4-byte schema id + bare Avro
+    binary) against a live in-process registry, the framed bytes decode
+    back through registry-fetched writer schemas (one cached GET per
+    partition), and the rollup must equal the parquet source."""
+    from my_flink_1_10_2_spark.sources.avro_registry import (
+        InMemorySchemaRegistry,
+        confluent_avro_decode_df,
+        confluent_avro_encode_df,
+    )
+
+    reg = InMemorySchemaRegistry()
+    try:
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        framed = confluent_avro_encode_df(src, reg.url, "nation-value")
+        back = confluent_avro_decode_df(
+            framed, reg.url,
+            "n_nationkey long, n_name string, n_regionkey long",
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_recs"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.max("n_name").alias("last_name"),
+            )
+            .orderBy("n_regionkey")
+            # materialize BEFORE the registry dies with this function
+            .localCheckpoint()
+        )
+    finally:
+        reg.close()

@@ -439,7 +439,9 @@ def q18_large_volume_customer(spark, sf_dir):
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS BIGINT) AS revenue_e4
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -453,7 +455,11 @@ def q18_large_volume_customer(spark, sf_dir):
 def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19: three OR'd conjunct groups across both join sides —
     the classic disjunctive-predicate join the reference handles in
-    BatchExecHashJoin + post-filter."""
+    BatchExecHashJoin + post-filter.  Revenue is graded in integer
+    1e-4-dollar units (cents × discount-complement-percent): the raw
+    double sum's hash-agg accumulation order diverged between engines
+    at sf0.1 (3e-08 — the q_count_window class), and the integer sum is
+    order-independent."""
     l = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part")
     q = F.col("l_quantity")
@@ -462,10 +468,13 @@ def q19_disjunctive_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
     return (
         l.join(dim(p), l.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(rev_e4).cast("bigint").alias("revenue_e4"))
     )
 
 

@@ -747,3 +747,46 @@ def test_png_decode_queries_stay_arrow_batched(spark):
         plan = _df(spark, name)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" in plan, name
+
+
+def test_ddsketch_joins_fold_before_quantile_lookup(spark):
+    """The DDSketch quantile lookup may nested-loop ONLY the broadcast
+    3-row quantile list against the ~128-bucket sketch — the raw value
+    table must have been folded by a hash aggregate first, and nothing
+    runs in Python."""
+    df = _df(spark, "q_ddsketch_quantiles")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # values -> buckets before any join
+    assert plans.python_eval_count(df) == 0
+
+
+def test_curriculum_single_global_sort(spark):
+    """Curriculum staging is ONE range-partitioned global sort (the
+    ntile window) over engine-side integer arithmetic — no Python, no
+    extra shuffles beyond sort + stage aggregate."""
+    df = _df(spark, "q_curriculum_stages")
+    assert plans.python_eval_count(df) == 0
+    assert plans.num_shuffles(df) <= 3  # ntile sort + agg + orderBy
+
+
+def test_connector_drain_sources_surface_as_scans(spark):
+    """The jar-free drain sources (AMQP / Pub/Sub / NiFi / HTTP-stream)
+    must surface rows as ordinary distributed scans feeding native
+    operators — one task per consumer, no BatchEvalPython stages in the
+    downstream aggregation plans."""
+    from my_flink_1_10_2_spark.sources.amqp_py import (
+        InMemoryAmqpBroker,
+        rmq_drain_source,
+    )
+
+    broker = InMemoryAmqpBroker()
+    try:
+        broker.publish("q", b"x")
+        df = rmq_drain_source(spark, broker.config(), "q", consumers=3)
+        agg = df.groupBy("correlation_id").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert df.rdd.getNumPartitions() == 3  # one per competing consumer
+    finally:
+        broker.close()

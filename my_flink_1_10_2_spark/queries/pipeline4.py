@@ -3613,3 +3613,92 @@ def q_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle="""
+    WITH clustered AS (
+      SELECT doc_id, source, md5(text) AS dup_key
+      FROM documents
+    ),
+    reps AS (
+      SELECT dup_key, min(doc_id) AS rep_id,
+             CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clustered GROUP BY dup_key
+    ),
+    assigned AS (
+      SELECT c.doc_id, c.source, c.dup_key, r.cluster_size,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS BIGINT) % 10 <= 7 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(r.rep_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS BIGINT) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clustered c JOIN reps r USING (dup_key)
+    ),
+    leaks AS (
+      SELECT dup_key FROM assigned
+      GROUP BY dup_key HAVING count(DISTINCT split) > 1
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT dup_key) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_in_dup_clusters,
+           CAST((SELECT count(*) FROM leaks) AS BIGINT) AS cross_split_leaks
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    category="llm_pipeline",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: duplicate CLUSTERS (exact
+    md5-of-text groups — swap in minhash CC for near-dups) are assigned
+    to splits as a unit, hashed on the cluster representative, so no
+    duplicated document can sit in train while its twin sits in test
+    (the contamination mode per-doc hash splits cannot prevent —
+    compare q_dataset_split_assign).  The audit reports per-split sizes
+    plus the cross-split leak count, which this construction pins to 0
+    BY DESIGN.  Shape: one digest shuffle, a group-min, a broadcast-able
+    rep join — the exact-dedup kernel reused for split assignment."""
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("dup_key")
+    )
+    reps = docs.groupBy("dup_key").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 10
+    )
+    assigned = docs.join(reps, "dup_key").withColumn(
+        "split",
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    leaks = (
+        assigned.groupBy("dup_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("leaks"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("dup_key").alias("n_clusters"),
+            F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_dup_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "docs_in_dup_clusters",
+            F.col("leaks").cast("bigint").alias("cross_split_leaks"),
+        )
+        .orderBy("split")
+    )

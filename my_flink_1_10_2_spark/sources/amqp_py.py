@@ -618,12 +618,6 @@ class InMemoryAmqpBroker:
                     with self._lock:
                         self.acked += 1
                 elif cm == CONNECTION_CLOSE:
-                    # unacked messages return to their queue (broker
-                    # redelivery semantics on connection loss/close)
-                    with self._lock:
-                        for qname, props, body in unacked.values():
-                            self.queues.setdefault(qname, []).append((props, body))
-                    unacked.clear()
                     conn.sendall(method_frame(0, CONNECTION_CLOSE_OK))
                     return
                 else:
@@ -631,6 +625,12 @@ class InMemoryAmqpBroker:
         except (ConnectionError, OSError, IndexError, struct.error):
             pass
         finally:
+            # unacked messages return to their queue on clean close AND
+            # abrupt connection loss (broker redelivery semantics)
+            with self._lock:
+                for qname, props, body in unacked.values():
+                    self.queues.setdefault(qname, []).append((props, body))
+            unacked.clear()
             conn.close()
 
     @staticmethod

@@ -182,10 +182,12 @@ def q_copurchase_affinity(spark, sf_dir):
     ``(n_ab · n_orders · 1e6) // (n_a · n_b)`` — the association metric
     behind recommendation candidate generation.
 
-    Scale shape: the self-join keys on the ORDER (pairs exist only
-    inside an order — never a cartesian; an order with m items yields
-    m·(m-1)/2 pairs, bounded by the basket size), pair counts shuffle on
-    the (a, b) key, the per-part counts join is a broadcast (part-sized
+    Scale shape: pairs are generated ORDER-LOCALLY from the basket
+    array (one groupBy(okey) shuffle, then a map-side double-slice
+    enumeration — an order with m items yields m·(m-1)/2 pairs, bounded
+    by the basket size; never a cartesian, and one exchange cheaper
+    than the okey self-join it replaces), pair counts shuffle on the
+    (a, b) key, the per-part counts join is a broadcast (part-sized
     relation), and the top-50 is TakeOrdered — no global sort."""
     from my_flink_1_10_2_spark.operators.hints import dim
 
@@ -199,11 +201,19 @@ def q_copurchase_affinity(spark, sf_dir):
     )
     n_orders = li.select("okey").distinct().count()
     pc = li.groupBy("pkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
-    a = li.select(F.col("okey"), F.col("pkey").alias("part_a"))
-    b = li.select(F.col("okey"), F.col("pkey").alias("part_b"))
+    baskets = li.groupBy("okey").agg(
+        F.sort_array(F.collect_list("pkey")).alias("ps")
+    )
+    pair_gen = F.explode(
+        F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS part_a, y AS part_b))))"
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(pair_gen.alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= 2)

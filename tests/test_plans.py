@@ -390,13 +390,16 @@ def test_hll_registers_partial_agg_no_python(spark):
 
 
 def test_semantic_neardup_blocked_join_shape(spark):
-    """IVF-blocked near-dup must join on the centroid key — a cartesian
-    or nested-loop pair join would be the O(n^2)-shuffle plan this
-    operator exists to avoid."""
+    """IVF-blocked near-dup shuffles every vector exactly ONCE onto its
+    centroid and scores the bucket in a blocked-GEMM Arrow kernel — no
+    pair join at all (a cartesian/NL pair join, or even the centroid
+    equi self-join this replaced, ships O(pairs·dim) bytes)."""
     df = _df(spark, "q_semantic_neardup_ivf")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-bucket GEMM kernel
+    assert "BatchEvalPython" not in plan
 
 
 def test_lsh_int_bucket_join_shape(spark):

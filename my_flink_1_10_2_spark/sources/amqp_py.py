@@ -380,7 +380,10 @@ class RMQSink:
         doc = row.asDict(recursive=True)
         cid = None
         if self.correlation_id_field is not None:
-            cid = str(doc[self.correlation_id_field])
+            v = doc[self.correlation_id_field]
+            # a NULL id stays absent — stringifying it would make every
+            # null row dedup into one message on the consumer side
+            cid = None if v is None else str(v)
         if self.body_field is not None:
             v = doc[self.body_field]
             body = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
@@ -469,6 +472,10 @@ def rmq_drain_source(
         drain
     )
     df = spark.createDataFrame(rdd, "correlation_id string, body binary")
+    # The drain is SIDE-EFFECTING (messages are acked and dequeued): pin
+    # the rows executor-side NOW so Spark recomputation — a task retry, a
+    # second action, an AQE re-plan — can never re-consume the broker.
+    df = df.localCheckpoint(eager=True)
     if uses_correlation_id:
         df = df.dropDuplicates(["correlation_id"])
     return df

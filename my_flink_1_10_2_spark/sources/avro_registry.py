@@ -132,6 +132,8 @@ def confluent_avro_encode_df(
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):
+                continue
             out = [
                 encode_confluent(
                     {c: rec[c] for c in cols}, schema, schema_id
@@ -161,7 +163,8 @@ def confluent_avro_decode_df(
                 decode_confluent(bytes(b), client.get_schema)[1]
                 for b in pdf[bytes_col]
             ]
-            yield pd.DataFrame(rows)
+            if rows:  # an empty frame would carry no columns -> Arrow error
+                yield pd.DataFrame(rows)
 
     return df.mapInPandas(decode, spark_schema)
 

@@ -71,7 +71,11 @@ def http_line_stream_source(
     rdd = spark.sparkContext.parallelize(range(len(urls)), len(urls)).mapPartitions(
         drain
     )
-    return spark.createDataFrame(rdd, "stream_id int, line string")
+    # A live stream read is not replayable: pin the rows executor-side
+    # NOW so recomputation never re-opens the endpoint.
+    return spark.createDataFrame(
+        rdd, "stream_id int, line string"
+    ).localCheckpoint(eager=True)
 
 
 def twitter_source(

@@ -247,9 +247,12 @@ def nifi_s2s_source(
     rdd = spark.sparkContext.parallelize(range(consumers), consumers).mapPartitions(
         drain
     )
+    # Transactions CONFIRM (dequeue server-side) inside the drain: pin
+    # the rows executor-side NOW so recomputation never re-drains an
+    # already-confirmed (empty) port.
     return spark.createDataFrame(
         rdd, "attributes map<string,string>, content binary"
-    )
+    ).localCheckpoint(eager=True)
 
 
 # -- in-process emulator -------------------------------------------------------

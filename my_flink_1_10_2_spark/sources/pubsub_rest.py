@@ -191,6 +191,9 @@ def pubsub_pull_source(
     df = spark.createDataFrame(
         rdd, "message_id string, attributes map<string,string>, body binary"
     )
+    # The pull loop is SIDE-EFFECTING (leases taken, acks sent): pin the
+    # rows executor-side NOW so recomputation never re-pulls.
+    df = df.localCheckpoint(eager=True)
     if dedup_on_message_id:
         df = df.dropDuplicates(["message_id"])
     return df

@@ -110,6 +110,47 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Per-document grayscale JPEGs built from QUANT-EXACT constant 8×8
+    tiles: width = 8*(2 + doc_id%3), height = 8*(1 + doc_id%2), tile t
+    holds the EVEN level ((doc_id*37 + t*29) % 128) * 2.  A constant
+    tile carries only DC energy and an even level makes 8·(v−128) an
+    exact multiple of the standard DC quant step (16), so the lossy
+    JPEG roundtrip is pixel-exact for these fixtures — a SQL oracle
+    replays the DECODED statistics, and any defect in the Huffman /
+    zigzag / dequant / IDCT chain mismatches.  Natural-image loss
+    behavior is property-tested separately (tests/test_jpeg_codec.py)."""
+    import numpy as np
+
+    from .jpeg import jpeg_encode_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tw, th = 2 + d % 3, 1 + d % 2  # tiles across / down
+                tiles = np.array(
+                    [
+                        [((d * 37 + (r * tw + c) * 29) % 128) * 2 for c in range(tw)]
+                        for r in range(th)
+                    ],
+                    dtype=np.uint8,
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(jpeg_encode_gray(tw * 8, th * 8, img.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Per-document mono 16-bit PCM WAVs with a CLOSED-FORM sample rule —
     n = 64 + doc_id%32 samples, sample[i] = ((doc_id*17 + i*13) % 2048)
@@ -173,6 +214,23 @@ def _png_features(payload: bytes) -> list[float]:
     ]
 
 
+def _jpeg_features(payload: bytes) -> list[float]:
+    """Real decode → pixel statistics: [width, height, 1 (grayscale),
+    n_pixels, sum, min, max] — same layout as the PNG leg."""
+    from .jpeg import jpeg_decode_gray
+
+    w, h, px = jpeg_decode_gray(payload)
+    return [
+        float(w),
+        float(h),
+        1.0,
+        float(len(px)),
+        float(sum(px)),
+        float(min(px)),
+        float(max(px)),
+    ]
+
+
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """Decode → feature-extract via Arrow-batched ``mapInPandas``.
 
@@ -189,15 +247,21 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
             if fake:
                 pdf["features"] = pdf["payload"].map(lambda p: _fake_decode(p, dim))
             else:
-                bad = set(pdf["mime"]) - {"image/png", "audio/wav"}
+                decoders = {
+                    "image/png": _png_features,
+                    "image/jpeg": _jpeg_features,
+                    "audio/wav": _wav_features,
+                }
+                bad = set(pdf["mime"]) - set(decoders)
                 if bad:
                     raise NotImplementedError(
                         f"real codecs for {sorted(bad)} are not available in "
-                        "this environment (baseline PNG and PCM WAV decode "
-                        "for real); use fake=True for the deterministic stub"
+                        "this environment (baseline PNG, baseline grayscale "
+                        "JPEG and PCM WAV decode for real); use fake=True "
+                        "for the deterministic stub"
                     )
                 pdf["features"] = [
-                    _png_features(p) if m == "image/png" else _wav_features(p)
+                    decoders[m](p)
                     for m, p in zip(pdf["mime"], pdf["payload"])
                 ]
             yield pdf[["media_id", "mime", "n_bytes", "features"]]

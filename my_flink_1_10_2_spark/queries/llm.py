@@ -2977,3 +2977,50 @@ def q_curriculum_stages(spark, sf_dir):
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "q_jpeg_tile_stats",
+    oracle="""
+    SELECT media_id, width, height, px_sum, px_min, px_max FROM (
+      SELECT doc_id AS media_id,
+             CAST(8 * (2 + doc_id % 3) AS BIGINT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+             CAST(64 * SUM(((doc_id*37 + t*29) % 128) * 2) AS BIGINT) AS px_sum,
+             CAST(MIN(((doc_id*37 + t*29) % 128) * 2) AS BIGINT) AS px_min,
+             CAST(MAX(((doc_id*37 + t*29) % 128) * 2) AS BIGINT) AS px_max
+      FROM (
+        SELECT doc_id,
+               unnest(range((2 + doc_id % 3) * (1 + doc_id % 2))) AS t
+        FROM documents)
+      GROUP BY doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_jpeg_tile_stats(spark, sf_dir):
+    """REAL JPEG decode (the last gated image leg, now implemented —
+    llm/jpeg.py: baseline sequential DCT, Annex-K Huffman tables, byte
+    stuffing, blocked 8×8 DCT/IDCT): per-document grayscale JPEGs of
+    QUANT-EXACT constant tiles are encoded executor-side, decoded by
+    the same public-spec pipeline in reverse, and the DECODED pixel
+    statistics grade against the closed-form SQL replay.  Constant
+    even-level tiles make the lossy pipeline bit-exact (DC multiples of
+    the quant step; AC exactly zero), so a defect anywhere in the
+    marker parsing / Huffman / zigzag / dequant / IDCT chain
+    mismatches.  Lossy behavior on natural images is property-tested
+    (tests/test_jpeg_codec.py)."""
+    from my_flink_1_10_2_spark.llm.multimodal import (
+        extract_features,
+        synthetic_jpeg_media,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    feats = extract_features(synthetic_jpeg_media(docs), fake=False)
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("bigint").alias("width"),
+        F.element_at("features", 2).cast("bigint").alias("height"),
+        F.element_at("features", 5).cast("bigint").alias("px_sum"),
+        F.element_at("features", 6).cast("bigint").alias("px_min"),
+        F.element_at("features", 7).cast("bigint").alias("px_max"),
+    )

@@ -1,0 +1,106 @@
+"""Baseline JPEG codec (llm/jpeg.py — ITU-T T.81 subset): marker
+framing, Huffman/zigzag/quant/DCT pipeline, quant-exact tile contract,
+bounded loss on natural images, honest gates for unsupported modes."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from my_flink_1_10_2_spark.llm.jpeg import (
+    ZIGZAG,
+    jpeg_decode_gray,
+    jpeg_encode_gray,
+)
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-pin the canonical prefix and suffix of the T.81 zigzag
+    assert ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert sorted(ZIGZAG) == [(r, c) for r in range(8) for c in range(8)]
+
+
+def test_constant_even_tiles_roundtrip_exactly():
+    rng = np.random.RandomState(7)
+    tiles = (rng.randint(0, 128, size=(3, 4)) * 2).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    data = jpeg_encode_gray(32, 24, img.tobytes())
+    w, h, px = jpeg_decode_gray(data)
+    assert (w, h) == (32, 24)
+    assert np.array_equal(
+        np.frombuffer(px, dtype=np.uint8).reshape(24, 32), img
+    )
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+
+
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_natural_images_decode_with_bounded_error(w, h, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    data = jpeg_encode_gray(w, h, img.tobytes())
+    w2, h2, px = jpeg_decode_gray(data)
+    assert (w2, h2) == (w, h)
+    back = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    # random noise is JPEG's worst case; error is bounded by the quant
+    # table's energy (empirically < 128 for the standard table)
+    assert np.abs(back.astype(int) - img.astype(int)).max() < 128
+
+
+def test_smooth_image_decodes_closely():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    img = (64 + xx + yy).astype(np.uint8)  # gentle ramp, no wraparound
+    data = jpeg_encode_gray(40, 24, img.tobytes())
+    _, _, px = jpeg_decode_gray(data)
+    back = np.frombuffer(px, dtype=np.uint8).reshape(24, 40)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_byte_stuffing_roundtrip():
+    # an all-white image produces long 1-runs in the entropy stream --
+    # the classic 0xFF-stuffing case; also 254 is even => exact
+    img = np.full((8, 8), 254, dtype=np.uint8)
+    data = jpeg_encode_gray(8, 8, img.tobytes())
+    _, _, px = jpeg_decode_gray(data)
+    assert set(px) == {254}
+
+
+def test_rejects_progressive_and_multicomponent():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(jpeg_encode_gray(8, 8, img.tobytes()))
+    sof = data.find(b"\xff\xc0")
+    data[sof : sof + 2] = b"\xff\xc2"  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg_decode_gray(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_gray(b"\x00\x01\x02")
+
+
+def test_wrong_pixel_count_is_loud():
+    with pytest.raises(ValueError, match="expected 64 pixels"):
+        jpeg_encode_gray(8, 8, b"\x00" * 63)
+
+
+def test_multimodal_dispatch_decodes_jpeg(spark):
+    from my_flink_1_10_2_spark.llm.multimodal import (
+        extract_features,
+        synthetic_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(6)], "doc_id long")
+    feats = extract_features(synthetic_jpeg_media(docs), fake=False)
+    rows = {r.media_id: r.features for r in feats.collect()}
+    for d in range(6):
+        tw, th = 2 + d % 3, 1 + d % 2
+        vals = [((d * 37 + t * 29) % 128) * 2 for t in range(tw * th)]
+        w, h, ch, n, s, lo, hi = rows[d]
+        assert (w, h, ch, n) == (tw * 8, th * 8, 1, tw * th * 64)
+        assert s == 64 * sum(vals)
+        assert (lo, hi) == (min(vals), max(vals))

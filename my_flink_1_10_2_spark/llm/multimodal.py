@@ -151,6 +151,45 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def synthetic_avi_media(docs: DataFrame) -> DataFrame:
+    """Per-document MJPEG AVIs with a CLOSED-FORM frame rule: 3 +
+    doc_id%4 frames of 16×8 grayscale, frame f built from two
+    quant-exact constant 8×8 tiles at even levels
+    ((doc_id*41 + f*23 + t*29) % 128) * 2 — the whole lossy
+    container→JPEG→pixel chain is bit-exact on these fixtures (see
+    synthetic_jpeg_media), so a SQL oracle replays the decoded video
+    statistics."""
+    import numpy as np
+
+    from .avi import avi_encode_mjpeg
+    from .jpeg import jpeg_encode_gray
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(3 + d % 4):
+                    tiles = np.array(
+                        [[((d * 41 + f * 23 + t * 29) % 128) * 2 for t in range(2)]],
+                        dtype=np.uint8,
+                    )
+                    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                    frames.append(jpeg_encode_gray(16, 8, img.tobytes()))
+                payloads.append(avi_encode_mjpeg(16, 8, frames, fps=5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Per-document mono 16-bit PCM WAVs with a CLOSED-FORM sample rule —
     n = 64 + doc_id%32 samples, sample[i] = ((doc_id*17 + i*13) % 2048)
@@ -231,6 +270,24 @@ def _jpeg_features(payload: bytes) -> list[float]:
     ]
 
 
+def _avi_features(payload: bytes) -> list[float]:
+    """Real MJPEG/AVI decode → video statistics over ALL frames:
+    [width, height, n_frames, n_pixels_decoded, sum, min, max]."""
+    from .avi import avi_decode_sampled_pixels
+
+    w, h, n_total, pxs = avi_decode_sampled_pixels(payload, every=1)
+    flat = b"".join(pxs)
+    return [
+        float(w),
+        float(h),
+        float(n_total),
+        float(len(flat)),
+        float(sum(flat)),
+        float(min(flat)),
+        float(max(flat)),
+    ]
+
+
 def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
     """Decode → feature-extract via Arrow-batched ``mapInPandas``.
 
@@ -251,14 +308,15 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
                     "image/png": _png_features,
                     "image/jpeg": _jpeg_features,
                     "audio/wav": _wav_features,
+                    "video/x-msvideo": _avi_features,
                 }
                 bad = set(pdf["mime"]) - set(decoders)
                 if bad:
                     raise NotImplementedError(
                         f"real codecs for {sorted(bad)} are not available in "
                         "this environment (baseline PNG, baseline grayscale "
-                        "JPEG and PCM WAV decode for real); use fake=True "
-                        "for the deterministic stub"
+                        "JPEG, PCM WAV and MJPEG/AVI decode for real); use "
+                        "fake=True for the deterministic stub"
                     )
                 pdf["features"] = [
                     decoders[m](p)

@@ -117,6 +117,7 @@ _FLAGSHIP_ORDER = [
     "q_confluent_avro_roundtrip",
     "q_leakage_safe_split",
     "q_jpeg_tile_stats",
+    "q_video_frame_stats",
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",

@@ -3024,3 +3024,70 @@ def q_jpeg_tile_stats(spark, sf_dir):
         F.element_at("features", 6).cast("bigint").alias("px_min"),
         F.element_at("features", 7).cast("bigint").alias("px_max"),
     )
+
+
+@register(
+    "q_video_frame_stats",
+    oracle="""
+    SELECT media_id, n_frames, n_sampled, px_sum, px_min, px_max FROM (
+      SELECT doc_id AS media_id,
+             CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+             CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+             CAST(64 * SUM(((doc_id*41 + f*23 + t*29) % 128) * 2)
+                  AS BIGINT) AS px_sum,
+             CAST(MIN(((doc_id*41 + f*23 + t*29) % 128) * 2)
+                  AS BIGINT) AS px_min,
+             CAST(MAX(((doc_id*41 + f*23 + t*29) % 128) * 2)
+                  AS BIGINT) AS px_max
+      FROM (
+        SELECT doc_id, f, t
+        FROM (SELECT doc_id,
+                     unnest(range(3 + doc_id % 4)) AS f
+              FROM documents),
+             (SELECT unnest(range(2)) AS t)
+        WHERE f % 2 = 0)
+      GROUP BY doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_video_frame_stats(spark, sf_dir):
+    """REAL video decode with frame SAMPLING (the last multimodal gate,
+    now implemented — llm/avi.py MJPEG/AVI container walk + llm/jpeg.py
+    per-frame baseline JPEG): per-document AVIs of quant-exact frames
+    are encoded executor-side, every SECOND frame is selected on the
+    chunk index (dropped frames are never decoded — the production
+    sampler shape), the kept frames decode to pixels, and the decoded
+    statistics grade against the closed-form SQL replay.  Codecs beyond
+    MJPG (H.264 class) stay honestly gated."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.avi import avi_decode_sampled_pixels
+    from my_flink_1_10_2_spark.llm.multimodal import synthetic_avi_media
+
+    media = synthetic_avi_media(read(spark, sf_dir, "documents"))
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, n_total, pxs = avi_decode_sampled_pixels(
+                    bytes(payload), every=2
+                )
+                flat = b"".join(pxs)
+                rows.append(
+                    (int(mid), n_total, len(pxs), sum(flat), min(flat), max(flat))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_frames", "n_sampled",
+                        "px_sum", "px_min", "px_max",
+                    ],
+                )
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, n_frames long, n_sampled long, "
+        "px_sum long, px_min long, px_max long",
+    )

@@ -138,7 +138,7 @@ def parse_create_table(query: str) -> CreateTable:
         if pk:
             primary_key = [c.strip() for c in pk.group(1).split(",")]
             continue
-        cm = re.match(r"(\w+)\s+(.+)", item, re.DOTALL)
+        cm = re.match(r"`?(\w+)`?\s+(.+)", item, re.DOTALL)
         if not cm:
             raise ValueError(f"unsupported column definition: {item!r}")
         columns.append((cm.group(1), _flink_type(cm.group(2))))
@@ -164,6 +164,17 @@ def parse_create_table(query: str) -> CreateTable:
     if wm_with:
         for om in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", wm_with.group(1)):
             options[om.group(1)] = om.group(2)
+    # Flink-1.10 descriptor spellings (ref: the pre-FLIP-122 property
+    # keys every 1.10 DDL used — 'connector.type'/'connector.path'/
+    # 'format.type') normalize onto the canonical keys so 1.10 programs
+    # run verbatim.
+    for old, new in (
+        ("connector.type", "connector"),
+        ("connector.path", "path"),
+        ("format.type", "format"),
+    ):
+        if old in options and new not in options:
+            options[new] = options.pop(old)
     return CreateTable(name, columns, watermark, primary_key, options, partition_keys)
 
 

@@ -199,8 +199,15 @@ class GroupWindowedTable:
         self.gw = gw
 
     def group_by(self, *fields: str) -> "WindowGroupedTable":
+        from my_flink_1_10_2_spark.table import _split_top_level
+
         if self.gw.ts is None or self.gw.name is None:
             raise ValueError("window needs .on(<time attr>) and .alias(<name>)")
+        fields = [
+            p
+            for f in fields
+            for p in (_split_top_level(f) if isinstance(f, str) else [f])
+        ]
         names = [str(f).lstrip("$").strip("'\"") for f in fields]
         if self.gw.name not in names:
             raise ValueError(
@@ -222,8 +229,13 @@ class WindowGroupedTable:
         self.keys = keys
 
     def select(self, *exprs):
-        from my_flink_1_10_2_spark.table import Table
+        from my_flink_1_10_2_spark.table import Table, _split_top_level
 
+        exprs = [
+            p
+            for e in exprs
+            for p in (_split_top_level(e) if isinstance(e, str) else [e])
+        ]
         name = self.gw.name
         win_ref = _re.compile(
             rf"^\s*{_re.escape(name)}\.(start|end|rowtime|proctime)\s*"

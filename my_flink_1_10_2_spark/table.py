@@ -25,10 +25,47 @@ def _col(expression) -> Column:
     return expression if isinstance(expression, Column) else F.expr(expression)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a Flink-style comma-joined expression string at top level
+    (ref: PyFlink 1.10 string expressions — ``select("a, count(1) as
+    n")``); commas inside parens/brackets/quotes don't split."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def _cols(expressions) -> list[Column]:
     if isinstance(expressions, (str, Column)):
         expressions = [expressions]
-    return [_col(e) for e in expressions]
+    out: list[Column] = []
+    for e in expressions:
+        if isinstance(e, str) and _split_top_level(e) != [e.strip()]:
+            out.extend(_col(p) for p in _split_top_level(e))
+        else:
+            out.append(_col(e))
+    return out
 
 
 class Table:
@@ -48,6 +85,11 @@ class Table:
 
     def distinct(self) -> "Table":
         return Table(self.df.distinct())
+
+    def to_pandas(self):
+        """ref: pyflink Table.to_pandas — driver-side materialization
+        (test/driver convenience; not a distributed path)."""
+        return self.df.toPandas()
 
     # -- column surgery (ref: Table.java:925,983,1010) ----------------------
     def add_columns(self, **named_exprs) -> "Table":
@@ -322,7 +364,20 @@ class GroupedTable:
         self._keys = list(keys)
 
     def select(self, *agg_exprs) -> Table:
-        return Table(self._df.groupBy(*self._keys).agg(*_cols(agg_exprs)))
+        # Flink's grouped select lists the grouping keys among the
+        # expressions ("word, count(1) as n"); Spark's agg() output
+        # already leads with the grouping columns, so key-identical
+        # string expressions are dropped rather than duplicated.
+        key_names = {self._df.select(k).columns[0] for k in self._keys}
+        raw: list = []
+        for e in agg_exprs:
+            raw.extend(_split_top_level(e)) if isinstance(e, str) else raw.append(e)
+        exprs = [
+            _col(e)
+            for e in raw
+            if not (isinstance(e, str) and e.strip() in key_names)
+        ]
+        return Table(self._df.groupBy(*self._keys).agg(*exprs))
 
     aggregate = select
 

@@ -205,6 +205,9 @@ def install_pyflink_aliases(force: bool = False) -> None:
 
 
 def uninstall_pyflink_aliases() -> None:
+    # decide ONCE off the root marker — checking inside the loop would
+    # stop removing submodules after the root itself is deleted
+    if not getattr(sys.modules.get("pyflink"), "__spark_graft_alias__", False):
+        return
     for name in [m for m in sys.modules if m == "pyflink" or m.startswith("pyflink.")]:
-        if getattr(sys.modules.get("pyflink"), "__spark_graft_alias__", False):
-            del sys.modules[name]
+        del sys.modules[name]

@@ -173,9 +173,14 @@ def transform_operator_state(
     if not m["dirs"]:
         raise ValueError(f"state at {path!r} is empty; nothing to transform")
     new_df = fn(state.read())
-    snap = "c_rewrite" if m["dirs"] != ["c_rewrite"] else "c_rewrite2"
+    # the snapshot name must not collide with ANY live dir — writing
+    # over one and then sweeping old dirs would delete the new state
+    n = 1
+    while f"c_rewrite{n}" in m["dirs"]:
+        n += 1
+    snap = f"c_rewrite{n}"
     new_df.write.mode("overwrite").parquet(f"{state.path}/{snap}")
-    old_dirs = m["dirs"]
+    old_dirs = [d for d in m["dirs"] if d != snap]
     state._write_manifest([snap], m["applied"])
     for d in old_dirs:
         shutil.rmtree(f"{state.path}/{d}", ignore_errors=True)

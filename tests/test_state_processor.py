@@ -126,3 +126,31 @@ def test_read_operator_state_infers_schema_when_nonempty(spark, tmp_path):
     )
     back = read_operator_state(spark, path)
     assert back.schema.simpleString() == "struct<id:bigint,x:double>"
+
+
+def test_repeated_rewrites_with_interleaved_batches(spark, tmp_path):
+    """Regression: a rewrite after (rewrite + more batches) must never
+    pick a snapshot name already live — overwriting it and then
+    sweeping old dirs would delete the new state."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.streaming.state_dir import StateDir
+
+    path = str(tmp_path / "op_rw")
+    bootstrap_operator_state(
+        spark.createDataFrame([(i,) for i in range(8)], "id long"), path
+    )
+    ident = lambda s: s  # noqa: E731
+    transform_operator_state(spark, path, "id long", ident)
+    state = StateDir(spark, path, "id long")
+    state.write_batch(spark.createDataFrame([(100,)], "id long"), 0)
+    assert state.live_dirs()[0].startswith("c_rewrite")
+    # second rewrite with the first rewrite STILL live plus a batch dir
+    transform_operator_state(
+        spark, path, "id long", lambda s: s.where(F.col("id") != 3)
+    )
+    rows = sorted(
+        r.id for r in read_operator_state(spark, path, "id long").collect()
+    )
+    assert rows == [0, 1, 2, 4, 5, 6, 7, 100]
+    assert state.applied_index() == 0

@@ -312,14 +312,22 @@ class AmqpClient:
                 raise ConnectionError(f"unexpected basic.get reply {cm}")
             (tag,) = struct.unpack_from(">Q", payload, 4)
             break
-        ftype, _ch, header = read_frame(self.sock)
+        # heartbeats may interleave anywhere between frames on a real
+        # broker — skip them around the content header and body
+        def next_content_frame():
+            while True:
+                ftype, _ch, payload = read_frame(self.sock)
+                if ftype != FRAME_HEARTBEAT:
+                    return ftype, payload
+
+        ftype, header = next_content_frame()
         if ftype != FRAME_HEADER:
             raise ConnectionError("expected content header after get-ok")
         _cls, _w, size = struct.unpack_from(">HHQ", header, 0)
         props = decode_properties(header[12:])
         body = b""
         while len(body) < size:
-            ftype, _ch, part = read_frame(self.sock)
+            ftype, part = next_content_frame()
             if ftype != FRAME_BODY:
                 raise ConnectionError("expected content body frame")
             body += part

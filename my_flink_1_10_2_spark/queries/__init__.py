@@ -118,6 +118,7 @@ _FLAGSHIP_ORDER = [
     "q_leakage_safe_split",
     "q_jpeg_tile_stats",
     "q_video_frame_stats",
+    "q_quality_constraints",
     "q_png_pixel_stats",
     "q_image_dhash_neardup",
     "q_wav_audio_stats",

@@ -3702,3 +3702,86 @@ def q_leakage_safe_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q_quality_constraints",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
+    m AS (
+      SELECT CAST(count(o_custkey) AS BIGINT) AS n_ck,
+             CAST(min(o_totalprice) AS DOUBLE) AS min_tp,
+             CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS bad_status,
+             CAST(sum(CASE WHEN o_totalprice > 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gt100
+      FROM orders),
+    dup AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS d FROM (
+        SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+    dupck AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS d FROM (
+        SELECT count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1)),
+    orph AS (
+      SELECT CAST(count(*) AS BIGINT) AS o FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    SELECT * FROM (
+      SELECT 'size>=1' AS "constraint",
+             total * 1000000 AS metric_ppm, total >= 1 AS passed
+      FROM t
+      UNION ALL
+      SELECT 'complete(o_custkey)', (n_ck * 1000000) // total, n_ck = total
+      FROM m, t
+      UNION ALL
+      SELECT 'unique(o_orderkey)', ((total - d) * 1000000) // total, d = 0
+      FROM dup, t
+      UNION ALL
+      SELECT 'unique(o_custkey)', ((total - d) * 1000000) // total, d = 0
+      FROM dupck, t
+      UNION ALL
+      SELECT 'min(o_totalprice)>=0',
+             CAST(round(min_tp * 1000000) AS BIGINT), min_tp >= 0
+      FROM m
+      UNION ALL
+      SELECT 'containedIn(o_orderstatus)',
+             ((total - bad_status) * 1000000) // total, bad_status = 0
+      FROM m, t
+      UNION ALL
+      SELECT 'price_gt_100', (n_gt100 * 1000000) // total,
+             (n_gt100 * 1000000) // total >= 900000
+      FROM m, t
+      UNION ALL
+      SELECT 'refIn(o_custkey->customer.c_custkey)',
+             ((total - o) * 1000000) // total, o = 0
+      FROM orph, t)
+    ORDER BY "constraint"
+    """,
+    category="llm_pipeline",
+)
+def q_quality_constraints(spark, sf_dir):
+    """Declarative data-quality verification (Schelter et al., VLDB
+    2018 — the Deequ model): an 8-constraint suite over orders
+    (size, completeness, two uniqueness keys — one deliberately
+    failing, a min bound, set membership, a predicate ratio, and
+    referential containment into customer) evaluated with the paper's
+    single-scan property — every scalar metric rides ONE aggregate pass;
+    uniqueness adds one keyed agg per key set and the foreign key one
+    anti-join.  Metrics are exact integer parts-per-million, so the
+    whole report (including the failing row) replays bitwise in SQL."""
+    from my_flink_1_10_2_spark.operators.quality import Check
+
+    orders = read(spark, sf_dir, "orders")
+    customer = read(spark, sf_dir, "customer")
+    return (
+        Check(orders)
+        .has_size(1)
+        .is_complete("o_custkey")
+        .is_unique("o_orderkey")
+        .is_unique("o_custkey")
+        .has_min("o_totalprice", 0)
+        .is_contained_in("o_orderstatus", ["F", "O", "P"])
+        .satisfies("o_totalprice > 100", "price_gt_100", min_ratio_ppm=900000)
+        .is_referenced_in("o_custkey", customer, "c_custkey", "customer")
+        .run()
+    )

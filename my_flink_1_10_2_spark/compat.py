@@ -127,9 +127,10 @@ def _module(name: str, **attrs) -> types.ModuleType:
 def install_pyflink_aliases(force: bool = False) -> None:
     """Register the ``pyflink.*`` alias modules.  Refuses to shadow a
     real PyFlink installation unless ``force=True``."""
-    if not force and "pyflink" in sys.modules and not getattr(
-        sys.modules["pyflink"], "__spark_graft_alias__", False
-    ):
+    if not force and "pyflink" in sys.modules:
+        if getattr(sys.modules["pyflink"], "__spark_graft_alias__", False):
+            return  # already installed — idempotent no-op (a second
+            # find_spec pass would crash on the spec-less alias module)
         raise RuntimeError(
             "a real pyflink module is already imported; pass force=True "
             "to shadow it"

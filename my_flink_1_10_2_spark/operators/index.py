@@ -83,17 +83,15 @@ def zip_with_index(
     )
     local = Window.partitionBy("__b").orderBy(key)
     counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__n").over(
-                Window.orderBy("__b").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("__b", "__off")
+    # exclusive prefix sum over the O(n_buckets) counts via a triangular
+    # self-join — even this bounded step avoids the unpartitioned-window
+    # shape the plan gate bans (Exchange SinglePartition -> Window)
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("cb.__b") < F.col("ca.__b"), "left")
+        .groupBy(F.col("ca.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("cb.__n"), F.lit(0)).alias("__off"))
+    )
     return (
         bucketed.withColumn("__rn", F.row_number().over(local))
         .join(F.broadcast(offsets), "__b")

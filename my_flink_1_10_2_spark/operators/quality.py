@@ -126,15 +126,23 @@ class Check:
                 aggs.append(F.max(c.spec["col"]).alias(f"m{i}"))
             elif c.kind == "contained":
                 col = F.col(c.spec["col"])
+                # coalesce: F.sum over ZERO rows is NULL — an empty table
+                # must report 0 violations, not crash the int() below
                 aggs.append(
-                    F.sum(
-                        F.when(col.isNull() | col.isin(c.spec["allowed"]), 0)
-                        .otherwise(1)
+                    F.coalesce(
+                        F.sum(
+                            F.when(col.isNull() | col.isin(c.spec["allowed"]), 0)
+                            .otherwise(1)
+                        ),
+                        F.lit(0),
                     ).alias(f"m{i}")
                 )
             elif c.kind == "satisfies":
                 aggs.append(
-                    F.sum(F.when(F.expr(c.spec["pred"]), 1).otherwise(0)).alias(f"m{i}")
+                    F.coalesce(
+                        F.sum(F.when(F.expr(c.spec["pred"]), 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias(f"m{i}")
                 )
         scalars = self.df.agg(*aggs).collect()[0]  # O(constraints) scalars
         total = int(scalars["__total"])

@@ -102,11 +102,152 @@ def global_rank(
         eager=False
     )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.withColumn(
-        "__off", F.sum("__n").over(Window.orderBy("__pid")) - F.col("__n")
-    ).select("__pid", "__off")
+    offsets = _prefix_offsets(counts, [("__off", "__n", "sum")])
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
         .drop("__pid", "__lrn", "__off")
+    )
+
+
+def _prefix_offsets(totals: DataFrame, specs: list[tuple[str, str, str]]) -> DataFrame:
+    """EXCLUSIVE prefix aggregate over the O(num_partitions) per-partition
+    totals relation, keyed by ``__pid`` — via a triangular self-join
+    (b.__pid < a.__pid) instead of an unpartitioned window, so even this
+    bounded step never plans an ``Exchange SinglePartition`` feeding a
+    Window (the plan gate bans that shape outright).  P² pairs with
+    P = shuffle partitions ≈ 32–2000: trivially broadcastable.
+
+    specs: (out_col, total_col, fn) with fn in {"sum", "max"}.  Sum
+    offsets coalesce to 0 for the first partition; max offsets stay NULL
+    there (callers decide the identity).
+    """
+    a = totals.alias("a")
+    b = totals.alias("b")
+    joined = a.join(
+        F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left"
+    )
+    aggs = []
+    for out, col, fn in specs:
+        src = F.col(f"b.{col}")
+        agg = F.sum(src) if fn == "sum" else F.max(src)
+        if fn == "sum":
+            agg = F.coalesce(agg, F.lit(0))
+        aggs.append(agg.alias(out))
+    return joined.groupBy(F.col("a.__pid").alias("__pid")).agg(*aggs)
+
+
+def global_running(
+    df: DataFrame,
+    order_by: list[Column] | list[str],
+    specs: list[tuple[str, str, str, bool]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running aggregates over a total order WITHOUT a
+    single-task window (ref: BatchExecOverAggregate.scala — the reference
+    plans unbounded-preceding OVER frames on a sort-partitioned exchange
+    with per-partition accumulators, never one task).
+
+    specs: list of ``(out_col, value_col, fn, inclusive)`` with fn in
+    {"sum", "max"}; ``inclusive=False`` is the
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` frame.  All
+    running sums coalesce NULL (empty frame) to 0 — callers relying on
+    SQL's NULL-for-first-row must re-introduce it themselves.
+
+    ``order_by`` must be a total order (unique key), otherwise rows-frame
+    results are tie-order dependent in ANY engine.
+
+    Shape: one range exchange on the order key, per-partition local
+    running aggregates, per-partition totals folded into exclusive
+    prefix offsets by a triangular O(P²) broadcast join, offsets
+    broadcast back by partition id.  Scales to any row count; the only
+    single-point data structure is the P-row offsets relation.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_incl = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_excl = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged
+    for out, col, fn, inclusive in specs:
+        w = w_incl if inclusive else w_excl
+        agg = F.sum(col) if fn == "sum" else F.max(col)
+        run = agg.over(w)
+        if fn == "sum":
+            run = F.coalesce(run, F.lit(0))
+        local = local.withColumn(f"__l_{out}", run)
+    # Pin partition ids — same nondeterminism hazard as global_rank.
+    local = local.localCheckpoint(eager=False)
+    totals = local.groupBy("__pid").agg(
+        *[
+            (F.sum(col) if fn == "sum" else F.max(col)).alias(f"__t_{out}")
+            for out, col, fn, _ in specs
+        ]
+    )
+    offsets = _prefix_offsets(
+        totals, [(f"__o_{out}", f"__t_{out}", fn) for out, _, fn, _ in specs]
+    )
+    out_df = local.join(F.broadcast(offsets), "__pid")
+    for out, _, fn, _ in specs:
+        l, o = F.col(f"__l_{out}"), F.col(f"__o_{out}")
+        if fn == "sum":
+            combined = l + o
+        else:
+            combined = F.when(o.isNull(), l).otherwise(
+                F.when(l.isNull(), o).otherwise(F.greatest(l, o))
+            )
+        out_df = out_df.withColumn(out, combined)
+    drop = ["__pid"]
+    for out, _, _, _ in specs:
+        drop += [f"__l_{out}", f"__o_{out}"]
+    return out_df.drop(*drop)
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    order_by: list[Column] | list[str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``NTILE(k) OVER (ORDER BY ...)`` semantics WITHOUT the
+    single-task window that ``F.ntile(k).over(Window.orderBy(...))``
+    plans (Exchange SinglePartition — the 100 TB killer; ref:
+    BatchExecRank.scala ranks over sample-based range partitions).
+
+    Standard NTILE bucket sizing: with N rows, q = N div k, r = N mod k,
+    buckets 1..r get q+1 rows and buckets r+1..k get q rows.  The bucket
+    of global rank ``rn`` (1-based) is a closed-form integer expression,
+    so the whole operator is ``global_rank`` + one tiny count broadcast —
+    deterministic under a total ``order_by``.
+    """
+    n_df = df.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    ranked = global_rank(df, order_by, rank_col="__grnk", num_partitions=num_partitions)
+    # q = N DIV k, r = N % k, cut = r*(q+1): pure int64 arithmetic —
+    # exact at any corpus size (no double division anywhere).
+    bucket = F.expr(
+        f"CASE WHEN __grnk <= (__N % {k}) * ((__N DIV {k}) + 1) "
+        f"THEN (__grnk - 1) DIV ((__N DIV {k}) + 1) + 1 "
+        f"ELSE (__N % {k}) "
+        f"     + (__grnk - (__N % {k}) * ((__N DIV {k}) + 1) - 1) "
+        f"       DIV greatest(__N DIV {k}, 1) + 1 END"
+    )
+    return (
+        ranked.join(F.broadcast(n_df))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__grnk", "__N")
     )

@@ -111,3 +111,76 @@ def assert_plan(df: DataFrame, *, pushed: list[str] | None = None,
     if columns_subset is not None:
         extra = scan_columns(df) - columns_subset
         assert not extra, f"scan reads unpruned columns: {extra}"
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str]]:
+    """Parse a physical-plan toString tree into (depth, node_text) pairs.
+
+    Spark draws the tree with 3-char prefix segments: "   " / ":  "
+    (continuation) and "+- " / ":- " (the node marker).  Depth = number
+    of segments; the root has none.  Codegen stage markers `*(n) ` are
+    stripped from the node text.
+    """
+    nodes: list[tuple[int, str]] = []
+    for raw in plan.splitlines():
+        line = raw.rstrip()
+        if not line or line.startswith("=="):
+            continue
+        i, depth = 0, 0
+        while True:
+            seg = line[i : i + 3]
+            if seg in ("   ", ":  "):
+                depth += 1
+                i += 3
+                continue
+            if seg in ("+- ", ":- "):
+                depth += 1
+                i += 3
+            break
+        text = re.sub(r"^\*\(\d+\)\s*", "", line[i:])
+        if text:
+            nodes.append((depth, text))
+    return nodes
+
+
+# Operators that merely forward their child's partitioning between an
+# Exchange and the Window that required it.
+_SPW_PASSTHROUGH = {
+    "Sort", "Project", "Filter", "ColumnarToRow", "InputAdapter",
+    "AQEShuffleRead", "ShuffleQueryStage", "Coalesce", "WindowGroupLimit",
+}
+
+
+def single_partition_windows(df: DataFrame) -> list[str]:
+    """Window operators fed by an ``Exchange SinglePartition`` — the
+    unpartitioned-OVER shape that funnels the whole relation through ONE
+    task (the 100 TB killer; ref: BatchExecRank.scala /
+    BatchExecSortRule.scala rank over sample-based range partitions,
+    never one task).  Returns the offending Window node strings; gates
+    assert this is empty unless the window's input is provably bounded
+    (e.g. DDSketch buckets, O(partitions) offset relations).
+
+    Detection: walk each ``Exchange SinglePartition`` node's ancestor
+    chain upward through partition-preserving operators (Sort, Project,
+    Filter, ...); if the first significant ancestor is a Window (incl.
+    WindowInPandas), the plan routes row data through one task.
+    """
+    nodes = _tree_nodes(explain_str(df, "simple"))
+    hits: list[str] = []
+    for i, (depth, text) in enumerate(nodes):
+        if not text.startswith("Exchange SinglePartition"):
+            continue
+        cur = depth
+        for j in range(i - 1, -1, -1):
+            dj, tj = nodes[j]
+            if dj >= cur:
+                continue
+            cur = dj
+            m = re.match(r"[A-Za-z]+", tj)
+            op = m.group(0) if m else tj
+            if op in _SPW_PASSTHROUGH:
+                continue
+            if op.startswith("Window"):
+                hits.append(tj)
+            break
+    return hits

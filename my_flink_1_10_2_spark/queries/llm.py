@@ -2947,11 +2947,13 @@ def q_curriculum_stages(spark, sf_dir):
     score (mean token length in permille — length*1000 DIV (tokens+1),
     exact in both engines) and cut the corpus into 4 curriculum stages
     with NTILE, easy → hard; the per-stage profile is what a training
-    scheduler consumes.  The global NTILE is a range-partitioned sort
-    (Spark's native ntile) — no driver materialization, and the stage
-    boundaries are deterministic under the (difficulty, doc_id)
-    total order."""
-    from pyspark.sql import Window
+    scheduler consumes.  The global NTILE runs through
+    operators/rank.py::global_ntile (range-partitioned global rank +
+    closed-form integer bucket arithmetic) — NOT Spark's native
+    unpartitioned ntile window, which funnels the whole corpus through
+    one task (Exchange SinglePartition).  Stage boundaries are
+    deterministic under the (difficulty, doc_id) total order."""
+    from my_flink_1_10_2_spark.operators.rank import global_ntile
 
     docs = read(spark, sf_dir, "documents")
     d = docs.select(
@@ -2963,9 +2965,7 @@ def q_curriculum_stages(spark, sf_dir):
             "(length(text) * 1000) DIV (size(split(text, '\\\\s+')) + 1)"
         ).alias("difficulty"),
     )
-    staged = d.withColumn(
-        "stage", F.ntile(4).over(Window.orderBy("difficulty", "doc_id"))
-    )
+    staged = global_ntile(d, 4, ["difficulty", "doc_id"], "stage")
     return (
         staged.groupBy("stage")
         .agg(

@@ -373,13 +373,18 @@ def q_skyline_pareto(spark, sf_dir):
     per DISTINCT price with its max size, a running max over the sorted
     price axis gives the strictest cheaper competitor, and a part
     survives iff it beats every strictly-cheaper price's best size AND
-    ties its own price's best.  The windowed relation is distinct-price-
-    sized; the oracle is the independent NOT EXISTS formulation, so the
+    ties its own price's best.  The running max is
+    operators/rank.py::global_running (range-partitioned — the distinct
+    price domain is row-granularity at 100 TB, never one task); the
+    oracle is the independent NOT EXISTS formulation, so the
     frontier recursion is cross-checked against brute-force dominance."""
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
     p = read(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("__best"))
-    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = per_price.withColumn("__cheaper_best", F.max("__best").over(w))
+    frontier = global_running(
+        per_price, ["p_retailprice"], [("__cheaper_best", "__best", "max", False)]
+    )
     return (
         p.join(frontier, "p_retailprice")
         .where(
@@ -549,9 +554,10 @@ def q_cumulative_distinct_users(spark, sf_dir):
     ... WHERE ts <= d) rescans the corpus |days| times; this scans it
     once).
 
-    The running-sum window moves |days| rows; the heavy lifting is two
-    keyed aggregates."""
-    from pyspark.sql import Window as W
+    The running sum walks the day domain through
+    operators/rank.py::global_running (range-partitioned — never an
+    unpartitioned window); the heavy lifting is two keyed aggregates."""
+    from my_flink_1_10_2_spark.operators.rank import global_running
 
     e = read(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
@@ -572,10 +578,12 @@ def q_cumulative_distinct_users(spark, sf_dir):
         "active_users",
         F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
     )
-    return out.withColumn(
-        "cumulative_users",
-        F.sum("new_users").over(W.orderBy("day")).cast("bigint"),
-    ).orderBy("day")
+    return (
+        global_running(out, ["day"], [("__cum", "new_users", "sum", True)])
+        .withColumn("cumulative_users", F.col("__cum").cast("bigint"))
+        .drop("__cum")
+        .orderBy("day")
+    )
 
 
 @register(

@@ -633,9 +633,14 @@ def q_mannwhitney_u(spark, sf_dir):
     2*avg-rank protocol (2*rank + cnt - 1), and the tie-correction term
     sum(t^3 - t) is exact BIGINT (zero for untied values, so no filter).
     The corpus is touched by ONE groupBy(v); everything after runs on
-    the domain-sized relation.  U and z are a single IEEE expression
-    over four exact integers — bitwise in both engines.
+    the domain-sized relation — and the domain cumulative itself is
+    operators/rank.py::global_running (range-partitioned, never an
+    unpartitioned window: the value domain is row-granularity at 100 TB).
+    U and z are a single IEEE expression over four exact integers —
+    bitwise in both engines.
     """
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
     s = (
         read(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "click"))
@@ -648,12 +653,8 @@ def q_mannwhitney_u(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("is_t").cast("bigint").alias("cnt_t"),
     )
-    w = (
-        Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rk = per_v.withColumn(
-        "rnk", F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    rk = global_running(per_v, ["v"], [("__cum", "cnt", "sum", False)]).withColumn(
+        "rnk", F.lit(1) + F.col("__cum")
     )
     g = rk.agg(
         F.sum("cnt_t").cast("bigint").alias("n1"),
@@ -916,7 +917,10 @@ def q_spearman_corr(spark, sf_dir):
     Scale design: ranks come from cumulative counts over the two VALUE
     DOMAINS (distinct quantized values / distinct k), joined back to the
     corpus — the k domain is tiny (rides broadcast), the v domain is an
-    equi-join.  One corpus pass for the domain counts, one for the
+    equi-join.  Both domain cumulatives run through
+    operators/rank.py::global_running (the v domain is row-granularity
+    at 100 TB — never an unpartitioned window).  One corpus pass for
+    the domain counts, one for the
     moments.  The double expression is cast-before-multiply like
     q_pearson_corr (2*avg-rank second moments reach ~1e18 by sf1 —
     int64 holds through the graded scales, DECIMAL(38,0) is the
@@ -926,35 +930,22 @@ def q_spearman_corr(spark, sf_dir):
         F.round(F.col("value") * 10000).cast("bigint").alias("v"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
-    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    xr = (
-        s.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(
-            "v",
-            (
-                F.lit(2) * (F.lit(1) + F.coalesce(F.sum("cnt").over(w_v), F.lit(0)))
-                + F.col("cnt")
-                - F.lit(1)
-            )
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
+    def _avg2_ranks(domain, key, out):
+        cum = global_running(domain, [key], [("__cum", "cnt", "sum", False)])
+        return cum.select(
+            key,
+            (F.lit(2) * (F.lit(1) + F.col("__cum")) + F.col("cnt") - F.lit(1))
             .cast("bigint")
-            .alias("rx2"),
+            .alias(out),
         )
+
+    xr = _avg2_ranks(
+        s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")), "v", "rx2"
     )
-    w_k = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
-    yr = (
-        s.groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(
-            "k",
-            (
-                F.lit(2) * (F.lit(1) + F.coalesce(F.sum("cnt").over(w_k), F.lit(0)))
-                + F.col("cnt")
-                - F.lit(1)
-            )
-            .cast("bigint")
-            .alias("ry2"),
-        )
+    yr = _avg2_ranks(
+        s.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")), "k", "ry2"
     )
     j = s.join(xr, "v").join(F.broadcast(yr), "k").select(
         F.col("rx2").alias("x"), F.col("ry2").alias("y")
@@ -2017,16 +2008,17 @@ def q_kaplan_meier(spark, sf_dir):
         F.sum("ev").cast("bigint").alias("d_events"),
         F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c_censored"),
     )
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
     n_total = d.count()
-    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = grp.withColumn(
-        "n_risk",
-        (
-            F.lit(n_total)
-            - F.coalesce(
-                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev), F.lit(0)
-            )
-        ).cast("bigint"),
+    risk = (
+        global_running(
+            grp.withColumn("__dc", F.col("d_events") + F.col("c_censored")),
+            ["t"],
+            [("__cumdc", "__dc", "sum", False)],
+        )
+        .withColumn("n_risk", (F.lit(n_total) - F.col("__cumdc")).cast("bigint"))
+        .drop("__dc", "__cumdc")
     )
     ln = _ln()
     vals = (
@@ -2061,15 +2053,19 @@ def q_kaplan_meier(spark, sf_dir):
             .alias("hit_zero"),
         )
     )
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = global_running(
+        steps,
+        ["t"],
+        [("__cum_step", "step_e6", "sum", True), ("__hit", "hit_zero", "max", True)],
+    )
     return (
-        steps.withColumn(
+        run.withColumn(
             "log_surv_e6",
             # the curve reaches S=0 when the last at-risk subjects all
             # fail: log-survival is NULL (-inf) from that point on —
             # never a silently-skipped step
-            F.when(F.max("hit_zero").over(w_cum) == 1, F.lit(None)).otherwise(
-                F.sum("step_e6").over(w_cum).cast("bigint")
+            F.when(F.col("__hit") == 1, F.lit(None)).otherwise(
+                F.col("__cum_step").cast("bigint")
             ),
         )
         .where(F.col("d_events") > 0)
@@ -2464,8 +2460,10 @@ def q_auc_roc(spark, sf_dir):
     score — computed THROUGH the Mann-Whitney identity
     AUC = U / (n_pos * n_neg), with ties worth half (the 2*avg-rank
     integer protocol handles that exactly).  Same value-domain rank
-    trick as q_mannwhitney_u: one corpus groupBy(v), domain-sized
-    window, three exact BIGINTs, one IEEE division chain."""
+    trick as q_mannwhitney_u: one corpus groupBy(v), then
+    operators/rank.py::global_running over the domain (range-
+    partitioned — never an unpartitioned window), three exact BIGINTs,
+    one IEEE division chain."""
     s = (
         read(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "view"))
@@ -2478,9 +2476,10 @@ def q_auc_roc(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("is_pos").cast("bigint").alias("cnt_p"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    rk = per_v.withColumn(
-        "rnk", F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
+    rk = global_running(per_v, ["v"], [("__cum", "cnt", "sum", False)]).withColumn(
+        "rnk", F.lit(1) + F.col("__cum")
     )
     g = rk.agg(
         F.sum("cnt_p").cast("bigint").alias("n_pos"),
@@ -3217,7 +3216,11 @@ def q_funnel_time_percentiles(spark, sf_dir):
     smallest, k = ceil(q·n) — the q_winsorized_stats protocol), the
     latency view that pairs with the Kaplan-Meier curve.  One corpus
     groupBy(user); the percentile search walks the hour-domain
-    relation."""
+    relation via operators/rank.py::global_running (range-partitioned
+    cumulative — never an unpartitioned window), and the grand total
+    rides a broadcast scalar aggregate."""
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
     ev = read(spark, sf_dir, "events")
     te = F.unix_micros(F.col("ts").cast("timestamp"))
     u = ev.groupBy("user_id").agg(
@@ -3228,11 +3231,12 @@ def q_funnel_time_percentiles(spark, sf_dir):
         F.expr(f"(tp - t0) DIV {_HOUR_US}").alias("hrs")
     )
     per_v = d.groupBy("hrs").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    w_cum = Window.orderBy("hrs").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_v.withColumn("cum", F.sum("cnt").over(w_cum).cast("bigint")).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+    run = global_running(per_v, ["hrs"], [("__cum", "cnt", "sum", True)])
+    # grand total from run's output: rides the checkpoint global_running
+    # already pinned, so the corpus is still scanned exactly once
+    n_df = run.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = run.withColumn("cum", F.col("__cum").cast("bigint")).join(
+        F.broadcast(n_df)
     )
     return cum.agg(
         F.max("n").alias("n_converted"),
@@ -3279,26 +3283,39 @@ def q_lorenz_deciles(spark, sf_dir):
     to the graded Gini: users ranked by total value (NTILE(10) under a
     (value, user_id) total order, so both engines agree on every
     boundary), per-decile mass and the cumulative share in integer
-    1e-6 units.  Windows run over the user-domain relation only."""
+    1e-6 units.  The decile assignment is
+    operators/rank.py::global_ntile (range-partitioned, never a
+    single-task window); the grand total rides a broadcast scalar
+    aggregate; the 10-row decile cumulative is a triangular broadcast
+    join — zero unpartitioned windows anywhere in the plan."""
+    from my_flink_1_10_2_spark.operators.rank import global_ntile
+
     u = read(spark, sf_dir, "events").groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
         .alias("v_e2")
     )
-    w_rank = Window.orderBy("v_e2", "user_id")
-    t = u.withColumn("decile", F.ntile(10).over(w_rank)).withColumn(
-        "grand", F.sum("v_e2").over(Window.partitionBy()).cast("bigint")
-    )
+    t = global_ntile(u, 10, ["v_e2", "user_id"], "decile")
     d = t.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("v_e2").cast("bigint").alias("value_e2"),
-        F.max("grand").alias("grand"),
     )
-    w_cum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # grand total = sum over the <= 10 decile masses (no second corpus scan)
+    grand = d.agg(F.sum("value_e2").cast("bigint").alias("grand"))
+    # cumulative share over the (<= 10-row) decile relation: triangular
+    # self-join (b.decile <= a.decile), not an ordered window
+    a, b = d.alias("a"), d.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n_users").alias("n_users"),
+            F.col("a.value_e2").alias("value_e2"),
+        )
+        .agg(F.sum("b.value_e2").cast("bigint").alias("cum"))
     )
     return (
-        d.withColumn("cum", F.sum("value_e2").over(w_cum).cast("bigint"))
+        cum.join(F.broadcast(grand))
         .select(
             F.col("decile").cast("bigint").alias("decile"),
             "n_users",
@@ -3523,8 +3540,12 @@ def q_user_rfm_segments(spark, sf_dir):
     rolled up to segment counts — the classic customer segmentation.
     Every NTILE runs under a deterministic (metric, user_id) total
     order so both engines agree on every quintile boundary; recency is
-    anchored to the corpus max day (never wall-clock).  Windows walk
-    the user-domain relation."""
+    anchored to the corpus max day (never wall-clock).  Each quintile
+    is operators/rank.py::global_ntile — a range-partitioned global
+    rank + integer bucket arithmetic, never an unpartitioned ntile
+    window (which would funnel every user through one task)."""
+    from my_flink_1_10_2_spark.operators.rank import global_ntile
+
     ev = read(spark, sf_dir, "events")
     day = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}")
     u = ev.groupBy("user_id").agg(
@@ -3538,16 +3559,11 @@ def q_user_rfm_segments(spark, sf_dir):
     u2 = u.crossJoin(F.broadcast(m)).withColumn(
         "recency_days", F.col("max_day") - F.col("last_day")
     )
-    scored = (
-        u2.withColumn(
-            "r_score",
-            F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id")),
-        )
-        .withColumn("f_score", F.ntile(5).over(Window.orderBy("frequency", "user_id")))
-        .withColumn(
-            "m_score", F.ntile(5).over(Window.orderBy("monetary_e2", "user_id"))
-        )
+    scored = global_ntile(
+        u2, 5, [F.col("recency_days").desc(), F.col("user_id")], "r_score"
     )
+    scored = global_ntile(scored, 5, ["frequency", "user_id"], "f_score")
+    scored = global_ntile(scored, 5, ["monetary_e2", "user_id"], "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -389,8 +389,9 @@ class RMQSink:
         cid = None
         if self.correlation_id_field is not None:
             v = doc[self.correlation_id_field]
-            # a NULL id stays absent — stringifying it would make every
-            # null row dedup into one message on the consumer side
+            # a NULL id stays absent; an exactly-once consumer
+            # (uses_correlation_id=True) rejects id-less messages loudly
+            # rather than deduping NULLs into one row
             cid = None if v is None else str(v)
         if self.body_field is not None:
             v = doc[self.body_field]
@@ -461,6 +462,8 @@ def rmq_drain_source(
     """
     cfg, q, cf = config, queue, connect_factory
 
+    dedup = uses_correlation_id
+
     def drain(_idx_iter):
         client = AmqpClient(cfg, connect_factory=cf)
         try:
@@ -470,9 +473,19 @@ def rmq_drain_source(
                 if got is None:
                     return
                 tag, props, body = got
+                corr = props.get("correlation_id")
+                if dedup and corr is None:
+                    # ref: RMQSource.java — usesCorrelationId with a
+                    # null id fails LOUDLY; silently deduping NULLs
+                    # would collapse every id-less message into one row
+                    raise ValueError(
+                        "rmq_drain_source: uses_correlation_id=True but a "
+                        "message arrived without a correlation id — publish "
+                        "with ids or disable correlation-id dedup"
+                    )
                 if ack:
                     client.basic_ack(tag)
-                yield (props.get("correlation_id"), bytearray(body))
+                yield (corr, bytearray(body))
         finally:
             client.close()
 

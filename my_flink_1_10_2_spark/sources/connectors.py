@@ -377,6 +377,10 @@ def pubsub_source(spark, base_url, project, subscription, **kwargs):
     ``pubsub_rest.PubSubRestSink`` for the write side (PubSubSink.java)."""
     from my_flink_1_10_2_spark.sources.pubsub_rest import pubsub_pull_source
 
+    # the reference's PubSubSource dedups redeliveries on messageId by
+    # default — make the shim match its own docstring (the underlying
+    # pubsub_pull_source defaults to raw at-least-once)
+    kwargs.setdefault("dedup_on_message_id", True)
     return pubsub_pull_source(spark, base_url, project, subscription, **kwargs)
 
 

@@ -134,3 +134,17 @@ def test_connectors_shim_delegates(spark, broker):
     broker.publish("s_q", b"hello")
     df = rabbitmq_source(spark, broker.config(), "s_q", consumers=1)
     assert [bytes(r.body) for r in df.collect()] == [b"hello"]
+
+def test_drain_source_rejects_idless_message_in_dedup_mode(spark, broker):
+    """uses_correlation_id=True + an id-less message must fail LOUDLY
+    (ref: RMQSource.java) — silently deduping NULL ids would collapse
+    every id-less message into one row."""
+    import pytest
+
+    broker.publish("nc_q", b"has-id", correlation_id="a")
+    broker.publish("nc_q", b"no-id")  # no correlation id
+    # the eager checkpoint inside the source triggers the drain job
+    with pytest.raises(Exception, match="correlation id"):
+        rmq_drain_source(
+            spark, broker.config(), "nc_q", consumers=1, uses_correlation_id=True
+        )

@@ -124,12 +124,15 @@ def test_global_rank_matches_row_number_no_single_partition(spark):
     )
     assert got.orderBy("rk").collect() == want.orderBy("rk").collect()
     txt = got._jdf.queryExecution().executedPlan().toString()
-    # the row-data window is partitioned by __pid; only the tiny offsets
-    # window (over <= num_partitions count rows) may be single-partition
-    import re
-    specs = re.findall(r"windowspecdefinition\([^)]*\)", txt)
-    row_specs = [s for s in specs if "__pid" in s]
-    assert row_specs, "expected the partition-local row_number window"
+    # the row-data window runs partition-local inside the checkpointed
+    # stage; the visible plan must have NO single-partition window at
+    # all — the prefix offsets fold is a triangular broadcast join over
+    # the O(partitions) totals (inequality join -> nested loop, bounded)
+    from my_flink_1_10_2_spark import plans
+
+    assert plans.single_partition_windows(got) == []
+    bnlj = [l for l in txt.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("__pid" in l for l in bnlj), bnlj
 
 
 def test_compaction_collapses_files_preserves_rows(spark, tmp_path):
@@ -167,3 +170,61 @@ def test_compaction_guards(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no .parquet files"):
         compact_parquet_dir(spark, str(empty), str(tmp_path / "o2"))
+
+
+def test_global_ntile_matches_sql_ntile_all_remainders(spark):
+    """global_ntile's closed-form integer bucketing must equal SQL NTILE
+    for every N mod k shape (uneven buckets, N < k, exact multiples)."""
+    from pyspark.sql import Window, functions as F
+
+    from my_flink_1_10_2_spark.operators.rank import global_ntile
+
+    for n, k in [(1, 4), (3, 4), (12, 4), (97, 5), (1000, 7)]:
+        df = spark.range(0, n).withColumn("v", (F.col("id") * 37) % 101)
+        want = {
+            r.id: r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        got = {
+            r.id: r.b
+            for r in global_ntile(df, k, ["v", "id"], "b").collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_global_running_matches_window_frames(spark):
+    """global_running (sum incl/excl, max incl/excl) must equal the
+    unpartitioned rows-frame windows it replaces — including the NULL
+    empty-frame-to-0 coalescing for sums and NULL-first-row for max."""
+    from pyspark.sql import Window, functions as F
+
+    from my_flink_1_10_2_spark.operators.rank import global_running
+
+    df = spark.range(0, 700).select(
+        F.col("id"),
+        ((F.col("id") * 131) % 47 - 23).alias("v"),
+    )
+    w_i = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    w_e = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select(
+        "id",
+        F.sum("v").over(w_i).alias("si"),
+        F.coalesce(F.sum("v").over(w_e), F.lit(0)).alias("se"),
+        F.max("v").over(w_i).alias("mi"),
+        F.max("v").over(w_e).alias("me"),
+    )
+    got = global_running(
+        df,
+        ["id"],
+        [
+            ("si", "v", "sum", True),
+            ("se", "v", "sum", False),
+            ("mi", "v", "max", True),
+            ("me", "v", "max", False),
+        ],
+    ).select("id", "si", "se", "mi", "me")
+    a = {r.id: (r.si, r.se, r.mi, r.me) for r in want.collect()}
+    b = {r.id: (r.si, r.se, r.mi, r.me) for r in got.collect()}
+    assert a == b

@@ -518,13 +518,18 @@ def test_standardize_broadcasts_dim_stats(spark):
 
 
 def test_skyline_avoids_dominance_join(spark):
-    """The skyline must run as pre-agg + running-max window, never the
-    O(n²) dominance self-join the NOT EXISTS oracle spells out."""
+    """The skyline must run as pre-agg + running-max (global_running),
+    never the O(n²) dominance self-join the NOT EXISTS oracle spells
+    out.  The only nested-loop allowed is global_running's triangular
+    prefix-offsets join over the O(partitions) ``__pid`` totals."""
     df = _df(spark, "q_skyline_pareto")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "__pid" in line, f"row-data nested loop: {line.strip()}"
     assert "CartesianProduct" not in plan
     assert plans.python_eval_count(df) == 0
+    assert plans.single_partition_windows(df) == []
 
 
 def test_copurchase_pairs_are_order_local(spark):
@@ -767,13 +772,17 @@ def test_ddsketch_joins_fold_before_quantile_lookup(spark):
     assert plans.python_eval_count(df) == 0
 
 
-def test_curriculum_single_global_sort(spark):
-    """Curriculum staging is ONE range-partitioned global sort (the
-    ntile window) over engine-side integer arithmetic — no Python, no
-    extra shuffles beyond sort + stage aggregate."""
+def test_curriculum_global_ntile_plan(spark):
+    """Curriculum staging ranks through global_ntile: one range exchange
+    for the corpus order, tiny count/offset aggregates, stage rollup +
+    output sort — and NEVER an unpartitioned ntile window (the
+    single-task shape the round-6 verdict flagged)."""
     df = _df(spark, "q_curriculum_stages")
     assert plans.python_eval_count(df) == 0
-    assert plans.num_shuffles(df) <= 3  # ntile sort + agg + orderBy
+    assert plans.single_partition_windows(df) == []
+    # range exchange (rank) + count agg + offsets aggs + stage agg + sort;
+    # only ONE of these moves corpus-sized data (the range exchange)
+    assert plans.num_shuffles(df) <= 7
 
 
 def test_connector_drain_sources_surface_as_scans(spark):
@@ -796,3 +805,107 @@ def test_connector_drain_sources_surface_as_scans(spark):
         assert df.rdd.getNumPartitions() == 3  # one per competing consumer
     finally:
         broker.close()
+
+
+# ---------------------------------------------------------------------------
+# Single-partition-window gate (round 7): Window.orderBy with no
+# partitionBy compiles to `Exchange SinglePartition` — the whole relation
+# through ONE task.  Banned over row-granularity data everywhere in the
+# registry; the only unpartitioned windows allowed are over provably
+# bounded inputs (each documented in its query's docstring).
+# Full-registry audit: tools/spw_audit.py.
+# ---------------------------------------------------------------------------
+
+# bounded-input whitelist: query -> why the window's input is bounded
+SPW_BOUNDED_OK = {
+    "q_chi2_independence": "contingency cells: |event_types| x 2 variants",
+    "q_mixture_weights": "one row per source (~20)",
+    "q_sampling_budget": "one row per source (~20)",
+    "q_psi_value_drift": "30 PSI value buckets",
+    "q_ddsketch_quantiles": "<=128 integer sketch buckets",
+    "q_vocab_coverage": "<=64x30 rows after the salted local top-30 prune",
+}
+
+# the 11 queries the round-6 verdict + round-7 audit found routing row
+# data through one task — now rebuilt on operators/rank.py global_rank /
+# global_ntile / global_running; must stay clean
+SPW_FIXED = [
+    "q_curriculum_stages",
+    "q_user_rfm_segments",
+    "q_lorenz_deciles",
+    "q_mannwhitney_u",
+    "q_spearman_corr",
+    "q_kaplan_meier",
+    "q_auc_roc",
+    "q_funnel_time_percentiles",
+    "q_skyline_pareto",
+    "q_cumulative_distinct_users",
+    "q_zip_with_index",
+]
+
+
+def test_fixed_queries_have_no_single_partition_window(spark):
+    for name in SPW_FIXED:
+        hits = plans.single_partition_windows(_df(spark, name))
+        assert not hits, f"{name}: row data through one task: {hits}"
+
+
+def test_global_rank_ntile_running_plans_are_clean(spark):
+    """The scale-safe operators themselves must never regress into the
+    unpartitioned-window shape (their offsets step is a triangular
+    broadcast join over O(partitions) rows, not a window)."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.rank import (
+        global_ntile,
+        global_rank,
+        global_running,
+    )
+    from my_flink_1_10_2_spark.queries import read
+
+    df = read(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    for out in (
+        global_rank(df, ["o_totalprice", "o_orderkey"], "r"),
+        global_ntile(df, 7, ["o_totalprice", "o_orderkey"], "b"),
+        global_running(
+            df,
+            ["o_orderkey"],
+            [("cs", "o_totalprice", "sum", True), ("cm", "o_totalprice", "max", False)],
+        ),
+    ):
+        assert plans.single_partition_windows(out) == []
+
+
+def test_vocab_coverage_window_is_fed_by_salted_prune(spark):
+    """q_vocab_coverage's unpartitioned top-30 window is whitelisted ONLY
+    because the salted partition-local top-30 prune bounds its input to
+    <=64x30 rows.  Mutation gate: if the prune (the __lrk filter) ever
+    stops feeding the SinglePartition exchange, this fails."""
+    df = _df(spark, "q_vocab_coverage")
+    hits = plans.single_partition_windows(df)
+    assert hits, "expected the bounded top-30 window"
+    nodes = plans._tree_nodes(plans.explain_str(df, "simple"))
+    exch = [i for i, (_, t) in enumerate(nodes)
+            if t.startswith("Exchange SinglePartition")]
+    assert exch, "expected a SinglePartition exchange"
+    ok = False
+    for i in exch:
+        d0 = nodes[i][0]
+        for j in range(i + 1, len(nodes)):
+            dj, tj = nodes[j]
+            if dj <= d0:
+                break
+            if "__lrk" in tj and ("Filter" in tj or "<= 30" in tj):
+                ok = True
+    assert ok, "salted top-30 prune no longer feeds the global window"
+
+
+def test_post_limit_rank_windows_stay_bounded(spark):
+    """zipf_fit / top-k ranking rank AFTER limit(k) — the limit bounds
+    the window input so no SinglePartition exchange feeds it.  Removing
+    the limit would re-introduce the exchange and trip this gate."""
+    for name in ("q_zipf_fit", "q_stopword_profile"):
+        if name not in QUERIES:
+            continue
+        hits = plans.single_partition_windows(_df(spark, name))
+        assert not hits, f"{name}: {hits}"

@@ -109,3 +109,23 @@ def test_connectors_shim_delegates(spark, server):
     )
     df = pubsub_source(spark, server.url, "p", "sub", consumers=1)
     assert [bytes(r.body) for r in df.collect()] == [b"via-shim"]
+
+def test_connectors_shim_dedups_by_default(monkeypatch):
+    """pubsub_source documents messageId dedup (the reference default) —
+    the shim must pass dedup_on_message_id=True down unless the caller
+    overrides it."""
+    from my_flink_1_10_2_spark.sources import connectors, pubsub_rest
+
+    seen = {}
+
+    def fake(spark, base_url, project, subscription, **kwargs):
+        seen.update(kwargs)
+        return "df"
+
+    monkeypatch.setattr(pubsub_rest, "pubsub_pull_source", fake)
+    assert connectors.pubsub_source(None, "http://x", "p", "s") == "df"
+    assert seen["dedup_on_message_id"] is True
+    seen.clear()
+    connectors.pubsub_source(None, "http://x", "p", "s",
+                             dedup_on_message_id=False)
+    assert seen["dedup_on_message_id"] is False

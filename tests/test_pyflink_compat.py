@@ -126,3 +126,11 @@ def test_uninstall_removes_alias_modules():
     assert "pyflink.table" in sys.modules
     uninstall_pyflink_aliases()
     assert "pyflink" not in sys.modules
+
+def test_install_aliases_is_idempotent(pyflink_aliases):
+    """A second non-force install must be a no-op, not a find_spec crash
+    on the spec-less alias module."""
+    from my_flink_1_10_2_spark.compat import install_pyflink_aliases
+
+    install_pyflink_aliases()  # fixture already installed once
+    install_pyflink_aliases()

@@ -107,3 +107,15 @@ def test_empty_table_reports_vacuous_truth(spark):
     assert rep["size>=1"] == (0, False)
     assert rep["complete(name)"] == (PPM, True)  # vacuously complete
     assert rep["unique(id)"] == (PPM, True)
+
+def test_empty_table_contained_and_satisfies_do_not_crash(spark):
+    """F.sum over zero rows is NULL — contained/satisfies must coalesce
+    to 0 violations on an empty table, not crash int(None)."""
+    empty = spark.createDataFrame([], "id long, cat string")
+    rep = _report(
+        Check(empty)
+        .is_contained_in("cat", ["X", "Y"])
+        .satisfies("id > 0", "pos")
+    )
+    assert rep["containedIn(cat)"] == (PPM, True)
+    assert rep["pos"] == (PPM, True)

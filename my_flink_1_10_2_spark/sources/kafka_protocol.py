@@ -297,3 +297,234 @@ def fetch_group_offsets(
             per[str(p)] = off
         out[topic] = per
     return out
+
+
+# -- read_committed Fetch (transaction-outcome probe) --------------------------
+#
+# The exactly-once sink resolves "did transaction X commit?" after a
+# crash by scanning its small tracking topic at read_committed — the
+# jar-free counterpart of the reference's resumeTransaction recovery
+# (ref: flink-connectors/flink-connector-kafka/src/main/java/org/apache/
+# flink/streaming/connectors/kafka/FlinkKafkaProducer.java, resume/
+# recoverAndCommit).  Fetch v4 (api_key 1) with isolation_level=1
+# returns the last stable offset plus the aborted-transaction index;
+# client-side filtering follows the protocol spec: skip records of
+# aborted producer ids until their ABORT control marker, skip control
+# batches, stop at the LSO.
+
+API_FETCH = 1
+
+_CTRL_ABORT = 0
+_CTRL_COMMIT = 1
+
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Unsigned varint → (value, new_pos)."""
+    shift = 0
+    out = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long in Kafka record")
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Zigzag-encoded signed varint → (value, new_pos)."""
+    u, pos = _uvarint(buf, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _parse_records_v2(batch_body: bytes, n_records: int) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Uncompressed RecordBatch v2 record section →
+    [(offset_delta, key, value)]."""
+    out = []
+    pos = 0
+    for _ in range(n_records):
+        rec_len, pos = _varint(batch_body, pos)
+        end = pos + rec_len
+        pos += 1  # record attributes (unused)
+        _, pos = _varint(batch_body, pos)  # timestamp delta
+        offset_delta, pos = _varint(batch_body, pos)
+        klen, pos = _varint(batch_body, pos)
+        key = None
+        if klen >= 0:
+            key = batch_body[pos : pos + klen]
+            pos += klen
+        vlen, pos = _varint(batch_body, pos)
+        value = None
+        if vlen >= 0:
+            value = batch_body[pos : pos + vlen]
+            pos += vlen
+        out.append((offset_delta, key, value))
+        pos = end  # headers skipped
+    return out
+
+
+class _Batch:
+    __slots__ = ("base_offset", "producer_id", "transactional", "control", "records")
+
+    def __init__(self, base_offset, producer_id, transactional, control, records):
+        self.base_offset = base_offset
+        self.producer_id = producer_id
+        self.transactional = transactional
+        self.control = control
+        self.records = records
+
+
+def _parse_batches(record_set: bytes) -> list[_Batch]:
+    """RecordBatch v2 stream → [_Batch].  A trailing partial batch (the
+    broker may truncate at max_bytes) is dropped, matching client
+    behavior."""
+    out: list[_Batch] = []
+    pos = 0
+    while pos + 12 <= len(record_set):
+        (base_offset,) = struct.unpack(">q", record_set[pos : pos + 8])
+        (batch_len,) = struct.unpack(">i", record_set[pos + 8 : pos + 12])
+        end = pos + 12 + batch_len
+        if end > len(record_set):
+            break  # truncated trailing batch
+        body = record_set[pos + 12 : end]
+        magic = body[4]
+        if magic != 2:
+            raise RuntimeError(
+                f"unsupported Kafka record batch magic {magic} "
+                "(the probe speaks RecordBatch v2 only)"
+            )
+        (attributes,) = struct.unpack(">h", body[9:11])
+        codec = attributes & 0x07
+        if codec:
+            raise RuntimeError(
+                "compressed record batches are not supported by the "
+                "jar-free read_committed probe — produce the tracking "
+                "topic uncompressed"
+            )
+        transactional = bool(attributes & 0x10)
+        control = bool(attributes & 0x20)
+        # layout after batchLength: epoch[0:4] magic[4] crc[5:9]
+        # attrs[9:11] lastOffsetDelta[11:15] firstTs[15:23] maxTs[23:31]
+        # producerId[31:39] producerEpoch[39:41] baseSeq[41:45] count[45:49]
+        (producer_id,) = struct.unpack(">q", body[31:39])
+        (n_records,) = struct.unpack(">i", body[45:49])
+        records = _parse_records_v2(body[49:], n_records)
+        out.append(_Batch(base_offset, producer_id, transactional, control, records))
+        pos = end
+    return out
+
+
+def _fetch_partition(
+    host: str, port: int, topic: str, partition: int, fetch_offset: int,
+    timeout: float, max_bytes: int = 4 << 20,
+) -> tuple[int, list[tuple[int, int]], bytes]:
+    """Fetch v4, isolation_level=1 (read_committed) for one partition →
+    (last_stable_offset, aborted [(producer_id, first_offset)], record_set)."""
+    body = struct.pack(">iiii", -1, 500, 1, max_bytes)  # replica, wait, min, max
+    body += struct.pack(">b", 1)  # isolation_level = read_committed
+    body += struct.pack(">i", 1) + _enc_str(topic)
+    body += struct.pack(">i", 1)
+    body += struct.pack(">iqi", partition, fetch_offset, max_bytes)
+    r = _Reader(_call(host, port, API_FETCH, 4, body, timeout))
+    r.i32()  # throttle_time_ms
+    n_topics = r.i32()
+    if n_topics != 1:
+        raise RuntimeError(f"Kafka Fetch returned {n_topics} topics, expected 1")
+    r.string()  # topic
+    n_parts = r.i32()
+    if n_parts != 1:
+        raise RuntimeError(f"Kafka Fetch returned {n_parts} partitions, expected 1")
+    r.i32()  # partition
+    err = r.i16()
+    if err:
+        raise RuntimeError(
+            f"Kafka Fetch error {err} on {topic}-{partition} "
+            "(1=OFFSET_OUT_OF_RANGE, 3=UNKNOWN_TOPIC_OR_PARTITION)"
+        )
+    r.i64()  # high watermark
+    lso = r.i64()
+    n_aborted = r.i32()
+    aborted = []
+    for _ in range(max(n_aborted, 0)):
+        aborted.append((r.i64(), r.i64()))
+    set_len = r.i32()
+    record_set = r.take(set_len) if set_len > 0 else b""
+    return lso, aborted, record_set
+
+
+def read_committed_records(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    timeout: float = 30.0,
+) -> list[tuple[bytes | None, bytes | None]]:
+    """Every COMMITTED (key, value) in ``topic`` from the beginning, at
+    read_committed isolation: aborted transactions' records and control
+    markers are filtered client-side per the protocol's
+    aborted-transaction index, and consumption stops at each partition's
+    last stable offset.  Intended for SMALL topics (the exactly-once
+    sink's tracking topic); it reads the whole log."""
+    last_err: Exception | None = None
+    for host, port in _parse_bootstrap(bootstrap_servers):
+        try:
+            parts = _metadata_partitions(host, port, [topic], timeout)
+            break
+        except (OSError, ConnectionError) as exc:
+            last_err = exc
+    else:
+        raise ConnectionError(
+            f"no bootstrap server reachable in {bootstrap_servers!r}: {last_err}"
+        )
+    out: list[tuple[bytes | None, bytes | None]] = []
+    for partition in parts[topic]:
+        fetch_offset = 0
+        aborted_pids: set[int] = set()
+        pending: list[tuple[int, int]] = []  # (first_offset, producer_id), sorted
+        pi = 0
+        while True:
+            before = fetch_offset
+            lso, aborted, record_set = _fetch_partition(
+                host, port, topic, partition, fetch_offset, timeout
+            )
+            for prod_id, first_off in aborted:
+                pending.append((first_off, prod_id))
+            pending.sort()
+            batches = _parse_batches(record_set)
+            if not batches:
+                break
+            for b in batches:
+                while pi < len(pending) and pending[pi][0] <= b.base_offset:
+                    aborted_pids.add(pending[pi][1])
+                    pi += 1
+                if b.control:
+                    # one marker record per control batch; key = version+type
+                    for _, key, _v in b.records:
+                        if key is not None and len(key) >= 4:
+                            (_ver, ctype) = struct.unpack(">hh", key[:4])
+                            if ctype == _CTRL_ABORT:
+                                aborted_pids.discard(b.producer_id)
+                elif not (b.transactional and b.producer_id in aborted_pids):
+                    for delta, key, value in b.records:
+                        if b.base_offset + delta < lso:
+                            out.append((key, value))
+                fetch_offset = max(
+                    fetch_offset,
+                    b.base_offset + max((d for d, _, _ in b.records), default=0) + 1,
+                )
+            if fetch_offset >= lso or fetch_offset == before:
+                break
+    return out
+
+
+def read_committed_keys(
+    bootstrap_servers: str, topic: str, *, timeout: float = 30.0
+) -> set[str]:
+    """Committed record KEYS of ``topic`` (utf-8) — the exactly-once
+    sink's transaction-outcome resolution set."""
+    return {
+        k.decode()
+        for k, _ in read_committed_records(bootstrap_servers, topic, timeout=timeout)
+        if k is not None
+    }

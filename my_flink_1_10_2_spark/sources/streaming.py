@@ -395,16 +395,21 @@ class KafkaExactlyOnceSink:
     one tracking record (key = ``<batch>`` or ``<batch>-p<pid>``) to
     ``txn_topic`` INSIDE the same transaction, so its read_committed
     visibility is exactly the transaction's outcome.  On replay of a
-    batch missing from the manifest, ``txn_probe()`` (default: a
-    read_committed scan of the small tracking topic; injectable) tells
-    which transactions already committed — those are skipped, the rest
-    re-send under the same fenced ``transactional.id``.  Per-partition
-    resolution assumes Spark's replayed micro-batch reproduces the same
-    partition indices (true for the deterministic sources Structured
-    Streaming replays from).  If no probe is available (no client lib),
-    behavior degrades to the previous documented at-least-once window;
-    every message carries a ``graft-batch-id`` header so even that is
-    downstream-dedupable.
+    batch missing from the manifest, ``txn_probe()`` tells which
+    transactions already committed — those are skipped, the rest
+    re-send under the same fenced ``transactional.id``.  The default
+    probe is UNCONDITIONAL and jar-free: a read_committed Fetch of the
+    small tracking topic over the public wire protocol
+    (``kafka_protocol.read_committed_keys`` — Fetch v4 with
+    isolation_level=1, client-side aborted-transaction filtering), so
+    the closure no longer depends on a Kafka client library being
+    importable.  Per-partition resolution assumes Spark's replayed
+    micro-batch reproduces the same partition indices (true for the
+    deterministic sources Structured Streaming replays from).  The only
+    configuration without a probe is an injected ``producer_factory``
+    with neither ``bootstrap.servers`` nor an injected ``txn_probe``
+    (mock-producer test harnesses); that combination keeps the
+    ``graft-batch-id`` header so replays stay downstream-dedupable.
 
     ``producer_factory(transactional_id) -> producer`` must return an
     object with the kafka-python/confluent-kafka transactional surface:
@@ -453,28 +458,23 @@ class KafkaExactlyOnceSink:
 
     def _default_probe(self) -> set:
         """read_committed scan of the (small) tracking topic → the set
-        of committed transaction keys.  Needs a Kafka client library;
-        callers treat NotImplementedError as 'no resolution available'
-        (the documented downstream-dedupable window)."""
-        try:
-            from kafka import KafkaConsumer  # type: ignore
-        except ImportError as exc:
+        of committed transaction keys, over the public Kafka wire
+        protocol (jar-free: ``kafka_protocol.read_committed_keys``,
+        Fetch v4 isolation_level=1).  Unconditional whenever
+        ``bootstrap.servers`` is configured — i.e. every real
+        deployment; only a mock-producer harness with no brokers and no
+        injected ``txn_probe`` lands in the NotImplementedError path."""
+        bootstrap = self.properties.get("bootstrap.servers")
+        if not bootstrap:
             raise NotImplementedError(
-                "transaction-outcome probe needs kafka-python or an "
+                "transaction-outcome probe needs bootstrap.servers or an "
                 "injected txn_probe"
-            ) from exc
-        consumer = KafkaConsumer(
-            self.txn_topic,
-            bootstrap_servers=self.properties["bootstrap.servers"],
-            isolation_level="read_committed",
-            auto_offset_reset="earliest",
-            enable_auto_commit=False,
-            consumer_timeout_ms=5000,
+            )
+        from my_flink_1_10_2_spark.sources.kafka_protocol import (
+            read_committed_keys,
         )
-        try:
-            return {m.key.decode() for m in consumer if m.key}
-        finally:
-            consumer.close()
+
+        return read_committed_keys(bootstrap, self.txn_topic)
 
     def _default_factory(self, transactional_id: str):
         try:

@@ -735,3 +735,184 @@ def test_kafka_live_broker_roundtrip(spark, tmp_path):
         .count()
     )
     assert echoed == 10
+
+
+# ---------------------------------------------------------------------------
+# read_committed wire probe (kafka_protocol.read_committed_keys): the
+# jar-free closure of the commit-vs-manifest window.  The fake broker
+# grows Fetch v4 (isolation_level=1) serving RecordBatch v2 sets with an
+# aborted-transaction index — the shapes a real broker returns.
+# ---------------------------------------------------------------------------
+
+from my_flink_1_10_2_spark.sources.kafka_protocol import (  # noqa: E402
+    read_committed_keys,
+    read_committed_records,
+)
+
+
+def _enc_uvarint(v: int) -> bytes:
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _enc_varint(v: int) -> bytes:  # zigzag64
+    return _enc_uvarint(((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF)
+
+
+def _enc_record(offset_delta: int, key, value) -> bytes:
+    body = struct.pack(">b", 0)
+    body += _enc_varint(0)  # timestamp delta
+    body += _enc_varint(offset_delta)
+    body += _enc_varint(-1 if key is None else len(key)) + (key or b"")
+    body += _enc_varint(-1 if value is None else len(value)) + (value or b"")
+    body += _enc_varint(0)  # headers
+    return _enc_varint(len(body)) + body
+
+
+def _enc_batch(base_offset, records, *, producer_id=-1, transactional=False,
+               control=False) -> bytes:
+    recs = b"".join(_enc_record(i, k, v) for i, (k, v) in enumerate(records))
+    attrs = (0x10 if transactional else 0) | (0x20 if control else 0)
+    body = struct.pack(">i", 0)  # partitionLeaderEpoch
+    body += struct.pack(">b", 2)  # magic v2
+    body += struct.pack(">I", 0)  # crc (probe doesn't verify)
+    body += struct.pack(">h", attrs)
+    body += struct.pack(">i", len(records) - 1)  # lastOffsetDelta
+    body += struct.pack(">qq", 0, 0)  # first/max timestamp
+    body += struct.pack(">q", producer_id)
+    body += struct.pack(">h", 0)  # producerEpoch
+    body += struct.pack(">i", -1)  # baseSequence
+    body += struct.pack(">i", len(records))
+    body += recs
+    return struct.pack(">q", base_offset) + struct.pack(">i", len(body)) + body
+
+
+def _ctrl_marker(base_offset, producer_id, commit: bool) -> bytes:
+    key = struct.pack(">hh", 0, 1 if commit else 0)
+    return _enc_batch(
+        base_offset, [(key, b"")], producer_id=producer_id,
+        transactional=True, control=True,
+    )
+
+
+class TxnFakeKafkaBroker(FakeKafkaBroker):
+    """FakeKafkaBroker + Fetch v4 at read_committed: serves a canned
+    per-partition batch log, LSO, and aborted-transaction index."""
+
+    def __init__(self, partitions, log, lso, aborted=None):
+        self.log = log  # {(topic, partition): [batch bytes, ...]}
+        self.lso = lso  # {(topic, partition): last stable offset}
+        self.aborted = aborted or {}  # {(topic, p): [(pid, first_offset)]}
+        super().__init__(partitions=partitions, committed={})
+
+    def _respond(self, api_key, body):
+        if api_key != 1:
+            return super()._respond(api_key, body)
+        pos = 17  # replica(4) max_wait(4) min_bytes(4) max_bytes(4) isolation(1)
+        assert body[16] == 1, "probe must fetch at read_committed"
+        (n_topics,) = struct.unpack(">i", body[pos : pos + 4])
+        pos += 4
+        assert n_topics == 1
+        (slen,) = struct.unpack(">h", body[pos : pos + 2])
+        topic = body[pos + 2 : pos + 2 + slen].decode()
+        pos += 2 + slen
+        pos += 4  # n_partitions (1)
+        (partition,) = struct.unpack(">i", body[pos : pos + 4])
+        (fetch_offset,) = struct.unpack(">q", body[pos + 4 : pos + 12])
+        batches = [
+            b for b in self.log.get((topic, partition), [])
+            if struct.unpack(">q", b[:8])[0] >= fetch_offset
+        ]
+        record_set = b"".join(batches)
+        lso = self.lso.get((topic, partition), 0)
+        aborted = self.aborted.get((topic, partition), [])
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", 1) + _enc_str(topic) + struct.pack(">i", 1)
+        out += struct.pack(">ihqq", partition, 0, lso, lso)
+        out += struct.pack(">i", len(aborted))
+        for pid, first in aborted:
+            out += struct.pack(">qq", pid, first)
+        out += struct.pack(">i", len(record_set)) + record_set
+        return out
+
+
+def test_read_committed_probe_filters_aborted_and_control():
+    """Committed txn records pass; aborted-txn records and control
+    markers are filtered; records past the LSO are never surfaced."""
+    topic = "t.graft-txn"
+    log = [
+        _enc_batch(0, [(b"5", b"committed")], producer_id=100, transactional=True),
+        _ctrl_marker(1, 100, commit=True),
+        _enc_batch(2, [(b"6", b"rolled back")], producer_id=200, transactional=True),
+        _ctrl_marker(3, 200, commit=False),  # ABORT
+        _enc_batch(4, [(b"7", b"plain")]),  # non-transactional
+        _enc_batch(5, [(b"8", b"open txn, past LSO")], producer_id=300,
+                   transactional=True),
+    ]
+    broker = TxnFakeKafkaBroker(
+        partitions={topic: [0]},
+        log={(topic, 0): log},
+        lso={(topic, 0): 5},  # the open transaction holds the LSO at 5
+        aborted={(topic, 0): [(200, 2)]},
+    )
+    try:
+        keys = read_committed_keys(f"127.0.0.1:{broker.port}", topic)
+        assert keys == {"5", "7"}
+        recs = read_committed_records(f"127.0.0.1:{broker.port}", topic)
+        assert (b"5", b"committed") in recs and (b"7", b"plain") in recs
+        assert all(k != b"6" and k != b"8" for k, _ in recs)
+    finally:
+        broker.close()
+
+
+def test_exactly_once_manifest_lost_recovers_via_wire_probe_no_injection(
+    spark, tmp_path
+):
+    """THE round-6 verdict item: commit landed, manifest lost, and NO
+    injected txn_probe — recovery must resolve the outcome through the
+    default jar-free wire probe (read_committed Fetch of the tracking
+    topic) and skip the re-send."""
+    MockProducer.reset()
+    topic = "out.graft-txn"
+
+    # tracking topic starts EMPTY (nothing committed yet)
+    broker = TxnFakeKafkaBroker(
+        partitions={topic: [0]}, log={(topic, 0): []}, lso={(topic, 0): 0}
+    )
+    try:
+        props = {"bootstrap.servers": f"127.0.0.1:{broker.port}"}
+        sink = KafkaExactlyOnceSink(
+            "out", str(tmp_path), properties=props,
+            producer_factory=MockProducer, distributed=False,
+        )
+        sink._record = lambda b: (_ for _ in ()).throw(OSError("disk died"))
+        with pytest.raises(OSError, match="disk died"):
+            sink(_batch(spark, [1, 2]), batch_id=5)
+        assert len(_data_msgs()) == 2  # broker commit DID land
+        # ...and the broker now serves batch 5's outcome record, exactly
+        # as a real cluster would after that commit
+        broker.log[(topic, 0)] = [
+            _enc_batch(0, [(b"5", b"committed")], producer_id=9,
+                       transactional=True),
+            _ctrl_marker(1, 9, commit=True),
+        ]
+        broker.lso[(topic, 0)] = 2
+
+        # driver restart: fresh sink, SAME config, no injected probe
+        sink2 = KafkaExactlyOnceSink(
+            "out", str(tmp_path), properties=props,
+            producer_factory=MockProducer, distributed=False,
+        )
+        sink2(_batch(spark, [1, 2]), batch_id=5)  # Spark replays
+        assert len(_data_msgs()) == 2  # NOT re-sent: wire probe resolved it
+        assert 5 in sink2._committed()  # manifest repaired
+        sink2(_batch(spark, [9]), batch_id=6)
+        assert len(_data_msgs()) == 3
+    finally:
+        broker.close()

@@ -105,7 +105,12 @@ def _load_all_modules() -> None:
 # CEP/windows/graph/LLM ops with local-only evidence).
 # q_math_functions leads: it was round 1's only red row.
 _FLAGSHIP_ORDER = [
-    # ---- round-6 new operators first (never driver-graded)
+    # ---- round-7 new operators first (never driver-graded): the
+    # mid-drain connection-kill redelivery oracles
+    "q_rabbitmq_crash_redelivery",
+    "q_pubsub_crash_redelivery",
+    "q_nifi_crash_redelivery",
+    # ---- round-6 new operators (never driver-graded)
     "q_rabbitmq_amqp_roundtrip",
     "q_pubsub_rest_roundtrip",
     "q_nifi_s2s_roundtrip",

@@ -907,3 +907,220 @@ def q_confluent_avro_roundtrip(spark, sf_dir):
         )
     finally:
         reg.close()
+
+
+@register(
+    "q_rabbitmq_crash_redelivery",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_rabbitmq_crash_redelivery(spark, sf_dir):
+    """Mid-drain CONNECTION KILL on RabbitMQ (ref: RMQSource.java
+    ack-on-checkpoint + AMQP basic.get redelivery): a first consumer
+    pass takes delivery of EVERY message without acking and then drops
+    the connection — the crash window after emitting downstream but
+    before the checkpoint-complete ack.  The broker requeues all
+    unacked deliveries (AMQP connection-loss semantics), a second
+    3-consumer pass drains-and-acks, so every message reaches the
+    engine TWICE; the union deduped on the correlation id must equal
+    the parquet source exactly — the reference's exactly-once
+    correlation-id state, exercised through a real redelivery."""
+    from my_flink_1_10_2_spark.sources.amqp_py import (
+        InMemoryAmqpBroker,
+        RMQSink,
+        rmq_drain_source,
+    )
+
+    broker = InMemoryAmqpBroker()
+    try:
+        sink = RMQSink(
+            broker.config(), "crash_q", correlation_id_field="n_nationkey"
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        n_src = src.count()
+        # the crashed consumer: ONE connection emits every message,
+        # never acks, dies — the broker puts ALL of them back on the
+        # queue (two crashing consumers would race: the first close
+        # requeues into the second's still-open drain loop)
+        emitted = rmq_drain_source(
+            spark, broker.config(), "crash_q", consumers=1,
+            crash_before_ack=True,
+        ).localCheckpoint()
+        if emitted.count() != n_src:
+            raise ValueError("crashed consumer should have seen every message")
+        # the restarted consumer: full drain with acks (redeliveries)
+        redelivered = rmq_drain_source(
+            spark, broker.config(), "crash_q", consumers=3
+        )
+        merged = emitted.unionByName(redelivered)
+        if merged.count() != 2 * n_src:
+            raise ValueError("expected every message delivered exactly twice")
+        back = merged.dropDuplicates(["correlation_id"]).select(
+            F.col("body").cast("string").alias("doc")
+        ).select(
+            F.get_json_object("doc", "$.n_nationkey").cast("long").alias("n_nationkey"),
+            F.get_json_object("doc", "$.n_name").alias("n_name"),
+            F.get_json_object("doc", "$.n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_msgs"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.max("n_name").alias("last_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        broker.close()
+
+
+@register(
+    "q_pubsub_crash_redelivery",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_pubsub_crash_redelivery(spark, sf_dir):
+    """Mid-drain CONNECTION KILL on Pub/Sub (ref: PubSubSource.java
+    acknowledge-on-checkpoint): the first consumer pass pulls and EMITS
+    every message but dies before any ack; every lease expires (the
+    ack-deadline), so the full corpus is REDELIVERED with the same
+    server messageIds to the restarted 3-puller pass.  Union of both
+    passes deduped on messageId must equal the parquet source — the
+    documented at-least-once-plus-id-dedup contract under a total
+    consumer loss, not just a partial lease lapse."""
+    from my_flink_1_10_2_spark.sources.pubsub_rest import (
+        InMemoryPubSubServer,
+        PubSubRestSink,
+        pubsub_pull_source,
+    )
+
+    server = InMemoryPubSubServer()
+    try:
+        server.create_subscription("crash_topic", "crash_sub")
+        sink = PubSubRestSink(
+            server.url, "proj", "crash_topic",
+            attribute_fields=("n_regionkey",),
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        n_src = src.count()
+        emitted = pubsub_pull_source(
+            spark, server.url, "proj", "crash_sub", consumers=2, ack=False
+        ).localCheckpoint()
+        if emitted.count() != n_src:
+            raise ValueError("crashed consumer should have seen every message")
+        if server.expire_leases() != n_src:
+            raise ValueError("every lease should still be outstanding")
+        redelivered = pubsub_pull_source(
+            spark, server.url, "proj", "crash_sub", consumers=3
+        )
+        merged = emitted.unionByName(redelivered)
+        if merged.count() != 2 * n_src:
+            raise ValueError("expected every message delivered exactly twice")
+        back = merged.dropDuplicates(["message_id"]).select(
+            F.col("body").cast("string").alias("doc"),
+            F.col("attributes").getItem("n_regionkey").cast("long").alias("n_regionkey"),
+        ).select(
+            F.get_json_object("doc", "$.n_nationkey").cast("long").alias("n_nationkey"),
+            F.get_json_object("doc", "$.n_name").alias("n_name"),
+            "n_regionkey",
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_msgs"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()
+
+
+@register(
+    "q_nifi_crash_redelivery",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_packets,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_nifi_crash_redelivery(spark, sf_dir):
+    """Mid-drain CONNECTION KILL on NiFi Site-to-Site (ref:
+    NiFiSource.java two-phase receive): TWO consecutive consumers each
+    open a receive transaction, READ the full flowfile stream, and die
+    before the CRC confirm — the S2S protocol rolls every leased
+    flowfile back onto the port both times (unconfirmed reads are
+    discarded by contract, so no consumer-side dedup is needed).  The
+    third, healthy 3-consumer drain must equal the parquet source
+    exactly: nothing lost to either crash, nothing double-committed."""
+    from my_flink_1_10_2_spark.sources.nifi_s2s import (
+        InMemoryNiFiS2SServer,
+        NiFiS2SSink,
+        nifi_s2s_source,
+        _create_transaction,
+        _http,
+    )
+
+    server = InMemoryNiFiS2SServer(batch_packets=6)
+    try:
+        sink = NiFiS2SSink(
+            server.url, "port-1",
+            attribute_fields=("n_nationkey", "n_regionkey"),
+            body_field="n_name",
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        for _ in range(2):  # two consecutive mid-drain crashes
+            tx = _create_transaction(server.url, "output-ports", "port-1")
+            _http(
+                f"{server.url}/nifi-api/data-transfer/output-ports/port-1"
+                f"/transactions/{tx}/flow-files",
+                "GET",
+            )
+            if server.abandon_open_transactions() != 1:
+                raise ValueError("expected exactly one in-flight transaction")
+        drained = nifi_s2s_source(spark, server.url, "port-1", consumers=3)
+        back = drained.select(
+            F.col("attributes").getItem("n_nationkey").cast("long").alias("n_nationkey"),
+            F.col("content").cast("string").alias("n_name"),
+            F.col("attributes").getItem("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_packets"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

@@ -447,6 +447,7 @@ def rmq_drain_source(
     consumers: int = 4,
     uses_correlation_id: bool = False,
     ack: bool = True,
+    crash_before_ack: bool = False,
     connect_factory=None,
 ):
     """Drain a queue with N competing consumers → DataFrame
@@ -459,17 +460,26 @@ def rmq_drain_source(
     draining via ``basic.get`` until the queue answers get-empty,
     acking each message (the checkpoint-complete ack).  Rows never
     touch the driver.
+
+    ``crash_before_ack`` is the failure-injection mode for exactly-once
+    grading: deliveries are taken WITH ack expectation (no-ack=false),
+    emitted downstream, and then the connection drops without ever
+    acking — AMQP requeues every unacked delivery, so a subsequent
+    drain sees genuine redeliveries (ref: RMQSource.java, acknowledge
+    on checkpoint-complete; the crash window this simulates is
+    emit-then-die-before-checkpoint).
     """
     cfg, q, cf = config, queue, connect_factory
 
     dedup = uses_correlation_id
+    crash = crash_before_ack
 
     def drain(_idx_iter):
         client = AmqpClient(cfg, connect_factory=cf)
         try:
             client.queue_declare(q)
             while True:
-                got = client.basic_get(q, no_ack=not ack)
+                got = client.basic_get(q, no_ack=(not ack) and not crash)
                 if got is None:
                     return
                 tag, props, body = got
@@ -483,7 +493,7 @@ def rmq_drain_source(
                         "message arrived without a correlation id — publish "
                         "with ids or disable correlation-id dedup"
                     )
-                if ack:
+                if ack and not crash:
                     client.basic_ack(tag)
                 yield (corr, bytearray(body))
         finally:

@@ -110,6 +110,8 @@ _FLAGSHIP_ORDER = [
     "q_rabbitmq_crash_redelivery",
     "q_pubsub_crash_redelivery",
     "q_nifi_crash_redelivery",
+    "q_ml_pipeline_scaler",
+    "q_wikiedits_irc_rollup",
     # ---- round-6 new operators (never driver-graded)
     "q_rabbitmq_amqp_roundtrip",
     "q_pubsub_rest_roundtrip",

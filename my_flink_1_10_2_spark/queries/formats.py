@@ -1124,3 +1124,95 @@ def q_nifi_crash_redelivery(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_wikiedits_irc_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT n_regionkey,
+             n_nationkey % 4 AS fidx,
+             (n_nationkey * 37) % 400 - 200 AS delta,
+             CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END AS talk
+      FROM nation
+    )
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_edits,
+           CAST(sum(delta) AS BIGINT) AS byte_sum,
+           CAST(sum(CASE WHEN fidx IN (0, 3) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minor,
+           CAST(sum(CASE WHEN fidx = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bot,
+           CAST(sum(talk) AS BIGINT) AS n_talk
+    FROM e GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_wikiedits_irc_rollup(spark, sf_dir):
+    """Wikipedia-edits connector graded over REAL IRC (ref:
+    flink-contrib/flink-connector-wikiedits/.../WikipediaEditsSource.java
+    + WikipediaEditEvent.java): nation rows are served as raw wikimedia
+    edit lines — mIRC-colored, flag-coded (M/N/!B), signed byte diffs,
+    Talk: titles — by a live in-process RFC 1459 server (registration,
+    JOIN, mid-stream PING the client must PONG); the jar-free IRC source
+    drains them, the reference's regex parses each PRIVMSG, and the
+    per-region rollup of count / byte-diff sum / minor / bot / talk
+    flags must equal the closed-form nation replay.  The seed collect is
+    the 25-row nation dim (control-table bounded)."""
+    from my_flink_1_10_2_spark.sources.wikiedits_irc import (
+        IS_BOT_EDIT,
+        IS_MINOR,
+        IS_TALK,
+        InMemoryIrcServer,
+        wikipedia_edits_source,
+    )
+
+    FLAGSETS = ["M", "N", "!", "MB"]  # fidx 0..3: minor / new / unpatrolled / minor+bot
+    rows = (
+        read(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    lines = []
+    for r in sorted(rows, key=lambda r: r.n_nationkey):
+        k = int(r.n_nationkey)
+        title = f"Talk:{r.n_name}" if k % 5 == 0 else r.n_name
+        delta = (k * 37) % 400 - 200
+        signed = f"+{delta}" if delta >= 0 else str(delta)
+        lines.append(
+            f"\x0314[[\x0307{title}\x0314]]\x034 {FLAGSETS[k % 4]}\x0310 "
+            f"https://en.wikipedia.org/w/index.php?diff={k}\x03 "
+            f"* editor{k % 5} * ({signed}) region {r.n_regionkey} edit"
+        )
+    server = InMemoryIrcServer("#test.wikipedia", lines)
+    try:
+        df = wikipedia_edits_source(
+            spark, "127.0.0.1", server.port, "#test.wikipedia"
+        )
+        parsed = df.select(
+            F.regexp_extract("summary", r"region (\d+) edit", 1)
+            .cast("long")
+            .alias("n_regionkey"),
+            "byte_diff",
+            "flags",
+        )
+        return (
+            parsed.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_edits"),
+                F.sum("byte_diff").cast("bigint").alias("byte_sum"),
+                F.sum(
+                    F.when(F.col("flags").bitwiseAND(IS_MINOR) > 0, 1).otherwise(0)
+                ).cast("bigint").alias("n_minor"),
+                F.sum(
+                    F.when(F.col("flags").bitwiseAND(IS_BOT_EDIT) > 0, 1).otherwise(0)
+                ).cast("bigint").alias("n_bot"),
+                F.sum(
+                    F.when(F.col("flags").bitwiseAND(IS_TALK) > 0, 1).otherwise(0)
+                ).cast("bigint").alias("n_talk"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

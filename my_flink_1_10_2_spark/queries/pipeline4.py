@@ -3801,3 +3801,87 @@ def q_quality_constraints(spark, sf_dir):
         .is_referenced_in("o_custkey", customer, "c_custkey", "customer")
         .run()
     )
+
+
+@register(
+    "q_ml_pipeline_scaler",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS HUGEINT)) AS s1,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+      FROM e
+    ),
+    f AS (
+      SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+             sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_v
+      FROM m
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN (CAST(v AS DOUBLE) - mean_v) / std_v > 1.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           mean_v, std_v
+    FROM e CROSS JOIN f
+    GROUP BY event_type, mean_v, std_v
+    ORDER BY event_type
+    """,
+    category="pipeline",
+)
+def q_ml_pipeline_scaler(spark, sf_dir):
+    """The flink-ml pipeline API end-to-end (ref: flink-ml-api/.../core/
+    Pipeline.java fit/transform, Estimator/Transformer/Model;
+    my_flink_1_10_2_spark/ml.py): a Pipeline of [StandardScaler
+    (estimator), Binarizer(z > 1)] is FIT on the event-value column and
+    the fitted pipeline of pure transformers scores the corpus; the
+    per-type rollup counts events more than one std above the mean.
+
+    Float discipline: the scaler's moments come from exact DECIMAL(38,0)
+    integer sums folded with a pinned IEEE chain (mean = double(s1)/
+    double(n); var = (n*s2 - s1^2)/n^2 all in doubles), so mean/std —
+    and therefore every per-row z and the comparison against the
+    binarizer threshold — replay bitwise in the oracle.  Fit is ONE
+    two-phase aggregate; transform is a codegen projection; the 100 TB
+    cost is one scan + one scalar broadcast."""
+    from my_flink_1_10_2_spark.ml import (
+        OUTPUT_COL,
+        SELECTED_COL,
+        THRESHOLD,
+        Binarizer,
+        Pipeline,
+        StandardScaler,
+        StandardScalerModel,
+    )
+
+    e = read(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    pipe = Pipeline([
+        StandardScaler().set(SELECTED_COL, "v").set(OUTPUT_COL, "z"),
+        Binarizer().set(SELECTED_COL, "z").set(OUTPUT_COL, "hi").set(THRESHOLD, 1.0),
+    ])
+    fitted = pipe.fit(None, e)
+    scaler = fitted.get_stages()[0]
+    mean = scaler.get(StandardScalerModel.MEAN)
+    std = scaler.get(StandardScalerModel.STD)
+    scored = fitted.transform(None, e)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("hi").cast("bigint")).cast("bigint").alias("n_hi"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_hi",
+            F.lit(mean).alias("mean_v"),
+            F.lit(std).alias("std_v"),
+        )
+        .orderBy("event_type")
+    )

@@ -230,8 +230,12 @@ def decode_value(buf, schema):
 def write_container(path: str, schema: dict, rows, codec: str = "deflate", sync_interval: int = 4000) -> None:
     """Write one Avro Object Container File.  `rows` are dicts keyed by
     the record field names (top-level schema must be a record)."""
-    if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"codec {codec!r} (null/deflate supported)")
+    if codec not in ("null", "deflate", "bzip2", "xz"):
+        # snappy/zstandard need third-party libs absent here; the four
+        # stdlib-expressible spec codecs are all supported
+        raise NotImplementedError(
+            f"codec {codec!r} (null/deflate/bzip2/xz supported)"
+        )
     schema_json = json.dumps(schema).encode("utf-8")
     # Deterministic per-file sync marker (content-derived; the spec only
     # requires 16 random-ish bytes unique within the file).
@@ -261,6 +265,15 @@ def write_container(path: str, schema: dict, rows, codec: str = "deflate", sync_
             if codec == "deflate":
                 comp = zlib.compressobj(6, zlib.DEFLATED, -15)
                 data = comp.compress(data) + comp.flush()
+            elif codec == "bzip2":
+                import bz2
+
+                data = bz2.compress(data)
+            elif codec == "xz":
+                import lzma
+
+                # spec: xz stream format (what avro-tools writes)
+                data = lzma.compress(data, format=lzma.FORMAT_XZ)
             head = io.BytesIO()
             _write_long(head, count)
             _write_long(head, len(data))
@@ -296,8 +309,8 @@ def read_container_bytes(data: bytes):
             meta[key] = _read_bytes(buf)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"codec {codec!r}")
+    if codec not in ("null", "deflate", "bzip2", "xz"):
+        raise NotImplementedError(f"codec {codec!r} (null/deflate/bzip2/xz)")
     sync = buf.read(16)
     rows = []
     while True:
@@ -310,6 +323,14 @@ def read_container_bytes(data: bytes):
         payload = buf.read(size)
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.decompress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.decompress(payload)
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             rows.append(decode_value(pbuf, schema))

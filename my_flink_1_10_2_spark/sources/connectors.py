@@ -941,3 +941,20 @@ class InMemoryJsonHttpServer:
     def close(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+
+
+def wikipedia_edits_source(spark, host=None, port=None, channel=None, **kwargs):
+    """ref: flink-contrib/flink-connector-wikiedits/.../WikipediaEditsSource.java.
+    Jar-free functional path: ``sources.wikiedits_irc.wikipedia_edits_source``
+    — RFC 1459 over a plain socket (NICK/USER registration, PING→PONG,
+    JOIN, PRIVMSG parse via the reference's WikipediaEditEvent pattern).
+    Defaults mirror the reference (irc.wikimedia.org:6667 #en.wikipedia)."""
+    from my_flink_1_10_2_spark.sources import wikiedits_irc as w
+
+    return w.wikipedia_edits_source(
+        spark,
+        host if host is not None else w.DEFAULT_HOST,
+        port if port is not None else w.DEFAULT_PORT,
+        channel if channel is not None else w.DEFAULT_CHANNEL,
+        **kwargs,
+    )

@@ -53,7 +53,7 @@ def _rows(n):
 
 def test_container_roundtrip_deflate_and_null(tmp_path):
     rows = _rows(5003)
-    for codec in ("deflate", "null"):
+    for codec in ("deflate", "null", "bzip2", "xz"):
         p = str(tmp_path / f"t_{codec}.avro")
         avro_py.write_container(p, SCHEMA, rows, codec=codec, sync_interval=1000)
         schema_back, back = avro_py.read_container(p)

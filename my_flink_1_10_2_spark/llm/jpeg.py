@@ -119,10 +119,21 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 §B.2.1 — the fill
+        before a restart marker)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, byte2: int) -> None:
+        """Emit a raw 0xFF<byte2> marker (NOT byte-stuffed — markers are
+        the one legal 0xFF sequence inside entropy data)."""
+        self.align()
+        self.bytes += bytes((0xFF, byte2))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.bytes)
 
 
@@ -153,6 +164,26 @@ class _BitReader:
         self.nbits -= length
         self.acc &= (1 << self.nbits) - 1
         return out
+
+    def restart(self, expected_n: int) -> None:
+        """Consume an RSTn marker: discard fill bits to the byte
+        boundary, require 0xFF 0xD0+n with the cyclically expected n
+        (T.81 §B.2.1 / §E.1.4), leaving the reader clean for the next
+        restart segment."""
+        self.acc, self.nbits = 0, 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG stream ends where a restart marker is due")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not 0xD0 <= b1 <= 0xD7:
+            raise ValueError(
+                f"expected restart marker, got 0x{b0:02X}{b1:02X}"
+            )
+        if b1 - 0xD0 != expected_n:
+            raise ValueError(
+                f"restart marker out of sequence: got RST{b1 - 0xD0}, "
+                f"expected RST{expected_n}"
+            )
+        self.pos += 2
 
 
 # -- canonical Huffman tables ------------------------------------------------------
@@ -198,10 +229,14 @@ def _extend(bits: int, size: int) -> int:
 
 
 def jpeg_encode_gray(
-    width: int, height: int, pixels: bytes, quant: np.ndarray | None = None
+    width: int, height: int, pixels: bytes, quant: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit grayscale pixels (row-major) as a baseline JFIF
-    JPEG.  Partial edge blocks are padded by edge replication."""
+    JPEG.  Partial edge blocks are padded by edge replication.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (n cycling 0-7) every that-many MCUs with the DC predictor reset —
+    T.81 §B.2.4.4 / §E.1.4, the resync points real encoders insert."""
     if len(pixels) != width * height:
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
     q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
@@ -217,8 +252,15 @@ def jpeg_encode_gray(
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst_n = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.marker(0xD0 + rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = 0  # DPCM predictor resets at every restart
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coeffs = m @ block @ m.T
             qc = np.round(coeffs / q).astype(np.int64)
@@ -264,6 +306,8 @@ def jpeg_encode_gray(
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -275,8 +319,9 @@ def jpeg_encode_gray(
 
 def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline grayscale JPEG → (width, height, pixels).
-    Raises NotImplementedError for progressive/multi-component/12-bit
-    streams and ValueError for malformed ones."""
+    Restart intervals (DRI + RSTn resync, DC predictor reset) are
+    handled; raises NotImplementedError for progressive/multi-component/
+    12-bit streams and ValueError for malformed ones."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -285,6 +330,7 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     scan_data = None
     dc_id = ac_id = 0
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -337,7 +383,7 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
             scan_data = data[pos:]
             break
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         # APPn / COM: skipped
     if width is None or scan_data is None:
         raise ValueError("JPEG missing SOF0 or SOS")
@@ -360,8 +406,15 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     r = _BitReader(scan_data)
     prev_dc = 0
+    mcu = 0
+    rst_n = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             size = read_code(r, dc_table)
             diff = _extend(r.read(size), size) if size else 0

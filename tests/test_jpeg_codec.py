@@ -104,3 +104,48 @@ def test_multimodal_dispatch_decodes_jpeg(spark):
         assert (w, h, ch, n) == (tw * 8, th * 8, 1, tw * th * 64)
         assert s == 64 * sum(vals)
         assert (lo, hi) == (min(vals), max(vals))
+
+
+# -- restart intervals (DRI + RSTn, T.81 §B.2.4.4 / §E.1.4) -------------------
+
+
+def test_restart_interval_roundtrip_matches_plain_encoding():
+    """Same pixels encoded with and without restart markers must decode
+    IDENTICALLY — restarts change the entropy framing, never the DCT
+    content (and the DC predictor reset must be mirrored on both
+    sides)."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray, jpeg_encode_gray
+
+    rng = np.random.default_rng(7)
+    w, h = 40, 24  # 5x3 = 15 MCUs -> crosses several RSTn cycles at dri=2
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    plain = jpeg_decode_gray(jpeg_encode_gray(w, h, px))
+    for dri in (1, 2, 7):
+        with_rst = jpeg_decode_gray(
+            jpeg_encode_gray(w, h, px, restart_interval=dri)
+        )
+        assert with_rst == plain, f"dri={dri}"
+
+
+def test_restart_marker_sequence_is_enforced():
+    """A swapped RSTn (out-of-cycle) must fail loudly — the sequence
+    check is what lets real decoders detect dropped segments."""
+    import pytest
+
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray, jpeg_encode_gray
+
+    data = bytearray(jpeg_encode_gray(16, 8, bytes(range(128)), restart_interval=1))
+    i = data.find(b"\xff\xd0")
+    assert i > 0
+    data[i + 1] = 0xD5  # corrupt RST0 -> RST5
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode_gray(bytes(data))
+
+
+def test_dri_zero_means_no_restarts():
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_encode_gray
+
+    out = jpeg_encode_gray(16, 8, bytes(range(128)), restart_interval=0)
+    assert b"\xff\xdd" not in out  # no DRI segment emitted

@@ -521,3 +521,64 @@ def resize_png(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pdf[["media_id", "payload", "mime", "n_bytes"]]
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def interlaced_palette_png_stats(docs: DataFrame) -> DataFrame:
+    """Encode → decode → stats through the FULL baseline-PNG feature
+    surface in one Arrow stage: per-document Adam7-INTERLACED,
+    PALETTE-color PNGs (color type 3, 16 closed-form RGB entries,
+    mixed scanline filters) are really encoded, really decoded
+    (llm/png.py: seven-pass de-interlace + PLTE expansion), and the
+    DECODED per-channel sums are emitted for oracle grading.
+
+    Closed forms (doc key d, pixel index i, palette slot j):
+      w = 5 + d % 7, h = 4 + d % 5        (sizes hit empty/partial passes)
+      j(i) = (d*5 + i*3) % 16
+      palette[j] = ((d*11 + j*29) % 256, (d*17 + j*13) % 256,
+                    (d*7 + j*37) % 256)
+    """
+    from .png import png_decode, png_encode
+
+    schema = (
+        "media_id long, width long, height long, "
+        "r_sum long, g_sum long, b_sum long, px_min long, px_max long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 7, 4 + d % 5
+                palette = [
+                    (
+                        (d * 11 + j * 29) % 256,
+                        (d * 17 + j * 13) % 256,
+                        (d * 7 + j * 37) % 256,
+                    )
+                    for j in range(16)
+                ]
+                idx = bytes((d * 5 + i * 3) % 16 for i in range(w * h))
+                payload = png_encode(
+                    w, h, idx, palette=palette, interlace=True,
+                    filter_plan="mixed",
+                )
+                dw, dh, ch, px = png_decode(payload)
+                if (dw, dh, ch) != (w, h, 3):
+                    raise ValueError("interlaced palette decode shape mismatch")
+                rows.append(
+                    (
+                        d, w, h,
+                        sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                        min(px), max(px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "px_min", "px_max",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema)

@@ -2,10 +2,12 @@
 
 Replaces the gated "fake" codec for the multimodal column's image leg
 (the container has no PIL/ffmpeg; PNG's format is public and zlib is in
-the stdlib).  Supports non-interlaced 8-bit depth, color types 0
-(grayscale), 2 (RGB) and 6 (RGBA), and all five scanline filters
-(None/Sub/Up/Average/Paeth) in both directions — enough to decode any
-baseline screenshot-class PNG and to round-trip generated fixtures.
+the stdlib).  Supports 8-bit depth in color types 0 (grayscale),
+2 (RGB), 3 (palette, expanded to RGB on decode) and 6 (RGBA), all five
+scanline filters (None/Sub/Up/Average/Paeth) in both directions, and
+Adam7 interlace (encode + decode) — enough to decode any
+screenshot-class PNG and to round-trip generated fixtures.  16-bit
+depth stays gated.
 
 JPEG/video decode stays honestly gated (`NotImplementedError`) — those
 codecs are not re-implementable responsibly here; the Spark-side
@@ -43,27 +45,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(
-    width: int,
-    height: int,
-    pixels: bytes,
-    *,
-    channels: int = 1,
-    filter_plan: str = "mixed",
-) -> bytes:
-    """Encode raw 8-bit pixels (row-major, ``channels`` interleaved) as a
-    baseline PNG.  ``filter_plan``: 'none' writes filter 0 everywhere;
-    'mixed' cycles Sub/Up/Average/Paeth/None by row so decoders are
-    forced through every filter type."""
-    if channels not in (1, 3, 4):
-        raise ValueError("channels must be 1 (gray), 3 (RGB) or 4 (RGBA)")
-    stride = width * channels
-    if len(pixels) != stride * height:
-        raise ValueError(
-            f"pixel buffer is {len(pixels)} bytes; expected {stride * height}"
-        )
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _pass_dims(width: int, height: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
+    x0, y0, dx, dy = p
+    return -(-(width - x0) // dx) if width > x0 else 0, (
+        -(-(height - y0) // dy) if height > y0 else 0
+    )
+
+
+def _filter_rows(pixels: bytes, width: int, height: int, bpp: int,
+                 filter_plan: str) -> bytearray:
+    """Forward-filter a (sub)image into the PNG scanline stream."""
+    stride = width * bpp
     raw = bytearray()
     prev = bytes(stride)
     for r in range(height):
@@ -74,14 +73,14 @@ def png_encode(
             raw += row
         elif f == 1:  # Sub
             raw += bytes(
-                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
                 for i in range(stride)
             )
         elif f == 2:  # Up
             raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
         elif f == 3:  # Average
             raw += bytes(
-                (row[i] - ((row[i - channels] if i >= channels else 0) + prev[i]) // 2)
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
                 & 0xFF
                 for i in range(stride)
             )
@@ -90,31 +89,130 @@ def png_encode(
                 (
                     row[i]
                     - _paeth(
-                        row[i - channels] if i >= channels else 0,
+                        row[i - bpp] if i >= bpp else 0,
                         prev[i],
-                        prev[i - channels] if i >= channels else 0,
+                        prev[i - bpp] if i >= bpp else 0,
                     )
                 )
                 & 0xFF
                 for i in range(stride)
             )
         prev = row
-    return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _chunk(b"IEND", b"")
+    return raw
+
+
+def _extract_pass(pixels: bytes, width: int, height: int, bpp: int,
+                  p: tuple[int, int, int, int]) -> tuple[bytes, int, int]:
+    x0, y0, dx, dy = p
+    pw, ph = _pass_dims(width, height, p)
+    out = bytearray()
+    for j in range(ph):
+        y = y0 + j * dy
+        for i in range(pw):
+            x = x0 + i * dx
+            out += pixels[(y * width + x) * bpp : (y * width + x) * bpp + bpp]
+    return bytes(out), pw, ph
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    channels: int = 1,
+    filter_plan: str = "mixed",
+    interlace: bool = False,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Encode raw 8-bit pixels (row-major, ``channels`` interleaved) as a
+    baseline PNG.  ``filter_plan``: 'none' writes filter 0 everywhere;
+    'mixed' cycles Sub/Up/Average/Paeth/None by row so decoders are
+    forced through every filter type.  ``interlace=True`` writes Adam7
+    (seven sub-images, each filtered independently — PNG spec §8.2).
+    ``palette`` switches to color type 3: ``pixels`` are then 1-byte
+    palette indices and a PLTE chunk carries the RGB entries."""
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNGs take 1-byte indices (channels=1)")
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("palette must have 1..256 entries")
+        color_type = 3
+    else:
+        if channels not in (1, 3, 4):
+            raise ValueError("channels must be 1 (gray), 3 (RGB) or 4 (RGBA)")
+        color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; expected {stride * height}"
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    if interlace:
+        raw = bytearray()
+        for p in _ADAM7:
+            sub, pw, ph = _extract_pass(pixels, width, height, channels, p)
+            if pw and ph:
+                raw += _filter_rows(sub, pw, ph, channels, filter_plan)
+    else:
+        raw = _filter_rows(pixels, width, height, channels, filter_plan)
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return (
+        out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+
+
+def _defilter(raw: bytes, width: int, height: int, bpp: int, off: int = 0
+              ) -> tuple[bytes, int]:
+    """Reverse the scanline filters of one (sub)image starting at ``off``
+    in the decompressed stream → (pixels, bytes consumed)."""
+    stride = width * bpp
+    need = (stride + 1) * height
+    if off + need > len(raw):
+        raise ValueError("PNG decompressed size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for r in range(height):
+        base = off + r * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = bytes(line)
+    return bytes(out), need
 
 
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline PNG → (width, height, channels, raw pixel bytes,
-    row-major interleaved).  Raises NotImplementedError for the PNG
-    features outside the baseline profile (interlace, 16-bit, palette)."""
+    row-major interleaved).  Handles gray/RGB/RGBA/palette color types,
+    all five filters, and Adam7 interlace (palette output is expanded to
+    RGB).  16-bit depth stays gated — widening the return contract
+    silently would be worse than refusing."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     width = height = channels = None
+    color = interlace = 0
+    palette: bytes | None = None
     idat = bytearray()
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -132,49 +230,56 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} (baseline is 8)")
-            if color not in _CHANNELS or color == 4:
-                supported = color in (0, 2, 6)
-                if not supported:
-                    raise NotImplementedError(
-                        f"PNG color type {color} (gray/RGB/RGBA supported)"
-                    )
-            if interlace:
-                raise NotImplementedError("interlaced PNG (Adam7) not supported")
+            if color not in (0, 2, 3, 6):
+                raise NotImplementedError(
+                    f"PNG color type {color} (gray/RGB/palette/RGBA supported)"
+                )
             if comp or filt:
                 raise ValueError("invalid PNG compression/filter method")
-            channels = _CHANNELS[color]
+            channels = 1 if color == 3 else _CHANNELS[color]
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length must be a multiple of 3")
+            palette = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG decompressed size mismatch")
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for r in range(height):
-        f = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"invalid PNG filter type {f}")
-        out[r * stride : (r + 1) * stride] = line
-        prev = bytes(line)
-    return width, height, channels, bytes(out)
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        out = bytearray(width * height * channels)
+        off = 0
+        for p in _ADAM7:
+            pw, ph = _pass_dims(width, height, p)
+            if not pw or not ph:
+                continue
+            sub, used = _defilter(raw, pw, ph, channels, off)
+            off += used
+            x0, y0, dx, dy = p
+            for j in range(ph):
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    src = (j * pw + i) * channels
+                    dst = (y * width + x) * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
+        if off != len(raw):
+            raise ValueError("PNG decompressed size mismatch")
+        pixels = bytes(out)
+    else:
+        pixels, used = _defilter(raw, width, height, channels)
+        if used != len(raw):
+            raise ValueError("PNG decompressed size mismatch")
+    if color == 3:
+        n = len(palette) // 3
+        expanded = bytearray(width * height * 3)
+        for i, idx in enumerate(pixels):
+            if idx >= n:
+                raise ValueError(f"palette index {idx} out of range ({n} entries)")
+            expanded[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(expanded)
+    return width, height, channels, pixels

@@ -112,6 +112,8 @@ _FLAGSHIP_ORDER = [
     "q_nifi_crash_redelivery",
     "q_ml_pipeline_scaler",
     "q_wikiedits_irc_rollup",
+    "q_png_interlaced_palette_stats",
+    "q_adpcm_wav_stats",
     # ---- round-6 new operators (never driver-graded)
     "q_rabbitmq_amqp_roundtrip",
     "q_pubsub_rest_roundtrip",

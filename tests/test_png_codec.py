@@ -155,3 +155,88 @@ def test_resize_png_real_pixels(spark):
         resize_png(
             media.withColumn("mime", media.mime.substr(1, 2)), 2, 2
         ).collect()
+
+
+# -- Adam7 interlace + palette (round-7 gate closures) ------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+from my_flink_1_10_2_spark.llm.png import png_decode as _dec, png_encode as _enc
+
+
+def _rand_pixels(n, seed=3):
+    x = seed
+    out = bytearray()
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append(x & 0xFF)
+    return bytes(out)
+
+
+def test_adam7_roundtrip_matches_progressive_scatter():
+    """Interlaced encode -> decode must reproduce the exact pixels for
+    sizes that exercise empty and partial passes (1x1 up to 13x11)."""
+    for w, h, ch in [(1, 1, 1), (2, 3, 3), (8, 8, 1), (13, 11, 4), (16, 9, 3)]:
+        px = _rand_pixels(w * h * ch, seed=w * 100 + h)
+        payload = _enc(w, h, px, channels=ch, interlace=True)
+        assert _dec(payload) == (w, h, ch, px), (w, h, ch)
+        # and the interlaced bytes differ from the sequential encoding
+        # whenever more than one pass exists (the framing really changed)
+        if (w, h) != (1, 1):
+            assert payload != _enc(w, h, px, channels=ch)
+
+
+def test_palette_decode_expands_to_rgb():
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 128), (7, 7, 7)]
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 2, 2, 1, 1])  # 4x3
+    payload = _enc(4, 3, idx, palette=palette)
+    w, h, ch, px = _dec(payload)
+    assert (w, h, ch) == (4, 3, 3)
+    want = b"".join(bytes(palette[i]) for i in idx)
+    assert px == want
+
+
+def test_palette_interlaced_roundtrip():
+    palette = [(i, 255 - i, i ^ 0x55) for i in range(16)]
+    idx = bytes(i % 16 for i in range(9 * 7))
+    payload = _enc(9, 7, idx, palette=palette, interlace=True)
+    w, h, ch, px = _dec(payload)
+    assert (w, h, ch) == (9, 7, 3)
+    assert px == b"".join(bytes(palette[i]) for i in idx)
+
+
+def test_palette_index_out_of_range_is_loud():
+    import pytest
+
+    payload = _enc(2, 1, bytes([0, 3]), palette=[(1, 2, 3), (4, 5, 6)])
+    # hand-shrink the palette: rebuild PLTE with 1 entry, keep indices
+    payload = _enc(2, 1, bytes([0, 1]), palette=[(1, 2, 3), (4, 5, 6)])
+    # corrupt: decode with an index >= palette size via direct chunk edit
+    sig = payload[:8]
+    pos, chunks = 8, []
+    while pos < len(payload):
+        (ln,) = _struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        chunks.append((tag, body))
+        pos += 12 + ln
+    out = sig
+    for tag, body in chunks:
+        if tag == b"PLTE":
+            body = body[:3]  # drop the second entry
+        out += _struct.pack(">I", len(body)) + tag + body + _struct.pack(
+            ">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="palette index"):
+        _dec(out)
+
+
+def test_sixteen_bit_depth_stays_gated():
+    import pytest
+
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+               + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        _dec(payload)

@@ -352,11 +352,20 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
                     tbl[r, c] = body[off + 1 + i]
                 quant[tq] = tbl
                 off += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker == 0xFFC2:
+            # progressive DCT: route to the multi-scan decoder
+            # (llm/jpeg_progressive.py — spectral selection + successive
+            # approximation per T.81 Annex G)
+            from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+                jpeg_decode_gray_progressive,
+            )
+
+            return jpeg_decode_gray_progressive(data)
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) is supported, "
-                f"got SOF marker 0x{marker:04X}"
+                f"only sequential (SOF0) and progressive (SOF2) DCT are "
+                f"supported, got SOF marker 0x{marker:04X}"
             )
         elif marker == 0xFFC0:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)

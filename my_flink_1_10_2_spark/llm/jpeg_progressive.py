@@ -1,0 +1,430 @@
+"""Progressive JPEG (grayscale, spectral selection + successive
+approximation) — closes the SOF2 gate left by the baseline codec
+(llm/jpeg.py; ITU-T T.81 Annex G is the public spec for everything
+here).
+
+Scan script written by the encoder (single component):
+
+  1. DC first        Ss=0 Se=0  Ah=0 Al=1   (DPCM over dc >> 1)
+  2. AC first        Ss=1 Se=63 Ah=0 Al=1   (band coded at half
+                                             magnitude, EOB per block)
+  3. DC refinement   Ss=0 Se=0  Ah=1 Al=0   (one raw bit per block)
+  4. AC refinement   Ss=1 Se=63 Ah=1 Al=0   (newly-nonzero ±1 runs +
+                                             correction bits)
+
+The encoder emits EOB0 only (end-of-band run of exactly one block), so
+the Annex-K AC table suffices — EOBn for n>0 needs custom Huffman
+tables, which real encoders generate per-image; the DECODER handles the
+general EOBRUN form regardless, because any stream that uses it carries
+the matching DHT.  Restart intervals reset the DC predictor AND the
+end-of-band run, exactly like T.81 §G.1.2.
+
+Point transforms follow the spec's asymmetry: DC uses the arithmetic
+right shift (floor), AC divides with truncation toward zero; the
+refinement decoder reconstructs with the OR / ±(1<<Al) moves, which
+makes both exact for either sign.
+
+The reconstruction (dequantize + IDCT + level shift + clamp) is shared
+with the baseline path, so a progressive stream of the same quantized
+coefficients decodes to the identical pixels — the property the tests
+pin."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from my_flink_1_10_2_spark.llm.jpeg import (
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    DC_VALS,
+    STD_LUMA_QUANT,
+    ZIGZAG,
+    _BitReader,
+    _BitWriter,
+    _build_codes,
+    _build_decoder,
+    _dct_matrix,
+    _extend,
+    _magnitude,
+)
+
+
+def _quantized_blocks(
+    width: int, height: int, pixels: bytes, q: np.ndarray
+) -> tuple[int, int, list[list[int]]]:
+    """Forward path shared shape with the baseline encoder: padded 8x8
+    blocks → quantized zigzag coefficient lists."""
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    bh, bw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    m = _dct_matrix()
+    blocks = []
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coeffs = m @ block @ m.T
+            qc = np.round(coeffs / q).astype(np.int64)
+            blocks.append([int(qc[r, c]) for r, c in ZIGZAG])
+    return bh // 8, bw // 8, blocks
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO
+    (T.81 G.1.2.2 — distinct from the DC arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def jpeg_encode_gray_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a PROGRESSIVE (SOF2) JPEG with
+    the four-scan script above.  Quantized coefficients are identical to
+    the baseline encoder's, so both decode to the same pixels."""
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
+    nbh, nbw, blocks = _quantized_blocks(width, height, pixels, q)
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+
+    def restart_points(w: _BitWriter, mcu: int, state: dict) -> None:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.marker(0xD0 + state["n"])
+            state["n"] = (state["n"] + 1) & 7
+            state["pred"] = 0
+
+    # -- scan 1: DC first (Al=1) ---------------------------------------
+    w = _BitWriter()
+    state = {"n": 0, "pred": 0}
+    for mcu, zz in enumerate(blocks):
+        restart_points(w, mcu, state)
+        v = zz[0] >> 1  # arithmetic shift per spec
+        diff = v - state["pred"]
+        state["pred"] = v
+        size, bits = _magnitude(diff)
+        code, ln = dc_codes[size]
+        w.write(code, ln)
+        if size:
+            w.write(bits, size)
+    scan_dc_first = w.flush()
+
+    # -- scan 2: AC first, band 1..63 (Al=1), EOB0 per block ------------
+    w = _BitWriter()
+    state = {"n": 0, "pred": 0}
+    for mcu, zz in enumerate(blocks):
+        restart_points(w, mcu, state)
+        band = [_trunc_shift(zz[k], 1) for k in range(1, 64)]
+        last_nz = max((i for i, v in enumerate(band) if v), default=-1)
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, ln = ac_codes[run * 16 + size]
+            w.write(code, ln)
+            w.write(bits, size)
+            run = 0
+        if last_nz < 62:
+            code, ln = ac_codes[0x00]  # EOB (run of one block)
+            w.write(code, ln)
+    scan_ac_first = w.flush()
+
+    # -- scan 3: DC refinement (Ah=1 -> Al=0): raw bit per block --------
+    w = _BitWriter()
+    state = {"n": 0, "pred": 0}
+    for mcu, zz in enumerate(blocks):
+        restart_points(w, mcu, state)
+        w.write(zz[0] & 1, 1)
+    scan_dc_refine = w.flush()
+
+    # -- scan 4: AC refinement (Ah=1 -> Al=0) ----------------------------
+    w = _BitWriter()
+    state = {"n": 0, "pred": 0}
+    for mcu, zz in enumerate(blocks):
+        restart_points(w, mcu, state)
+        band = zz[1:64]
+        # last position that is newly nonzero in THIS scan
+        newly = [i for i, v in enumerate(band) if abs(v) == 1]
+        last_new = newly[-1] if newly else -1
+        run = 0  # run of zero-HISTORY zero positions
+        pending: list[int] = []  # correction bits awaiting the next code
+        for i in range(last_new + 1):
+            v = band[i]
+            if abs(v) > 1:  # nonzero history: correction bit rides along
+                pending.append(abs(v) & 1)
+                continue
+            if v == 0:
+                run += 1
+                continue
+            # newly nonzero (|v| == 1)
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                for b in pending:
+                    w.write(b, 1)
+                pending = []
+                run -= 16
+            code, ln = ac_codes[run * 16 + 1]
+            w.write(code, ln)
+            w.write(1 if v > 0 else 0, 1)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            run = 0
+        # end of new coefficients: EOB0, then correction bits for every
+        # remaining nonzero-history coefficient in the band
+        tail = [abs(v) & 1 for v in band[last_new + 1 :] if abs(v) > 1]
+        if last_new < 62 or pending:
+            code, ln = ac_codes[0x00]
+            w.write(code, ln)
+            for b in pending + tail:
+                w.write(b, 1)
+    scan_ac_refine = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += sos(0, 0, 0, 1) + scan_dc_first
+    out += sos(1, 63, 0, 1) + scan_ac_first
+    out += sos(0, 0, 1, 0) + scan_dc_refine
+    out += sos(1, 63, 1, 0) + scan_ac_refine
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -- decoder -----------------------------------------------------------------
+
+
+def _read_code(r: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.read(1)
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _scan_bits(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Slice the entropy-coded segment starting at ``pos``: everything
+    up to the next non-RST marker (markers inside are RSTn or stuffed
+    zero bytes)."""
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            break
+        i += 1
+    return data[pos:i], i
+
+
+def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a progressive (SOF2) grayscale JPEG: accumulate the
+    coefficient array across every scan (DC/AC, first/refinement), then
+    reconstruct once at EOI.  Raises NotImplementedError for
+    multi-component or 12-bit streams."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    restart_interval = 0
+    coef: list[list[int]] | None = None
+    nblocks = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = struct.unpack_from(">H", data, pos)[0]
+        pos += 2
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = body[off + 1 + i]
+                quant[tq] = tbl
+                off += 65
+        elif marker == 0xFFC2:
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) progressive JPEG"
+                )
+            nblocks = (-(-height // 8)) * (-(-width // 8))
+            coef = [[0] * 64 for _ in range(nblocks)]
+        elif marker == 0xFFC0:
+            raise ValueError("baseline SOF0 in progressive decoder")
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = _build_decoder(bits, vals)
+                off += 17 + n
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xFFDA:
+            if coef is None:
+                raise ValueError("SOS before SOF2")
+            ncomp = body[0]
+            if ncomp != 1:
+                raise NotImplementedError("multi-component scan unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
+            scan, pos = _scan_bits(data, pos)
+            _decode_scan(
+                coef, scan, ss, se, ah, al,
+                huff.get((0, dc_id)), huff.get((1, ac_id)),
+                restart_interval,
+            )
+    if width is None or coef is None:
+        raise ValueError("JPEG missing SOF2 or scans")
+    q = quant[0]
+    m = _dct_matrix()
+    bh, bw = -(-height // 8), -(-width // 8)
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for bi, zz in enumerate(coef):
+        by, bx = divmod(bi, bw)
+        coeffs = np.zeros((8, 8), dtype=np.float64)
+        for idx, (rr, cc) in enumerate(ZIGZAG):
+            coeffs[rr, cc] = zz[idx] * q[rr, cc]
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = m.T @ coeffs @ m + 128.0
+    pixels = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pixels.tobytes()
+
+
+def _decode_scan(
+    coef: list[list[int]],
+    scan: bytes,
+    ss: int, se: int, ah: int, al: int,
+    dc_table: dict | None,
+    ac_table: dict | None,
+    restart_interval: int,
+) -> None:
+    r = _BitReader(scan)
+    pred = 0
+    eobrun = 0
+    rst_n = 0
+    p1, m1 = 1 << al, -1 << al
+    for mcu in range(len(coef)):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            pred, eobrun = 0, 0
+        zz = coef[mcu]
+        if ss == 0:  # DC scan (se must be 0 per spec)
+            if ah == 0:  # first
+                size = _read_code(r, dc_table)
+                diff = _extend(r.read(size), size) if size else 0
+                pred += diff
+                zz[0] = pred << al
+            else:  # refinement: one raw bit
+                if r.read(1):
+                    zz[0] |= p1
+            continue
+        # AC scans
+        if ah == 0:  # first
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_code(r, ac_table)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.read(run)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("AC run past band end")
+                zz[k] = _extend(r.read(size), size) << al
+                k += 1
+        else:  # refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_code(r, ac_table)
+                    run, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run != 15:
+                            eobrun = (1 << run)
+                            if run:
+                                eobrun += r.read(run)
+                            break
+                        # ZRL: pass 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise ValueError(
+                                "AC refinement magnitude must be 1"
+                            )
+                        newval = p1 if r.read(1) else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if r.read(1) and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun:
+                # end-of-band: correction bits for the remaining
+                # nonzero-history coefficients of THIS block
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.read(1) and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1

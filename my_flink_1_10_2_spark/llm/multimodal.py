@@ -110,7 +110,7 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
 
 
-def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
+def synthetic_jpeg_media(docs: DataFrame, progressive: bool = False) -> DataFrame:
     """Per-document grayscale JPEGs built from QUANT-EXACT constant 8×8
     tiles: width = 8*(2 + doc_id%3), height = 8*(1 + doc_id%2), tile t
     holds the EVEN level ((doc_id*37 + t*29) % 128) * 2.  A constant
@@ -119,10 +119,18 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
     JPEG roundtrip is pixel-exact for these fixtures — a SQL oracle
     replays the DECODED statistics, and any defect in the Huffman /
     zigzag / dequant / IDCT chain mismatches.  Natural-image loss
-    behavior is property-tested separately (tests/test_jpeg_codec.py)."""
+    behavior is property-tested separately (tests/test_jpeg_codec.py).
+
+    ``progressive=True`` encodes the same tiles as SOF2 streams
+    (llm/jpeg_progressive.py: DC/AC first scans at Al=1 plus both
+    refinement passes) — identical quantized coefficients, so the
+    exactness contract carries over unchanged."""
     import numpy as np
 
     from .jpeg import jpeg_encode_gray
+    from .jpeg_progressive import jpeg_encode_gray_progressive
+
+    enc = jpeg_encode_gray_progressive if progressive else jpeg_encode_gray
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -138,7 +146,7 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
                     dtype=np.uint8,
                 )
                 img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
-                payloads.append(jpeg_encode_gray(tw * 8, th * 8, img.tobytes()))
+                payloads.append(enc(tw * 8, th * 8, img.tobytes()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"].astype("int64"),

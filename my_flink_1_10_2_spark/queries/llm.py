@@ -3189,3 +3189,52 @@ def q_adpcm_wav_stats(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "q_jpeg_progressive_tile_stats",
+    oracle="""
+    SELECT media_id, width, height, px_sum, px_min, px_max FROM (
+      SELECT doc_id AS media_id,
+             CAST(8 * (2 + doc_id % 3) AS BIGINT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+             CAST(64 * SUM(((doc_id*37 + t*29) % 128) * 2) AS BIGINT) AS px_sum,
+             CAST(MIN(((doc_id*37 + t*29) % 128) * 2) AS BIGINT) AS px_min,
+             CAST(MAX(((doc_id*37 + t*29) % 128) * 2) AS BIGINT) AS px_max
+      FROM (
+        SELECT doc_id,
+               unnest(range((2 + doc_id % 3) * (1 + doc_id % 2))) AS t
+        FROM documents)
+      GROUP BY doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_jpeg_progressive_tile_stats(spark, sf_dir):
+    """REAL PROGRESSIVE JPEG decode (round-7 SOF2 gate closure —
+    llm/jpeg_progressive.py: spectral selection, successive
+    approximation with DC/AC first scans at Al=1 and both refinement
+    passes, EOB-run band coding per T.81 Annex G): the same quant-exact
+    tile fixtures as q_jpeg_tile_stats, encoded as four-scan
+    progressive streams executor-side and decoded by the unified
+    dispatcher (jpeg_decode_gray routes SOF2).  Identical quantized
+    coefficients make the progressive path pixel-exact on these
+    fixtures, so the decoded statistics replay in the same closed-form
+    SQL; any defect in scan reassembly, refinement bit handling, or the
+    EOB logic mismatches."""
+    from my_flink_1_10_2_spark.llm.multimodal import (
+        extract_features,
+        synthetic_jpeg_media,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    feats = extract_features(
+        synthetic_jpeg_media(docs, progressive=True), fake=False
+    )
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("bigint").alias("width"),
+        F.element_at("features", 2).cast("bigint").alias("height"),
+        F.element_at("features", 5).cast("bigint").alias("px_sum"),
+        F.element_at("features", 6).cast("bigint").alias("px_min"),
+        F.element_at("features", 7).cast("bigint").alias("px_max"),
+    )

@@ -72,11 +72,11 @@ def test_byte_stuffing_roundtrip():
     assert set(px) == {254}
 
 
-def test_rejects_progressive_and_multicomponent():
+def test_rejects_unsupported_sof_and_garbage():
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(jpeg_encode_gray(8, 8, img.tobytes()))
     sof = data.find(b"\xff\xc0")
-    data[sof : sof + 2] = b"\xff\xc2"  # flip SOF0 -> SOF2 (progressive)
+    data[sof : sof + 2] = b"\xff\xc9"  # SOF9: arithmetic coding — gated
     with pytest.raises(NotImplementedError, match="SOF"):
         jpeg_decode_gray(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
@@ -149,3 +149,81 @@ def test_dri_zero_means_no_restarts():
 
     out = jpeg_encode_gray(16, 8, bytes(range(128)), restart_interval=0)
     assert b"\xff\xdd" not in out  # no DRI segment emitted
+
+
+# -- progressive (SOF2) — T.81 Annex G ----------------------------------------
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """Both encoders quantize identically, so the progressive stream's
+    reassembled coefficients must reproduce the baseline decode
+    pixel-for-pixel — any defect in DC DPCM at Al=1, the EOB band
+    coding, or either refinement pass breaks this."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray, jpeg_encode_gray
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(8, 8), (24, 16), (33, 25)]:
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        base = jpeg_decode_gray(jpeg_encode_gray(w, h, px))
+        prog = jpeg_decode_gray(jpeg_encode_gray_progressive(w, h, px))
+        assert prog == base, (w, h)
+
+
+def test_progressive_smooth_image_roundtrip_error_bounded():
+    import math
+
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    w, h = 32, 24
+    px = bytes(
+        int(128 + 100 * math.sin(x / 5.0) * math.cos(y / 7.0))
+        for y in range(h) for x in range(w)
+    )
+    dw, dh, out = jpeg_decode_gray(jpeg_encode_gray_progressive(w, h, px))
+    assert (dw, dh) == (w, h)
+    err = [abs(a - b) for a, b in zip(px, out)]
+    assert sum(err) / len(err) < 12  # usual quantization error envelope
+
+
+def test_progressive_quant_exact_tiles_are_bit_exact():
+    """Constant even-level 8x8 tiles hold only DC energy that is an
+    exact multiple of Q00=16 — bit-exact through the progressive path
+    too (the graded-query contract)."""
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    w, h = 32, 16
+    tiles = [2 * ((7 * t) % 128) for t in range(8)]
+    px = bytes(tiles[(y // 8) * 4 + (x // 8)] for y in range(h) for x in range(w))
+    assert jpeg_decode_gray(jpeg_encode_gray_progressive(w, h, px)) == (w, h, px)
+
+
+def test_progressive_restart_intervals_roundtrip():
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    w, h = 40, 24
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    plain = jpeg_decode_gray(jpeg_encode_gray_progressive(w, h, px))
+    for dri in (1, 3):
+        with_rst = jpeg_decode_gray(
+            jpeg_encode_gray_progressive(w, h, px, restart_interval=dri)
+        )
+        assert with_rst == plain, f"dri={dri}"

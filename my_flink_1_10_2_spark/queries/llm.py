@@ -3238,3 +3238,79 @@ def q_jpeg_progressive_tile_stats(spark, sf_dir):
         F.element_at("features", 6).cast("bigint").alias("px_min"),
         F.element_at("features", 7).cast("bigint").alias("px_max"),
     )
+
+
+@register(
+    "q_jpeg_color_tile_stats",
+    oracle="""
+    SELECT media_id, width, height, y_sum, cb_sum, cr_sum FROM (
+      SELECT doc_id AS media_id,
+             CAST(16 * (1 + doc_id % 3) AS BIGINT) AS width,
+             CAST(16 * (1 + doc_id % 2) AS BIGINT) AS height,
+             CAST(256 * SUM(2 * ((doc_id*37 + t*29) % 128)) AS BIGINT) AS y_sum,
+             CAST(256 * SUM(128 + 17 * (((doc_id*5 + t*3) % 13) - 6))
+                  AS BIGINT) AS cb_sum,
+             CAST(256 * SUM(128 + 17 * (((doc_id*7 + t*11) % 13) - 6))
+                  AS BIGINT) AS cr_sum
+      FROM (
+        SELECT doc_id,
+               unnest(range((1 + doc_id % 3) * (1 + doc_id % 2))) AS t
+        FROM documents)
+      GROUP BY doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_jpeg_color_tile_stats(spark, sf_dir):
+    """REAL COLOR JPEG decode (round-7 multi-component gate closure —
+    llm/jpeg_color.py: YCbCr 4:2:0 MCU interleave, per-component DC
+    predictors, Annex-K luma AND chroma quant/Huffman tables, box-down
+    / replicate-up chroma resampling): per-document color JPEGs of
+    QUANT-EXACT constant 16x16 tiles — Y at even levels (multiples of
+    the luma DC step), chroma at 128±17k (multiples of the chroma DC
+    step 17) — are encoded and decoded executor-side; the decoded
+    per-plane sums grade against the closed-form SQL replay.  Constant
+    tiles survive 2x2 box averaging exactly, so any defect in MCU
+    geometry, table selection, predictor separation, or upsampling
+    mismatches."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.jpeg_color import (
+        jpeg_decode_color,
+        jpeg_encode_color,
+    )
+
+    schema = (
+        "media_id long, width long, height long, "
+        "y_sum long, cb_sum long, cr_sum long"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tw, th = 1 + d % 3, 1 + d % 2  # 16px tiles across / down
+                w, h = 16 * tw, 16 * th
+
+                def plane(level):
+                    return bytes(
+                        level((yy // 16) * tw + (xx // 16))
+                        for yy in range(h)
+                        for xx in range(w)
+                    )
+
+                y = plane(lambda t: 2 * ((d * 37 + t * 29) % 128))
+                cb = plane(lambda t: 128 + 17 * (((d * 5 + t * 3) % 13) - 6))
+                cr = plane(lambda t: 128 + 17 * (((d * 7 + t * 11) % 13) - 6))
+                payload = jpeg_encode_color(w, h, y, cb, cr, subsampling="4:2:0")
+                dw, dh, dy, dcb, dcr = jpeg_decode_color(payload)
+                if (dw, dh) != (w, h):
+                    raise ValueError("color decode dims mismatch")
+                rows.append((d, w, h, sum(dy), sum(dcb), sum(dcr)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "y_sum", "cb_sum", "cr_sum"],
+            )
+
+    docs = read(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)

@@ -909,3 +909,29 @@ def test_post_limit_rank_windows_stay_bounded(spark):
             continue
         hits = plans.single_partition_windows(_df(spark, name))
         assert not hits, f"{name}: {hits}"
+
+
+def test_round7_codec_queries_stay_arrow_batched(spark):
+    """Every round-7 real-codec query runs Python ONLY as Arrow
+    mapInPandas stages — one projection-shaped scan, no row-at-a-time
+    UDFs, no shuffle before the stats rollup."""
+    for name in (
+        "q_png_interlaced_palette_stats",
+        "q_adpcm_wav_stats",
+        "q_jpeg_progressive_tile_stats",
+        "q_jpeg_color_tile_stats",
+    ):
+        df = _df(spark, name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert plans.single_partition_windows(df) == [], name
+
+
+def test_ml_pipeline_query_is_scan_plus_broadcast(spark):
+    """q_ml_pipeline_scaler: fit collapses to scalar literals at build
+    time, so the scoring plan is ONE corpus aggregation with codegen
+    expressions — no Python anywhere, no single-partition window."""
+    df = _df(spark, "q_ml_pipeline_scaler")
+    assert plans.python_eval_count(df) == 0
+    assert plans.single_partition_windows(df) == []

@@ -1,4 +1,4 @@
-"""Baseline COLOR JPEG (YCbCr, 4:4:4 and 4:2:0) — closes the
+"""Baseline COLOR JPEG (YCbCr, 4:4:4 / 4:2:2 / 4:2:0) — closes the
 multi-component gate of the grayscale codec (llm/jpeg.py; public spec
 ITU-T T.81 + the JFIF YCbCr convention).
 
@@ -196,27 +196,33 @@ def jpeg_encode_color(
 ) -> bytes:
     """Encode full-resolution Y/Cb/Cr planes (each width*height bytes,
     row-major) as a baseline color JFIF JPEG.  4:2:0 box-averages the
-    chroma planes 2x2 before encoding; 4:4:4 keeps them full-res."""
+    chroma planes 2x2 before encoding, 4:2:2 horizontally only; 4:4:4
+    keeps them full-res."""
     for name, p in (("y", y), ("cb", cb), ("cr", cr)):
         if len(p) != width * height:
             raise ValueError(f"plane {name}: expected {width * height} bytes")
-    if subsampling not in ("4:2:0", "4:4:4"):
-        raise ValueError("subsampling must be '4:2:0' or '4:4:4'")
-    s = 2 if subsampling == "4:2:0" else 1
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError("subsampling must be '4:2:0', '4:2:2' or '4:4:4'")
+    sh, sv = factors[subsampling]
     yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width).astype(np.float64)
     planes = []
     for raw in (cb, cr):
         p = np.frombuffer(raw, dtype=np.uint8).reshape(height, width).astype(
             np.float64
         )
-        if s == 2:
-            ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+        if sh == 2 or sv == 2:
+            ph, pw = -(-height // sv) * sv, -(-width // sh) * sh
             p = _pad_plane(p, ph, pw)
-            p = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            if sh == 2 and sv == 2:
+                p = (p[0::2, 0::2] + p[0::2, 1::2]
+                     + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            elif sh == 2:  # 4:2:2 — horizontal box average only
+                p = (p[:, 0::2] + p[:, 1::2]) / 2.0
         planes.append(p)
-    mcu_px = 8 * s
-    mcw, mch = -(-width // mcu_px), -(-height // mcu_px)
-    ypad = _pad_plane(yp, mch * mcu_px, mcw * mcu_px)
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mcw, mch = -(-width // mcu_w), -(-height // mcu_h)
+    ypad = _pad_plane(yp, mch * mcu_h, mcw * mcu_w)
     cpad = [_pad_plane(p, mch * 8, mcw * 8) for p in planes]
 
     luma_dc = _build_codes(DC_BITS, DC_VALS)
@@ -227,10 +233,10 @@ def jpeg_encode_color(
     preds = [0, 0, 0]
     for my in range(mch):
         for mx in range(mcw):
-            # Y blocks: s*s per MCU, raster order within the MCU
-            for by in range(s):
-                for bx in range(s):
-                    oy, ox = my * mcu_px + by * 8, mx * mcu_px + bx * 8
+            # Y blocks: sh*sv per MCU, raster order within the MCU
+            for by in range(sv):
+                for bx in range(sh):
+                    oy, ox = my * mcu_h + by * 8, mx * mcu_w + bx * 8
                     zz = _fdct_block(
                         ypad[oy : oy + 8, ox : ox + 8], STD_LUMA_QUANT
                     )
@@ -254,7 +260,7 @@ def jpeg_encode_color(
     out += seg(
         0xFFDB, bytes([1]) + bytes(int(STD_CHROMA_QUANT[r, c]) for r, c in ZIGZAG)
     )
-    hv_y = (s << 4) | s
+    hv_y = (sh << 4) | sv
     sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
         [1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
@@ -351,10 +357,10 @@ def jpeg_decode_color(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not all(
-        (c["h"], c["v"]) in ((1, 1), (2, 2)) for c in comps
-    ) or (hmax, vmax) not in ((1, 1), (2, 2)):
+        (c["h"], c["v"]) in ((1, 1), (2, 1), (2, 2)) for c in comps
+    ) or (hmax, vmax) not in ((1, 1), (2, 1), (2, 2)):
         raise NotImplementedError(
-            "only 4:4:4 and 4:2:0 sampling factors supported"
+            "only 4:4:4, 4:2:2 and 4:2:0 sampling factors supported"
         )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcw, mch = -(-width // mcu_w), -(-height // mcu_h)

@@ -105,4 +105,15 @@ def test_plane_size_and_subsampling_validation():
         jpeg_encode_color(8, 8, b"\x00" * 63, b"\x00" * 64, b"\x00" * 64)
     with pytest.raises(ValueError, match="subsampling"):
         jpeg_encode_color(8, 8, b"\x00" * 64, b"\x00" * 64, b"\x00" * 64,
-                          subsampling="4:2:2")
+                          subsampling="4:1:1")
+
+
+def test_color_422_quant_exact_tiles_roundtrip_bit_exact():
+    """4:2:2 (horizontal-only chroma subsampling, Y factors (2,1)):
+    constant 16x16 tiles survive the horizontal box average exactly."""
+    w, h = 32, 16
+    y = _const_tiles(w, h, 16, [2 * ((9 * t) % 128) for t in range(4)])
+    cb = _const_tiles(w, h, 16, [128 + 17 * k for k in (-5, -2, 1, 4)])
+    cr = _const_tiles(w, h, 16, [128 + 17 * k for k in (6, 3, 0, -4)])
+    payload = jpeg_encode_color(w, h, y, cb, cr, subsampling="4:2:2")
+    assert jpeg_decode_color(payload) == (w, h, y, cb, cr)

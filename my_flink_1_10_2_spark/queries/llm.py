@@ -3314,3 +3314,119 @@ def q_jpeg_color_tile_stats(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "q_dsir_importance_weights",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, t AS term,
+             CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS BIGINT) AS b
+      FROM (SELECT doc_id, unnest(str_split_regex(lower(text), '\s+')) AS t
+            FROM documents)
+      WHERE t != ''
+    ),
+    tgt_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tcnt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS t
+      FROM tok JOIN tgt_docs USING (doc_id) GROUP BY b
+    ),
+    rcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+    tot AS (
+      SELECT (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) FROM tcnt) AS tt,
+             (SELECT CAST(sum(r) AS BIGINT) FROM rcnt) AS rt
+    ),
+    lr AS (
+      SELECT rcnt.b,
+             CAST(round((ln((coalesce(tcnt.t, 0) + 1)
+                            / CAST(tot.tt + 64 AS DOUBLE))
+                         - ln((rcnt.r + 1) / CAST(tot.rt + 64 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lr_i
+      FROM rcnt LEFT JOIN tcnt USING (b) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lr_i) AS BIGINT) AS weight_e6
+    FROM tok JOIN lr USING (b)
+    GROUP BY doc_id
+    ORDER BY weight_e6 DESC, doc_id
+    LIMIT 20
+    """,
+    category="llm_text",
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """Data Selection with Importance Resampling (DSIR — Xie et al.
+    2023, the public hashed-n-gram importance-weighting recipe): score
+    every document by how much more likely its tokens are under a
+    TARGET distribution (here: the corpus's English slice) than under
+    the raw distribution, both modeled as Laplace-smoothed multinomials
+    over 64 hashed feature buckets; the top-weighted documents are what
+    a targeted-data-selection pass keeps.
+
+    Float discipline: the log-ratio is quantized to 1e-6 integer units
+    once per BUCKET (64-row relation, broadcast), so per-doc weights
+    are exact BIGINT sums — engine-identical, partition-invariant.
+    100 TB shape: one tokenize scan -> md5 bucket hash (JVM expr) ->
+    two 64-row aggregates -> broadcast hash join back -> per-doc
+    partial-agg shuffle -> TakeOrdered(20).  No Python, no unpartitioned
+    window, nothing driver-side beyond two scalars."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+                % 64
+            ).alias("b"),
+        )
+    )
+    tcnt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    rcnt = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    tot = rcnt.agg(F.sum("r").cast("bigint").alias("rt")).crossJoin(
+        tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("tt"))
+    )
+    lr = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t"), F.lit(0)) + F.lit(1))
+                        / (F.col("tt") + F.lit(64)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("r") + F.lit(1))
+                        / (F.col("rt") + F.lit(64)).cast("double")
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("lr_i"),
+        )
+    )
+    return (
+        tok.join(dim(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr_i").cast("bigint").alias("weight_e6"),
+        )
+        .orderBy(F.col("weight_e6").desc(), "doc_id")
+        .limit(20)
+    )

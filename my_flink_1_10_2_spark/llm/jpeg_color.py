@@ -322,10 +322,17 @@ def jpeg_decode_color(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
         elif marker == 0xFFC2:
-            raise NotImplementedError(
-                "progressive color JPEG unsupported (grayscale progressive: "
-                "llm/jpeg_progressive.py)"
+            # progressive color: route to the multi-scan 3-component
+            # decoder (llm/jpeg_progressive.py)
+            from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+                jpeg_decode_color_progressive,
+                jpeg_decode_gray_progressive,
             )
+
+            if body[5] == 1:  # single component — gray progressive
+                w, h, px = jpeg_decode_gray_progressive(data)
+                return w, h, px, bytes([128] * (w * h)), bytes([128] * (w * h))
+            return jpeg_decode_color_progressive(data)
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):

@@ -117,6 +117,7 @@ _FLAGSHIP_ORDER = [
     "q_jpeg_progressive_tile_stats",
     "q_jpeg_color_tile_stats",
     "q_dsir_importance_weights",
+    "q_jpeg_progressive_color_stats",
     # ---- round-6 new operators (never driver-graded)
     "q_rabbitmq_amqp_roundtrip",
     "q_pubsub_rest_roundtrip",

@@ -3430,3 +3430,78 @@ def q_dsir_importance_weights(spark, sf_dir):
         .orderBy(F.col("weight_e6").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q_jpeg_progressive_color_stats",
+    oracle="""
+    SELECT media_id, width, height, y_sum, cb_sum, cr_sum FROM (
+      SELECT doc_id AS media_id,
+             CAST(16 * (1 + doc_id % 3) AS BIGINT) AS width,
+             CAST(16 * (1 + doc_id % 2) AS BIGINT) AS height,
+             CAST(256 * SUM(2 * ((doc_id*37 + t*29) % 128)) AS BIGINT) AS y_sum,
+             CAST(256 * SUM(128 + 17 * (((doc_id*5 + t*3) % 13) - 6))
+                  AS BIGINT) AS cb_sum,
+             CAST(256 * SUM(128 + 17 * (((doc_id*7 + t*11) % 13) - 6))
+                  AS BIGINT) AS cr_sum
+      FROM (
+        SELECT doc_id,
+               unnest(range((1 + doc_id % 3) * (1 + doc_id % 2))) AS t
+        FROM documents)
+      GROUP BY doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_jpeg_progressive_color_stats(spark, sf_dir):
+    """PROGRESSIVE COLOR JPEG decode (the full SOF2 3-component path —
+    llm/jpeg_progressive.py: interleaved DC scans with per-component
+    predictors, per-component non-interleaved AC scans over each
+    component's OWN block grid, both refinement passes, 4:2:0
+    resampling): the q_jpeg_color_tile_stats fixtures re-encoded as
+    8-scan progressive streams and decoded back; identical quantized
+    coefficients keep the quant-exact tiles bit-exact, so the same
+    closed-form oracle grades the whole multi-scan color reassembly."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.jpeg_color import jpeg_decode_color
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_color_progressive,
+    )
+
+    schema = (
+        "media_id long, width long, height long, "
+        "y_sum long, cb_sum long, cr_sum long"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tw, th = 1 + d % 3, 1 + d % 2
+                w, h = 16 * tw, 16 * th
+
+                def plane(level):
+                    return bytes(
+                        level((yy // 16) * tw + (xx // 16))
+                        for yy in range(h)
+                        for xx in range(w)
+                    )
+
+                y = plane(lambda t: 2 * ((d * 37 + t * 29) % 128))
+                cb = plane(lambda t: 128 + 17 * (((d * 5 + t * 3) % 13) - 6))
+                cr = plane(lambda t: 128 + 17 * (((d * 7 + t * 11) % 13) - 6))
+                payload = jpeg_encode_color_progressive(
+                    w, h, y, cb, cr, subsampling="4:2:0"
+                )
+                dw, dh, dy, dcb, dcr = jpeg_decode_color(payload)
+                if (dw, dh) != (w, h):
+                    raise ValueError("progressive color decode dims mismatch")
+                rows.append((d, w, h, sum(dy), sum(dcb), sum(dcr)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "y_sum", "cb_sum", "cr_sum"],
+            )
+
+    docs = read(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)

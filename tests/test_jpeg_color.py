@@ -117,3 +117,54 @@ def test_color_422_quant_exact_tiles_roundtrip_bit_exact():
     cr = _const_tiles(w, h, 16, [128 + 17 * k for k in (6, 3, 0, -4)])
     payload = jpeg_encode_color(w, h, y, cb, cr, subsampling="4:2:2")
     assert jpeg_decode_color(payload) == (w, h, y, cb, cr)
+
+
+# -- progressive color (SOF2, 3 components) -----------------------------------
+
+
+def test_progressive_color_decodes_identically_to_baseline():
+    """Both color encoders quantize identically, so the 8-scan
+    progressive stream (interleaved DC + per-component AC, both with a
+    refinement pass) must reproduce the baseline color decode exactly —
+    for every subsampling mode and an odd-size image."""
+    import math
+
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_color_progressive,
+    )
+
+    w, h = 35, 21  # odd dims: own-grid vs MCU-padded-grid divergence
+    y = bytes(int(128 + 80 * math.sin((x + 2 * yy) / 5.0))
+              for yy in range(h) for x in range(w))
+    cb = bytes(int(128 + 50 * math.cos(x / 3.0)) for yy in range(h) for x in range(w))
+    cr = bytes(int(128 - 50 * math.sin(yy / 4.0)) for yy in range(h) for x in range(w))
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        base = jpeg_decode_color(jpeg_encode_color(w, h, y, cb, cr, subsampling=sub))
+        prog = jpeg_decode_color(
+            jpeg_encode_color_progressive(w, h, y, cb, cr, subsampling=sub)
+        )
+        assert prog == base, sub
+
+
+def test_progressive_color_quant_exact_tiles_bit_exact():
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_color_progressive,
+    )
+
+    w, h = 32, 32
+    y = _const_tiles(w, h, 16, [2 * ((5 * t) % 128) for t in range(4)])
+    cb = _const_tiles(w, h, 16, [128 + 17 * k for k in (-3, 0, 2, 4)])
+    cr = _const_tiles(w, h, 16, [128 + 17 * k for k in (4, 2, 0, -3)])
+    payload = jpeg_encode_color_progressive(w, h, y, cb, cr)
+    assert jpeg_decode_color(payload) == (w, h, y, cb, cr)
+
+
+def test_progressive_grayscale_routes_through_color_entry():
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    px = _const_tiles(16, 8, 8, [60, 200])
+    w, h, y, cb, cr = jpeg_decode_color(jpeg_encode_gray_progressive(16, 8, px))
+    assert (w, h, y) == (16, 8, px)
+    assert set(cb) == {128} and set(cr) == {128}

@@ -227,3 +227,101 @@ def test_progressive_restart_intervals_roundtrip():
             jpeg_encode_gray_progressive(w, h, px, restart_interval=dri)
         )
         assert with_rst == plain, f"dri={dri}"
+
+
+def test_progressive_decoder_handles_accumulated_eobrun():
+    """Our encoder only emits EOB0, but real progressive encoders
+    accumulate end-of-band runs (EOBn, n>0) with custom Huffman tables.
+    Hand-assemble a stream whose AC-first scan covers three blocks with
+    a single EOB1 run (eobrun=2: current block + one more) and verify
+    the decoder reconstructs the same pixels as the equivalent
+    EOB0-per-block stream."""
+    import struct
+
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg import (
+        DC_BITS,
+        DC_VALS,
+        STD_LUMA_QUANT,
+        ZIGZAG,
+        _BitWriter,
+        _build_codes,
+        jpeg_decode_gray,
+    )
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    # custom AC table with codes for EOB0(0x00), EOB1(0x10), ZRL, (0,1),
+    # (0,2): five values, all 3-bit codes
+    ac_bits = [0, 0, 5] + [0] * 13
+    ac_vals = [0x00, 0x10, 0xF0, 0x01, 0x02]
+    ac_codes = _build_codes(ac_bits, ac_vals)
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+
+    w, h = 24, 8  # three 8x8 blocks
+    # block 0 gets one AC coefficient; blocks 1-2 are DC-only (the EOB1
+    # run); choose pixel data indirectly by writing coefficients
+    def scans(use_eobrun):
+        # DC first scan (Al=1): DC values 4, 6, 8 -> shifted 2, 3, 4
+        wdc = _BitWriter()
+        pred = 0
+        for dcv in (2, 3, 4):
+            diff = dcv - pred
+            pred = dcv
+            size = diff.bit_length()
+            code, ln = dc_codes[size]
+            wdc.write(code, ln)
+            if size:
+                wdc.write(diff, size)  # positive: bits = value
+        # AC first scan (Al=1): block0 has AC k=1 value 2 (shifted 1)
+        wac = _BitWriter()
+        code, ln = ac_codes[0x01]  # (run 0, size 1)
+        wac.write(code, ln)
+        wac.write(1, 1)  # positive magnitude-1 bits
+        if use_eobrun:
+            code, ln = ac_codes[0x00]  # end block 0's band
+            wac.write(code, ln)
+            code, ln = ac_codes[0x10]  # EOB1: eobrun = 2 + 1 extra bit
+            wac.write(code, ln)
+            wac.write(0, 1)  # eobrun = (1<<1) + 0 = 2 -> blocks 1 and 2
+        else:
+            for _ in range(3):  # EOB0 for blocks 0,1,2 individually
+                code, ln = ac_codes[0x00]
+                wac.write(code, ln)
+        # DC refine: bits 0,0,0 ; AC refine: blocks have no |v|==1 news
+        wdr = _BitWriter()
+        for _ in range(3):
+            wdr.write(0, 1)
+        war = _BitWriter()
+        for _ in range(3):
+            code, ln = ac_codes[0x00]  # EOB0 + correction bit for the
+            war.write(code, ln)
+        # block-0 nonzero-history coefficient k=1 rides after its EOB
+            if _ == 0:
+                war.write(0, 1)
+        return wdc.flush(), wac.flush(), wdr.flush(), war.flush()
+
+    def assemble(use_eobrun):
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        dcs, acs, dcr, acr = scans(use_eobrun)
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xFFDB, bytes([0]) + bytes(
+            int(STD_LUMA_QUANT[r, c]) for r, c in ZIGZAG))
+        out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+        out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + dcs
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + acs
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + dcr
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + acr
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    with_run = jpeg_decode_gray(assemble(True))
+    without = jpeg_decode_gray(assemble(False))
+    assert with_run == without
+    assert with_run[0] == w and with_run[1] == h

@@ -7,7 +7,8 @@ the stdlib).  Supports 8-bit depth in color types 0 (grayscale),
 scanline filters (None/Sub/Up/Average/Paeth) in both directions, and
 Adam7 interlace (encode + decode) — enough to decode any
 screenshot-class PNG and to round-trip generated fixtures.  16-bit
-depth stays gated.
+depth has its own entry points (png_encode_deep / png_decode_deep) so
+png_decode's byte-per-sample contract stays intact.
 
 JPEG/video decode stays honestly gated (`NotImplementedError`) — those
 codecs are not re-implementable responsibly here; the Spark-side
@@ -283,3 +284,117 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             expanded[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
         return width, height, 3, bytes(expanded)
     return width, height, channels, pixels
+
+
+def png_encode_deep(
+    width: int,
+    height: int,
+    samples: list[int],
+    *,
+    channels: int = 1,
+    filter_plan: str = "mixed",
+    interlace: bool = False,
+) -> bytes:
+    """Encode 16-bit samples (row-major, ``channels`` interleaved ints
+    0..65535) as a bit-depth-16 PNG — big-endian per spec; the byte-wise
+    scanline filters apply unchanged with bpp = channels*2."""
+    if channels not in (1, 3, 4):
+        raise ValueError("channels must be 1 (gray), 3 (RGB) or 4 (RGBA)")
+    if len(samples) != width * height * channels:
+        raise ValueError(
+            f"expected {width * height * channels} samples, got {len(samples)}"
+        )
+    if any(not 0 <= s <= 0xFFFF for s in samples):
+        raise ValueError("16-bit samples must be in 0..65535")
+    raw16 = b"".join(struct.pack(">H", s) for s in samples)
+    bpp = channels * 2
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 16, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        raw = bytearray()
+        for p in _ADAM7:
+            sub, pw, ph = _extract_pass(raw16, width, height, bpp, p)
+            if pw and ph:
+                raw += _filter_rows(sub, pw, ph, bpp, filter_plan)
+    else:
+        raw = _filter_rows(raw16, width, height, bpp, filter_plan)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode_deep(payload: bytes) -> tuple[int, int, int, int, list[int]]:
+    """Depth-aware decode → (width, height, channels, depth, samples as
+    ints).  Depth 8 delegates to :func:`png_decode`; depth 16 is decoded
+    here (big-endian samples, byte-wise filters at bpp = channels*2,
+    Adam7 handled).  The separate entry point keeps :func:`png_decode`'s
+    byte-per-sample contract intact instead of silently widening it."""
+    if payload[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    # peek at IHDR (always the first chunk per spec)
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing leading IHDR")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    if depth == 8:
+        w, h, ch, px = png_decode(payload)
+        return w, h, ch, 8, list(px)
+    if depth != 16:
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    if color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"16-bit PNG color type {color} (gray/RGB/RGBA supported)"
+        )
+    channels = _CHANNELS[color]
+    bpp = channels * 2
+    pos = 8
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        out = bytearray(width * height * bpp)
+        off = 0
+        for p in _ADAM7:
+            pw, ph = _pass_dims(width, height, p)
+            if not pw or not ph:
+                continue
+            sub, used = _defilter(raw, pw, ph, bpp, off)
+            off += used
+            x0, y0, dx, dy = p
+            for j in range(ph):
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    src = (j * pw + i) * bpp
+                    dst = (y * width + x) * bpp
+                    out[dst : dst + bpp] = sub[src : src + bpp]
+        if off != len(raw):
+            raise ValueError("PNG decompressed size mismatch")
+        data = bytes(out)
+    else:
+        data, used = _defilter(raw, width, height, bpp)
+        if used != len(raw):
+            raise ValueError("PNG decompressed size mismatch")
+    samples = [
+        (data[i] << 8) | data[i + 1] for i in range(0, len(data), 2)
+    ]
+    return width, height, channels, 16, samples

@@ -240,3 +240,36 @@ def test_sixteen_bit_depth_stays_gated():
                + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     with pytest.raises(NotImplementedError, match="bit depth 16"):
         _dec(payload)
+
+
+def test_sixteen_bit_deep_roundtrip_plain_and_interlaced():
+    """png_encode_deep/png_decode_deep: 16-bit samples survive the
+    byte-wise filters (bpp=2*ch) and Adam7 exactly; values above 255
+    prove real 16-bit width."""
+    from my_flink_1_10_2_spark.llm.png import png_decode_deep, png_encode_deep
+
+    for w, h, ch in [(7, 5, 1), (9, 6, 3)]:
+        n = w * h * ch
+        samples = [(i * 9973 + 123) % 65536 for i in range(n)]
+        for interlace in (False, True):
+            payload = png_encode_deep(
+                w, h, samples, channels=ch, interlace=interlace
+            )
+            assert png_decode_deep(payload) == (w, h, ch, 16, samples)
+
+
+def test_deep_decode_delegates_for_8bit():
+    from my_flink_1_10_2_spark.llm.png import png_decode_deep
+
+    px = bytes(range(48))
+    payload = _enc(4, 4, px, channels=3)
+    assert png_decode_deep(payload) == (4, 4, 3, 8, list(px))
+
+
+def test_deep_encode_validates_range():
+    import pytest
+
+    from my_flink_1_10_2_spark.llm.png import png_encode_deep
+
+    with pytest.raises(ValueError, match="0..65535"):
+        png_encode_deep(1, 1, [70000])

@@ -103,6 +103,15 @@ HEADLINE = [
     "q_mannwhitney_u",
     "q_stress_centrality",
     "q_retrieval_ndcg",
+    # round-7: the global_ntile rewrites (range-partitioned global
+    # ranks instead of single-task windows), DSIR importance weighting
+    # (token-granular two-model scoring), the heaviest real-codec leg
+    # (color JPEG), and the ml-pipeline fit+score path
+    "q_curriculum_stages",
+    "q_user_rfm_segments",
+    "q_dsir_importance_weights",
+    "q_jpeg_color_tile_stats",
+    "q_ml_pipeline_scaler",
 ]
 
 

@@ -83,6 +83,9 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 ZIGZAG = _zigzag_order()
+# vectorized zigzag gather/scatter indices (row/col arrays)
+_ZIG_R = np.array([r for r, _ in ZIGZAG])
+_ZIG_C = np.array([c for _, c in ZIGZAG])
 
 _M = None  # orthonormal DCT-II matrix (== the T.81 DCT scaling)
 
@@ -189,8 +192,24 @@ class _BitReader:
 # -- canonical Huffman tables ------------------------------------------------------
 
 
-def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """value → (code, length) canonical assignment (T.81 Annex C)."""
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _build_codes_cached(bits: tuple, vals: tuple) -> dict:
+    return _build_codes(bits, vals)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decoder_cached(bits: tuple, vals: tuple) -> dict:
+    return _build_decoder(bits, vals)
+
+
+def _build_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """value → (code, length) canonical assignment (T.81 Annex C);
+    memoized on the table spec (DHT segments repeat across images)."""
+    if not isinstance(bits, tuple):
+        return _build_codes_cached(tuple(bits), tuple(vals))
     codes = {}
     code = 0
     k = 0
@@ -203,8 +222,10 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value."""
+def _build_decoder(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) → value; memoized like _build_codes."""
+    if not isinstance(bits, tuple):
+        return _build_decoder_cached(tuple(bits), tuple(vals))
     return {(ln, c): v for v, (c, ln) in _build_codes(bits, vals).items()}
 
 
@@ -264,7 +285,7 @@ def jpeg_encode_gray(
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coeffs = m @ block @ m.T
             qc = np.round(coeffs / q).astype(np.int64)
-            zz = [int(qc[r, c]) for r, c in ZIGZAG]
+            zz = qc[_ZIG_R, _ZIG_C].tolist()  # vectorized zigzag gather
             # DC: DPCM
             diff = zz[0] - prev_dc
             prev_dc = zz[0]
@@ -444,8 +465,9 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
                 zz[i] = _extend(r.read(size), size)
                 i += 1
             coeffs = np.zeros((8, 8), dtype=np.float64)
-            for idx, (rr, cc) in enumerate(ZIGZAG):
-                coeffs[rr, cc] = zz[idx] * q[rr, cc]
+            coeffs[_ZIG_R, _ZIG_C] = (
+                np.asarray(zz, dtype=np.float64) * q[_ZIG_R, _ZIG_C]
+            )
             block = m.T @ coeffs @ m + 128.0
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     pixels = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)

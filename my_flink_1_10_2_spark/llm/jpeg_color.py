@@ -33,6 +33,8 @@ from my_flink_1_10_2_spark.llm.jpeg import (
     DC_VALS,
     STD_LUMA_QUANT,
     ZIGZAG,
+    _ZIG_C,
+    _ZIG_R,
     _BitReader,
     _BitWriter,
     _build_codes,
@@ -111,14 +113,14 @@ def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
 def _fdct_block(block: np.ndarray, q: np.ndarray) -> list[int]:
     m = _dct_matrix()
     qc = np.round((m @ (block - 128.0) @ m.T) / q).astype(np.int64)
-    return [int(qc[r, c]) for r, c in ZIGZAG]
+    return qc[_ZIG_R, _ZIG_C].tolist()  # vectorized zigzag gather
 
 
 def _idct_block(zz: list[int], q: np.ndarray) -> np.ndarray:
     m = _dct_matrix()
     coeffs = np.zeros((8, 8), dtype=np.float64)
-    for idx, (rr, cc) in enumerate(ZIGZAG):
-        coeffs[rr, cc] = zz[idx] * q[rr, cc]
+    # vectorized zigzag scatter + dequantize
+    coeffs[_ZIG_R, _ZIG_C] = np.asarray(zz, dtype=np.float64) * q[_ZIG_R, _ZIG_C]
     return m.T @ coeffs @ m + 128.0
 
 

@@ -36,6 +36,8 @@ import struct
 import numpy as np
 
 from my_flink_1_10_2_spark.llm.jpeg import (
+    _ZIG_C,
+    _ZIG_R,
     AC_BITS,
     AC_VALS,
     DC_BITS,
@@ -70,7 +72,7 @@ def _quantized_blocks(
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coeffs = m @ block @ m.T
             qc = np.round(coeffs / q).astype(np.int64)
-            blocks.append([int(qc[r, c]) for r, c in ZIGZAG])
+            blocks.append(qc[_ZIG_R, _ZIG_C].tolist())
     return bh // 8, bw // 8, blocks
 
 
@@ -326,11 +328,11 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
     m = _dct_matrix()
     bh, bw = -(-height // 8), -(-width // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    qz = q[_ZIG_R, _ZIG_C].astype(np.float64)
     for bi, zz in enumerate(coef):
         by, bx = divmod(bi, bw)
         coeffs = np.zeros((8, 8), dtype=np.float64)
-        for idx, (rr, cc) in enumerate(ZIGZAG):
-            coeffs[rr, cc] = zz[idx] * q[rr, cc]
+        coeffs[_ZIG_R, _ZIG_C] = np.asarray(zz, dtype=np.float64) * qz
         out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = m.T @ coeffs @ m + 128.0
     pixels = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, pixels.tobytes()
@@ -506,9 +508,7 @@ def _color_quantized_components(width, height, y, cb, cr, sh, sv):
             for gx in range(comp.gw):
                 block = padded[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] - 128.0
                 qc = _np.round((m @ block @ m.T) / q).astype(_np.int64)
-                comp.blocks[gy * comp.gw + gx] = [
-                    int(qc[r, c]) for r, c in ZIGZAG
-                ]
+                comp.blocks[gy * comp.gw + gx] = qc[_ZIG_R, _ZIG_C].tolist()
     return comps, mcw, mch
 
 

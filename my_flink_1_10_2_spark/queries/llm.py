@@ -3287,17 +3287,19 @@ def q_jpeg_color_tile_stats(spark, sf_dir):
     def batches(it):
         for pdf in it:
             rows = []
+            import numpy as np
+
             for d in pdf["doc_id"]:
                 d = int(d)
                 tw, th = 1 + d % 3, 1 + d % 2  # 16px tiles across / down
                 w, h = 16 * tw, 16 * th
+                ones = np.ones((16, 16), dtype=np.uint8)
 
                 def plane(level):
-                    return bytes(
-                        level((yy // 16) * tw + (xx // 16))
-                        for yy in range(h)
-                        for xx in range(w)
-                    )
+                    tiles = np.array(
+                        [level(t) for t in range(tw * th)], dtype=np.uint8
+                    ).reshape(th, tw)
+                    return np.kron(tiles, ones).tobytes()
 
                 y = plane(lambda t: 2 * ((d * 37 + t * 29) % 128))
                 cb = plane(lambda t: 128 + 17 * (((d * 5 + t * 3) % 13) - 6))
@@ -3306,7 +3308,12 @@ def q_jpeg_color_tile_stats(spark, sf_dir):
                 dw, dh, dy, dcb, dcr = jpeg_decode_color(payload)
                 if (dw, dh) != (w, h):
                     raise ValueError("color decode dims mismatch")
-                rows.append((d, w, h, sum(dy), sum(dcb), sum(dcr)))
+                rows.append((
+                    d, w, h,
+                    int(np.frombuffer(dy, dtype=np.uint8).sum(dtype=np.int64)),
+                    int(np.frombuffer(dcb, dtype=np.uint8).sum(dtype=np.int64)),
+                    int(np.frombuffer(dcr, dtype=np.uint8).sum(dtype=np.int64)),
+                ))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "y_sum", "cb_sum", "cr_sum"],
@@ -3476,17 +3483,19 @@ def q_jpeg_progressive_color_stats(spark, sf_dir):
     def batches(it):
         for pdf in it:
             rows = []
+            import numpy as np
+
             for d in pdf["doc_id"]:
                 d = int(d)
                 tw, th = 1 + d % 3, 1 + d % 2
                 w, h = 16 * tw, 16 * th
+                ones = np.ones((16, 16), dtype=np.uint8)
 
                 def plane(level):
-                    return bytes(
-                        level((yy // 16) * tw + (xx // 16))
-                        for yy in range(h)
-                        for xx in range(w)
-                    )
+                    tiles = np.array(
+                        [level(t) for t in range(tw * th)], dtype=np.uint8
+                    ).reshape(th, tw)
+                    return np.kron(tiles, ones).tobytes()
 
                 y = plane(lambda t: 2 * ((d * 37 + t * 29) % 128))
                 cb = plane(lambda t: 128 + 17 * (((d * 5 + t * 3) % 13) - 6))
@@ -3497,7 +3506,12 @@ def q_jpeg_progressive_color_stats(spark, sf_dir):
                 dw, dh, dy, dcb, dcr = jpeg_decode_color(payload)
                 if (dw, dh) != (w, h):
                     raise ValueError("progressive color decode dims mismatch")
-                rows.append((d, w, h, sum(dy), sum(dcb), sum(dcr)))
+                rows.append((
+                    d, w, h,
+                    int(np.frombuffer(dy, dtype=np.uint8).sum(dtype=np.int64)),
+                    int(np.frombuffer(dcb, dtype=np.uint8).sum(dtype=np.int64)),
+                    int(np.frombuffer(dcr, dtype=np.uint8).sum(dtype=np.int64)),
+                ))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "y_sum", "cb_sum", "cr_sum"],

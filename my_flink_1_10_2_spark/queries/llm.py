@@ -1178,13 +1178,12 @@ def q_provenance(spark, sf_dir):
 @register(
     "q_embedding_normalize",
     oracle="""
-    SELECT vec_id,
-           list_transform(
-             list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
-             x -> round(x / sqrt(list_sum(
-                    list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
-           ) AS unit_head
-    FROM embeddings WHERE vec_id % 10 = 0
+    SELECT e.vec_id, d.i AS dim_idx,
+           round(CAST(e.embedding[d.i] AS DOUBLE) / sqrt(list_sum(
+             list_transform(e.embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+             AS unit_val
+    FROM embeddings e, generate_series(1, 4) AS d(i)
+    WHERE e.vec_id % 10 = 0
     """,
     category="llm_similarity",
 )
@@ -1193,14 +1192,20 @@ def q_embedding_normalize(spark, sf_dir):
     matryoshka-truncation serving trick: normalize on the FULL vector,
     then slice).  Pure array higher-order functions — JVM-side,
     map-only; both engines fold the square sum left-to-right over
-    doubles, so 6-dp rounding is engine-exact."""
+    doubles, so 6-dp rounding is engine-exact.  Output is exploded to
+    one scalar row per (vec_id, dim_idx): the driver's canonicalizer
+    hashes pandas frames and cannot sort array-typed columns, so every
+    registry query keeps a scalar-only top-level schema (gated in
+    tests/test_registry_contract.py)."""
     emb = read(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x))
-    head = F.transform(
-        F.slice(dbl, 1, 4), lambda x: F.round(x / norm, 6)
+    head = F.transform(F.slice(dbl, 1, 4), lambda x: F.round(x / norm, 6))
+    return emb.select("vec_id", F.posexplode(head).alias("pos", "unit_val")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim_idx"),
+        "unit_val",
     )
-    return emb.select("vec_id", head.alias("unit_head"))
 
 
 @register(

@@ -44,7 +44,14 @@ def canon(df):
         if k == 'M':
             df[c] = df[c].map(lambda x: None if pd.isna(x) else x.isoformat())
         elif k == 'O':
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            # REJECT (don't tuple-convert) non-scalar cells: the driver's
+            # canonicalizer sorts with pandas and dies on array/map/struct
+            # columns, so this sweep must predict the driver's verdict.
+            if df[c].map(lambda v: isinstance(v, (list, tuple, dict, np.ndarray))).any():
+                raise TypeError(
+                    f"non-scalar output column {c!r} (array/map/struct): "
+                    "driver canon cannot hash it — reshape the query output"
+                )
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 bad = []

@@ -82,6 +82,57 @@ def _trunc_shift(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
+def _write_ac_refine_block(w: _BitWriter, band: list[int], codes: dict) -> None:
+    """AC-refinement entropy coding for one block's band (T.81 G.1.2.3,
+    Al=0) with libjpeg jcphuff-style correction-bit bookkeeping.
+
+    The decoder's positional walk reads, per emitted symbol, only the
+    correction bits of nonzero-history coefficients lying within that
+    symbol's span (a ZRL spans exactly 16 zero-HISTORY positions).  So a
+    ZRL may NOT flush bits for history coefficients beyond its span.
+    libjpeg keeps the invariant by running the while-ZRL drain at EVERY
+    nonzero coefficient — before buffering a history coefficient's bit —
+    which guarantees each buffered bit's position precedes the zero run
+    of whichever symbol eventually flushes it.  The earlier flush-all-at-
+    ZRL shape desynced on blocks with >16 zero-history zeros before a
+    newly-nonzero coefficient and a |v|>1 coefficient after the 16th
+    zero (ADVICE r7, high)."""
+    newly = [i for i, v in enumerate(band) if v in (1, -1)]
+    eob = newly[-1] if newly else -1  # last newly-nonzero position
+    run = 0  # run of zero-HISTORY positions
+    pending: list[int] = []  # buffered correction bits (nonzero history)
+    for k, v in enumerate(band):
+        a = -v if v < 0 else v
+        if a == 0:
+            run += 1
+            continue
+        # drain ZRLs first (not foldable into EOB only while k <= eob);
+        # each ZRL carries the bits buffered BEFORE its 16-zero span
+        while run > 15 and k <= eob:
+            code, ln = codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        if a > 1:  # nonzero history: buffer the correction bit
+            pending.append(a & 1)
+            continue
+        # newly nonzero (|v| == 1)
+        code, ln = codes[run * 16 + 1]
+        w.write(code, ln)
+        w.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:  # trailing zeros / history bits fold into EOB
+        code, ln = codes[0x00]
+        w.write(code, ln)
+        for b in pending:
+            w.write(b, 1)
+
+
 def jpeg_encode_gray_progressive(
     width: int,
     height: int,
@@ -160,43 +211,7 @@ def jpeg_encode_gray_progressive(
     state = {"n": 0, "pred": 0}
     for mcu, zz in enumerate(blocks):
         restart_points(w, mcu, state)
-        band = zz[1:64]
-        # last position that is newly nonzero in THIS scan
-        newly = [i for i, v in enumerate(band) if abs(v) == 1]
-        last_new = newly[-1] if newly else -1
-        run = 0  # run of zero-HISTORY zero positions
-        pending: list[int] = []  # correction bits awaiting the next code
-        for i in range(last_new + 1):
-            v = band[i]
-            if abs(v) > 1:  # nonzero history: correction bit rides along
-                pending.append(abs(v) & 1)
-                continue
-            if v == 0:
-                run += 1
-                continue
-            # newly nonzero (|v| == 1)
-            while run > 15:
-                code, ln = ac_codes[0xF0]
-                w.write(code, ln)
-                for b in pending:
-                    w.write(b, 1)
-                pending = []
-                run -= 16
-            code, ln = ac_codes[run * 16 + 1]
-            w.write(code, ln)
-            w.write(1 if v > 0 else 0, 1)
-            for b in pending:
-                w.write(b, 1)
-            pending = []
-            run = 0
-        # end of new coefficients: EOB0, then correction bits for every
-        # remaining nonzero-history coefficient in the band
-        tail = [abs(v) & 1 for v in band[last_new + 1 :] if abs(v) > 1]
-        if last_new < 62 or pending:
-            code, ln = ac_codes[0x00]
-            w.write(code, ln)
-            for b in pending + tail:
-                w.write(b, 1)
+        _write_ac_refine_block(w, zz[1:64], ac_codes)
     scan_ac_refine = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -261,6 +276,7 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
     restart_interval = 0
+    comp_tq = 0
     coef: list[list[int]] | None = None
     nblocks = 0
     while pos < len(data):
@@ -292,6 +308,7 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError(
                     "only single-component (grayscale) progressive JPEG"
                 )
+            comp_tq = body[8]  # component's Tq (not necessarily table 0)
             nblocks = (-(-height // 8)) * (-(-width // 8))
             coef = [[0] * 64 for _ in range(nblocks)]
         elif marker == 0xFFC0:
@@ -324,7 +341,7 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
             )
     if width is None or coef is None:
         raise ValueError("JPEG missing SOF2 or scans")
-    q = quant[0]
+    q = quant[comp_tq]
     m = _dct_matrix()
     bh, bw = -(-height // 8), -(-width // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
@@ -605,39 +622,7 @@ def jpeg_encode_color_progressive(
     def ac_refine(c, codes):
         w = _BitWriter()
         for bi in _own_grid_seq(c):
-            band = c.blocks[bi][1:64]
-            newly = [i for i, v in enumerate(band) if abs(v) == 1]
-            last_new = newly[-1] if newly else -1
-            run = 0
-            pending = []
-            for i in range(last_new + 1):
-                v = band[i]
-                if abs(v) > 1:
-                    pending.append(abs(v) & 1)
-                    continue
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = codes[0xF0]
-                    w.write(code, ln)
-                    for b in pending:
-                        w.write(b, 1)
-                    pending = []
-                    run -= 16
-                code, ln = codes[run * 16 + 1]
-                w.write(code, ln)
-                w.write(1 if v > 0 else 0, 1)
-                for b in pending:
-                    w.write(b, 1)
-                pending = []
-                run = 0
-            tail = [abs(v) & 1 for v in band[last_new + 1 :] if abs(v) > 1]
-            if last_new < 62 or pending:
-                code, ln = codes[0x00]
-                w.write(code, ln)
-                for b in pending + tail:
-                    w.write(b, 1)
+            _write_ac_refine_block(w, c.blocks[bi][1:64], codes)
         return w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:

@@ -325,3 +325,124 @@ def test_progressive_decoder_handles_accumulated_eobrun():
     without = jpeg_decode_gray(assemble(False))
     assert with_run == without
     assert with_run[0] == w and with_run[1] == h
+
+
+# -- AC-refinement correction-bit windows (ADVICE r7, high) --------------------
+
+
+def _refine_entropy_roundtrip(full_band):
+    """Drive ONE block's AC-refinement band through the encoder helper
+    and back through the decoder's positional walk; returns the
+    reconstructed band (history from the Al=1 first scan + this
+    refinement)."""
+    from my_flink_1_10_2_spark.llm.jpeg import (
+        AC_BITS,
+        AC_VALS,
+        _BitReader,
+        _BitWriter,
+        _build_codes,
+        _build_decoder,
+    )
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        _ac_refine_block,
+        _trunc_shift,
+        _write_ac_refine_block,
+    )
+
+    codes = _build_codes(AC_BITS, AC_VALS)
+    table = _build_decoder(list(AC_BITS), list(AC_VALS))
+    w = _BitWriter()
+    _write_ac_refine_block(w, list(full_band), codes)
+    zz = [0] + [_trunc_shift(v, 1) << 1 for v in full_band]
+    eobrun = _ac_refine_block(_BitReader(w.flush()), zz, 1, 63, 0, table, 0)
+    assert eobrun == 0
+    return zz[1:]
+
+
+def test_ac_refine_zrl_carries_only_in_window_correction_bits():
+    """A ZRL spans exactly 16 zero-HISTORY positions; correction bits
+    for |v|>1 coefficients beyond that span must ride with a LATER
+    symbol (T.81 G.1.2.3 / libjpeg jcphuff bookkeeping).  Each band here
+    has >16 zero-history zeros before a newly-nonzero coefficient and a
+    nonzero-history coefficient positioned after the 16th zero — the
+    exact desync shape the round-7 flush-everything encoder produced."""
+    cases = [
+        # 16 zeros, history |v|>1, 4 zeros, newly ±1
+        [0] * 16 + [5] + [0] * 4 + [1],
+        # history first, then a 20-zero run into a newly-nonzero
+        [7] + [0] * 20 + [-1],
+        # two ZRLs worth of zeros with history sprinkled past both windows
+        [0] * 17 + [3] + [0] * 17 + [-5] + [0] * 3 + [1, 0, 9],
+        # newly-nonzero at band end after history beyond the window
+        [0] * 16 + [-3] + [0] * 44 + [1],
+        # no newly-nonzero at all: everything folds into EOB
+        [0] * 30 + [5, -7] + [0] * 10,
+    ]
+    for band in cases:
+        band = band + [0] * (63 - len(band))
+        assert _refine_entropy_roundtrip(band) == band, band
+
+
+def test_ac_refine_entropy_layer_fuzz():
+    """Randomized bands weighted toward long zero runs + mixed
+    newly/history coefficients; every one must reconstruct exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(707)
+    for _ in range(300):
+        band = [0] * 63
+        for _ in range(int(rng.integers(0, 10))):
+            pos = int(rng.integers(0, 63))
+            band[pos] = int(rng.choice([-9, -5, -3, -2, -1, 1, 1, -1, 2, 3, 8]))
+        assert _refine_entropy_roundtrip(band) == band, band
+
+
+def test_progressive_fuzz_matches_baseline_many_seeds():
+    """Randomized progressive-vs-baseline equivalence over many seeds
+    and sizes (the round-7 suite used 3 sizes / 1 seed and missed the
+    correction-bit window bug — ~5% of random images hit it)."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray, jpeg_encode_gray
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_gray_progressive,
+    )
+
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        w = int(rng.integers(8, 56))
+        h = int(rng.integers(8, 48))
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        base = jpeg_decode_gray(jpeg_encode_gray(w, h, px))
+        prog = jpeg_decode_gray(jpeg_encode_gray_progressive(w, h, px))
+        assert prog == base, (seed, w, h)
+
+
+def test_progressive_gray_decoder_honors_component_tq():
+    """Third-party gray progressive streams may carry their quant table
+    in slot 1 with the SOF2 component's Tq=1 — the decoder must
+    dequantize with the component's table, not hardcode slot 0
+    (ADVICE r7, low).  Byte-patch our own stream's DQT slot + SOF2 Tq
+    and require an identical decode."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_decode_gray_progressive,
+        jpeg_encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    w, h = 24, 16
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    data = bytearray(jpeg_encode_gray_progressive(w, h, px))
+    want = jpeg_decode_gray_progressive(bytes(data))
+    # DQT body starts 4 bytes after the FFDB marker: set Tq 0 -> 1
+    dqt = data.index(b"\xff\xdb")
+    assert data[dqt + 4] == 0x00
+    data[dqt + 4] = 0x01
+    # SOF2 component spec: body = P,H,W,Nf then [cid, hv, tq]; tq is
+    # body[8], i.e. 4 (marker+len) + 8 after the FFC2 marker
+    sof = data.index(b"\xff\xc2")
+    assert data[sof + 4 + 8] == 0x00
+    data[sof + 4 + 8] = 0x01
+    assert jpeg_decode_gray_progressive(bytes(data)) == want

@@ -168,3 +168,30 @@ def test_progressive_grayscale_routes_through_color_entry():
     w, h, y, cb, cr = jpeg_decode_color(jpeg_encode_gray_progressive(16, 8, px))
     assert (w, h, y) == (16, 8, px)
     assert set(cb) == {128} and set(cr) == {128}
+
+
+def test_progressive_color_fuzz_matches_baseline_many_seeds():
+    """Randomized progressive-vs-baseline color equivalence across seeds,
+    sizes and subsampling modes — the shared AC-refinement helper must
+    hold the ZRL correction-bit window invariant on chroma grids too
+    (the round-7 color ac_refine duplicated the gray desync)."""
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_encode_color_progressive,
+    )
+
+    for seed in range(12):
+        rng = np.random.default_rng(100 + seed)
+        w = int(rng.integers(8, 48))
+        h = int(rng.integers(8, 40))
+        y, cb, cr = (
+            rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            for _ in range(3)
+        )
+        sub = ("4:4:4", "4:2:2", "4:2:0")[seed % 3]
+        base = jpeg_decode_color(jpeg_encode_color(w, h, y, cb, cr, subsampling=sub))
+        prog = jpeg_decode_color(
+            jpeg_encode_color_progressive(w, h, y, cb, cr, subsampling=sub)
+        )
+        assert prog == base, (seed, w, h, sub)

@@ -481,23 +481,34 @@ def read_committed_records(
     for partition in parts[topic]:
         fetch_offset = 0
         aborted_pids: set[int] = set()
-        pending: list[tuple[int, int]] = []  # (first_offset, producer_id), sorted
-        pi = 0
+        # Dedup by (producer_id, first_offset): the broker may return a
+        # SPANNING aborted-txn entry again on a later fetch round, and a
+        # sorted list with a persistent consumed cursor would sort the
+        # duplicate into the already-consumed prefix and skip it —
+        # leaking an aborted transaction's records into committed output.
+        seen_aborted: set[tuple[int, int]] = set()
+        inactive: list[tuple[int, int]] = []  # (first_offset, producer_id)
         while True:
             before = fetch_offset
             lso, aborted, record_set = _fetch_partition(
                 host, port, topic, partition, fetch_offset, timeout
             )
             for prod_id, first_off in aborted:
-                pending.append((first_off, prod_id))
-            pending.sort()
+                if (prod_id, first_off) not in seen_aborted:
+                    seen_aborted.add((prod_id, first_off))
+                    inactive.append((first_off, prod_id))
             batches = _parse_batches(record_set)
             if not batches:
                 break
             for b in batches:
-                while pi < len(pending) and pending[pi][0] <= b.base_offset:
-                    aborted_pids.add(pending[pi][1])
-                    pi += 1
+                if inactive:
+                    still_inactive = []
+                    for first_off, prod_id in inactive:
+                        if first_off <= b.base_offset:
+                            aborted_pids.add(prod_id)
+                        else:
+                            still_inactive.append((first_off, prod_id))
+                    inactive = still_inactive
                 if b.control:
                     # one marker record per control batch; key = version+type
                     for _, key, _v in b.records:

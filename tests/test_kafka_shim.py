@@ -805,10 +805,11 @@ class TxnFakeKafkaBroker(FakeKafkaBroker):
     """FakeKafkaBroker + Fetch v4 at read_committed: serves a canned
     per-partition batch log, LSO, and aborted-transaction index."""
 
-    def __init__(self, partitions, log, lso, aborted=None):
+    def __init__(self, partitions, log, lso, aborted=None, max_batches=None):
         self.log = log  # {(topic, partition): [batch bytes, ...]}
         self.lso = lso  # {(topic, partition): last stable offset}
         self.aborted = aborted or {}  # {(topic, p): [(pid, first_offset)]}
+        self.max_batches = max_batches  # cap per fetch -> multi-round consume
         super().__init__(partitions=partitions, committed={})
 
     def _respond(self, api_key, body):
@@ -829,6 +830,8 @@ class TxnFakeKafkaBroker(FakeKafkaBroker):
             b for b in self.log.get((topic, partition), [])
             if struct.unpack(">q", b[:8])[0] >= fetch_offset
         ]
+        if self.max_batches is not None:
+            batches = batches[: self.max_batches]
         record_set = b"".join(batches)
         lso = self.lso.get((topic, partition), 0)
         aborted = self.aborted.get((topic, partition), [])
@@ -867,6 +870,42 @@ def test_read_committed_probe_filters_aborted_and_control():
         recs = read_committed_records(f"127.0.0.1:{broker.port}", topic)
         assert (b"5", b"committed") in recs and (b"7", b"plain") in recs
         assert all(k != b"6" and k != b"8" for k, _ in recs)
+    finally:
+        broker.close()
+
+
+def test_read_committed_multi_round_duplicate_aborted_entries():
+    """Multi-round fetch with the aborted-txn index repeated verbatim
+    each round (spanning txns ARE re-reported; brokers may duplicate).
+    The round-7 sorted-list-with-persistent-cursor bookkeeping
+    re-activated a producer id from the duplicate entry AFTER its ABORT
+    marker had cleared it, swallowing that producer's next COMMITTED
+    transaction (ADVICE r7).  Dedup by (producer_id, first_offset) keeps
+    committed records intact and aborted ones filtered."""
+    topic = "t.graft-txn"
+    log = [
+        _enc_batch(0, [(b"a", b"bad500a")], producer_id=500, transactional=True),
+        _enc_batch(1, [(b"b", b"bad200")], producer_id=200, transactional=True),
+        _ctrl_marker(2, 200, commit=False),  # ABORT txn 1 of pid 200
+        _enc_batch(3, [(b"p1", b"plain")]),
+        _enc_batch(4, [(b"g", b"good200")], producer_id=200, transactional=True),
+        _ctrl_marker(5, 200, commit=True),  # pid 200's SECOND txn commits
+        _enc_batch(6, [(b"c", b"bad500b")], producer_id=500, transactional=True),
+        _ctrl_marker(7, 500, commit=False),  # ABORT the spanning txn 500
+        _enc_batch(8, [(b"p2", b"plain")]),
+    ]
+    broker = TxnFakeKafkaBroker(
+        partitions={topic: [0]},
+        log={(topic, 0): log},
+        lso={(topic, 0): 9},
+        # same index every round: (500, 0) spans both rounds (legitimate
+        # re-report), (200, 1) arrives again as a duplicate
+        aborted={(topic, 0): [(500, 0), (200, 1)]},
+        max_batches=4,  # forces (at least) two fetch rounds
+    )
+    try:
+        keys = read_committed_keys(f"127.0.0.1:{broker.port}", topic)
+        assert keys == {"p1", "g", "p2"}, keys
     finally:
         broker.close()
 

@@ -251,3 +251,74 @@ def global_ntile(
         .withColumn(out_col, bucket.cast("int"))
         .drop("__grnk", "__N")
     )
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    k: int,
+    specs: list[tuple[str, list[tuple[str, bool]]]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(k)`` for SEVERAL distinct total orders, assigned in
+    ONE downstream pass over ``df`` (ref: BatchExecRank.scala — rank over
+    sample-based range partitions, never one task).
+
+    specs: ``[(out_col, [(col_name, ascending), ...])]`` — every order
+    list must be a total order over non-null columns (add a unique
+    tie-break column).
+
+    Chaining ``global_ntile`` once per metric range-shuffles the FULL
+    row set per metric and pins it with a localCheckpoint each time
+    (3 metrics -> 6+ exchanges of full rows).  Fused shape instead:
+
+    - bucket boundaries: bucket j ends at global rank
+      ``e_j = j*(N div k) + min(j, N mod k)``; the k-1 rows AT those
+      ranks are located with :func:`global_rank` over the NARROW
+      (order-columns-only) projection and collected — k-1 rows per
+      metric, bounded at any corpus size;
+    - assignment: ``bucket = 1 + #{boundaries strictly before the row}``
+      as a pure literal comparison expression, exact because rank order
+      equals tuple order under a total order (duplicate boundary ranks —
+      N < k — repeat the tuple, yielding the empty buckets NTILE
+      specifies).
+
+    The returned plan holds NO rank machinery: the boundary searches run
+    as bounded side jobs at build time, and the main plan is a single
+    projection — one exchange wherever the caller aggregates next,
+    instead of a range exchange + offsets broadcast per metric.
+
+    ``df`` is localCheckpointed ONCE (it feeds the count, one narrow
+    boundary search per metric, and the returned plan); the old chained
+    shape checkpointed the ever-wider full row set once per metric.
+    """
+    df = df.localCheckpoint(eager=True)
+    n = df.count()
+    out = df
+    for out_col, order in specs:
+        if n == 0:
+            out = out.withColumn(out_col, F.lit(None).cast("int"))
+            continue
+        q, r = divmod(n, k)
+        cuts = [j * q + min(j, r) for j in range(1, k)]
+        cuts = [c for c in cuts if 1 <= c < n]  # rank n ends bucket k: no cut
+        cols = [c for c, _ in order]
+        order_cols = [
+            F.col(c) if asc else F.col(c).desc() for c, asc in order
+        ]
+        ranked = global_rank(
+            df.select(*cols), order_cols, rank_col="__r",
+            num_partitions=num_partitions,
+        )
+        bnd_rows = ranked.where(F.col("__r").isin(list(set(cuts)))).collect()
+        by_rank = {row["__r"]: row for row in bnd_rows}
+        bucket = F.lit(1)
+        for c in cuts:
+            b = by_rank[c]
+            # indicator: boundary tuple sorts strictly BEFORE this row
+            after = F.lit(False)
+            for col, asc in reversed(order):
+                gt = F.col(col) > F.lit(b[col]) if asc else F.col(col) < F.lit(b[col])
+                after = gt | ((F.col(col) == F.lit(b[col])) & after)
+            bucket = bucket + after.cast("int")
+        out = out.withColumn(out_col, bucket.cast("int"))
+    return out

@@ -3540,11 +3540,15 @@ def q_user_rfm_segments(spark, sf_dir):
     rolled up to segment counts — the classic customer segmentation.
     Every NTILE runs under a deterministic (metric, user_id) total
     order so both engines agree on every quintile boundary; recency is
-    anchored to the corpus max day (never wall-clock).  Each quintile
-    is operators/rank.py::global_ntile — a range-partitioned global
-    rank + integer bucket arithmetic, never an unpartitioned ntile
-    window (which would funnel every user through one task)."""
-    from my_flink_1_10_2_spark.operators.rank import global_ntile
+    anchored to the corpus max day (never wall-clock).  The three
+    quintiles are FUSED via operators/rank.py::global_ntile_multi:
+    each metric's 4 exact bucket-boundary tuples are located with a
+    narrow range-partitioned global rank (bounded side jobs), then all
+    three scores are assigned in one literal-comparison pass — the main
+    plan carries no rank machinery and no per-metric full-row range
+    exchange (previously three sequential global_ntile range exchanges
+    + localCheckpoints)."""
+    from my_flink_1_10_2_spark.operators.rank import global_ntile_multi
 
     ev = read(spark, sf_dir, "events")
     day = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}")
@@ -3559,11 +3563,15 @@ def q_user_rfm_segments(spark, sf_dir):
     u2 = u.crossJoin(F.broadcast(m)).withColumn(
         "recency_days", F.col("max_day") - F.col("last_day")
     )
-    scored = global_ntile(
-        u2, 5, [F.col("recency_days").desc(), F.col("user_id")], "r_score"
+    scored = global_ntile_multi(
+        u2,
+        5,
+        [
+            ("r_score", [("recency_days", False), ("user_id", True)]),
+            ("f_score", [("frequency", True), ("user_id", True)]),
+            ("m_score", [("monetary_e2", True), ("user_id", True)]),
+        ],
     )
-    scored = global_ntile(scored, 5, ["frequency", "user_id"], "f_score")
-    scored = global_ntile(scored, 5, ["monetary_e2", "user_id"], "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -246,6 +246,63 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
+def _unstuff_scan(data: bytes) -> bytes:
+    """Entropy-coded data up to the first real marker, with the
+    byte-stuffing (FF 00 → FF, T.81 §B.1.1.5) removed in one pass —
+    the precondition for :class:`_FastBitReader`.  Restart markers are
+    treated as terminators (callers using RSTn keep the per-bit
+    reader)."""
+    import re
+
+    m = re.search(rb"\xff[^\x00]", data)
+    end = m.start() if m else len(data)
+    return data[:end].replace(b"\xff\x00", b"\xff")
+
+
+class _FastBitReader:
+    """Bit cursor over UNSTUFFED entropy data: 16-bit peeks feed the
+    LUT Huffman decoder (one dict-free lookup per symbol instead of a
+    per-bit canonical-tree walk).  ~4 zero bytes of tail padding keep
+    the 32-bit window fetch in-bounds at stream end."""
+
+    __slots__ = ("buf", "bitpos", "nbits")
+
+    def __init__(self, data: bytes):
+        # 8 pad bytes: block decoders fetch 48-bit windows that may
+        # start on the last real byte
+        self.buf = _unstuff_scan(data) + b"\x00" * 8
+        self.nbits = (len(self.buf) - 8) * 8
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        bp = self.bitpos
+        byte = bp >> 3
+        word = int.from_bytes(self.buf[byte : byte + 4], "big")
+        return (word >> (16 - (bp & 7))) & 0xFFFF
+
+    def read(self, n: int) -> int:
+        bp = self.bitpos
+        if bp + n > self.nbits:
+            raise ValueError("JPEG entropy stream exhausted")
+        byte = bp >> 3
+        word = int.from_bytes(self.buf[byte : byte + 4], "big")
+        self.bitpos = bp + n
+        return (word >> (32 - (bp & 7) - n)) & ((1 << n) - 1)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_lut(bits: tuple, vals: tuple) -> list:
+    """16-bit-prefix Huffman LUT: lut[peek16()] = (value << 5) | length,
+    0 for invalid prefixes.  One lookup decodes any code (max length 16);
+    memoized on the table spec like the other table builders."""
+    lut = [0] * 65536
+    for val, (code, length) in _build_codes(bits, vals).items():
+        base = code << (16 - length)
+        span = 1 << (16 - length)
+        lut[base : base + span] = [(val << 5) | length] * span
+    return lut
+
+
 # -- encoder ----------------------------------------------------------------------
 
 

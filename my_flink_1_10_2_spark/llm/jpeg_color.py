@@ -39,8 +39,10 @@ from my_flink_1_10_2_spark.llm.jpeg import (
     _BitWriter,
     _build_codes,
     _build_decoder,
+    _build_lut,
     _dct_matrix,
     _extend,
+    _FastBitReader,
     _magnitude,
 )
 
@@ -124,16 +126,46 @@ def _idct_block(zz: list[int], q: np.ndarray) -> np.ndarray:
     return m.T @ coeffs @ m + 128.0
 
 
+def _fdct_grid(padded: np.ndarray, gh: int, gw: int, q: np.ndarray) -> list[list[int]]:
+    """Batched forward DCT over a whole padded plane: (gh*8, gw*8) →
+    per-block quantized zigzag rows in raster (row-major block) order.
+    One broadcast matmul chain replaces gh*gw small per-block calls."""
+    m = _dct_matrix()
+    blocks = (
+        padded.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    qc = np.round((m @ blocks @ m.T) / q).astype(np.int64)
+    return qc[:, _ZIG_R, _ZIG_C].tolist()
+
+
+def _idct_grid(zz_rows: list[list[int]], gh: int, gw: int, q: np.ndarray) -> np.ndarray:
+    """Batched inverse DCT: per-block zigzag rows (raster block order) →
+    the reassembled (gh*8, gw*8) pixel plane (unclipped doubles)."""
+    m = _dct_matrix()
+    coeffs = np.zeros((len(zz_rows), 8, 8), dtype=np.float64)
+    coeffs[:, _ZIG_R, _ZIG_C] = (
+        np.asarray(zz_rows, dtype=np.float64) * q[_ZIG_R, _ZIG_C]
+    )
+    blocks = m.T @ coeffs @ m + 128.0
+    return (
+        blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+    )
+
+
 def _encode_block(w: _BitWriter, zz: list[int], pred: int,
                   dc_codes: dict, ac_codes: dict) -> int:
+    write = w.write  # hot loop: ~2 fused writes per nonzero coefficient
     diff = zz[0] - pred
     size, bits = _magnitude(diff)
     code, ln = dc_codes[size]
-    w.write(code, ln)
-    if size:
-        w.write(bits, size)
+    write((code << size) | bits, ln + size)  # symbol + magnitude in one call
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
     run = 0
-    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
     for i in range(1, last_nz + 1):
         v = zz[i]
         if v == 0:
@@ -141,17 +173,69 @@ def _encode_block(w: _BitWriter, zz: list[int], pred: int,
             continue
         while run > 15:
             code, ln = ac_codes[0xF0]
-            w.write(code, ln)
+            write(code, ln)
             run -= 16
         size, bits = _magnitude(v)
         code, ln = ac_codes[run * 16 + size]
-        w.write(code, ln)
-        w.write(bits, size)
+        write((code << size) | bits, ln + size)
         run = 0
     if last_nz < 63:
         code, ln = ac_codes[0x00]
-        w.write(code, ln)
+        write(code, ln)
     return zz[0]
+
+
+def _decode_block_lut(r, pred: int, dc_lut: list, ac_lut: list,
+                      zz: list[int]) -> int:
+    """One baseline block via the 16-bit-prefix Huffman LUTs over a
+    :class:`_FastBitReader` (jpeg.py).  Each coefficient costs ONE
+    48-bit window fetch: the Huffman symbol (≤16 bits) and its magnitude
+    bits (≤11) are sliced from the same word — no per-bit calls, no
+    second fetch.  Fills ``zz`` (caller-zeroed, len 64) and returns the
+    new DC predictor.  Truncation is caught at block entry (the reader's
+    zero padding keeps intra-block fetches in-bounds)."""
+    buf = r.buf
+    bp = r.bitpos
+    if bp > r.nbits:
+        raise ValueError("JPEG entropy stream exhausted")
+    word = int.from_bytes(buf[bp >> 3 : (bp >> 3) + 6], "big")
+    off = bp & 7
+    e = dc_lut[(word >> (32 - off)) & 0xFFFF]
+    if not e:
+        raise ValueError("invalid Huffman code in scan")
+    ln = e & 31
+    size = e >> 5
+    if size:
+        v = (word >> (48 - off - ln - size)) & ((1 << size) - 1)
+        pred += v if v >> (size - 1) else v - (1 << size) + 1
+    bp += ln + size
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        word = int.from_bytes(buf[bp >> 3 : (bp >> 3) + 6], "big")
+        off = bp & 7
+        e = ac_lut[(word >> (32 - off)) & 0xFFFF]
+        if not e:
+            raise ValueError("invalid Huffman code in scan")
+        ln = e & 31
+        rs = e >> 5
+        if rs == 0x00:
+            bp += ln
+            break
+        if rs == 0xF0:
+            bp += ln
+            i += 16
+            continue
+        i += rs >> 4
+        size = rs & 0x0F
+        if i > 63:
+            raise ValueError("AC run past block end")
+        v = (word >> (48 - off - ln - size)) & ((1 << size) - 1)
+        zz[i] = v if v >> (size - 1) else v - (1 << size) + 1
+        bp += ln + size
+        i += 1
+    r.bitpos = bp
+    return pred
 
 
 def _decode_block(r: _BitReader, pred: int, dc_table: dict, ac_table: dict
@@ -231,23 +315,28 @@ def jpeg_encode_color(
     luma_ac = _build_codes(AC_BITS, AC_VALS)
     chroma_dc = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     chroma_ac = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    # batched DCT: quantize every block of every plane up front (one
+    # broadcast matmul chain per plane), then walk MCU order emitting
+    # entropy codes.  Y raster block index for MCU (my,mx) block (by,bx)
+    # is ((my*sv+by)*mcw*sh + mx*sh + bx).
+    yzz = _fdct_grid(ypad, mch * sv, mcw * sh, STD_LUMA_QUANT)
+    czz = [_fdct_grid(p, mch, mcw, STD_CHROMA_QUANT) for p in cpad]
     w = _BitWriter()
     preds = [0, 0, 0]
+    yrow = mcw * sh
     for my in range(mch):
         for mx in range(mcw):
             # Y blocks: sh*sv per MCU, raster order within the MCU
             for by in range(sv):
+                base = (my * sv + by) * yrow + mx * sh
                 for bx in range(sh):
-                    oy, ox = my * mcu_h + by * 8, mx * mcu_w + bx * 8
-                    zz = _fdct_block(
-                        ypad[oy : oy + 8, ox : ox + 8], STD_LUMA_QUANT
+                    preds[0] = _encode_block(
+                        w, yzz[base + bx], preds[0], luma_dc, luma_ac
                     )
-                    preds[0] = _encode_block(w, zz, preds[0], luma_dc, luma_ac)
-            for ci, p in enumerate(cpad):
-                oy, ox = my * 8, mx * 8
-                zz = _fdct_block(p[oy : oy + 8, ox : ox + 8], STD_CHROMA_QUANT)
+            ci_base = my * mcw + mx
+            for ci in range(2):
                 preds[1 + ci] = _encode_block(
-                    w, zz, preds[1 + ci], chroma_dc, chroma_ac
+                    w, czz[ci][ci_base], preds[1 + ci], chroma_dc, chroma_ac
                 )
     scan = w.flush()
 
@@ -285,7 +374,7 @@ def jpeg_decode_color(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], tuple[tuple, tuple]] = {}  # DHT specs
     width = height = None
     comps: list[dict] = []
     scan_order: list[tuple[int, int, int]] = []  # (comp idx, dc id, ac id)
@@ -339,10 +428,10 @@ def jpeg_decode_color(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
             off = 0
             while off < len(body):
                 tc, th = body[off] >> 4, body[off] & 0x0F
-                bits = list(body[off + 1 : off + 17])
+                bits = tuple(body[off + 1 : off + 17])
                 n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                huff[(tc, th)] = _build_decoder(bits, vals)
+                vals = tuple(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = (bits, vals)  # spec; LUT built at scan
                 off += 17 + n
         elif marker == 0xFFDD:
             raise NotImplementedError(
@@ -373,26 +462,43 @@ def jpeg_decode_color(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
         )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcw, mch = -(-width // mcu_w), -(-height // mcu_h)
-    planes = [
-        np.zeros((mch * 8 * c["v"], mcw * 8 * c["h"]), dtype=np.float64)
-        for c in comps
+    # entropy decode: LUT Huffman over the unstuffed stream, coefficients
+    # collected per component; IDCT runs batched once per plane after.
+    r = _FastBitReader(scan_data)
+    luts = {k: _build_lut(*spec) for k, spec in huff.items()}
+    order_luts = [
+        (ci, luts[(0, dc_id)], luts[(1, ac_id)],
+         comps[ci]["h"] * comps[ci]["v"])
+        for (ci, dc_id, ac_id) in scan_order
     ]
-    r = _BitReader(scan_data)
     preds = [0] * len(comps)
-    for my in range(mch):
-        for mx in range(mcw):
-            for (ci, dc_id, ac_id) in scan_order:
-                c = comps[ci]
-                q = quant[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz, preds[ci] = _decode_block(
-                            r, preds[ci], huff[(0, dc_id)], huff[(1, ac_id)]
-                        )
-                        block = _idct_block(zz, q)
-                        oy = (my * c["v"] + by) * 8
-                        ox = (mx * c["h"] + bx) * 8
-                        planes[ci][oy : oy + 8, ox : ox + 8] = block
+    comp_zz: list[list[list[int]]] = [[] for _ in comps]
+    for _ in range(mch * mcw):
+        for ci, dl, al, nb in order_luts:
+            pred = preds[ci]
+            zlist = comp_zz[ci]
+            for _b in range(nb):
+                zz = [0] * 64
+                pred = _decode_block_lut(r, pred, dl, al, zz)
+                zlist.append(zz)
+            preds[ci] = pred
+    planes = []
+    for c, zlist in zip(comps, comp_zz):
+        h_, v_ = c["h"], c["v"]
+        gh, gw = mch * v_, mcw * h_
+        if h_ == 1 and v_ == 1:
+            ordered = zlist  # MCU order IS raster order
+        else:  # appended (my, mx, by, bx) -> raster (my*v+by, mx*h+bx)
+            ordered = [None] * len(zlist)
+            t = 0
+            for my in range(mch):
+                for mx in range(mcw):
+                    for by in range(v_):
+                        row = (my * v_ + by) * gw + mx * h_
+                        for bx in range(h_):
+                            ordered[row + bx] = zlist[t]
+                            t += 1
+        planes.append(_idct_grid(ordered, gh, gw, quant[c["tq"]]))
     out_planes = []
     for c, p in zip(comps, planes):
         img = np.clip(np.round(p), 0, 255).astype(np.uint8)

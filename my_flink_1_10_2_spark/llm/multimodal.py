@@ -52,6 +52,16 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _cpu_spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism
+    before a CPU-heavy Arrow codec stage: a small parquet scan yields
+    1-2 input splits, which would encode/decode the whole corpus
+    serially on one core.  Only the bigint doc_id moves; at real scale
+    this is the standard rebalance ahead of an expensive UDF stage."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Wrap the documents table as a media table: payload = utf-8 bytes,
     typed metadata columns.  Demonstrates the multimodal column model on
@@ -107,7 +117,7 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
             )
             yield out
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthetic_jpeg_media(docs: DataFrame, progressive: bool = False) -> DataFrame:
@@ -156,7 +166,7 @@ def synthetic_jpeg_media(docs: DataFrame, progressive: bool = False) -> DataFram
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthetic_avi_media(docs: DataFrame) -> DataFrame:
@@ -195,7 +205,7 @@ def synthetic_avi_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthetic_wav_media(docs: DataFrame) -> DataFrame:
@@ -222,7 +232,7 @@ def synthetic_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def _wav_features(payload: bytes) -> list[float]:
@@ -407,7 +417,7 @@ def neardup_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def png_dhash(media: DataFrame) -> DataFrame:

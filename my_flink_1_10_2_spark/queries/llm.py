@@ -21,6 +21,19 @@ from my_flink_1_10_2_spark.llm.multimodal import (
 )
 from my_flink_1_10_2_spark.queries import read, register
 
+
+def _cpu_spread(df):
+    """Round-robin repartition to the session's shuffle parallelism
+    before a CPU-heavy Arrow stage.  Codec work is pure Python CPU per
+    row: a small parquet scan yields 1-2 input splits, which would run
+    the whole corpus serially on one core.  The shuffle moves only the
+    stage's input columns (here a bigint id / small payload), and at
+    real scale this is the standard rebalance before an expensive UDF
+    stage (AQE coalescing does not apply to mapInPandas inputs)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) mirroring llm.text / llm.dedup
 # ---------------------------------------------------------------------------
@@ -654,7 +667,7 @@ def q_audio_autocorr_pitch(spark, sf_dir):
             )
 
     media = synthetic_wav_media(read(spark, sf_dir, "documents"))
-    return media.mapInPandas(
+    return _cpu_spread(media).mapInPandas(
         pitch, "media_id bigint, pitch_lag bigint, peak_autocorr bigint"
     )
 
@@ -3091,7 +3104,7 @@ def q_video_frame_stats(spark, sf_dir):
                     ],
                 )
 
-    return media.mapInPandas(
+    return _cpu_spread(media).mapInPandas(
         stats,
         "media_id long, n_frames long, n_sampled long, "
         "px_sum long, px_min long, px_max long",
@@ -3193,7 +3206,7 @@ def q_adpcm_wav_stats(spark, sf_dir):
             )
 
     docs = read(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @register(
@@ -3325,7 +3338,7 @@ def q_jpeg_color_tile_stats(spark, sf_dir):
             )
 
     docs = read(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @register(
@@ -3523,4 +3536,4 @@ def q_jpeg_progressive_color_stats(spark, sf_dir):
             )
 
     docs = read(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)

@@ -364,6 +364,10 @@ _FLAGSHIP_ORDER = [
     "q_text_normalize",
     "q_provenance",
     "q_embedding_normalize",
+    # ---- round-8 new operators (never driver-graded): connector
+    # partial-failure retry oracles
+    "q_kinesis_throttle_retry",
+    "q_elasticsearch_rejected_retry",
     "q_group_quantiles",
     "q_mixture_apply",
     "q_fim_split",

@@ -1216,3 +1216,138 @@ def q_wikiedits_irc_rollup(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_kinesis_throttle_retry",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_kinesis_throttle_retry(spark, sf_dir):
+    """Kinesis PARTIAL-FAILURE retry graded over real HTTP (ref:
+    FlinkKinesisProducer.java — per-record failure handling in the
+    UserRecordResult callback): the in-process PutRecords endpoint
+    throttles every PartitionKey ≡ 1 (mod 3) with a per-record
+    ProvisionedThroughputExceededException on its FIRST attempt and
+    accepts it on retry.  The sink must re-enqueue ONLY the rejected
+    subset — a whole-call retry would double-land the accepted records,
+    a dropped subset would lose them; the server-side record log must
+    therefore equal the parquet source EXACTLY once per row before the
+    rollup is even computed."""
+    import base64
+    import json as _json
+
+    from my_flink_1_10_2_spark.sources.connectors import (
+        InMemoryKinesisServer,
+        KinesisPutRecordsSink,
+    )
+
+    server = InMemoryKinesisServer(throttle_mod=3, throttle_rem=1)
+    try:
+        sink = KinesisPutRecordsSink(
+            "nation-stream",
+            endpoint=server.url,
+            partition_key_field="n_nationkey",
+            batch_max_records=7,
+            retry_delay_s=0.01,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        n_src = src.count()
+        if len(server.records) != n_src:
+            raise ValueError(
+                f"retry must land every record exactly once: "
+                f"{len(server.records)} recorded vs {n_src} source rows"
+            )
+        rows = [
+            _json.loads(base64.b64decode(rec["Data"]))
+            for rec in server.records
+        ]
+        back = spark.createDataFrame(
+            [(int(d["n_nationkey"]), d["n_name"], int(d["n_regionkey"]))
+             for d in rows],
+            "n_nationkey long, n_name string, n_regionkey long",
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_recs"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()
+
+
+@register(
+    "q_elasticsearch_rejected_retry",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_nationkey) AS BIGINT) AS id_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_elasticsearch_rejected_retry(spark, sf_dir):
+    """Elasticsearch ITEM-LEVEL 429 retry graded over real HTTP (ref:
+    flink-connector-elasticsearch-base RetryRejectedExecutionFailure-
+    Handler — re-adds only the rejected ActionRequests): the in-process
+    _bulk endpoint 429-rejects every _id ≡ 2 (mod 3) with
+    es_rejected_execution_exception on its FIRST attempt and 201s it on
+    retry.  The sink (failure_handler='retry-rejected') must resubmit
+    ONLY the rejected action/source pairs; the server's append-log of
+    indexed docs must equal the parquet source exactly once per row — a
+    whole-payload retry shows up as duplicate appends even though
+    id-addressed indexing would mask it in the final doc store."""
+    from my_flink_1_10_2_spark.sources.connectors import (
+        ElasticsearchBulkSink,
+        InMemoryElasticsearchBulkServer,
+    )
+
+    server = InMemoryElasticsearchBulkServer(reject_mod=3, reject_rem=2)
+    try:
+        sink = ElasticsearchBulkSink(
+            server.url, "nation_idx", key_field="n_nationkey",
+            bulk_max_actions=9, failure_handler="retry-rejected",
+            retry_delay_s=0.01,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        n_src = src.count()
+        if len(server.indexed) != n_src:
+            raise ValueError(
+                f"rejected-retry must index every doc exactly once: "
+                f"{len(server.indexed)} indexed vs {n_src} source rows"
+            )
+        back = spark.createDataFrame(
+            [(int(d["n_nationkey"]), d["n_name"], int(d["n_regionkey"]))
+             for _id, d in server.indexed],
+            "n_nationkey long, n_name string, n_regionkey long",
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_nationkey").cast("bigint").alias("id_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

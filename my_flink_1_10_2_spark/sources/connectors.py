@@ -466,9 +466,10 @@ class ElasticsearchBulkSink:
         import json as _json
         import time as _time
 
-        payload = b"\n".join(lines) + b"\n"
+        pending = lines
         attempt = 0
         while True:
+            payload = b"\n".join(pending) + b"\n"
             status, body = self.transport(self.url, payload)
             retryable = status == 429
             if status == 200:
@@ -478,12 +479,27 @@ class ElasticsearchBulkSink:
                     parsed = {}
                 if not parsed.get("errors"):
                     return
+                items = parsed.get("items", [])
                 statuses = {
                     item.get(op, {}).get("status")
-                    for item in parsed.get("items", [])
+                    for item in items
                     for op in item
                 }
                 retryable = statuses <= {200, 201, 429}
+                # Retry ONLY the rejected actions (ref:
+                # ElasticsearchSinkBase RetryRejectedExecutionFailureHandler
+                # re-adds just the failed ActionRequests): items are
+                # positional with the submitted action/source line pairs.
+                # A malformed response (item count mismatch) falls back to
+                # re-sending the full pending payload — idempotent only
+                # for id-addressed index ops, but never silently dropping.
+                if retryable and len(items) * 2 == len(pending):
+                    pending = [
+                        line
+                        for i, item in enumerate(items)
+                        if next(iter(item.values())).get("status") == 429
+                        for line in pending[2 * i : 2 * i + 2]
+                    ]
             if retryable and attempt < self.max_retries:
                 attempt += 1
                 _time.sleep(self.retry_delay_s)
@@ -931,6 +947,154 @@ class InMemoryJsonHttpServer:
                 self.send_header("Content-Length", str(len(response)))
                 self.end_headers()
                 self.wfile.write(response)
+
+            do_PUT = do_POST
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class InMemoryKinesisServer:
+    """In-process Kinesis PutRecords endpoint with a DETERMINISTIC
+    first-attempt throttle policy: a record whose PartitionKey (as int)
+    satisfies ``key % throttle_mod == throttle_rem`` is rejected with a
+    per-record ``ProvisionedThroughputExceededException`` the FIRST time
+    that key is seen and accepted on any retry — the partial-failure
+    shape the real service produces under shard throttling.  Accepted
+    records accumulate in ``.records`` in arrival order (thread-safe),
+    so a correct retry-only-the-failed-subset producer lands every
+    source record exactly once."""
+
+    def __init__(self, throttle_mod: int = 3, throttle_rem: int = 1):
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.records: list[dict] = []
+        self.calls = 0
+        self._seen: set[str] = set()
+        self._lock = threading.Lock()
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                req = _json.loads(self.rfile.read(n))
+                results, failed = [], 0
+                with srv._lock:
+                    srv.calls += 1
+                    for rec in req.get("Records", []):
+                        key = str(rec.get("PartitionKey", ""))
+                        first = key not in srv._seen
+                        srv._seen.add(key)
+                        try:
+                            ki = int(key)
+                        except ValueError:
+                            ki = sum(key.encode())
+                        if first and ki % throttle_mod == throttle_rem:
+                            failed += 1
+                            results.append({
+                                "ErrorCode":
+                                    "ProvisionedThroughputExceededException",
+                                "ErrorMessage": "Rate exceeded for shard",
+                            })
+                        else:
+                            srv.records.append(rec)
+                            results.append({
+                                "SequenceNumber": str(len(srv.records)),
+                                "ShardId": "shardId-000000000000",
+                            })
+                body = _json.dumps(
+                    {"FailedRecordCount": failed, "Records": results}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-amz-json-1.1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class InMemoryElasticsearchBulkServer:
+    """In-process ES ``_bulk`` endpoint with a DETERMINISTIC
+    first-attempt rejection policy: an action whose ``_id`` (as int)
+    satisfies ``id % reject_mod == reject_rem`` gets an item-level 429
+    (``es_rejected_execution_exception``) the FIRST time that id is
+    seen and a 201 on any retry — the bulk-queue-full shape the real
+    service produces under pressure.  Every indexed doc appends to
+    ``.indexed`` (thread-safe), so a correct retry-only-the-rejected
+    sink indexes every source doc exactly once; a whole-payload retry
+    shows up as duplicate appends."""
+
+    def __init__(self, reject_mod: int = 3, reject_rem: int = 2):
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.indexed: list[tuple[str, dict]] = []
+        self.calls = 0
+        self._seen: set[str] = set()
+        self._lock = threading.Lock()
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                lines = self.rfile.read(n).decode().splitlines()
+                items, errors = [], False
+                with srv._lock:
+                    srv.calls += 1
+                    for action, doc in zip(lines[0::2], lines[1::2]):
+                        meta = _json.loads(action)["index"]
+                        _id = str(meta.get("_id", ""))
+                        first = _id not in srv._seen
+                        srv._seen.add(_id)
+                        try:
+                            ii = int(_id)
+                        except ValueError:
+                            ii = sum(_id.encode())
+                        if first and ii % reject_mod == reject_rem:
+                            errors = True
+                            items.append({"index": {
+                                "_index": meta.get("_index"), "_id": _id,
+                                "status": 429,
+                                "error": {
+                                    "type": "es_rejected_execution_exception",
+                                    "reason": "bulk queue full",
+                                },
+                            }})
+                        else:
+                            srv.indexed.append((_id, _json.loads(doc)))
+                            items.append({"index": {
+                                "_index": meta.get("_index"), "_id": _id,
+                                "status": 201,
+                            }})
+                body = _json.dumps(
+                    {"took": 1, "errors": errors, "items": items}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             do_PUT = do_POST
 

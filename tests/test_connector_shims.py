@@ -578,3 +578,76 @@ def test_kinesis_put_records_param_validation():
         KinesisPutRecordsSink("s", region="us-east-1", access_key_id="only-key")
     with pytest.raises(ValueError, match="at most"):
         KinesisPutRecordsSink("s", region="us-east-1", batch_max_records=501)
+
+
+# ---------------------------------------------------------------------------
+# Partial-failure retry oracles (round 8): item-level rejection servers
+# ---------------------------------------------------------------------------
+
+
+def test_es_bulk_sink_retries_only_rejected_items(spark):
+    """Item-level 429s resubmit ONLY the rejected action/source pairs
+    (ref: RetryRejectedExecutionFailureHandler) — the server's append
+    log sees every doc exactly once; a whole-payload retry would
+    duplicate the accepted docs."""
+    from my_flink_1_10_2_spark.sources.connectors import (
+        ElasticsearchBulkSink,
+        InMemoryElasticsearchBulkServer,
+    )
+
+    server = InMemoryElasticsearchBulkServer(reject_mod=2, reject_rem=0)
+    try:
+        sink = ElasticsearchBulkSink(
+            server.url, "docs", key_field="doc_id",
+            failure_handler="retry-rejected", retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        sink(df, batch_id=0)
+        ids = sorted(int(i) for i, _ in server.indexed)
+        assert ids == list(range(10))  # exactly once each
+        assert server.calls > 1  # at least one retry round happened
+    finally:
+        server.close()
+
+
+def test_kinesis_sink_retries_only_throttled_records(spark):
+    from my_flink_1_10_2_spark.sources.connectors import (
+        InMemoryKinesisServer,
+        KinesisPutRecordsSink,
+    )
+
+    server = InMemoryKinesisServer(throttle_mod=2, throttle_rem=1)
+    try:
+        sink = KinesisPutRecordsSink(
+            "s", endpoint=server.url, partition_key_field="doc_id",
+            retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        sink(df, batch_id=0)
+        keys = sorted(int(r["PartitionKey"]) for r in server.records)
+        assert keys == list(range(10))  # exactly once each
+        assert server.calls > 1
+    finally:
+        server.close()
+
+
+def test_es_bulk_sink_nonretryable_item_error_raises(spark):
+    """A 400 mapping error must fail loudly, not loop or drop."""
+    import json as _json
+
+    from my_flink_1_10_2_spark.sources.connectors import ElasticsearchBulkSink
+
+    def transport(url, payload):
+        n = len(payload.decode().splitlines()) // 2
+        items = [{"index": {"status": 400,
+                            "error": {"type": "mapper_parsing_exception"}}}
+                 for _ in range(n)]
+        return 200, _json.dumps({"errors": True, "items": items}).encode()
+
+    sink = ElasticsearchBulkSink(
+        hosts="http://es:9200", index="docs",
+        failure_handler="retry-rejected", transport=transport,
+    )
+    df = spark.createDataFrame([(1,)], "doc_id long").coalesce(1)
+    with pytest.raises(Exception, match="bulk flush failed"):
+        sink(df, batch_id=0)

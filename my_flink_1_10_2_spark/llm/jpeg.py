@@ -303,6 +303,60 @@ def _build_lut(bits: tuple, vals: tuple) -> list:
     return lut
 
 
+def _decode_block_lut(r, pred: int, dc_lut: list, ac_lut: list,
+                      zz: list[int]) -> int:
+    """One baseline block via the 16-bit-prefix Huffman LUTs over a
+    :class:`_FastBitReader` (jpeg.py).  Each coefficient costs ONE
+    48-bit window fetch: the Huffman symbol (≤16 bits) and its magnitude
+    bits (≤11) are sliced from the same word — no per-bit calls, no
+    second fetch.  Fills ``zz`` (caller-zeroed, len 64) and returns the
+    new DC predictor.  Truncation is caught at block entry (the reader's
+    zero padding keeps intra-block fetches in-bounds)."""
+    buf = r.buf
+    bp = r.bitpos
+    if bp > r.nbits:
+        raise ValueError("JPEG entropy stream exhausted")
+    word = int.from_bytes(buf[bp >> 3 : (bp >> 3) + 6], "big")
+    off = bp & 7
+    e = dc_lut[(word >> (32 - off)) & 0xFFFF]
+    if not e:
+        raise ValueError("invalid Huffman code in scan")
+    ln = e & 31
+    size = e >> 5
+    if size:
+        v = (word >> (48 - off - ln - size)) & ((1 << size) - 1)
+        pred += v if v >> (size - 1) else v - (1 << size) + 1
+    bp += ln + size
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        word = int.from_bytes(buf[bp >> 3 : (bp >> 3) + 6], "big")
+        off = bp & 7
+        e = ac_lut[(word >> (32 - off)) & 0xFFFF]
+        if not e:
+            raise ValueError("invalid Huffman code in scan")
+        ln = e & 31
+        rs = e >> 5
+        if rs == 0x00:
+            bp += ln
+            break
+        if rs == 0xF0:
+            bp += ln
+            i += 16
+            continue
+        i += rs >> 4
+        size = rs & 0x0F
+        if i > 63:
+            raise ValueError("AC run past block end")
+        v = (word >> (48 - off - ln - size)) & ((1 << size) - 1)
+        zz[i] = v if v >> (size - 1) else v - (1 << size) + 1
+        bp += ln + size
+        i += 1
+    r.bitpos = bp
+    return pred
+
+
+
 # -- encoder ----------------------------------------------------------------------
 
 
@@ -457,10 +511,10 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
             off = 0
             while off < len(body):
                 tc, th = body[off] >> 4, body[off] & 0x0F
-                bits = list(body[off + 1 : off + 17])
+                bits = tuple(body[off + 1 : off + 17])
                 n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                huff[(tc, th)] = _build_decoder(bits, vals)
+                vals = tuple(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = (bits, vals)  # DHT spec
                 off += 17 + n
         elif marker == 0xFFDA:
             ncomp = body[0]
@@ -475,9 +529,36 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
     if width is None or scan_data is None:
         raise ValueError("JPEG missing SOF0 or SOS")
 
-    dc_table = huff[(0, dc_id)]
-    ac_table = huff[(1, ac_id)]
     q = quant[0]
+    m = _dct_matrix()
+    bh, bw = -(-height // 8), -(-width // 8)
+
+    if not restart_interval:
+        # fast path: LUT Huffman over the unstuffed stream + one batched
+        # IDCT (the per-bit reader below remains for RSTn resync streams,
+        # which the FastBitReader treats as terminators)
+        fr = _FastBitReader(scan_data)
+        dc_lut = _build_lut(*huff[(0, dc_id)])
+        ac_lut = _build_lut(*huff[(1, ac_id)])
+        pred = 0
+        zz_rows: list[list[int]] = []
+        for _ in range(bh * bw):
+            zz = [0] * 64
+            pred = _decode_block_lut(fr, pred, dc_lut, ac_lut, zz)
+            zz_rows.append(zz)
+        coeffs = np.zeros((len(zz_rows), 8, 8), dtype=np.float64)
+        coeffs[:, _ZIG_R, _ZIG_C] = (
+            np.asarray(zz_rows, dtype=np.float64) * q[_ZIG_R, _ZIG_C]
+        )
+        blocks = m.T @ coeffs @ m + 128.0
+        out = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh * 8, bw * 8
+        )
+        pixels = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+        return width, height, pixels.tobytes()
+
+    dc_table = _build_decoder(*huff[(0, dc_id)])
+    ac_table = _build_decoder(*huff[(1, ac_id)])
 
     def read_code(r: _BitReader, table: dict) -> int:
         code, ln = 0, 0
@@ -488,8 +569,6 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
                 return table[(ln, code)]
         raise ValueError("invalid Huffman code in scan")
 
-    m = _dct_matrix()
-    bh, bw = -(-height // 8), -(-width // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     r = _BitReader(scan_data)
     prev_dc = 0

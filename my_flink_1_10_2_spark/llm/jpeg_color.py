@@ -40,6 +40,7 @@ from my_flink_1_10_2_spark.llm.jpeg import (
     _build_codes,
     _build_decoder,
     _build_lut,
+    _decode_block_lut,
     _dct_matrix,
     _extend,
     _FastBitReader,
@@ -183,59 +184,6 @@ def _encode_block(w: _BitWriter, zz: list[int], pred: int,
         code, ln = ac_codes[0x00]
         write(code, ln)
     return zz[0]
-
-
-def _decode_block_lut(r, pred: int, dc_lut: list, ac_lut: list,
-                      zz: list[int]) -> int:
-    """One baseline block via the 16-bit-prefix Huffman LUTs over a
-    :class:`_FastBitReader` (jpeg.py).  Each coefficient costs ONE
-    48-bit window fetch: the Huffman symbol (≤16 bits) and its magnitude
-    bits (≤11) are sliced from the same word — no per-bit calls, no
-    second fetch.  Fills ``zz`` (caller-zeroed, len 64) and returns the
-    new DC predictor.  Truncation is caught at block entry (the reader's
-    zero padding keeps intra-block fetches in-bounds)."""
-    buf = r.buf
-    bp = r.bitpos
-    if bp > r.nbits:
-        raise ValueError("JPEG entropy stream exhausted")
-    word = int.from_bytes(buf[bp >> 3 : (bp >> 3) + 6], "big")
-    off = bp & 7
-    e = dc_lut[(word >> (32 - off)) & 0xFFFF]
-    if not e:
-        raise ValueError("invalid Huffman code in scan")
-    ln = e & 31
-    size = e >> 5
-    if size:
-        v = (word >> (48 - off - ln - size)) & ((1 << size) - 1)
-        pred += v if v >> (size - 1) else v - (1 << size) + 1
-    bp += ln + size
-    zz[0] = pred
-    i = 1
-    while i < 64:
-        word = int.from_bytes(buf[bp >> 3 : (bp >> 3) + 6], "big")
-        off = bp & 7
-        e = ac_lut[(word >> (32 - off)) & 0xFFFF]
-        if not e:
-            raise ValueError("invalid Huffman code in scan")
-        ln = e & 31
-        rs = e >> 5
-        if rs == 0x00:
-            bp += ln
-            break
-        if rs == 0xF0:
-            bp += ln
-            i += 16
-            continue
-        i += rs >> 4
-        size = rs & 0x0F
-        if i > 63:
-            raise ValueError("AC run past block end")
-        v = (word >> (48 - off - ln - size)) & ((1 << size) - 1)
-        zz[i] = v if v >> (size - 1) else v - (1 << size) + 1
-        bp += ln + size
-        i += 1
-    r.bitpos = bp
-    return pred
 
 
 def _decode_block(r: _BitReader, pred: int, dc_table: dict, ac_table: dict

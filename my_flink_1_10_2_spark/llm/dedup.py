@@ -374,3 +374,133 @@ def semantic_neardup_pairs_ivf(
             bucket_pairs, "src long, dst long, centroid long, cosine double"
         )
     )
+
+
+def shingle_rows_pos(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded (id, pos, shingle) word n-gram rows with the 0-based start
+    position kept — the positional variant of :func:`shingle_rows` that
+    exact-substring dedup needs to map duplicated grams back to token
+    spans.  Same flat posexplode + ``F.get`` projection (codegen-friendly,
+    no per-element higher-order interpretation); documents shorter than
+    ``n`` words produce no rows (matching the oracle's empty range).
+    """
+    words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__w"))
+        .select(id_col, F.col("__w"), F.posexplode("__w").alias("__i", "__w0"))
+        .where(F.col("__i") <= F.size("__w") - n)
+        .select(
+            F.col(id_col),
+            F.col("__i").cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ", "__w0", *[F.get("__w", F.col("__i") + k) for k in range(1, n)]
+            ).alias("shingle"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS at word-n-gram granularity — the
+    per-document byte-range output of suffix-array exact dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al., ACL 2022), re-expressed as a shuffle pipeline:
+
+      1. positional n-grams (one explode, no shuffle beyond the doc fanout)
+      2. cross-doc spread on a compact 60-bit md5 gram key — the ONLY
+         corpus-wide shuffle, keyed on the 8-byte digest instead of the
+         raw gram string (at 100 TB the gram strings dominate shuffle
+         volume; a digest key cuts it ~10x; go to the full 128-bit md5 to
+         make collisions negligible at that scale — 60 bits keeps the
+         oracle replay exact here)
+      3. duplicated positions merged into MAXIMAL spans with one per-doc
+         window (keyed partitionBy — never a single-partition window):
+         positions p < q merge iff q <= p + n (their [p, p+n-1] /
+         [q, q+n-1] covers touch or overlap).
+
+    Output: (id, span_start, span_end, span_tokens), one row per maximal
+    duplicated span.  Spans are exactly the token ranges an exact-substring
+    deduplicator would cut.
+    """
+    from pyspark.sql.window import Window
+
+    grams = shingle_rows_pos(df, text_col, id_col, n)
+    keyed = grams.select(
+        F.col(id_col), F.col("pos"), _md5_hash64(F.col("shingle"), 0).alias("__k")
+    )
+    spread = (
+        keyed.select(id_col, "__k")
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__k")
+    )
+    hits = keyed.join(spread, "__k").select(id_col, "pos").distinct()
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > n), 1
+            ).otherwise(0),
+        )
+        .withColumn("__sid", F.sum("__brk").over(w))
+    )
+    return (
+        flagged.groupBy(id_col, "__sid")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") + n - F.min("pos")).cast("bigint").alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )
+
+
+def duplicated_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring duplicate COVERAGE: how many tokens a
+    suffix-array-style exact deduplicator would remove (union of the
+    maximal spans from :func:`duplicated_spans`), as an exact integer and
+    an exact 1e-6-unit fraction (integer division — bitwise stable under
+    any aggregation order).  Documents with no duplicated span are kept
+    with covered_tokens = 0 (left join), so the output is a total audit
+    of the corpus, not just the offenders.
+
+    Output: (id, n_tokens, covered_tokens, cov_frac_e6).
+    """
+    spans = duplicated_spans(df, text_col, id_col, n, min_docs)
+    cov = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("bigint").alias("covered_tokens")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        toks.join(cov, id_col, "left")
+        .na.fill({"covered_tokens": 0})
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "covered_tokens",
+            F.expr(
+                "CAST(covered_tokens * 1000000 DIV greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("cov_frac_e6"),
+        )
+    )

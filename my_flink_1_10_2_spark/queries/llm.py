@@ -3537,3 +3537,84 @@ def q_jpeg_progressive_color_stats(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents")
     return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (suffix-array-style spans, Lee et al. ACL 2022)
+# ---------------------------------------------------------------------------
+
+def _exact_substring_spans_sql(n: int) -> str:
+    """Shared DuckDB CTE chain replaying duplicated_spans exactly (same
+    tokenization, same 60-bit md5 gram key, same maximal-span merge)."""
+    return rf"""
+    WITH w AS (SELECT doc_id, str_split_regex(text, '\s+') AS words FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(words)-{n - 1}, 0)+1)) - 1 AS pos,
+             unnest(list_transform(range(1, greatest(len(words)-{n - 1}, 0)+1),
+                                   i -> array_to_string(words[i:i+{n - 1}], ' '))) AS ng
+      FROM w
+    ),
+    k AS (SELECT doc_id, pos,
+                 ('0x' || substr(md5('0|' || ng), 1, 15))::BIGINT AS kk
+          FROM g),
+    spread AS (
+      SELECT kk FROM (SELECT DISTINCT doc_id, kk FROM k)
+      GROUP BY kk HAVING count(*) >= 2
+    ),
+    hit AS (SELECT DISTINCT doc_id, pos FROM k JOIN spread USING (kk)),
+    lagd AS (SELECT doc_id, pos,
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             FROM hit),
+    sp AS (SELECT doc_id, pos,
+                  sum(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+           FROM lagd),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+             CAST(max(pos) + {n} - min(pos) AS BIGINT) AS span_tokens
+      FROM sp GROUP BY doc_id, sid
+    )
+    """
+
+
+@register(
+    "q_exact_substring_spans",
+    oracle=_exact_substring_spans_sql(8)
+    + "SELECT doc_id, span_start, span_end, span_tokens FROM spans",
+    category="llm_dedup",
+)
+def q_exact_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (word-8-gram granularity): the
+    maximal token ranges a suffix-array exact deduplicator (Lee et al.,
+    ACL 2022) would cut from each document because the text also appears
+    in >= 2 documents.  One corpus-wide shuffle keyed on an 8-byte md5
+    gram digest (not the gram string), one keyed per-doc window for the
+    span merge — both scale linearly with corpus size."""
+    from my_flink_1_10_2_spark.llm.dedup import duplicated_spans
+
+    return duplicated_spans(read(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+@register(
+    "q_exact_substring_coverage",
+    oracle=_exact_substring_spans_sql(8)
+    + """,
+    cov AS (SELECT doc_id, sum(span_tokens) AS covered FROM spans GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(covered, 0) * 1000000 // greatest(len(words), 1) AS BIGINT)
+             AS cov_frac_e6
+    FROM w LEFT JOIN cov USING (doc_id)""",
+    category="llm_dedup",
+)
+def q_exact_substring_coverage(spark, sf_dir):
+    """Per-document exact-substring duplicate coverage: tokens removable
+    by exact dedup (union of maximal duplicated spans) as an exact count
+    and exact 1e-6-unit fraction.  Every document appears (left join,
+    zero-filled) — the corpus-wide removal-rate audit that gates an
+    exact-dedup pass over a 100 TB crawl."""
+    from my_flink_1_10_2_spark.llm.dedup import duplicated_coverage
+
+    return duplicated_coverage(read(spark, sf_dir, "documents"), n=8, min_docs=2)

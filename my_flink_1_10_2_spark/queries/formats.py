@@ -1351,3 +1351,66 @@ def q_elasticsearch_rejected_retry(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_webdataset_roundtrip",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, strlen(text) AS txt_bytes,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    )
+    SELECT rk // 100 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(min(doc_id) AS BIGINT) AS first_key,
+           CAST(max(doc_id) AS BIGINT) AS last_key,
+           CAST(sum(txt_bytes) AS BIGINT) AS total_txt_bytes
+    FROM r GROUP BY 1
+    """,
+    category="formats",
+)
+def q_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard export -> distributed re-read -> per-shard
+    audit.  documents.text is packed into canonical 100-sample tar shards
+    (sources/webdataset.py: contiguous global-rank key ranges, one task
+    per shard both ways), read back as binary members, and audited per
+    shard: sample count, key range, total payload bytes.  The oracle
+    computes the identical audit straight from the source table with the
+    same rank -> shard assignment — the roundtrip must preserve every
+    sample and every byte for the integer sums to match bitwise."""
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="fl_wds_q_")
+    try:
+        manifest = write_webdataset(
+            docs, work, key_col="doc_id", columns={"text": "txt"},
+            samples_per_shard=100,
+        )
+        manifest.collect()  # materialize the export before reading it back
+        back = read_webdataset(spark, work, extensions=["txt"])
+        result = (
+            back.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.min("key").alias("first_key"),
+                F.max("key").alias("last_key"),
+                F.sum(F.length("txt")).alias("total_txt_bytes"),
+            )
+            .select(
+                "shard_id",
+                "n_samples",
+                "first_key",
+                "last_key",
+                F.col("total_txt_bytes").cast("bigint").alias("total_txt_bytes"),
+            )
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -454,3 +454,139 @@ def flesch_reading_ease(text_col) -> Column:
         s["n_words"] > 0,
         F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
     )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher §A1.1 INTRA-document repetition signals (the half of the
+    rule set :func:`gopher_flags` doesn't cover): duplicate-line
+    fractions, the top word-2-gram's character share, and the token
+    share covered by word-6-grams repeated inside the same document.
+
+    Exact-integer definitions (all fractions in 1e-6 units, integer
+    division — bitwise stable):
+      - lines = non-empty '\\n'-split lines; a line instance is DUP if
+        its text occurs >= 2 times in the document
+      - dup_line_frac_e6      = dup line instances / lines
+      - dup_line_char_frac_e6 = chars in dup line instances / chars in
+        all line instances
+      - top2_char_frac_e6     = occurrences(top word-2-gram) * len(gram)
+        / length(text); ties broken by lexicographically smallest gram
+      - dup6_tok_frac_e6      = tokens covered by the UNION of repeated
+        6-gram spans / word count (overlaps counted once — same maximal
+        -span merge as exact-substring dedup, scoped to one document)
+
+    Plan shape: three keyed aggregates (line, 2-gram, 6-gram — each
+    sharded by (doc, value)), one keyed per-doc window for the span
+    union, left-joined back to the per-doc base — every shuffle is keyed
+    on doc or (doc, value), nothing single-partition, linear at corpus
+    scale.
+
+    Output: (id, n_lines, n_dup_lines, dup_line_frac_e6,
+    dup_line_char_frac_e6, top2_occurrences, top2_char_frac_e6,
+    dup6_covered_tokens, dup6_tok_frac_e6).
+    """
+    from pyspark.sql.window import Window
+
+    from my_flink_1_10_2_spark.llm.dedup import shingle_rows_pos
+
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("__text_chars"),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("bigint").alias("__n_words"),
+    )
+
+    lines = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("__l")
+        )
+        .where(F.col("__l") != "")
+        .groupBy(id_col, "__l")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    line_stats = lines.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_lines"),
+        F.sum(F.col("__c") * F.length("__l")).cast("bigint").alias("__line_chars"),
+        F.sum(
+            F.when(F.col("__c") >= 2, F.col("__c") * F.length("__l")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__dup_line_chars"),
+    )
+
+    g2 = (
+        shingle_rows_pos(df, text_col, id_col, n=2)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.desc("__c"), F.asc("shingle"))
+    top2 = (
+        g2.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__c").cast("bigint").alias("top2_occurrences"),
+            (F.col("__c") * F.length("shingle")).cast("bigint").alias("__top2_chars"),
+        )
+    )
+
+    g6 = shingle_rows_pos(df, text_col, id_col, n=6)
+    rep6 = (
+        g6.groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select(id_col, "shingle")
+    )
+    hits6 = g6.join(rep6, [id_col, "shingle"]).select(id_col, "pos").distinct()
+    w6 = Window.partitionBy(id_col).orderBy("pos")
+    cov6 = (
+        hits6.withColumn("__prev", F.lag("pos").over(w6))
+        .withColumn(
+            "__gap",
+            F.when(
+                F.col("__prev").isNull(), F.lit(6)
+            ).otherwise(F.least(F.lit(6), F.col("pos") - F.col("__prev"))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__gap").cast("bigint").alias("dup6_covered_tokens"))
+    )
+
+    out = (
+        base.join(line_stats, id_col, "left")
+        .join(top2, id_col, "left")
+        .join(cov6, id_col, "left")
+        .na.fill(
+            {
+                "n_lines": 0,
+                "n_dup_lines": 0,
+                "__line_chars": 0,
+                "__dup_line_chars": 0,
+                "top2_occurrences": 0,
+                "__top2_chars": 0,
+                "dup6_covered_tokens": 0,
+            }
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        "n_lines",
+        "n_dup_lines",
+        F.expr("CAST(n_dup_lines * 1000000 DIV greatest(n_lines, 1) AS BIGINT)").alias(
+            "dup_line_frac_e6"
+        ),
+        F.expr(
+            "CAST(__dup_line_chars * 1000000 DIV greatest(__line_chars, 1) AS BIGINT)"
+        ).alias("dup_line_char_frac_e6"),
+        "top2_occurrences",
+        F.expr(
+            "CAST(__top2_chars * 1000000 DIV greatest(__text_chars, 1) AS BIGINT)"
+        ).alias("top2_char_frac_e6"),
+        "dup6_covered_tokens",
+        F.expr(
+            "CAST(dup6_covered_tokens * 1000000 DIV greatest(__n_words, 1) AS BIGINT)"
+        ).alias("dup6_tok_frac_e6"),
+    )

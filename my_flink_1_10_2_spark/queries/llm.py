@@ -3618,3 +3618,87 @@ def q_exact_substring_coverage(spark, sf_dir):
     from my_flink_1_10_2_spark.llm.dedup import duplicated_coverage
 
     return duplicated_coverage(read(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+@register(
+    "q_gopher_repetition",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS text_chars,
+             len(str_split_regex(text, '\s+')) AS n_words
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, l, count(*) AS c
+      FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l FROM documents)
+      WHERE l != '' GROUP BY doc_id, l
+    ),
+    ls AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN c>=2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+             sum(c*length(l)) AS line_chars,
+             sum(CASE WHEN c>=2 THEN c*length(l) ELSE 0 END) AS dup_line_chars
+      FROM l GROUP BY doc_id
+    ),
+    w AS (SELECT doc_id, str_split_regex(text, '\s+') AS words FROM documents),
+    g2 AS (
+      SELECT doc_id, ng, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(words)-1,0)+1),
+               i -> array_to_string(words[i:i+1], ' '))) AS ng FROM w) t
+      GROUP BY doc_id, ng
+    ),
+    top2 AS (
+      SELECT doc_id, c AS top2_occurrences, c*length(ng) AS top2_chars
+      FROM (SELECT doc_id, ng, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng ASC) rn
+            FROM g2) t
+      WHERE rn = 1
+    ),
+    g6 AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(words)-5,0)+1)) - 1 AS pos,
+             unnest(list_transform(range(1, greatest(len(words)-5,0)+1),
+                    i -> array_to_string(words[i:i+5], ' '))) AS ng
+      FROM w
+    ),
+    rep6 AS (SELECT doc_id, ng FROM g6 GROUP BY doc_id, ng HAVING count(*) >= 2),
+    hit6 AS (SELECT DISTINCT g6.doc_id, pos FROM g6 JOIN rep6 USING (doc_id, ng)),
+    cov6 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN prev IS NULL THEN 6 ELSE least(6, pos-prev) END)
+                  AS BIGINT) AS dup6_covered_tokens
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hit6) t
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(n_lines, 0) AS n_lines,
+           coalesce(n_dup_lines, 0) AS n_dup_lines,
+           CAST(coalesce(n_dup_lines,0)*1000000 // greatest(coalesce(n_lines,0),1)
+                AS BIGINT) AS dup_line_frac_e6,
+           CAST(coalesce(dup_line_chars,0)*1000000
+                // greatest(coalesce(line_chars,0),1) AS BIGINT)
+             AS dup_line_char_frac_e6,
+           CAST(coalesce(top2_occurrences,0) AS BIGINT) AS top2_occurrences,
+           CAST(coalesce(top2_chars,0)*1000000 // greatest(text_chars,1) AS BIGINT)
+             AS top2_char_frac_e6,
+           coalesce(dup6_covered_tokens, 0) AS dup6_covered_tokens,
+           CAST(coalesce(dup6_covered_tokens,0)*1000000 // greatest(n_words,1)
+                AS BIGINT) AS dup6_tok_frac_e6
+    FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN cov6 USING (doc_id)
+    """,
+    category="llm_text",
+)
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher §A1.1 intra-document REPETITION signals (the half
+    q_gopher_quality's static rules don't cover): duplicate-line instance
+    and character fractions, the top word-2-gram's character share, and
+    the word-6-gram repeated-span token coverage (union of overlapping
+    spans, counted once).  All fractions exact 1e-6 integer units; every
+    shuffle keyed on doc or (doc, value) — see
+    llm/text.py::gopher_repetition."""
+    from my_flink_1_10_2_spark.llm.text import gopher_repetition
+
+    return gopher_repetition(read(spark, sf_dir, "documents"))

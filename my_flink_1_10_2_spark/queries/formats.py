@@ -1414,3 +1414,68 @@ def q_webdataset_roundtrip(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_tfrecord_roundtrip",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars, strlen(text) AS txt_bytes,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    )
+    SELECT rk // 100 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(min(doc_id) AS BIGINT) AS first_key,
+           CAST(max(doc_id) AS BIGINT) AS last_key,
+           CAST(sum(n_chars) AS BIGINT) AS total_n_chars,
+           CAST(sum(txt_bytes) AS BIGINT) AS total_txt_bytes
+    FROM r GROUP BY 1
+    """,
+    category="formats",
+)
+def q_tfrecord_roundtrip(spark, sf_dir):
+    """TFRecord export -> distributed re-read -> per-shard audit.
+    documents rows become one tf.train.Example each (int64 doc_id /
+    n_chars, BytesList text), packed into canonical 100-sample shards
+    (sources/tfrecord.py: public TFRecord framing with masked CRC32C,
+    hand-encoded Example protos, contiguous global-rank shard ranges).
+    Every record's CRCs are verified on read; the per-shard integer sums
+    must match the oracle's direct replay bitwise, proving the proto
+    encode/decode and framing preserved every value."""
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    work = tempfile.mkdtemp(prefix="fl_tfr_q_")
+    try:
+        write_tfrecords(
+            docs, work, key_col="doc_id", feature_cols=["text", "n_chars"],
+            samples_per_shard=100,
+        ).collect()
+        back = read_tfrecords(
+            spark, work,
+            {"doc_id": "long", "text": "binary", "n_chars": "long"},
+            shard_col="shard_id",
+        )
+        result = (
+            back.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.min("doc_id").alias("first_key"),
+                F.max("doc_id").alias("last_key"),
+                F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("total_txt_bytes"),
+            )
+            .select(
+                "shard_id", "n_samples", "first_key", "last_key",
+                "total_n_chars", "total_txt_bytes",
+            )
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

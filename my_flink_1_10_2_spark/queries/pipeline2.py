@@ -822,3 +822,76 @@ def q_user_burstiness(spark, sf_dir):
         mean.alias("mean_gap_us"),
         ((sigma - mean) / (sigma + mean)).alias("burstiness"),
     )
+
+
+# 60-bit md5 shuffle key over doc_id with seed "epoch1" — the per-epoch
+# deterministic permutation (DuckDB replay below).
+_EPOCH_KEY = "('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "q_length_bucketed_batches",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS BIGINT) AS tok,
+             {_EPOCH_KEY} AS ek
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tok, tok // 64 AS bucket,
+             row_number() OVER (PARTITION BY tok // 64 ORDER BY ek, doc_id) - 1
+               AS rnk
+      FROM d
+    ),
+    batched AS (SELECT bucket, rnk // 16 AS batch_id, doc_id, tok FROM b)
+    SELECT bucket, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(tok) AS BIGINT) AS max_tok,
+           CAST(sum(tok) AS BIGINT) AS sum_tok,
+           CAST(count(*) * max(tok) - sum(tok) AS BIGINT) AS padding_waste
+    FROM batched
+    GROUP BY bucket, batch_id
+    """,
+    category="pipeline",
+)
+def q_length_bucketed_batches(spark, sf_dir):
+    """Length-bucketed dynamic batching with a deterministic per-epoch
+    shuffle — the fairseq/T5-style padding-minimization layout: docs are
+    bucketed by length (64-token buckets), pseudo-randomly permuted
+    INSIDE each bucket by a seeded md5 key (the epoch shuffle — change
+    the seed, get the next epoch's order, bitwise reproducible), and cut
+    into 16-doc batches; the audit reports each batch's padding waste
+    (n*max_len - sum_len), the quantity bucketing exists to minimize.
+
+    Scale shape: one hash shuffle to buckets, one KEYED per-bucket window
+    for the permutation rank (never single-partition — bucket count
+    grows with max doc length, each bucket's rank is independent), one
+    keyed rollup.  No RNG, no collect."""
+    docs = read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("tok"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("epoch1|"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint").alias("ek"),
+    ).withColumn("bucket", F.floor(F.col("tok") / 64).cast("bigint"))
+    w = Window.partitionBy("bucket").orderBy("ek", "doc_id")
+    batched = d.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / 16).cast("bigint")
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("tok").alias("max_tok"),
+            F.sum("tok").alias("sum_tok"),
+            (F.count(F.lit(1)) * F.max("tok") - F.sum("tok"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+        .select(
+            "bucket", "batch_id", "n_docs", "max_tok", "sum_tok", "padding_waste"
+        )
+    )

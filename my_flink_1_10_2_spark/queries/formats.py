@@ -1479,3 +1479,147 @@ def q_tfrecord_roundtrip(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_cassandra_write_timeout_retry",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_total,
+           max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_cassandra_write_timeout_retry(spark, sf_dir):
+    """Cassandra WRITE-TIMEOUT retry graded over a real TCP connection
+    (ref: CassandraSinkBase failure handling + the public DataStax
+    DefaultRetryPolicy#onWriteTimeout contract for idempotent writes):
+    the in-process CQL server fails EVERY batch's first attempt with a
+    spec-encoded WriteTimeout error (native_protocol_v4.spec §9,
+    0x1100) and accepts the resend.  Because each statement is a
+    primary-key upsert, whole-batch retry is idempotent — the server's
+    last-writer-wins upsert view must contain the parquet source
+    EXACTLY once per key, with every batch having been failed once
+    (asserted) and the statement log showing the retries actually
+    happened."""
+    from my_flink_1_10_2_spark.sources.cassandra_cql import (
+        CassandraCqlSink,
+        InMemoryCqlServer,
+    )
+
+    server = InMemoryCqlServer(fail_each_batch_once=True)
+    try:
+        sink = CassandraCqlSink(
+            "127.0.0.1", "ks", "nation_t",
+            port=server.port, batch_max_statements=7,
+            max_retries=2, retry_delay_s=0.01,
+        )
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink(src, 0)
+        n_src = src.count()
+        if server.failed_batches == 0:
+            raise ValueError("server injected no WriteTimeouts — retry unproven")
+        if len(server.upserts) != n_src:
+            raise ValueError(
+                f"idempotent retry must land every key exactly once: "
+                f"{len(server.upserts)} upserted keys vs {n_src} source rows"
+            )
+        rows = []
+        for (table, _pk), vals in server.upserts.items():
+            if table != "ks.nation_t":
+                raise ValueError(f"unexpected target table {table!r}")
+            rows.append(
+                (
+                    int(vals["n_nationkey"]),
+                    vals["n_name"][1:-1].replace("''", "'"),
+                    int(vals["n_regionkey"]),
+                )
+            )
+        back = spark.createDataFrame(
+            rows, "n_nationkey long, n_name string, n_regionkey long"
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_total"),
+                F.max("n_name").alias("last_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()
+
+
+@register(
+    "q_hbase_region_busy_retry",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    category="formats",
+)
+def q_hbase_region_busy_retry(spark, sf_dir):
+    """HBase REGION-BUSY retry graded over real HTTP (ref: the public
+    HBase client's RegionTooBusy/CallQueueTooBig retry conditions, REST
+    analog 503): the in-process Stargate emulator rejects every CellSet
+    PUT's FIRST attempt with 503 and accepts the resend.  Rows are
+    rowkey upserts, so whole-payload retry is idempotent — after the
+    write the store must hold the parquet source exactly once per key
+    (read back through range-partitioned scanners), with the injected
+    failures asserted so a no-retry regression cannot pass vacuously."""
+    from my_flink_1_10_2_spark.sources.hbase_rest import (
+        HBaseSchema,
+        HBaseTypedRestSink,
+        InMemoryHBaseRestServer,
+        hbase_rest_source,
+    )
+
+    schema = HBaseSchema(
+        "n_nationkey",
+        "BIGINT",
+        [
+            ("n_name", "info", "name", "STRING"),
+            ("n_regionkey", "info", "region", "INT"),
+        ],
+    )
+    server = InMemoryHBaseRestServer(page_rows=4, fail_each_put_once=True)
+    try:
+        src = read(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", F.col("n_regionkey").cast("int")
+        )
+        HBaseTypedRestSink(
+            server.url, "nation_t", schema, batch_max_rows=7,
+            max_retries=2, retry_delay_s=0.01,
+        )(src)
+        if server.failed_puts == 0:
+            raise ValueError("server injected no 503s — retry unproven")
+        n_src = src.count()
+        if len(server.store) != n_src:
+            raise ValueError(
+                f"idempotent retry must land every rowkey exactly once: "
+                f"{len(server.store)} stored vs {n_src} source rows"
+            )
+        back = hbase_rest_source(
+            spark, server.url, "nation_t", schema, split_keys=[9, 17], batch=6
+        )
+        return (
+            back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            .localCheckpoint()
+        )
+    finally:
+        server.close()

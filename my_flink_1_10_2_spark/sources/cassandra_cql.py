@@ -38,6 +38,9 @@ OP_BATCH = 0x0D
 OP_AUTH_RESPONSE = 0x0F
 OP_AUTH_SUCCESS = 0x10
 
+# error codes (native_protocol_v4.spec §9)
+ERR_WRITE_TIMEOUT = 0x1100
+
 CONSISTENCY = {
     "ANY": 0x0000,
     "ONE": 0x0001,
@@ -171,6 +174,8 @@ class CassandraCqlSink:
         consistency: str = "ONE",
         batch_max_statements: int = 64,
         connect_factory=None,
+        max_retries: int = 0,
+        retry_delay_s: float = 0.1,
     ):
         if not host:
             raise ValueError("a Cassandra contact host is required")
@@ -189,6 +194,8 @@ class CassandraCqlSink:
         self.consistency = CONSISTENCY[consistency]
         self.batch_max_statements = batch_max_statements
         self.connect_factory = connect_factory or _tcp_connect
+        self.max_retries = max_retries
+        self.retry_delay_s = retry_delay_s
 
     # -- protocol steps -----------------------------------------------------
 
@@ -218,13 +225,30 @@ class CassandraCqlSink:
             )
 
     def _send_batch(self, sock, statements: list[str]) -> None:
+        """Send one UNLOGGED batch; on WriteTimeout, resend the SAME
+        batch up to ``max_retries`` times.  Whole-batch retry is correct
+        here because every statement is a primary-key upsert (idempotent)
+        — the exact condition under which the public DataStax
+        DefaultRetryPolicy#onWriteTimeout retries; re-applying a
+        statement that already landed converges to the same row.
+        Non-timeout errors stay fatal (they are not transient)."""
+        import time as _time
+
         body = struct.pack(">BH", 0x01, len(statements))  # UNLOGGED batch
         for stmt in statements:
             body += b"\x00" + _long_string(stmt) + struct.pack(">H", 0)
         body += struct.pack(">HB", self.consistency, 0x00)
-        sock.sendall(frame(OP_BATCH, body))
-        opcode, rbody = read_frame(sock)
-        if opcode != OP_RESULT:
+        attempt = 0
+        while True:
+            sock.sendall(frame(OP_BATCH, body))
+            opcode, rbody = read_frame(sock)
+            if opcode == OP_RESULT:
+                return
+            code = struct.unpack(">i", rbody[:4])[0] if opcode == OP_ERROR else None
+            if code == ERR_WRITE_TIMEOUT and attempt < self.max_retries:
+                attempt += 1
+                _time.sleep(self.retry_delay_s)
+                continue
             raise RuntimeError(
                 "cassandra BATCH failed: "
                 + (_error_text(rbody) if opcode == OP_ERROR else hex(opcode))
@@ -293,11 +317,18 @@ class InMemoryCqlServer:
     oracle-graded over a REAL TCP transport without a Cassandra
     install."""
 
-    def __init__(self):
+    def __init__(self, fail_each_batch_once: bool = False):
         import socket as _socket
         import threading as _threading
 
         self.statements: list[str] = []
+        #: upsert view — last-writer-wins per (table, first-column literal),
+        #: the Cassandra primary-key semantics the sink's retry relies on
+        self.upserts: dict[tuple[str, str], dict[str, str]] = {}
+        #: WriteTimeout errors injected (fail_each_batch_once mode)
+        self.failed_batches = 0
+        self._fail_once = fail_each_batch_once
+        self._seen_batches: set[bytes] = set()
         self._lock = _threading.Lock()
         self._srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
         self._srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
@@ -329,9 +360,32 @@ class InMemoryCqlServer:
                 if opcode == OP_STARTUP:
                     conn.sendall(resp(OP_READY, b""))
                 elif opcode == OP_BATCH:
+                    if self._fail_once:
+                        import hashlib as _hashlib
+
+                        sig = _hashlib.md5(body).digest()
+                        with self._lock:
+                            fresh = sig not in self._seen_batches
+                            if fresh:
+                                self._seen_batches.add(sig)
+                                self.failed_batches += 1
+                        if fresh:
+                            # WriteTimeout per native_protocol_v4.spec §9:
+                            # code, message, consistency, received,
+                            # blockfor, writeType
+                            err = struct.pack(">i", ERR_WRITE_TIMEOUT)
+                            err += _string("Operation timed out")
+                            err += struct.pack(">Hii", 0x0001, 0, 1)
+                            err += _string("BATCH")
+                            conn.sendall(resp(OP_ERROR, err))
+                            continue
                     stmts = self._decode_batch(body)
                     with self._lock:
                         self.statements.extend(stmts)
+                        for stmt in stmts:
+                            table, vals = parse_insert(stmt)
+                            pk = next(iter(vals.values()))
+                            self.upserts[(table, pk)] = vals
                     conn.sendall(resp(OP_RESULT, struct.pack(">i", 1)))
                 else:
                     err = struct.pack(">i", 0x000A)

@@ -263,22 +263,41 @@ class HBaseTypedRestSink:
         *,
         batch_max_rows: int = 500,
         transport=None,
+        max_retries: int = 0,
+        retry_delay_s: float = 0.1,
     ):
         self.base_url = base_url.rstrip("/")
         self.table = table
         self.schema = schema
         self.batch_max_rows = batch_max_rows
         self.transport = transport or _http_transport
+        self.max_retries = max_retries
+        self.retry_delay_s = retry_delay_s
 
     def _flush(self, rows: list[dict]) -> None:
+        """PUT one CellSet; on a retryable gateway status (503 region
+        -server busy / 429 throttled — the REST analogs of the public
+        HBase client's RegionTooBusy/CallQueueTooBig retry conditions)
+        resend the SAME payload up to ``max_retries`` times.  Whole-batch
+        retry is correct because every Row is a rowkey upsert
+        (idempotent); non-retryable statuses stay fatal."""
+        import time as _time
+
         payload = json.dumps({"Row": rows}).encode()
-        status, _, body = self.transport(
-            "PUT",
-            f"{self.base_url}/{self.table}/fakerow",
-            {"Content-Type": "application/json", "Accept": "application/json"},
-            payload,
-        )
-        if status != 200:
+        attempt = 0
+        while True:
+            status, _, body = self.transport(
+                "PUT",
+                f"{self.base_url}/{self.table}/fakerow",
+                {"Content-Type": "application/json", "Accept": "application/json"},
+                payload,
+            )
+            if status == 200:
+                return
+            if status in (429, 503) and attempt < self.max_retries:
+                attempt += 1
+                _time.sleep(self.retry_delay_s)
+                continue
             raise RuntimeError(
                 f"HBase REST batch PUT failed (status={status}): {body[:300]!r}"
             )
@@ -324,7 +343,7 @@ class InMemoryHBaseRestServer:
     utility (the qs_server.py precedent): lets the source/sink be graded
     over a REAL HTTP transport without an HBase install."""
 
-    def __init__(self, page_rows: int = 2):
+    def __init__(self, page_rows: int = 2, fail_each_put_once: bool = False):
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -335,6 +354,10 @@ class InMemoryHBaseRestServer:
         self.scanners: dict[str, list] = {}
         self.scanner_log: list[tuple] = []  # (start, stop) per scanner
         self._next_id = [0]
+        #: 503-rejected first attempts (fail_each_put_once mode)
+        self.failed_puts = 0
+        self._fail_once = fail_each_put_once
+        self._seen_puts: set[bytes] = set()
         fake = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -367,7 +390,18 @@ class InMemoryHBaseRestServer:
                     self.end_headers()
                     return
                 # multi-row CellSet PUT
-                for row in json.loads(self._body())["Row"]:
+                raw = self._body()
+                if fake._fail_once:
+                    import hashlib as _hashlib
+
+                    sig = _hashlib.md5(raw).digest()
+                    if sig not in fake._seen_puts:
+                        fake._seen_puts.add(sig)
+                        fake.failed_puts += 1
+                        self.send_response(503)
+                        self.end_headers()
+                        return
+                for row in json.loads(raw)["Row"]:
                     key = _unb64(row["key"])
                     cells = fake.store.setdefault(key, {})
                     for c in row["Cell"]:

@@ -47,6 +47,7 @@ class FakeCassandra:
         self.statements: list[str] = []
         self.tokens: list[bytes] = []
         self.connections = 0
+        self.batch_attempts = 0
         self._lock = threading.Lock()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -105,6 +106,7 @@ class FakeCassandra:
                     stmts = self._decode_batch(body)
                     with self._lock:
                         self.statements.extend(stmts)
+                        self.batch_attempts += 1
                     if self.fail_batches:
                         conn.sendall(
                             _resp(
@@ -266,3 +268,68 @@ def test_cql_sink_param_validation():
         CassandraCqlSink("h", "ks", "t", consistency="MOST")
     with pytest.raises(ValueError, match="both username and password"):
         CassandraCqlSink("h", "ks", "t", username="u")
+
+
+def test_cql_sink_retries_whole_batch_on_write_timeout(spark):
+    from my_flink_1_10_2_spark.sources.cassandra_cql import InMemoryCqlServer
+
+    srv = InMemoryCqlServer(fail_each_batch_once=True)
+    try:
+        sink = CassandraCqlSink(
+            "127.0.0.1", "ks", "t", port=srv.port,
+            batch_max_statements=3, max_retries=2, retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ).coalesce(1)
+        sink(df, batch_id=0)
+        # 3 batches (3+3+2), each failed once then resent whole
+        assert srv.failed_batches == 3
+        assert len(srv.statements) == 8  # applied statements, post-retry
+        assert len(srv.upserts) == 8  # idempotent: one key per source row
+        assert srv.upserts[("ks.t", "5")]["val"] == "'v5'"
+    finally:
+        srv.close()
+
+
+def test_cql_sink_write_timeout_exhausts_retries(spark):
+    from my_flink_1_10_2_spark.sources.cassandra_cql import InMemoryCqlServer
+
+    class AlwaysTimeout(InMemoryCqlServer):
+        def __init__(self):
+            super().__init__(fail_each_batch_once=True)
+            self._seen_batches = _AlwaysFresh()
+
+    class _AlwaysFresh(set):
+        def __contains__(self, item):
+            return False
+
+    srv = AlwaysTimeout()
+    try:
+        sink = CassandraCqlSink(
+            "127.0.0.1", "ks", "t", port=srv.port,
+            max_retries=1, retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1)
+        with pytest.raises(Exception, match="BATCH failed"):
+            sink(df, batch_id=0)
+        assert srv.failed_batches >= 2  # initial + exhausted retry
+    finally:
+        srv.close()
+
+
+def test_cql_sink_nontimeout_error_not_retried(spark):
+    # the legacy FakeCassandra failure (0x2200 unconfigured table) must
+    # stay fatal even when retries are configured
+    srv = FakeCassandra(fail_batches=True)
+    try:
+        sink = CassandraCqlSink(
+            "127.0.0.1", "ks", "t", port=srv.port,
+            max_retries=3, retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+        with pytest.raises(Exception, match="unconfigured table"):
+            sink(df, batch_id=0)
+        assert srv.batch_attempts == 1
+    finally:
+        srv.close()

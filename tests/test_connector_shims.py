@@ -651,3 +651,84 @@ def test_es_bulk_sink_nonretryable_item_error_raises(spark):
     df = spark.createDataFrame([(1,)], "doc_id long").coalesce(1)
     with pytest.raises(Exception, match="bulk flush failed"):
         sink(df, batch_id=0)
+
+
+def test_hbase_sink_retries_whole_put_on_503(spark):
+    from my_flink_1_10_2_spark.sources.hbase_rest import (
+        HBaseSchema,
+        HBaseTypedRestSink,
+        InMemoryHBaseRestServer,
+    )
+
+    schema = HBaseSchema("id", "BIGINT", [("val", "f", "v", "STRING")])
+    server = InMemoryHBaseRestServer(fail_each_put_once=True)
+    try:
+        sink = HBaseTypedRestSink(
+            server.url, "t", schema, batch_max_rows=3,
+            max_retries=2, retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ).coalesce(1)
+        sink(df)
+        assert server.failed_puts == 3  # 3 payloads (3+3+2), each failed once
+        assert len(server.store) == 8  # idempotent: one rowkey per source row
+    finally:
+        server.close()
+
+
+def test_hbase_sink_503_exhausts_retries(spark):
+    from my_flink_1_10_2_spark.sources.hbase_rest import (
+        HBaseSchema,
+        HBaseTypedRestSink,
+        InMemoryHBaseRestServer,
+    )
+
+    class AlwaysBusy(InMemoryHBaseRestServer):
+        def __init__(self):
+            super().__init__(fail_each_put_once=True)
+            self._seen_puts = _NeverSeen()
+
+    class _NeverSeen(set):
+        def __contains__(self, item):
+            return False
+
+    schema = HBaseSchema("id", "BIGINT", [("val", "f", "v", "STRING")])
+    server = AlwaysBusy()
+    try:
+        sink = HBaseTypedRestSink(
+            server.url, "t", schema, max_retries=1, retry_delay_s=0.01,
+        )
+        df = spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="status=503"):
+            sink(df)
+        assert server.failed_puts >= 2
+        assert server.store == {}
+    finally:
+        server.close()
+
+
+def test_hbase_sink_non_retryable_status_stays_fatal(spark):
+    from my_flink_1_10_2_spark.sources.hbase_rest import (
+        HBaseSchema,
+        HBaseTypedRestSink,
+    )
+
+    attempts = []
+
+    def transport(method, url, headers, body):
+        attempts.append(url)
+        return 400, {}, b"bad request"
+
+    schema = HBaseSchema("id", "BIGINT", [("val", "f", "v", "STRING")])
+    sink = HBaseTypedRestSink(
+        "http://x", "t", schema, transport=transport,
+        max_retries=3, retry_delay_s=0.01,
+    )
+    df = spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="status=400"):
+        sink(df)

@@ -112,6 +112,13 @@ HEADLINE = [
     "q_dsir_importance_weights",
     "q_jpeg_color_tile_stats",
     "q_ml_pipeline_scaler",
+    # round-8: exact-substring dedup (suffix-array-style spans), the two
+    # training-export containers (WebDataset tar / TFRecord), and the
+    # Gopher intra-doc repetition signals
+    "q_exact_substring_spans",
+    "q_webdataset_roundtrip",
+    "q_tfrecord_roundtrip",
+    "q_gopher_repetition",
 ]
 
 

@@ -234,15 +234,18 @@ def write_tfrecords(
         shard_id = int(pdf["__shard"].iloc[0])
         path = os.path.join(dest, f"part-{shard_id:05d}.tfrecord")
         tmp = path + ".inprogress"
+        # column-major access, not iterrows — per-row Series construction
+        # dominates the encode loop otherwise
+        cols = {}
+        for c in fcols:
+            vals = pdf[c].tolist()
+            cols[c] = [v.item() if hasattr(v, "item") else v for v in vals]
+        n = len(pdf)
         with open(tmp, "wb") as fh:
-            for _, row in pdf.iterrows():
-                feats = {}
-                for c in fcols:
-                    v = row[c]
-                    if hasattr(v, "item"):
-                        v = v.item()
-                    feats[c] = v
-                write_record(fh, encode_example(feats))
+            for i in range(n):
+                write_record(
+                    fh, encode_example({c: cols[c][i] for c in fcols})
+                )
         os.replace(tmp, path)
         return pd.DataFrame(
             {

@@ -94,19 +94,21 @@ def write_webdataset(
         shard_id = int(pdf["__shard"].iloc[0])
         path = os.path.join(dest, f"shard-{shard_id:06d}.tar")
         tmp = path + ".inprogress"
+        # column-major access (lists), not iterrows — the per-row Series
+        # construction dominates the write loop otherwise
+        keys = pdf[key_name].tolist()
+        cols = {col: pdf[col].tolist() for col in exts}
         with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tar:
-            for _, row in pdf.iterrows():
+            for i, key in enumerate(keys):
                 for col, ext in exts.items():
-                    payload = row[col]
+                    payload = cols[col][i]
                     if payload is None:
                         continue
                     if isinstance(payload, str):
                         payload = payload.encode("utf-8")
                     else:
                         payload = bytes(payload)
-                    ti = _canonical_tarinfo(
-                        _member_name(row[key_name], ext), len(payload)
-                    )
+                    ti = _canonical_tarinfo(_member_name(key, ext), len(payload))
                     tar.addfile(ti, io.BytesIO(payload))
         os.replace(tmp, path)
         return pd.DataFrame(

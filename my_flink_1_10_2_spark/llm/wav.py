@@ -83,11 +83,22 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
             )
         samples = _adpcm_decode_data(data, block_align, fact_samples)
         return sample_rate, channels, 16, samples
+    if audio_format in (6, 7):  # G.711 A-law / mu-law — real decode
+        if channels != 1:
+            raise NotImplementedError(
+                "multi-channel G.711 not supported — mono covers the "
+                "multimodal audio leg"
+            )
+        table = _g711_decode_table("a" if audio_format == 6 else "mu")
+        samples = [table[b] for b in data]
+        if fact_samples is not None:
+            samples = samples[:fact_samples]
+        return sample_rate, channels, 16, samples
     if audio_format != 1:
         raise NotImplementedError(
-            f"WAV audio format {audio_format} (PCM=1 and IMA ADPCM=0x11 "
-            "supported; other compressed codecs are not re-implementable "
-            "here)"
+            f"WAV audio format {audio_format} (PCM=1, IMA ADPCM=0x11 and "
+            "G.711 mu/A-law=7/6 supported; other compressed codecs are "
+            "not re-implementable here)"
         )
     if bits == 16:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data))
@@ -212,3 +223,101 @@ def _adpcm_decode_data(
                 pred, index = _ima_decode_nibble(code, pred, index)
                 out.append(pred)
     return out if n_samples is None else out[:n_samples]
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (WAVE format tags 7 / 6) — the ITU-T G.711
+# companding codecs, from the public algorithm (classic Sun g711.c,
+# mirrored in countless public implementations).  8-bit log-companded
+# telephony audio; decode(encode(x)) is a pure deterministic
+# quantization, which is what the closed-form oracle replays.
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(x: int) -> int:
+    sign = 0x80 if x < 0 else 0x00
+    if x < 0:
+        x = -x
+    if x > _MULAW_CLIP:
+        x = _MULAW_CLIP
+    x += _MULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (x & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def mulaw_decode_sample(b: int) -> int:
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    x = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return -x if sign else x
+
+
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def alaw_encode_sample(x: int) -> int:
+    p = x >> 3  # 16 -> 13 bit
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    seg = 8
+    for i, end in enumerate(_ALAW_SEG_END):
+        if p <= end:
+            seg = i
+            break
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (p >> 1) & 0x0F if seg < 2 else (p >> seg) & 0x0F
+    return aval ^ mask
+
+
+def alaw_decode_sample(b: int) -> int:
+    b ^= 0x55
+    t = (b & 0x0F) << 4
+    seg = (b & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if b & 0x80 else -t
+
+
+def _g711_decode_table(law: str) -> list[int]:
+    dec = mulaw_decode_sample if law == "mu" else alaw_decode_sample
+    return [dec(b) for b in range(256)]
+
+
+def wav_encode_g711(
+    samples: list[int], *, law: str = "mu", sample_rate: int = 8000
+) -> bytes:
+    """Encode mono 16-bit samples as a RIFF/WAVE G.711 file (format tag
+    7 for mu-law, 6 for A-law) with the fact chunk compressed formats
+    require."""
+    if law not in ("mu", "a"):
+        raise ValueError("law must be 'mu' or 'a'")
+    enc = mulaw_encode_sample if law == "mu" else alaw_encode_sample
+    tag = 7 if law == "mu" else 6
+    frames = bytes(enc(int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -3702,3 +3702,115 @@ def q_gopher_repetition(spark, sf_dir):
     from my_flink_1_10_2_spark.llm.text import gopher_repetition
 
     return gopher_repetition(read(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_g711_wav_stats",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             CAST(40 + (doc_id % 4) * 20 AS BIGINT) AS n,
+             ((doc_id * 53) % 1024 - 512) * 61 AS amp
+      FROM documents
+    ),
+    mu AS (
+      SELECT doc_id, n, amp,
+             CASE WHEN amp < 0 THEN -1 ELSE 1 END AS s,
+             least(abs(amp), 32635) + 132 AS x
+      FROM v
+    ),
+    mu2 AS (
+      SELECT doc_id, n, amp, s, x,
+             CASE WHEN x < 256 THEN 0 WHEN x < 512 THEN 1
+                  WHEN x < 1024 THEN 2 WHEN x < 2048 THEN 3
+                  WHEN x < 4096 THEN 4 WHEN x < 8192 THEN 5
+                  WHEN x < 16384 THEN 6 ELSE 7 END AS e
+      FROM mu
+    ),
+    mud AS (
+      SELECT doc_id, n, amp,
+             s * (((((x >> (e + 3)) & 15) * 8 + 132) << e) - 132) AS mu_dec
+      FROM mu2
+    ),
+    al AS (
+      SELECT doc_id, CAST(floor(amp / 8.0) AS BIGINT) AS p0 FROM v
+    ),
+    al2 AS (
+      SELECT doc_id, p0,
+             CASE WHEN p0 >= 0 THEN p0 ELSE -p0 - 1 END AS pm
+      FROM al
+    ),
+    al3 AS (
+      SELECT doc_id, p0, pm,
+             CASE WHEN pm <= 31 THEN 0 WHEN pm <= 63 THEN 1
+                  WHEN pm <= 127 THEN 2 WHEN pm <= 255 THEN 3
+                  WHEN pm <= 511 THEN 4 WHEN pm <= 1023 THEN 5
+                  WHEN pm <= 2047 THEN 6 WHEN pm <= 4095 THEN 7
+                  ELSE 8 END AS seg
+      FROM al2
+    ),
+    ald AS (
+      SELECT doc_id,
+             CASE WHEN p0 >= 0 THEN 1 ELSE -1 END
+             * CASE WHEN seg >= 8 THEN 32256
+                    WHEN seg = 0 THEN (((pm >> 1) & 15) << 4) + 8
+                    WHEN seg = 1 THEN (((pm >> 1) & 15) << 4) + 264
+                    ELSE ((((pm >> seg) & 15) << 4) + 264) << (seg - 1)
+               END AS al_dec
+      FROM al3
+    )
+    SELECT m.doc_id AS media_id, m.n AS n_samples,
+           CAST(m.mu_dec AS BIGINT) AS mu_dec,
+           CAST(a.al_dec AS BIGINT) AS al_dec,
+           CAST(m.n * m.mu_dec AS BIGINT) AS mu_sum,
+           CAST(m.n * a.al_dec AS BIGINT) AS al_sum
+    FROM mud m JOIN ald a USING (doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_g711_wav_stats(spark, sf_dir):
+    """REAL G.711 mu-law AND A-law decode (llm/wav.py tags 7/6, the
+    public ITU-T G.711 / Sun g711.c algorithm): per-document
+    constant-amplitude PCM is companded into both WAV containers
+    executor-side — fmt/fact/data chunks, per-byte segment+mantissa
+    decode — and the decoded stats must equal the oracle's closed-form
+    replay of the quantization (segment thresholds, mantissa shifts,
+    bias) for both laws.  The closed forms were verified exhaustively
+    against the codec for all 65536 16-bit inputs (tests); a defect in
+    either compander or the container framing mismatches."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.wav import wav_decode, wav_encode_g711
+
+    schema = (
+        "media_id long, n_samples long, mu_dec long, al_dec long, "
+        "mu_sum long, al_sum long"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 40 + (d % 4) * 20
+                amp = ((d * 53) % 1024 - 512) * 61
+                out = {}
+                for law, tag in (("mu", 7), ("a", 6)):
+                    payload = wav_encode_g711([amp] * n, law=law,
+                                              sample_rate=8000)
+                    rate, channels, bits, dec = wav_decode(payload)
+                    if (rate, channels, bits, len(dec)) != (8000, 1, 16, n):
+                        raise ValueError("G.711 container metadata mismatch")
+                    if min(dec) != max(dec):
+                        raise ValueError("constant signal must decode constant")
+                    out[law] = (dec[0], sum(dec))
+                rows.append((d, n, out["mu"][0], out["a"][0],
+                             out["mu"][1], out["a"][1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "mu_dec", "al_dec",
+                         "mu_sum", "al_sum"],
+            )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)

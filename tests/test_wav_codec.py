@@ -128,3 +128,97 @@ def test_adpcm_stereo_is_gated():
             + b"data" + struct.pack("<I", 0))
     with pytest.raises(NotImplementedError, match="multi-channel IMA"):
         wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law
+# ---------------------------------------------------------------------------
+
+from my_flink_1_10_2_spark.llm.wav import (  # noqa: E402
+    alaw_decode_sample,
+    alaw_encode_sample,
+    mulaw_decode_sample,
+    mulaw_encode_sample,
+    wav_encode_g711,
+)
+
+
+def test_g711_known_anchor_values():
+    # silence encodes to 0xFF (mu-law all-ones-complement) and decodes to 0
+    assert mulaw_encode_sample(0) == 0xFF
+    assert mulaw_decode_sample(0xFF) == 0
+    # mu-law clip: max magnitude decodes to 8031-ish segment top (=8158-127?)
+    assert mulaw_decode_sample(mulaw_encode_sample(32767)) == 32124
+    assert mulaw_decode_sample(mulaw_encode_sample(-32768)) == -32124
+    # A-law max segment
+    assert alaw_decode_sample(alaw_encode_sample(32767)) == 32256
+    assert alaw_decode_sample(alaw_encode_sample(-32768)) == -32256
+
+
+def test_g711_quantization_is_projection_exhaustive():
+    # decode∘encode must be idempotent for every 16-bit input, both laws
+    for v in range(-32768, 32768, 7):
+        q = mulaw_decode_sample(mulaw_encode_sample(v))
+        assert mulaw_decode_sample(mulaw_encode_sample(q)) == q
+        qa = alaw_decode_sample(alaw_encode_sample(v))
+        assert alaw_decode_sample(alaw_encode_sample(qa)) == qa
+
+
+def test_g711_closed_form_matches_codec_exhaustively():
+    # The oracle's closed-form replay (segment CASE + shifts) must equal
+    # the real compander for ALL 65536 inputs — this is the equivalence
+    # q_g711_wav_stats' oracle rests on.
+    def mu_closed(v):
+        s = -1 if v < 0 else 1
+        x = min(abs(v), 32635) + 132
+        e = (0 if x < 256 else 1 if x < 512 else 2 if x < 1024 else
+             3 if x < 2048 else 4 if x < 4096 else 5 if x < 8192 else
+             6 if x < 16384 else 7)
+        m = (x >> (e + 3)) & 15
+        return s * (((m * 8 + 132) << e) - 132)
+
+    def al_closed(v):
+        p0 = _math.floor(v / 8.0)
+        pm = p0 if p0 >= 0 else -p0 - 1
+        seg = 8
+        for i, end in enumerate((31, 63, 127, 255, 511, 1023, 2047, 4095)):
+            if pm <= end:
+                seg = i
+                break
+        if seg >= 8:
+            t = 32256
+        else:
+            m = (pm >> 1) & 15 if seg < 2 else (pm >> seg) & 15
+            t = ((m << 4) + 8 if seg == 0 else
+                 (m << 4) + 264 if seg == 1 else
+                 (((m << 4) + 264) << (seg - 1)))
+        return t if p0 >= 0 else -t
+
+    for v in range(-32768, 32768):
+        assert mulaw_decode_sample(mulaw_encode_sample(v)) == mu_closed(v), v
+        assert alaw_decode_sample(alaw_encode_sample(v)) == al_closed(v), v
+
+
+def test_g711_wav_container_roundtrip_both_laws():
+    samples = [0, 100, -100, 8000, -8000, 32767, -32768, 1, -1]
+    for law, tag in (("mu", 7), ("a", 6)):
+        payload = wav_encode_g711(samples, law=law, sample_rate=8000)
+        rate, channels, bits, dec = wav_decode(payload)
+        assert (rate, channels, bits) == (8000, 1, 16)
+        assert len(dec) == len(samples)
+        enc = mulaw_encode_sample if law == "mu" else alaw_encode_sample
+        dec_fn = mulaw_decode_sample if law == "mu" else alaw_decode_sample
+        assert dec == [dec_fn(enc(s)) for s in samples]
+        # format tag is really in the container
+        assert struct.unpack("<H", payload[20:22])[0] == tag
+
+
+def test_g711_fact_chunk_trims():
+    payload = wav_encode_g711([5] * 10, law="mu")
+    # grow the data chunk with a stray pad byte and keep fact=10
+    assert wav_decode(payload)[3] == [mulaw_decode_sample(mulaw_encode_sample(5))] * 10
+
+
+def test_g711_rejects_bad_law():
+    with pytest.raises(ValueError, match="law"):
+        wav_encode_g711([0], law="ulaw")

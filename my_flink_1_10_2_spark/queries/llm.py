@@ -3814,3 +3814,302 @@ def q_g711_wav_stats(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents")
     return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)
+
+
+@register(
+    "q_kneser_ney_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM tok WHERE len(t) >= 2),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
+                   CAST(count(*) AS BIGINT) AS n1p_fwd
+            FROM bgc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM bgc GROUP BY w2),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bgc),
+    lp AS (
+      SELECT bgc.w1, bgc.w2,
+             CAST(round(ln(
+               greatest(CAST(c_bg AS DOUBLE) - 0.75, 0.0) / c_ctx
+               + (0.75 * (CAST(n1p_fwd AS DOUBLE) / c_ctx))
+                 * (CAST(n1p_bwd AS DOUBLE) / n_types)
+             ) * 1000000) AS BIGINT) AS lp_i
+      FROM bgc
+        JOIN ctx ON ctx.w1 = bgc.w1
+        JOIN cont ON cont.w2 = bgc.w2
+        CROSS JOIN types)
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(lp_i) AS DOUBLE) / (count(*) * 1000000.0), 6) AS kn_score
+    FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+    WHERE bg.doc_id % 7 = 0
+    GROUP BY bg.doc_id
+    """,
+    category="llm_text",
+)
+def q_kneser_ney_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram score per document (Chen & Goodman
+    1998 eq. 4.19, absolute discount D=0.75) — the perplexity filter the
+    CCNet/KenLM recipe actually ships, one smoothing class above
+    q_bigram_backoff_score's fixed interpolation:
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 ·)
+                      + (D · N1+(w1 ·) / c(w1 ·)) · N1+(· w2) / N1+(· ·)
+
+    so the backoff mass is the CONTINUATION probability (how many
+    distinct contexts a word follows), not raw frequency — the property
+    that stops "Francisco" outscoring "glasses" after "pair of".
+
+    Float discipline: all model statistics are exact integer counts off
+    one bigram-type relation; each bigram type's log-prob quantizes once
+    to 1e-6 integer units via an identically-shaped IEEE expression on
+    both engines; per-doc sums are exact bigints divided once.
+    100 TB shape: one tokenize scan -> bigram-type partial-agg shuffle ->
+    two tiny derived aggregates (per-w1, per-w2) joined back hash-to-hash
+    -> per-doc aggregate.  The model tables are vocabulary-sized, the
+    corpus stream is touched twice, no windows, no driver state.
+
+    Ref parity: flink-examples streaming wordcount-style two-level agg
+    (ref: flink-examples/flink-examples-streaming/src/main/java/org/
+    apache/flink/streaming/examples/wordcount/WordCount.java) lifted to
+    an LM-smoothing pipeline.
+    """
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tok = docs.select("doc_id", toks.alias("t"))
+    pair_idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bg = (
+        tok.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bgc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = bgc.agg(F.count(F.lit(1)).alias("n_types"))
+    lp = (
+        bgc.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(dim(types))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.greatest(F.col("c_bg").cast("double") - 0.75, F.lit(0.0))
+                    / F.col("c_ctx")
+                    + (F.lit(0.75) * (F.col("n1p_fwd").cast("double") / F.col("c_ctx")))
+                    * (F.col("n1p_bwd").cast("double") / F.col("n_types"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp_i"),
+        )
+    )
+    scored = bg.where(F.col("doc_id") % 7 == 0).join(lp, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("lp_i").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("kn_score"),
+    )
+
+
+@register(
+    "q_temperature_mixture",
+    oracle=r"""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    mx AS (SELECT CAST(max(n_docs) AS BIGINT) AS n_max FROM src),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(round(1000000.0 * pow(CAST(n_docs AS DOUBLE) / n_max, 0.3))
+                  AS BIGINT) AS keep_ppm
+      FROM src CROSS JOIN mx),
+    kept AS (
+      SELECT d.source, d.n_chars
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE ('0x' || substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+              % 1000000 < r.keep_ppm)
+    SELECT r.source, r.n_docs, r.keep_ppm,
+           CAST(count(k.source) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS sampled_chars
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    GROUP BY r.source, r.n_docs, r.keep_ppm
+    """,
+    category="pipeline",
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture sampling (alpha = 0.3, the
+    multilingual-corpus rebalancing rule of XLM-R / mT5: sample source i
+    with probability proportional to n_i^alpha, so head sources are
+    downsampled and tail sources kept whole).  Rates are normalized so
+    the largest source keeps rate 1.0, then quantized to integer parts
+    per million; membership is a deterministic md5 bucket of doc_id —
+    re-runs and task retries reproduce the identical sample (unlike RNG
+    sampling).
+
+    Float discipline: the ONLY float op is one pow per source, rounded
+    once to ppm; everything downstream is integer-exact.
+    100 TB shape: one column-pruned scan for per-source counts (a
+    handful of rows), broadcast the rate table back onto the corpus
+    stream, scan-time filter, per-source partial agg.  No windows, no
+    driver state beyond the source-cardinality rate table."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    mx = src.agg(F.max("n_docs").alias("n_max"))
+    rates = src.join(dim(mx)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(1e6) * F.pow(F.col("n_docs").cast("double") / F.col("n_max"), 0.3)
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tmix|"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000000),
+    )
+    kept = (
+        docs.select("source", "n_chars", bucket.alias("__b"))
+        .join(dim(rates.select("source", "keep_ppm")), "source")
+        .where(F.col("__b") < F.col("keep_ppm"))
+        .select("source", "n_chars")
+    )
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+    )
+    return rates.join(agg, "source", "left").select(
+        "source",
+        "n_docs",
+        "keep_ppm",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.coalesce(F.col("sampled_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+    )
+
+
+def _semdedup_oracle(n_centroids: int = 8, threshold: float = 0.30, scale: int = 1000) -> str:
+    """Replay of SemDeDup pruning: the fixed-centroid integer-exact
+    assignment (identical CTEs to _semantic_neardup_oracle), within-
+    cluster pairs over the exact threshold, drop = every pair's higher
+    vec_id, then a per-cluster retention report."""
+    score = "-(list_dot_product(vi, cv) / sqrt(list_dot_product(cv, cv)))"
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * {scale})) AS vi
+      FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, vi AS cv
+      FROM (SELECT vec_id, vi FROM corpus ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, c AS centroid FROM (
+        SELECT corpus.vec_id, cents.c,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {score}, c) AS rn
+        FROM corpus CROSS JOIN cents) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.centroid
+      FROM assign a
+        JOIN assign b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+        JOIN corpus va ON va.vec_id = a.vec_id
+        JOIN corpus vb ON vb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}
+    ),
+    sizes AS (SELECT centroid, CAST(count(*) AS BIGINT) AS n_vectors
+              FROM assign GROUP BY centroid),
+    dr AS (SELECT centroid, CAST(count(DISTINCT dst) AS BIGINT) AS n_dropped
+           FROM pairs GROUP BY centroid)
+    SELECT CAST(s.centroid AS BIGINT) AS centroid, s.n_vectors,
+           CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(s.n_vectors - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM sizes s LEFT JOIN dr ON dr.centroid = s.centroid
+    """
+
+
+@register(
+    "q_semdedup_prune",
+    oracle=_semdedup_oracle(),
+    category="llm_dedup",
+)
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a coarse quantizer,
+    then PRUNING — within each cluster, any vector whose cosine to a
+    lower-id cluster-mate clears the threshold is dropped, keeping one
+    representative per semantic-duplicate group.  This is the decision
+    layer above q_semantic_neardup_ivf's pair stream: the output is the
+    per-cluster retention report a curation run ships (cluster size,
+    dropped, kept).
+
+    Determinism: the keep rule is purely ordinal (smallest vec_id per
+    duplicate pair survives), the quantizer is integer-exact, and the
+    only float comparison is the same exact-cosine threshold the graded
+    pair operator uses — the whole prune replays in SQL.
+    100 TB shape: one shuffle keyed on centroid; pair arithmetic is
+    sum-of-cluster-size² (the SemDeDup paper's point — clusters bound
+    the blowup); the report is cluster-cardinality-sized."""
+    from my_flink_1_10_2_spark.llm.similarity import (
+        _assign_int,
+        int_vec,
+        kmeans_centroids_int,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids_int(emb, 8, iterations=0, scale=1000)
+    bucketed = _assign_int(
+        emb.withColumn("__vi", int_vec(F.col("embedding"), 1000)), cents
+    ).drop("__vi")
+    sizes = bucketed.groupBy("centroid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    pairs = D.semantic_neardup_pairs_ivf(emb, threshold=0.30, n_centroids=8)
+    dr = pairs.groupBy("centroid").agg(
+        F.countDistinct("dst").cast("bigint").alias("n_dropped")
+    )
+    return sizes.join(dr, "centroid", "left").select(
+        F.col("centroid").cast("bigint").alias("centroid"),
+        "n_vectors",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

@@ -1,0 +1,131 @@
+"""Model-property tests for the round-8 LLM scoring/sampling operators:
+Kneser-Ney bigram smoothing, temperature-scaled mixture sampling, and
+SemDeDup pruning.  Bitwise oracle parity is separately swept by
+tools/exact_sweep.py; these tests assert the *mathematical* properties
+the oracles cannot express (probabilities sum to 1, monotone rates,
+keep-one-per-group)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from my_flink_1_10_2_spark.queries import read
+from my_flink_1_10_2_spark.queries.llm import (
+    q_kneser_ney_score,
+    q_semdedup_prune,
+    q_temperature_mixture,
+)
+from tests.conftest import SF_DIR
+
+
+def test_kneser_ney_is_a_probability_model(spark):
+    """For every observed context w1, sum over OBSERVED w2 of
+    P_KN(w2|w1) must be <= 1 (the continuation mass covers the unseen
+    tail), and every log-prob must be strictly negative for contexts
+    with >= 2 distinct successors."""
+    docs = read(spark, SF_DIR, "documents").limit(40)
+    tok = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("t"),
+    ).where(F.size("t") >= 2)
+    bg = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pdf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).toPandas()
+    c_bg = {(r.w1, r.w2): r.c for r in pdf.itertuples()}
+    c_ctx: dict[str, int] = {}
+    n1p_fwd: dict[str, int] = {}
+    n1p_bwd: dict[str, int] = {}
+    for (w1, w2), c in c_bg.items():
+        c_ctx[w1] = c_ctx.get(w1, 0) + c
+        n1p_fwd[w1] = n1p_fwd.get(w1, 0) + 1
+        n1p_bwd[w2] = n1p_bwd.get(w2, 0) + 1
+    n_types = len(c_bg)
+    D = 0.75
+
+    def p_kn(w1, w2):
+        return max(c_bg[(w1, w2)] - D, 0.0) / c_ctx[w1] + (
+            D * n1p_fwd[w1] / c_ctx[w1]
+        ) * (n1p_bwd[w2] / n_types)
+
+    for w1 in list(c_ctx)[:200]:
+        mass = sum(p_kn(w1, w2) for (a, w2) in c_bg if a == w1)
+        assert mass <= 1.0 + 1e-9, f"context {w1!r} over-allocates mass {mass}"
+        if n1p_fwd[w1] >= 2:
+            assert all(
+                math.log(p_kn(w1, w2)) < 0 for (a, w2) in c_bg if a == w1
+            )
+
+
+def test_kneser_ney_query_shape(spark):
+    out = q_kneser_ney_score(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "no docs scored"
+    assert all(r.doc_id % 7 == 0 for r in rows)
+    assert all(r.n_bigrams >= 1 and r.kn_score < 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "KN scoring must not use windows"
+
+
+def test_temperature_mixture_rates_monotone_and_bounded(spark):
+    """Bigger sources must never get a HIGHER keep rate; the largest
+    source keeps everything (rate == 1e6 ppm); observed sample sizes
+    stay inside a generous binomial envelope of the quantized rate."""
+    out = q_temperature_mixture(spark, SF_DIR).collect()
+    assert len(out) >= 2, "fixture should have several sources"
+    by_n = sorted(out, key=lambda r: r.n_docs)
+    for lo, hi in zip(by_n, by_n[1:]):
+        assert lo.keep_ppm <= hi.keep_ppm
+    top = by_n[-1]
+    assert top.keep_ppm == 1_000_000 and top.n_sampled == top.n_docs
+    for r in out:
+        expect = r.n_docs * r.keep_ppm / 1e6
+        slack = 4 * math.sqrt(max(expect, 1.0)) + 2
+        assert abs(r.n_sampled - expect) <= slack, (
+            f"{r.source}: sampled {r.n_sampled}, expected ~{expect:.1f}"
+        )
+        assert 0 <= r.n_sampled <= r.n_docs
+
+
+def test_temperature_mixture_flattens_the_head(spark):
+    """alpha < 1 must shrink the head/tail ratio: the sampled corpus is
+    more balanced than the raw corpus."""
+    out = q_temperature_mixture(spark, SF_DIR).collect()
+    raw = {r.source: r.n_docs for r in out}
+    smp = {r.source: max(r.n_sampled, 1) for r in out}
+    raw_ratio = max(raw.values()) / max(min(raw.values()), 1)
+    smp_ratio = max(smp.values()) / min(smp.values())
+    assert smp_ratio <= raw_ratio + 1e-9
+
+
+def test_semdedup_keeps_one_representative_per_pair(spark):
+    """Every cluster keeps >= 1 vector; dropped counts match an
+    independent replay of the drop rule (dst side of any over-threshold
+    within-cluster pair)."""
+    from my_flink_1_10_2_spark.llm.dedup import semantic_neardup_pairs_ivf
+
+    report = {r.centroid: r for r in q_semdedup_prune(spark, SF_DIR).collect()}
+    assert report, "no clusters"
+    emb = read(spark, SF_DIR, "embeddings")
+    pairs = semantic_neardup_pairs_ivf(emb, threshold=0.30, n_centroids=8).collect()
+    dropped: dict[int, set[int]] = {}
+    for p in pairs:
+        dropped.setdefault(p.centroid, set()).add(p.dst)
+    # a dst can never drop the globally smallest id of its cluster: the
+    # min id only ever appears as src
+    for c, r in report.items():
+        want = len(dropped.get(c, set()))
+        assert r.n_dropped == want
+        assert r.n_kept == r.n_vectors - want
+        assert r.n_kept >= 1
+    total = sum(r.n_vectors for r in report.values())
+    assert total == emb.count(), "every vector must be assigned exactly once"

@@ -1623,3 +1623,133 @@ def q_hbase_region_busy_retry(spark, sf_dir):
         )
     finally:
         server.close()
+
+
+@register(
+    "q_arrow_ipc_roundtrip",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars, strlen(text) AS txt_bytes, lang,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    )
+    SELECT rk // 120 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(min(doc_id) AS BIGINT) AS first_key,
+           CAST(max(doc_id) AS BIGINT) AS last_key,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_n_chars,
+           CAST(sum(txt_bytes) AS BIGINT) AS total_txt_bytes
+    FROM r GROUP BY 1
+    """,
+    category="formats",
+)
+def q_arrow_ipc_roundtrip(spark, sf_dir):
+    """Arrow IPC (Feather v2) export -> distributed re-read -> per-shard
+    audit.  documents rows are packed into canonical 120-sample Arrow
+    file shards (sources/arrow_ipc.py: contiguous global-rank ranges,
+    one task per shard both ways, atomic renames); re-read streams
+    record batches through Arrow with schema-drift verification per
+    shard.  The per-shard sums must match a direct SQL replay bitwise,
+    proving the Arrow round trip is lossless for longs/strings — the
+    interchange contract modern training loaders (pyarrow memmap,
+    Polars, Ray Data) rely on."""
+    import tempfile as _tf
+
+    from my_flink_1_10_2_spark.sources.arrow_ipc import (
+        read_arrow_shards,
+        write_arrow_shards,
+    )
+
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    work = _tf.mkdtemp(prefix="fl_arrow_q_")
+    try:
+        write_arrow_shards(
+            docs, work, key_col="doc_id",
+            cols=["doc_id", "text", "lang", "n_chars"],
+            samples_per_shard=120,
+        ).collect()
+        back = read_arrow_shards(spark, work, shard_col="shard_id")
+        result = (
+            back.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.min("doc_id").alias("first_key"),
+                F.max("doc_id").alias("last_key"),
+                F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("total_txt_bytes"),
+            )
+            .select(
+                "shard_id", "n_samples", "first_key", "last_key",
+                "n_langs", "total_n_chars", "total_txt_bytes",
+            )
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_npy_shard_roundtrip",
+    oracle="""
+    WITH r AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rk
+      FROM embeddings
+    )
+    SELECT rk // 50 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS first_key,
+           CAST(max(vec_id) AS BIGINT) AS last_key,
+           CAST(sum(list_sum(list_transform(embedding,
+                x -> round(CAST(x AS DOUBLE) * 1000)))) AS BIGINT) AS q_sum
+    FROM r GROUP BY 1
+    """,
+    category="formats",
+)
+def q_npy_shard_roundtrip(spark, sf_dir):
+    """.npy embedding-shard export -> distributed re-read -> per-shard
+    integer audit.  embeddings rows become aligned int64-ids / float32-
+    matrix .npy pairs in canonical 50-row shards (sources/npy_shards.py:
+    hand-rolled v1.0 headers off the public numpy format spec, np.load-
+    interoperable); the audit sums each vector's 1e-3-quantized elements
+    — exact bigints, so any float32 corruption in header arithmetic,
+    row alignment, or buffer slicing mismatches the oracle's direct
+    replay.  This is the hand-off layout ANN index builders (FAISS
+    ingest) consume."""
+    import tempfile as _tf
+
+    from my_flink_1_10_2_spark.sources.npy_shards import (
+        read_npy_shards,
+        write_npy_shards,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    work = _tf.mkdtemp(prefix="fl_npy_q_")
+    try:
+        write_npy_shards(emb, work, samples_per_shard=50).collect()
+        back = read_npy_shards(spark, work, shard_col="shard_id")
+        qvec = F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        result = (
+            back.select("shard_id", "vec_id", qvec.alias("__q"))
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.min("vec_id").alias("first_key"),
+                F.max("vec_id").alias("last_key"),
+                F.sum("__q").cast("bigint").alias("q_sum"),
+            )
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,143 @@
+"""Arrow IPC (Feather v2) source/sink — the zero-copy interchange
+container training loaders (PyTorch DataLoader via pyarrow, Polars, Ray
+Data) memory-map directly.  Uses the public Arrow IPC *file* format via
+pyarrow (baked into this environment), so any Arrow implementation in
+any language consumes the shards and vice versa.
+
+Scale design mirrors :mod:`.webdataset` / :mod:`.tfrecord`:
+
+- **write**: rows are assigned contiguous global-rank shard ranges
+  (``operators/rank.py::global_rank`` — range-partitioned, never a single
+  task), ONE shuffle keyed on shard_id, each task streams exactly one
+  ``part-NNNNN.arrow`` file and emits a manifest row.  Files land via
+  ``.inprogress`` + atomic rename, so a crashed task retry never leaves a
+  half-shard visible (the StreamingFileSink recipe,
+  ref: flink-streaming-java/src/main/java/org/apache/flink/streaming/api/
+  functions/sink/filesystem/StreamingFileSink.java).
+- **read**: one task per shard file; record batches stream through Arrow
+  without row-at-a-time Python.
+
+Ref parity: the reference's format matrix (CSV/Avro/Parquet/Sequence,
+ref: flink-formats/) extended with the container modern data loaders
+expect; same connector contract as the rest of ``sources/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_arrow_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    cols: list[str] | None = None,
+    samples_per_shard: int = 1000,
+    compression: str | None = None,
+) -> DataFrame:
+    """Write sorted contiguous Arrow IPC file shards; returns the shard
+    manifest (shard_id, path, n_samples, first_key, last_key, n_bytes,
+    n_batches).  ``compression`` may be ``"zstd"`` / ``"lz4"`` / None
+    (pyarrow IPC body-buffer compression)."""
+    from my_flink_1_10_2_spark.operators.rank import global_rank
+
+    cols = cols or [c for c in df.columns]
+    if key_col not in cols:
+        cols = [key_col] + cols
+    os.makedirs(out_dir, exist_ok=True)
+    ranked = global_rank(df.select(*cols), [F.asc(key_col)], rank_col="__rk")
+    sharded = ranked.withColumn(
+        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    )
+    key_name, dest, out_cols, comp = key_col, out_dir, cols, compression
+
+    def _write_shard(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        pdf = pdf.sort_values(key_name)
+        shard_id = int(pdf["__shard"].iloc[0])
+        path = os.path.join(dest, f"part-{shard_id:05d}.arrow")
+        tmp = path + ".inprogress"
+        table = pa.Table.from_pandas(
+            pdf[out_cols].reset_index(drop=True), preserve_index=False
+        )
+        options = ipc.IpcWriteOptions(compression=comp) if comp else None
+        with pa.OSFile(tmp, "wb") as fh:
+            with ipc.new_file(fh, table.schema, options=options) as writer:
+                writer.write_table(table)
+        os.replace(tmp, path)
+        with pa.memory_map(path) as mm:
+            n_batches = ipc.open_file(mm).num_record_batches
+        return pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "path": [path],
+                "n_samples": [len(pdf)],
+                "first_key": [int(pdf[key_name].min())],
+                "last_key": [int(pdf[key_name].max())],
+                "n_bytes": [os.path.getsize(path)],
+                "n_batches": [n_batches],
+            }
+        )
+
+    schema = (
+        "shard_id long, path string, n_samples long, "
+        "first_key long, last_key long, n_bytes long, n_batches long"
+    )
+    return sharded.groupBy("__shard").applyInPandas(_write_shard, schema)
+
+
+def read_arrow_shards(
+    spark: SparkSession,
+    in_dir: str,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Read Arrow IPC file shards back, one task per file.  The schema is
+    taken from the first shard's Arrow schema (all shards must agree —
+    verified per shard on read)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    paths = sorted(
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.endswith(".arrow")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .arrow shards under {in_dir}")
+    with pa.memory_map(paths[0]) as mm:
+        arrow_schema = ipc.open_file(mm).schema
+    fields = [
+        T.StructField(f.name, from_arrow_type(f.type)) for f in arrow_schema
+    ]
+    if shard_col:
+        fields.append(T.StructField(shard_col, T.LongType()))
+    out_schema = T.StructType(fields)
+    want_schema_str = str(arrow_schema)
+
+    path_rdd = spark.sparkContext.parallelize([(p,) for p in paths], len(paths))
+    path_df = spark.createDataFrame(path_rdd, "path string")
+
+    def _read(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                with pa.memory_map(path) as mm:
+                    reader = ipc.open_file(mm)
+                    if str(reader.schema) != want_schema_str:
+                        raise ValueError(
+                            f"shard {path} schema drift: {reader.schema}"
+                        )
+                    out = reader.read_pandas()
+                if shard_col:
+                    sid = int(os.path.basename(path)[len("part-"):-len(".arrow")])
+                    out[shard_col] = sid
+                yield out
+
+    return path_df.mapInPandas(_read, out_schema)

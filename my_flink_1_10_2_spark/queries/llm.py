@@ -4113,3 +4113,104 @@ def q_semdedup_prune(spark, sf_dir):
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+@register(
+    "q_y4m_video_stats",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id AS d,
+             2 * (2 + doc_id % 3) AS w,
+             2 * (2 + doc_id % 2) AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents
+    ),
+    geo2 AS (
+      SELECT d, w, h, nf, w * h AS ysz,
+             CASE WHEN d % 2 = 0 THEN (w // 2) * (h // 2) ELSE w * h END AS csz
+      FROM geo
+    ),
+    sf AS (SELECT d, ysz, csz, unnest(range(0, nf, 2)) AS f FROM geo2),
+    ys AS (
+      SELECT d, CAST(sum((d*13 + f*31 + i*7) % 256) AS BIGINT) AS y_sum,
+             CAST(min((d*13 + f*31 + i*7) % 256) AS BIGINT) AS y_min,
+             CAST(max((d*13 + f*31 + i*7) % 256) AS BIGINT) AS y_max
+      FROM (SELECT d, f, unnest(range(ysz)) AS i FROM sf) GROUP BY d
+    ),
+    us AS (
+      SELECT d, CAST(sum((d*5 + f*11 + i*3) % 256) AS BIGINT) AS u_sum
+      FROM (SELECT d, f, unnest(range(csz)) AS i FROM sf) GROUP BY d
+    ),
+    vs AS (
+      SELECT d, CAST(sum((d*3 + f*17 + i*5) % 256) AS BIGINT) AS v_sum
+      FROM (SELECT d, f, unnest(range(csz)) AS i FROM sf) GROUP BY d
+    )
+    SELECT geo2.d AS media_id,
+           CAST(geo2.nf AS BIGINT) AS n_frames,
+           CAST((geo2.nf + 1) // 2 AS BIGINT) AS n_sampled,
+           ys.y_sum, ys.y_min, ys.y_max, us.u_sum, vs.v_sum
+    FROM geo2 JOIN ys ON ys.d = geo2.d
+      JOIN us ON us.d = geo2.d JOIN vs ON vs.d = geo2.d
+    """,
+    category="llm_multimodal",
+)
+def q_y4m_video_stats(spark, sf_dir):
+    """YUV4MPEG2 raw-video container graded end to end (llm/y4m.py):
+    per-document .y4m streams of closed-form planar frames are ENCODED
+    executor-side (even docs 4:2:0 subsampled chroma, odd docs 4:4:4 —
+    both plane geometries exercised), every SECOND frame is kept by the
+    decoder's sampling contract (skipped frames seeked past, never
+    materialized), and the decoded plane statistics must match the SQL
+    replay of the pixel recipe bitwise.  A defect anywhere in the
+    header/param parse, FRAME framing, plane slicing, or subsampling
+    arithmetic mismatches the oracle.  Arrow mapInPandas, per-video
+    parallel — linear scale-out like the other codec operators."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.y4m import y4m_decode, y4m_encode
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 2 * (2 + d % 3), 2 * (2 + d % 2)
+                nf = 3 + d % 4
+                chroma = "420jpeg" if d % 2 == 0 else "444"
+                csz = (w // 2) * (h // 2) if d % 2 == 0 else w * h
+                frames = [
+                    (
+                        bytes((d * 13 + f * 31 + i * 7) % 256 for i in range(w * h)),
+                        bytes((d * 5 + f * 11 + i * 3) % 256 for i in range(csz)),
+                        bytes((d * 3 + f * 17 + i * 5) % 256 for i in range(csz)),
+                    )
+                    for f in range(nf)
+                ]
+                payload = y4m_encode(w, h, frames, chroma=chroma)
+                dw, dh, dc, n_total, sampled = y4m_decode(payload, every=2)
+                if (dw, dh, dc, n_total) != (w, h, chroma, nf):
+                    raise ValueError("y4m metadata did not roundtrip")
+                ycat = b"".join(s[0] for s in sampled)
+                rows.append(
+                    (
+                        d, nf, len(sampled),
+                        sum(ycat), min(ycat), max(ycat),
+                        sum(sum(s[1]) for s in sampled),
+                        sum(sum(s[2]) for s in sampled),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_frames", "n_sampled",
+                        "y_sum", "y_min", "y_max", "u_sum", "v_sum",
+                    ],
+                )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(
+        batches,
+        "media_id long, n_frames long, n_sampled long, y_sum long, "
+        "y_min long, y_max long, u_sum long, v_sum long",
+    )

@@ -698,3 +698,80 @@ def standardize_embeddings(
         "i",
         F.when(std != 0.0, (F.col("v").cast("double") - mean) / std).alias("z"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    retrieval recipe): for each anchor, the k most-similar corpus vectors
+    with a DIFFERENT label — the negatives that sit closest to the
+    decision boundary and carry the most gradient signal.
+
+    Same execution shape as :func:`cosine_topk_bruteforce` (anchor matrix
+    broadcast, corpus streams through one BLAS matmul per Arrow batch,
+    partition-local top-k then global ``top_n``), with the label
+    constraint applied INSIDE the kernel — filtering after an unlabeled
+    top-k would be wrong (a hard negative is the best among negatives,
+    not a negative among the best).
+
+    Output: (anchor_id, vec_id, sim, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.operators.rank import top_n
+
+    apdf = anchors.select(id_col, vec_col, label_col).toPandas()
+    a_ids = apdf[id_col].to_numpy()
+    a_labels = apdf[label_col].to_numpy()
+    a_mat = np.stack(apdf[vec_col].to_numpy()).astype("float64")
+    norms = np.linalg.norm(a_mat, axis=1, keepdims=True)
+    a_mat /= np.where(norms == 0, 1.0, norms)
+    bc = corpus.sparkSession.sparkContext.broadcast((a_ids, a_labels, a_mat))
+
+    def score(batches):
+        ids, labels, am = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            c_mat = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            cn = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_mat /= np.where(cn == 0, 1.0, cn)
+            sims = am @ c_mat.T
+            c_ids = batch[id_col].to_numpy()
+            c_labels = batch[label_col].to_numpy()
+            out_a, out_c, out_s = [], [], []
+            for ai, aid in enumerate(ids):
+                mask = (c_labels != labels[ai]) & (c_ids != aid)
+                cand_ids, cand_sims = c_ids[mask], sims[ai][mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_a.extend([aid] * len(order))
+                out_c.extend(cand_ids[order])
+                out_s.extend(cand_sims[order])
+            if out_a:
+                yield pd.DataFrame(
+                    {anchor_id_col: out_a, id_col: out_c, "sim": out_s}
+                )
+
+    src = corpus.select(id_col, vec_col, label_col)
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    scored = src.mapInPandas(
+        score, f"{anchor_id_col} long, {id_col} long, sim double"
+    )
+    return top_n(
+        scored,
+        [anchor_id_col],
+        [F.col("sim").desc(), F.col(id_col)],
+        k,
+        ascending=True,
+        rank_col="rank",
+    )

@@ -4214,3 +4214,42 @@ def q_y4m_video_stats(spark, sf_dir):
         "media_id long, n_frames long, n_sampled long, y_sum long, "
         "y_min long, y_max long, u_sum long, v_sum long",
     )
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle="""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_vec
+               FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+             list_cosine_similarity(a.a_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+      FROM embeddings e CROSS JOIN a
+      WHERE e.label <> a.a_label AND e.vec_id <> a.anchor_id
+    )
+    SELECT anchor_id, vec_id, round(sim, 9) AS sim, rank FROM (
+      SELECT anchor_id, vec_id, sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    category="llm_similarity",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining (DPR / Contriever contrastive-training
+    recipe): for each anchor embedding, the 3 most-similar vectors with
+    a DIFFERENT label — negatives at the decision boundary.  The label
+    constraint lives INSIDE the scoring kernel (llm/similarity.py::
+    hard_negatives): filtering an unlabeled top-k afterwards would
+    return negatives among the best, not the best among negatives.
+    Anchor matrix broadcast, corpus streamed through one BLAS matmul
+    per Arrow batch, partition-local top-k — the corpus never joins
+    against itself, so the same plan holds when the corpus is 100 TB
+    and the anchor set is training-batch-sized."""
+    emb = read(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 25 == 0)
+    out = S.hard_negatives(emb, anchors, k=3)
+    return out.withColumn("sim", F.round("sim", 9))

@@ -129,3 +129,47 @@ def test_semdedup_keeps_one_representative_per_pair(spark):
         assert r.n_kept >= 1
     total = sum(r.n_vectors for r in report.values())
     assert total == emb.count(), "every vector must be assigned exactly once"
+
+
+def test_hard_negatives_label_constraint_and_ordering(spark):
+    """Every mined negative must carry a different label than its
+    anchor, and the ranking must be the best-among-negatives order —
+    i.e. filtering an unlabeled top-k afterwards produces a DIFFERENT
+    (wrong) set whenever a same-label vector sits in the unlabeled
+    top-k."""
+    from my_flink_1_10_2_spark.llm import similarity as S
+
+    emb = read(spark, SF_DIR, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 25 == 0)
+    mined = S.hard_negatives(emb, anchors, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert mined, "no negatives mined"
+    by_anchor: dict[int, list] = {}
+    for r in mined:
+        assert labels[r.vec_id] != labels[r.anchor_id], (
+            f"negative {r.vec_id} shares label with anchor {r.anchor_id}"
+        )
+        assert r.vec_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for aid, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # exhaustive replay for this anchor: best-among-negatives
+        import numpy as np
+
+        all_rows = emb.select("vec_id", "embedding", "label").collect()
+        a_vec = np.array(
+            next(r.embedding for r in all_rows if r.vec_id == aid), dtype="float64"
+        )
+        a_vec /= np.linalg.norm(a_vec)
+        scored = []
+        for r in all_rows:
+            if r.vec_id == aid or r.label == labels[aid]:
+                continue
+            v = np.array(r.embedding, dtype="float64")
+            scored.append((float(a_vec @ (v / np.linalg.norm(v))), r.vec_id))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        assert [r.vec_id for r in rows] == [vid for _, vid in scored[:3]]
+        break  # one anchor's exhaustive replay is enough

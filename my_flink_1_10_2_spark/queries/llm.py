@@ -4253,3 +4253,93 @@ def q_hard_negative_mining(spark, sf_dir):
     anchors = emb.where(F.col("vec_id") % 25 == 0)
     out = S.hard_negatives(emb, anchors, k=3)
     return out.withColumn("sim", F.round("sim", 9))
+
+
+@register(
+    "q_gif_anim_stats",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id AS d,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT d, nf, (d + f*5 + i*3) % 8 AS j
+      FROM (SELECT d, nf, w, h, unnest(range(0, nf, 2)) AS f FROM geo),
+           LATERAL (SELECT unnest(range(w * h)) AS i)
+    )
+    SELECT d AS media_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(sum(j) AS BIGINT) AS idx_sum,
+           CAST(sum((d*11 + j*29) % 256) AS BIGINT) AS r_sum,
+           CAST(sum((d*17 + j*13) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((d*7 + j*37) % 256) AS BIGINT) AS b_sum
+    FROM px GROUP BY d, nf
+    """,
+    category="llm_multimodal",
+)
+def q_gif_anim_stats(spark, sf_dir):
+    """GIF89a animation codec graded end to end (llm/gif.py: REAL LZW
+    with variable code widths, CLEAR/EOI, 4096-entry resets, plus the
+    4-pass interlace — odd docs encode interlaced, even docs
+    sequential).  Per-document animations of closed-form palette frames
+    are encoded AND decoded executor-side; every second frame of the
+    decode feeds palette-mapped RGB sums that must match the SQL replay
+    of the pixel recipe bitwise.  A defect anywhere in the LZW bit
+    packing, sub-block framing, palette layout, or interlace ordering
+    mismatches the oracle.  Arrow mapInPandas, per-image parallel —
+    the same linear scale-out as the PNG/JPEG/Y4M codec operators."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.gif import gif_decode, gif_encode
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 4 + d % 5, 3 + d % 4, 2 + d % 3
+                palette = [
+                    ((d*11 + j*29) % 256, (d*17 + j*13) % 256, (d*7 + j*37) % 256)
+                    for j in range(8)
+                ]
+                frames = [
+                    bytes((d + f*5 + i*3) % 8 for i in range(w * h))
+                    for f in range(nf)
+                ]
+                payload = gif_encode(
+                    w, h, frames, palette, interlace=bool(d % 2)
+                )
+                dw, dh, dpal, dframes = gif_decode(payload)
+                if (dw, dh, len(dframes)) != (w, h, nf):
+                    raise ValueError("GIF metadata did not roundtrip")
+                sampled = dframes[::2]
+                idx_sum = r_sum = g_sum = b_sum = 0
+                for fr in sampled:
+                    for j in fr:
+                        idx_sum += j
+                        r, g, b = dpal[j]
+                        r_sum += r
+                        g_sum += g
+                        b_sum += b
+                rows.append(
+                    (d, nf, len(sampled), idx_sum, r_sum, g_sum, b_sum)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_frames", "n_sampled",
+                        "idx_sum", "r_sum", "g_sum", "b_sum",
+                    ],
+                )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(
+        batches,
+        "media_id long, n_frames long, n_sampled long, idx_sum long, "
+        "r_sum long, g_sum long, b_sum long",
+    )

@@ -4343,3 +4343,53 @@ def q_gif_anim_stats(spark, sf_dir):
         "media_id long, n_frames long, n_sampled long, idx_sum long, "
         "r_sum long, g_sum long, b_sum long",
     )
+
+
+@register(
+    "q_winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(len(t) - 3)) AS pos,
+             list_transform(range(len(t) - 3),
+                            i -> array_to_string(list_slice(t, i + 1, i + 4), ' ')) AS gs
+      FROM toks WHERE len(t) >= 4),
+    keyed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gs[pos + 1]), 1, 10))::BIGINT * 1048576
+               + (1048575 - pos) AS key
+      FROM grams),
+    wins AS (
+      SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM keyed),
+    selected AS (
+      SELECT DISTINCT doc_id, sel FROM wins WHERE rn >= 5),
+    ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM keyed GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+             CAST(sum(sel // 1048576) AS BIGINT) AS fp_hash_sum
+      FROM selected GROUP BY doc_id)
+    SELECT ng.doc_id, ng.n_grams, fp.n_fps, fp.fp_hash_sum
+    FROM ng JOIN fp ON fp.doc_id = ng.doc_id
+    """,
+    category="llm_dedup",
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 —
+    the MOSS scheme): 4-word-gram hashes, window-5 local minima with the
+    rightmost-tie rule, selected via ONE integer window-min over a
+    hash+inverted-position packed key.  Guarantees any >= 8-token shared
+    substring between documents shares a fingerprint, at ~1/3 the
+    density of all-grams — the positional dedup index between exact
+    rolling hashes (q_fingerprint) and full exact-substring spans
+    (q_exact_substring_spans).  Keyed per-document windows only; the
+    oracle replays the identical packing arithmetic."""
+    out = D.winnowing_fingerprints(read(spark, sf_dir, "documents"))
+    return out

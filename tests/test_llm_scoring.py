@@ -173,3 +173,50 @@ def test_hard_negatives_label_constraint_and_ordering(spark):
         scored.sort(key=lambda t: (-t[0], t[1]))
         assert [r.vec_id for r in rows] == [vid for _, vid in scored[:3]]
         break  # one anchor's exhaustive replay is enough
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    >= k + w - 1 = 8 tokens share at least one fingerprint.  Density
+    stays near the theoretical 2/(w+1)."""
+    from my_flink_1_10_2_spark.llm.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"unique one {shared} trailing words here"),
+        (2, f"other prefix text {shared} different suffix"),
+        (3, "completely disjoint vocabulary nothing matches at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # reconstruct the selected fingerprint HASHES per doc (not just the
+    # aggregate) by re-running the packing logic via the public op on
+    # single-doc frames and comparing sums is too weak: instead assert
+    # the guarantee on the aggregate level by checking doc1/doc2 share
+    # fingerprints through an exact intersection replay in python
+    import hashlib
+
+    def fps(text, k=4, w=5):
+        t = [x for x in text.lower().split() if x]
+        grams = [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+        keys = [
+            (int(hashlib.md5(g.encode()).hexdigest()[:10], 16) * 1048576
+             + (1048575 - p))
+            for p, g in enumerate(grams)
+        ]
+        sel = {min(keys[e - w + 1 : e + 1]) for e in range(w - 1, len(keys))}
+        return {s // 1048576 for s in sel}
+
+    f1, f2, f3 = (fps(r[1]) for r in rows)
+    assert f1 & f2, "shared 8-token run must share a fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    out = {r.doc_id: r for r in winnowing_fingerprints(df).collect()}
+    for doc_id, text in rows:
+        want = fps(text)
+        assert out[doc_id].n_fps == len(want)
+        assert out[doc_id].fp_hash_sum == sum(want)
+    # density on the real fixture: ~2/(w+1)=0.33, generously bounded
+    docs = read(spark, SF_DIR, "documents")
+    agg = winnowing_fingerprints(docs).agg(
+        F.sum("n_fps").alias("f"), F.sum("n_grams").alias("g")
+    ).collect()[0]
+    assert 0.15 <= agg.f / agg.g <= 0.6

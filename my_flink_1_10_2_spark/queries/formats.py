@@ -1817,3 +1817,63 @@ def q_wet_shard_roundtrip(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_jsonl_zst_roundtrip",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars, strlen(text) AS txt_chars,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    )
+    SELECT rk // 180 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(min(doc_id) AS BIGINT) AS first_key,
+           CAST(max(doc_id) AS BIGINT) AS last_key,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_n_chars,
+           CAST(sum(txt_chars) AS BIGINT) AS total_txt_chars
+    FROM r GROUP BY 1
+    """,
+    category="formats",
+)
+def q_jsonl_zst_roundtrip(spark, sf_dir):
+    """.jsonl.zst export -> distributed re-read -> per-shard audit: the
+    Pile/RedPajama/Dolma corpus container (one JSON object per line,
+    whole-file zstd framing via pyarrow's bundled codec —
+    sources/jsonl_zst.py) in canonical 180-record shards, deterministic
+    bytes (sorted keys, fixed separators).  Per-shard counts, key
+    ranges, language cardinality, and char sums must match the SQL
+    replay — JSON escaping of arbitrary fixture text and the zstd
+    stream framing are both on the graded path."""
+    import tempfile as _tf
+
+    from my_flink_1_10_2_spark.sources.jsonl_zst import (
+        read_jsonl_zst_shards,
+        write_jsonl_zst_shards,
+    )
+
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    work = _tf.mkdtemp(prefix="fl_jzst_q_")
+    try:
+        write_jsonl_zst_shards(docs, work, samples_per_shard=180).collect()
+        back = read_jsonl_zst_shards(
+            spark, work,
+            {"doc_id": "long", "text": "string", "lang": "string",
+             "n_chars": "long"},
+            shard_col="shard_id",
+        )
+        result = back.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("doc_id").alias("first_key"),
+            F.max("doc_id").alias("last_key"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("total_txt_chars"),
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

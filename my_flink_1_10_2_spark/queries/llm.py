@@ -4393,3 +4393,34 @@ def q_winnowing_fingerprints(spark, sf_dir):
     oracle replays the identical packing arithmetic."""
     out = D.winnowing_fingerprints(read(spark, sf_dir, "documents"))
     return out
+
+
+_MULTISCAN_PATTERNS = ["a", "an", "scan", "table", "agg", "fast value"]
+
+
+@register(
+    "q_blocklist_multiscan",
+    oracle="""
+    SELECT doc_id, pattern,
+           CAST((strlen(text) - strlen(replace(text, pattern, '')))
+                // strlen(pattern) AS BIGINT) AS n_matches
+    FROM documents,
+         unnest(['a', 'an', 'scan', 'table', 'agg', 'fast value']) AS p(pattern)
+    """,
+    category="llm_text",
+)
+def q_blocklist_multiscan(spark, sf_dir):
+    """Aho-Corasick multi-pattern scan (Aho & Corasick, CACM 1975 — the
+    one-pass blocklist matcher): per-(document, pattern) occurrence
+    counts for 6 patterns in a SINGLE automaton pass per document,
+    O(doc + matches) regardless of pattern count.  The pattern set nests
+    ('an' inside 'scan', 'a' inside everything) so the output/failure
+    links are on the graded path, and every pattern is border-free so
+    same-pattern occurrences cannot overlap — which makes the oracle's
+    replace-arithmetic count exact.  Arrow mapInPandas, automaton built
+    once per worker; at 100 TB the blocklist is the broadcast-sized
+    side and the corpus streams through one scan."""
+    from my_flink_1_10_2_spark.llm.multiscan import multiscan_counts
+
+    docs = read(spark, sf_dir, "documents")
+    return multiscan_counts(docs, _MULTISCAN_PATTERNS)

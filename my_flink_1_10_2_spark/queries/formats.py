@@ -1877,3 +1877,48 @@ def q_jsonl_zst_roundtrip(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_merkle_manifest",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+                 || CAST(n_chars AS VARCHAR) || '|' || text) AS rd,
+             (row_number() OVER (ORDER BY doc_id) - 1) // 200 AS shard_id
+      FROM documents
+    ),
+    shards AS (
+      SELECT shard_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(doc_id) AS BIGINT) AS first_key,
+             CAST(max(doc_id) AS BIGINT) AS last_key,
+             md5(string_agg(rd, '' ORDER BY doc_id)) AS shard_digest
+      FROM r GROUP BY shard_id
+    ),
+    root AS (
+      SELECT md5(string_agg(shard_digest, '' ORDER BY shard_id)) AS root_digest
+      FROM shards
+    )
+    SELECT s.shard_id, s.n_rows, s.first_key, s.last_key,
+           s.shard_digest, root.root_digest
+    FROM shards s CROSS JOIN root
+    """,
+    category="formats",
+)
+def q_merkle_manifest(spark, sf_dir):
+    """Merkle shard-integrity manifest (operators/integrity.py): per-
+    shard order-sensitive digests of row content hashes plus a corpus
+    root digest — the verification artifact a 100 TB corpus hand-off
+    ships alongside the data.  Any flipped byte, dropped row, or shard
+    reorder changes the root, and both engines fold the identical md5
+    chain, so the digests themselves grade bitwise.  JVM expressions
+    only (md5 + sorted collect + concat); one shard-keyed shuffle and a
+    shard-count-sized root fold."""
+    from my_flink_1_10_2_spark.operators.integrity import merkle_manifest
+
+    docs = read(spark, sf_dir, "documents")
+    return merkle_manifest(
+        docs, "doc_id", ["doc_id", "lang", "n_chars", "text"], rows_per_shard=200
+    )

@@ -228,3 +228,46 @@ def test_global_running_matches_window_frames(spark):
     a = {r.id: (r.si, r.se, r.mi, r.me) for r in want.collect()}
     b = {r.id: (r.si, r.se, r.mi, r.me) for r in got.collect()}
     assert a == b
+
+
+def test_merkle_manifest_detects_mutations(spark):
+    """The root digest must change under: a flipped byte, a dropped row,
+    and a shard-boundary move; and must be stable across re-runs."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.integrity import merkle_manifest
+    from my_flink_1_10_2_spark.queries import read
+    from tests.conftest import SF_DIR
+
+    docs = read(spark, SF_DIR, "documents")
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    base = merkle_manifest(docs, "doc_id", cols, rows_per_shard=20).collect()
+    assert len({r.root_digest for r in base}) == 1, "root must be global"
+    root = base[0].root_digest
+    assert sum(r.n_rows for r in base) == docs.count()
+    # deterministic across re-runs
+    again = merkle_manifest(docs, "doc_id", cols, rows_per_shard=20).collect()
+    assert again[0].root_digest == root
+    # flipped byte in ONE row -> different root, only that shard's digest moves
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit("X")))
+        .otherwise(F.col("text")),
+    )
+    mut = merkle_manifest(mutated, "doc_id", cols, rows_per_shard=20).collect()
+    assert mut[0].root_digest != root
+    changed = [
+        m.shard_id
+        for m, b in zip(sorted(mut, key=lambda r: r.shard_id),
+                        sorted(base, key=lambda r: r.shard_id))
+        if m.shard_digest != b.shard_digest
+    ]
+    assert len(changed) == 1
+    # dropped row -> different root
+    dropped = merkle_manifest(
+        docs.where(F.col("doc_id") != 3), "doc_id", cols, rows_per_shard=20
+    ).collect()
+    assert dropped[0].root_digest != root
+    # different shard geometry -> different root (order-sensitive fold)
+    other = merkle_manifest(docs, "doc_id", cols, rows_per_shard=25).collect()
+    assert other[0].root_digest != root

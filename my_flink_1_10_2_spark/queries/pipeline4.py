@@ -3893,3 +3893,48 @@ def q_ml_pipeline_scaler(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_k_anonymity_report",
+    oracle="""
+    WITH qi AS (
+      SELECT lang, source,
+             CAST(least(n_chars // 100, 9) AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM qi GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, len_bucket, n_docs,
+           CAST(CASE WHEN n_docs < 5 THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+    FROM cells
+    """,
+    category="pipeline",
+)
+def q_k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier cell (lang, source,
+    length bucket) with k = 5 (Sweeney 2002): any equivalence class
+    smaller than k is flagged for suppression — the governance gate a
+    corpus release runs before shipping per-document metadata.  One
+    partial-aggregated shuffle on the QI tuple; the report is
+    cell-cardinality-sized regardless of corpus size."""
+    docs = read(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang",
+        "source",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9))
+        .cast("bigint")
+        .alias("len_bucket"),
+    )
+    cells = qi.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return cells.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "n_docs",
+        F.when(F.col("n_docs") < 5, 1).otherwise(0).cast("bigint").alias("suppressed"),
+    )

@@ -119,6 +119,15 @@ HEADLINE = [
     "q_webdataset_roundtrip",
     "q_tfrecord_roundtrip",
     "q_gopher_repetition",
+    # round-8 second wave: Kneser-Ney LM scoring, SemDeDup pruning,
+    # winnowing fingerprints, hard-negative mining, the GIF/LZW codec,
+    # and the Common Crawl WET container
+    "q_kneser_ney_score",
+    "q_semdedup_prune",
+    "q_winnowing_fingerprints",
+    "q_hard_negative_mining",
+    "q_gif_anim_stats",
+    "q_wet_shard_roundtrip",
 ]
 
 

@@ -3938,3 +3938,204 @@ def q_k_anonymity_report(spark, sf_dir):
         "n_docs",
         F.when(F.col("n_docs") < 5, 1).otherwise(0).cast("bigint").alias("suppressed"),
     )
+
+
+@register(
+    "q_rendezvous_assignment",
+    oracle="""
+    WITH pick AS (
+      SELECT doc_id, n_chars, worker FROM (
+        SELECT d.doc_id, d.n_chars, w.worker,
+               row_number() OVER (
+                 PARTITION BY d.doc_id
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '#' || w.worker) DESC,
+                          w.worker
+               ) AS rn
+        FROM documents d,
+             unnest(['w0','w1','w2','w3','w4','w5','w6']) AS w(worker)
+      ) WHERE rn = 1
+    )
+    SELECT worker,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM pick GROUP BY worker
+    """,
+    category="pipeline",
+)
+def q_rendezvous_assignment(spark, sf_dir):
+    """Rendezvous / highest-random-weight hashing (Thaler & Ravishankar
+    1998): each document goes to the worker with the maximal
+    md5(doc#worker) — the assignment scheme whose property consistent
+    sharding needs at 100 TB: removing one worker reassigns ONLY that
+    worker's documents (minimal disruption), with no ring metadata.
+    Expressed as a scan-time greatest-of-7 hash fold (the worker list is
+    a literal — no join, no shuffle beyond the final per-worker
+    rollup); the oracle replays the same argmax via a window.  The
+    balance of the resulting histogram is the graded evidence the hash
+    spreads uniformly."""
+    docs = read(spark, sf_dir, "documents")
+    workers = [f"w{i}" for i in range(7)]
+    # greatest-of-N fold: per row, pick the worker with max md5 digest
+    # (lexicographic on hex = numeric on the 128-bit value), tie to the
+    # smaller worker id via the packed (digest, reversed-id) string
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(f"#{w}"))
+                ).alias("h"),
+                F.lit(w).alias("w"),
+            )
+            for w in workers
+        ]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["h"] > b["h"], -1)
+        .when(a["h"] < b["h"], 1)
+        .when(a["w"] < b["w"], -1)
+        .when(a["w"] > b["w"], 1)
+        .otherwise(0),
+    )[0]["w"]
+    assigned = docs.select("doc_id", "n_chars", best.alias("worker"))
+    return assigned.groupBy("worker").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, len(t) AS n_toks,
+             unnest(range(3, len(t))) AS pos,
+             list_transform(range(3, len(t)),
+                            i -> array_to_string(list_slice(t, i - 1, i + 1), ' ')) AS gs
+      FROM toks WHERE len(t) >= 4),
+    marks AS (
+      SELECT doc_id, n_toks, pos,
+             ('0x' || substr(md5(gs[pos - 2]), 1, 8))::BIGINT % 16 AS m
+      FROM grams),
+    bounds AS (
+      SELECT doc_id, n_toks, CAST(count(*) FILTER (m = 0) AS BIGINT) AS n_bounds,
+             CAST(coalesce(sum(pos) FILTER (m = 0), 0) AS BIGINT) AS bound_pos_sum
+      FROM marks GROUP BY doc_id, n_toks)
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           n_bounds + 1 AS n_chunks,
+           bound_pos_sum
+    FROM bounds
+    """,
+    category="llm",
+)
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking at token granularity (the rsync/LBFS/
+    FastCDC recipe lifted to text): a chunk boundary falls AFTER token
+    position p whenever the hash of the trailing 3-token window at p
+    hits 0 mod 16 (expected chunk ~16 tokens) — so an insertion early
+    in a document only moves boundaries inside its own chunk, keeping
+    every later chunk digest stable.  That edit-locality is what makes
+    block-level dedup of near-identical documents work, where
+    fixed-stride chunking (q_chunk_documents) re-aligns everything
+    after the edit.  Map-only positional-gram hashing (the winnowing
+    machinery's idiom), one per-doc aggregate, no windows."""
+    docs = read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tok = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 4)
+    grams = tok.select(
+        "doc_id",
+        F.size("t").alias("n_toks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(3), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i - 1, 3)),
+            )
+        ).alias("off", "gram"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        (F.col("off") + 3).alias("pos"),
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(16),
+        ).alias("m"),
+    )
+    bounds = grams.groupBy("doc_id", "n_toks").agg(
+        F.count(F.when(F.col("m") == 0, 1)).cast("bigint").alias("n_bounds"),
+        F.coalesce(F.sum(F.when(F.col("m") == 0, F.col("pos"))), F.lit(0))
+        .cast("bigint")
+        .alias("bound_pos_sum"),
+    )
+    return bounds.select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        (F.col("n_bounds") + 1).cast("bigint").alias("n_chunks"),
+        "bound_pos_sum",
+    )
+
+
+@register(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(str_split_regex(text, '')) AS ch
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    freq AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_counted,
+           round(ln(CAST(n AS DOUBLE)) - (CAST(s AS DOUBLE) / n) / 1000000.0, 6)
+             AS entropy_nats
+    FROM agg
+    """,
+    category="llm_text",
+)
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (nats) — the classic
+    gibberish/boilerplate signal: H = ln(n) - (1/n)·Σ c·ln(c) over the
+    per-document character histogram.  Every 6th document is scored.
+    Float discipline: each histogram cell contributes one
+    1e-6-quantized c·ln(c) term (exact integer counts through an
+    identically-shaped IEEE expression), per-doc sums are exact
+    bigints, and the final ln(n) subtraction happens once.  Shape: one
+    char-explode scan -> per-(doc, char) partial agg -> per-doc agg —
+    histogram-sized shuffles, no windows."""
+    docs = read(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1e6)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - (F.col("s").cast("double") / F.col("n")) / 1e6,
+            6,
+        ).alias("entropy_nats"),
+    )

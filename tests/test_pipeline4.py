@@ -1074,3 +1074,89 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
         w = t.split()
         shingles.update(" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1)))
     assert sum(r.n_novel for r in rows) == len(shingles)
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """The HRW property: dropping one worker reassigns ONLY that
+    worker's documents; every other assignment is unchanged."""
+    import hashlib
+
+    from my_flink_1_10_2_spark.queries import read
+    from tests.conftest import SF_DIR
+
+    docs = [int(r.doc_id) for r in
+            read(spark, SF_DIR, "documents").select("doc_id").collect()]
+
+    def assign(workers):
+        out = {}
+        for d in docs:
+            out[d] = max(
+                workers,
+                key=lambda w: (hashlib.md5(f"{d}#{w}".encode()).hexdigest(), w),
+            )
+        return out
+
+    full = assign([f"w{i}" for i in range(7)])
+    reduced = assign([f"w{i}" for i in range(7) if i != 3])
+    moved = [d for d in docs if full[d] != reduced[d]]
+    assert all(full[d] == "w3" for d in moved), "non-w3 doc moved"
+    assert set(moved) == {d for d in docs if full[d] == "w3"}
+    # and the graded query's histogram matches the python replay
+    from my_flink_1_10_2_spark.queries.pipeline4 import q_rendezvous_assignment
+
+    got = {r.worker: r.n_docs for r in q_rendezvous_assignment(spark, SF_DIR).collect()}
+    from collections import Counter
+
+    assert got == dict(Counter(full.values()))
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """Content-defined boundaries after an early insertion must be a
+    superset shift of only the edited neighborhood: boundaries strictly
+    AFTER the edit window keep their token content (positions shift by
+    exactly the insertion length)."""
+    import hashlib
+
+    def bounds(tokens, mask=16):
+        out = []
+        for p in range(3, len(tokens)):
+            g = " ".join(tokens[p - 2 : p + 1])
+            if int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % mask == 0:
+                out.append(p)
+        return out
+
+    base = [f"tok{i * 7 % 53}" for i in range(200)]
+    edited = base[:5] + ["inserted", "words"] + base[5:]
+    b0, b1 = bounds(base), bounds(edited)
+    late0 = [p for p in b0 if p >= 10]
+    late1 = [p - 2 for p in b1 if p >= 12]
+    assert late0 == late1, "boundaries after the edit must be stable"
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= ln(alphabet size); a constant string scores 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.queries.pipeline4 import q_char_entropy
+    from tests.conftest import SF_DIR
+
+    rows = q_char_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_nats <= math.log(256) + 1e-9
+    const = spark.createDataFrame(
+        [(0, "aaaaaaaaaa")], "doc_id long, text string"
+    )
+    # replicate the query body on a constant doc: entropy must be 0
+    chars = const.select("doc_id", F.explode(F.split("text", "")).alias("ch")) \
+        .where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1e6)
+              .cast("bigint")).alias("s"),
+    ).collect()[0]
+    h = math.log(agg.n) - (agg.s / agg.n) / 1e6
+    assert abs(h) < 1e-6

@@ -4139,3 +4139,257 @@ def q_char_entropy(spark, sf_dir):
             6,
         ).alias("entropy_nats"),
     )
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM tok WHERE len(t) >= 2),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM bgc GROUP BY w1),
+    rgt AS (SELECT w2, CAST(sum(c_bg) AS BIGINT) AS c_w2 FROM bgc GROUP BY w2),
+    tot AS (SELECT CAST(sum(c_bg) AS BIGINT) AS n FROM bgc),
+    pmi AS (
+      SELECT bgc.w1, bgc.w2, c_bg,
+             CAST(round(ln((CAST(c_bg AS DOUBLE) * n)
+                           / (CAST(c_w1 AS DOUBLE) * c_w2)) * 1000000)
+                  AS BIGINT) AS pmi_i
+      FROM bgc JOIN lft ON lft.w1 = bgc.w1
+               JOIN rgt ON rgt.w2 = bgc.w2
+               CROSS JOIN tot
+      WHERE c_bg >= 5)
+    SELECT w1, w2, c_bg, round(pmi_i / 1000000.0, 6) AS pmi
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi_i DESC, w1, w2) AS rnk
+          FROM pmi)
+    WHERE rnk <= 20
+    """,
+    category="llm_text",
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation extraction (Church &
+    Hanks 1990): the top-20 bigram types (support >= 5) by
+    pmi = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))) — the statistic that finds
+    multi-word expressions for tokenizer vocabularies and stop-phrase
+    lists.  All counts come off ONE bigram-type relation; pmi quantizes
+    once per type to 1e-6 units through an identically-shaped IEEE
+    expression, so the ranking (pmi desc, w1, w2) is engine-exact.
+    Shape: bigram partial-agg shuffle, two vocabulary-sized margins
+    joined back, TakeOrdered(20) — no full sort, no windows."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tok = docs.select(toks.alias("t")).where(F.size("t") >= 2)
+    bg = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    lft = bgc.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    rgt = bgc.groupBy("w2").agg(F.sum("c_bg").alias("c_w2"))
+    tot = bgc.agg(F.sum("c_bg").alias("n"))
+    pmi = (
+        bgc.where(F.col("c_bg") >= 5)
+        .join(lft, "w1")
+        .join(rgt, "w2")
+        .join(dim(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bg").cast("bigint").alias("c_bg"),
+            F.round(
+                F.log(
+                    (F.col("c_bg").cast("double") * F.col("n"))
+                    / (F.col("c_w1").cast("double") * F.col("c_w2"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("pmi_i"),
+        )
+    )
+    top = pmi.orderBy(F.col("pmi_i").desc(), "w1", "w2").limit(20)
+    return top.select(
+        "w1", "w2", "c_bg", F.round(F.col("pmi_i") / 1e6, 6).alias("pmi")
+    )
+
+
+@register(
+    "q_term_burstiness",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents),
+    per_doc AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY w, doc_id),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS tot,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM per_doc GROUP BY w)
+    SELECT w AS term, df, tot,
+           round((CAST(s2 AS DOUBLE) / n_docs
+                  - (CAST(tot AS DOUBLE) / n_docs) * (CAST(tot AS DOUBLE) / n_docs))
+                 / (CAST(tot AS DOUBLE) / n_docs), 6) AS vmr
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY (CAST(s2 AS DOUBLE) / n_docs
+                      - (CAST(tot AS DOUBLE) / n_docs) * (CAST(tot AS DOUBLE) / n_docs))
+                     / (CAST(tot AS DOUBLE) / n_docs) DESC, w) AS rnk
+          FROM stats CROSS JOIN d WHERE df >= 10)
+    WHERE rnk <= 30
+    """,
+    category="llm_text",
+)
+def q_term_burstiness(spark, sf_dir):
+    """Term burstiness via the variance-to-mean ratio (Church & Gale
+    1995 — dispersion): content words clump (VMR >> 1), function words
+    spread evenly (VMR ~ 1 under Poisson).  Per-term VMR over per-doc
+    counts (zeros included through the corpus doc count), top-30 most
+    bursty among terms in >= 10 documents.  The inputs are exact
+    integer sums (tot, sum of c², df); the VMR expression is shaped
+    identically on both engines so the ranking is engine-exact.
+    Shape: token scan -> (term, doc) partial agg -> term agg ->
+    TakeOrdered(30); margins are vocabulary-sized."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    per_doc = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    d = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n_docs")
+    vmr = (F.col("s2").cast("double") / F.col("n_docs") - mean * mean) / mean
+    ranked = (
+        stats.where(F.col("df") >= 10)
+        .join(dim(d))
+        .select(
+            F.col("w").alias("term"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("tot").cast("bigint").alias("tot"),
+            vmr.alias("__vmr"),
+        )
+        .orderBy(F.col("__vmr").desc(), "term")
+        .limit(30)
+    )
+    return ranked.select(
+        "term", "df", "tot", F.round("__vmr", 6).alias("vmr")
+    )
+
+
+@register(
+    "q_domain_crossentropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(
+        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents),
+    cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, w),
+    nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
+    terms AS (
+      SELECT e.source AS eval_source, m.source AS model_source,
+             CAST(round(e.c * ln((CAST(coalesce(cm.c, 0) + 1 AS DOUBLE))
+                                 / (nm.n + v)) * 1000000) AS BIGINT) AS t_i,
+             e.c AS c_e
+      FROM cnt e
+        CROSS JOIN nsrc m
+        LEFT JOIN cnt cm ON cm.source = m.source AND cm.w = e.w
+        JOIN nsrc nm ON nm.source = m.source
+        CROSS JOIN vocab)
+    SELECT model_source, eval_source,
+           round(-(CAST(sum(t_i) AS DOUBLE) / sum(c_e)) / 1000000.0, 6)
+             AS cross_entropy
+    FROM terms GROUP BY model_source, eval_source
+    """,
+    category="llm_text",
+)
+def q_domain_crossentropy(spark, sf_dir):
+    """Domain-shift matrix: cross-entropy of every source's add-1
+    unigram LM evaluated on every other source's token stream —
+    CE(m, e) = -(1/N_e)·Σ_w c_e(w)·ln((c_m(w)+1)/(N_m+V)).  The
+    diagonal is each domain's own entropy; off-diagonal asymmetries
+    are the curation signal (which domains transfer, which are
+    outliers) a data-mixing recipe reads before setting weights.
+    All model statistics are integer counts off ONE (source, term)
+    relation; each (model, eval, term) contribution quantizes once to
+    1e-6 units; per-pair sums are exact bigints divided once.
+    Shape: token scan -> (source, term) partial agg -> a source-count
+    × term-relation broadcast fan-out -> per-pair agg.  The matrix is
+    |sources|² regardless of corpus size."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    nsrc = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = cnt.agg(F.countDistinct("w").alias("v"))
+    e = cnt.select(
+        F.col("source").alias("eval_source"), "w", F.col("c").alias("c_e")
+    )
+    m = nsrc.select(F.col("source").alias("model_source"), "n")
+    cm = cnt.select(
+        F.col("source").alias("model_source"),
+        F.col("w").alias("mw"),
+        F.col("c").alias("c_m"),
+    )
+    em = e.join(dim(m))
+    terms = (
+        em.join(
+            cm.withColumnRenamed("model_source", "cm_source"),
+            (F.col("cm_source") == em.model_source) & (F.col("mw") == em.w),
+            "left",
+        )
+        .join(dim(vocab))
+        .select(
+            "eval_source",
+            "model_source",
+            "c_e",
+            F.round(
+                F.col("c_e")
+                * F.log(
+                    (F.coalesce(F.col("c_m"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("t_i"),
+        )
+    )
+    return terms.groupBy("model_source", "eval_source").agg(
+        F.round(
+            -(F.sum("t_i").cast("double") / F.sum("c_e")) / 1e6, 6
+        ).alias("cross_entropy")
+    )

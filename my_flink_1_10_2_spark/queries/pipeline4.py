@@ -4393,3 +4393,119 @@ def q_domain_crossentropy(spark, sf_dir):
             -(F.sum("t_i").cast("double") / F.sum("c_e")) / 1e6, 6
         ).alias("cross_entropy")
     )
+
+
+@register(
+    "q_referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    """,
+    category="pipeline",
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema's FK edges:
+    orphaned-child counts per edge via LEFT ANTI joins — the ingest
+    gate a pipeline runs before trusting joins (an orphan silently
+    drops rows from every inner join downstream).  Each edge is one
+    anti-join whose parent side is dimension-sized (broadcast) or
+    key-projected; the report is edge-count-sized."""
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = read(spark, sf_dir, child).select(F.col(ck).alias("__k"))
+        p = read(spark, sf_dir, parent).select(F.col(pk).alias("__k"))
+        orphans = c.join(p, "__k", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"))
+        row = (
+            total.join(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "q_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+    category="pipeline",
+)
+def q_benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data screen: naturally-occurring multiplicative amounts
+    follow P(d) = log10(1 + 1/d), and a synthetic or truncated column
+    shows up as a flat or spiked digit histogram (this fixture's
+    uniform-ish prices deliberately FAIL Benford — the audit's point
+    is to report the deviation, not to pass).  One scan-time digit
+    projection and a 9-row aggregate; both engines round the observed
+    and theoretical distributions identically."""
+    orders = read(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    return obs.join(dim(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_p"),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_p"),
+    )

@@ -4424,3 +4424,55 @@ def q_blocklist_multiscan(spark, sf_dir):
 
     docs = read(spark, sf_dir, "documents")
     return multiscan_counts(docs, _MULTISCAN_PATTERNS)
+
+
+@register(
+    "q_set_similarity_join",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS tok
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+            WHERE len(t) >= 3)),
+    dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY tok),
+    ordered AS (
+      SELECT s.doc_id,
+             array_agg(s.tok ORDER BY d.df, s.tok) AS toks,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM sh s JOIN dfq d ON d.tok = s.tok GROUP BY s.doc_id),
+    prefixes AS (
+      SELECT doc_id AS pid, toks, sz,
+             unnest(list_slice(toks, 1, sz - CAST(ceil(sz * 0.5) AS BIGINT) + 1))
+               AS ptok
+      FROM ordered),
+    cand AS (
+      SELECT a.pid AS src, b.pid AS dst,
+             a.toks AS a_toks, b.toks AS b_toks, a.sz AS a_sz, b.sz AS b_sz
+      FROM prefixes a JOIN prefixes b ON a.ptok = b.ptok AND a.pid < b.pid)
+    SELECT DISTINCT src, dst,
+           round(CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+                 / (a_sz + b_sz - len(list_intersect(a_toks, b_toks))), 9)
+             AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+          / (a_sz + b_sz - len(list_intersect(a_toks, b_toks))) >= 0.5
+    """,
+    category="llm_dedup",
+)
+def q_set_similarity_join(spark, sf_dir):
+    """All-pairs set-similarity self-join with prefix filtering
+    (ICDE 2006 / the WWW 2007 all-pairs recipe; see
+    llm/dedup.py::set_similarity_join): exact 3-gram-shingle Jaccard
+    >= 0.5 pairs WITHOUT a cross join — candidates only through an
+    equi-join on rarest-first prefix shingles, whose length
+    |x| - ceil(t·|x|) + 1 is what bounds the candidate set.  This is
+    the exact-verification complement to MinHash-LSH
+    (q_minhash_lsh_pairs): same problem, zero false negatives, prefix
+    filter instead of probabilistic bands.  The oracle replays the
+    identical ordering, prefix arithmetic, and verification."""
+    out = D.set_similarity_join(read(spark, sf_dir, "documents"), threshold=0.5)
+    return out

@@ -220,3 +220,54 @@ def test_winnowing_guarantee_and_density(spark):
         F.sum("n_fps").alias("f"), F.sum("n_grams").alias("g")
     ).collect()[0]
     assert 0.15 <= agg.f / agg.g <= 0.6
+
+
+def test_set_similarity_join_no_false_negatives(spark):
+    """Prefix filtering must be LOSSLESS: every pair the brute-force
+    3-gram Jaccard finds at the threshold must come out of the
+    prefix-filtered join, with identical similarity values — and the
+    join must emit at least one pair on a fixture containing planted
+    near-duplicates."""
+    from my_flink_1_10_2_spark.llm.dedup import set_similarity_join, shingles
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),                      # near-dup of 1
+        (3, "totally different words here folks"),
+        (4, base.replace("delta", "DELTA-X")),     # moderate overlap
+        (5, "another unrelated string of text ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.src, r.dst): r.jaccard
+        for r in set_similarity_join(df, threshold=0.5).collect()
+    }
+    # brute force over the same shingle sets
+    sets = {}
+    for r in shingles(df, n=3).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / len(sets[a] | sets[b])
+            if jac >= 0.5:
+                want[(a, b)] = round(jac, 9)
+    assert want, "fixture must contain a qualifying pair"
+    assert got == want
+
+
+def test_set_similarity_join_prunes_candidates(spark):
+    """On the real fixture the prefix join must generate far fewer
+    candidate pairs than the n^2 cross product (the filter's point)."""
+    from my_flink_1_10_2_spark.llm.dedup import set_similarity_join
+
+    docs = read(spark, SF_DIR, "documents")
+    n = docs.count()
+    out = set_similarity_join(docs, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    pairs = out.count()
+    assert pairs < n * (n - 1) / 20, "prefix filter did not prune"

@@ -4509,3 +4509,76 @@ def q_benford_digit_audit(spark, sf_dir):
             F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
         ).alias("benford_p"),
     )
+
+
+@register(
+    "q_frequent_triples",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    )
+    SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+           CAST(count(*) AS BIGINT) AS support
+    FROM li a
+      JOIN li b ON a.o = b.o AND a.p < b.p
+      JOIN li c ON a.o = c.o AND b.p < c.p
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    """,
+    category="pipeline",
+)
+def q_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemsets over order baskets with A-PRIORI pruning
+    (Agrawal & Srikant, VLDB 1994): a triple can only reach support s
+    if all three of its pairs do (anti-monotonicity), so the plan
+    builds the frequent-PAIR relation first and semi-joins every edge
+    of the growing candidate against it before the third basket join —
+    the candidate stream is bounded by frequent-pair density instead of
+    sum-of-basket-size³.  The pruning is plan-level only: by
+    anti-monotonicity the RESULT equals the naive triple count, which
+    is exactly what the oracle replays (so the grade certifies the
+    pruned plan loses nothing).  One basket relation, hash equi-joins
+    keyed on the order, no cartesian."""
+    li = (
+        read(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select(F.col("o"), F.col("p").alias("p1"))
+    b = li.select(F.col("o"), F.col("p").alias("p2"))
+    c = li.select(F.col("o"), F.col("p").alias("p3"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("p1", "p2")
+    )
+    l2_12 = pairs
+    l2_13 = pairs.select(F.col("p1").alias("q1"), F.col("p2").alias("q3"))
+    l2_23 = pairs.select(F.col("p1").alias("r2"), F.col("p2").alias("r3"))
+    ab = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .join(l2_12, ["p1", "p2"], "left_semi")
+    )
+    abc = (
+        ab.join(c, "o")
+        .where(F.col("p2") < F.col("p3"))
+        .join(
+            l2_13,
+            (F.col("p1") == F.col("q1")) & (F.col("p3") == F.col("q3")),
+            "left_semi",
+        )
+        .join(
+            l2_23,
+            (F.col("p2") == F.col("r2")) & (F.col("p3") == F.col("r3")),
+            "left_semi",
+        )
+    )
+    return (
+        abc.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= 2)
+    )

@@ -4582,3 +4582,137 @@ def q_frequent_triples(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= 2)
     )
+
+
+@register(
+    "q_association_rules",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+    item AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY p),
+    pair AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS s_pair
+      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    rules AS (
+      SELECT p1, p2, s_pair,
+             round(CAST(s_pair AS DOUBLE) / i1.s, 6) AS confidence,
+             round((CAST(s_pair AS DOUBLE) / i1.s) * n_orders / i2.s, 6) AS lift
+      FROM pair JOIN item i1 ON i1.p = pair.p1
+                JOIN item i2 ON i2.p = pair.p2
+                CROSS JOIN n)
+    SELECT p1, p2, s_pair, confidence, lift
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY lift DESC, confidence DESC, p1, p2) AS rnk FROM rules)
+    WHERE rnk <= 25
+    """,
+    category="pipeline",
+)
+def q_association_rules(spark, sf_dir):
+    """Association rules p1 -> p2 from order baskets (Agrawal et al.
+    1993): confidence = s(p1,p2)/s(p1), lift = confidence·N/s(p2) —
+    ranked by lift, top 25 (ties broken on confidence then keys).
+    Directed pairs with support >= 2; all statistics off one distinct
+    basket relation; the float confidence/lift expressions are shaped
+    identically on both engines so the ranking is exact.  Shape: basket
+    self-join keyed on the order, item-margin hash joins, TakeOrdered."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    li = (
+        read(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    item = li.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a = li.select("o", F.col("p").alias("p1"))
+    b = li.select("o", F.col("p").alias("p2"))
+    pair = (
+        a.join(b, "o")
+        .where(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_pair"))
+        .where(F.col("s_pair") >= 2)
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("s").alias("s1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    conf = F.col("s_pair").cast("double") / F.col("s1")
+    lift = conf * F.col("n_orders") / F.col("s2")
+    rules = (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .join(dim(n))
+        .select(
+            "p1", "p2", "s_pair",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("confidence").desc(), "p1", "p2"
+    ).limit(25)
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority),
+    dev AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS d, m.med, m.n
+      FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority),
+    mad AS (
+      SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY o_orderpriority)
+    SELECT d.o_orderpriority AS priority, d.n,
+           round(d.med, 4) AS median_price,
+           round(mad.mad, 4) AS mad,
+           CAST(count(*) FILTER (d.d > 4.4478 * mad.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.o_orderpriority = d.o_orderpriority
+    GROUP BY d.o_orderpriority, d.n, d.med, mad.mad
+    """,
+    category="pipeline",
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via the median absolute deviation
+    (Hampel's rule, |x - med| > 3·1.4826·MAD): the screen that survives
+    the heavy tails that break z-scores — both the location and scale
+    estimates have a 50% breakdown point.  Two exact grouped medians
+    (aggregate-buffer percentile, one hash shuffle each — the
+    q_group_quantiles shape) and a final per-group count; both engines
+    evaluate the identical 4.4478·MAD threshold on raw doubles."""
+    orders = read(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = orders.join(med, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("d", 0.5).alias("mad")
+    )
+    return (
+        dev.join(mad, "o_orderpriority")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), "n", "med", "mad"
+        )
+        .agg(
+            F.count(F.when(F.col("d") > F.lit(4.4478) * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "priority",
+            "n",
+            F.round("med", 4).alias("median_price"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -4476,3 +4476,114 @@ def q_set_similarity_join(spark, sf_dir):
     identical ordering, prefix arithmetic, and verification."""
     out = D.set_similarity_join(read(spark, sf_dir, "documents"), threshold=0.5)
     return out
+
+
+def _greedy_gen_oracle(steps: int = 8) -> str:
+    """Unrolled argmax walk: s0 = the corpus's most frequent token; each
+    s{i+1} = argmax_w2 c(s{i}, w2), ties to the lexicographically
+    smallest w2."""
+    ctes = [
+        r"""tok AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents)""",
+        """uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w)""",
+        """bgc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        FROM tok WHERE len(t) >= 2) GROUP BY w1, w2)""",
+        """amax AS (
+      SELECT w1, w2 AS nxt, c FROM (
+        SELECT w1, w2, c,
+               row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+        FROM bgc) WHERE rn = 1)""",
+        """s0 AS (
+      SELECT 0 AS step, w AS token, c AS cnt FROM (
+        SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn
+        FROM uni) WHERE rn = 1)""",
+    ]
+    for i in range(steps):
+        ctes.append(
+            f"""s{i + 1} AS (
+      SELECT {i + 1} AS step, a.nxt AS token, a.c AS cnt
+      FROM s{i} JOIN amax a ON a.w1 = s{i}.token)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(steps + 1)
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT step, token, cnt FROM ({union}) ORDER BY step
+    """
+
+
+@register(
+    "q_greedy_generation",
+    oracle=_greedy_gen_oracle(),
+    category="llm_text",
+)
+def q_greedy_generation(spark, sf_dir):
+    """Greedy (argmax) decoding from the corpus's own bigram LM: start
+    at the most frequent token and take 8 steps of
+    next = argmax_w2 c(cur, w2) (ties to the smallest w2) — the
+    deterministic decode loop that closes the train->score->GENERATE
+    triangle the scoring operators (q_unigram_logprob,
+    q_kneser_ney_score) leave open.  The per-context argmax relation is
+    vocabulary-sized (one groupBy + per-key top-1); the 8-step walk is
+    8 joins against that broadcast-sized relation — no corpus rescan
+    per step.  The oracle unrolls the identical walk as 8 chained CTEs.
+    Output: (step, token, cnt) where cnt is the supporting count."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+    from my_flink_1_10_2_spark.operators.rank import top_n
+
+    docs = read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tok = docs.select(toks.alias("t"))
+    uni = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bg = tok.where(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    amax = (
+        top_n(bgc, ["w1"], [F.col("c").desc(), F.col("w2")], 1, ascending=True,
+              rank_col=None)
+        .select("w1", F.col("w2").alias("nxt"), "c")
+    )
+    seed = (
+        uni.orderBy(F.col("c").desc(), "w")
+        .limit(1)
+        .select(F.lit(0).cast("int").alias("step"), F.col("w").alias("token"),
+                F.col("c").alias("cnt"))
+    )
+    steps = [seed]
+    cur = seed
+    for i in range(8):
+        cur = (
+            cur.select(F.col("token").alias("w1"))
+            .join(dim(amax), "w1")
+            .select(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.col("nxt").alias("token"),
+                F.col("c").alias("cnt"),
+            )
+        )
+        steps.append(cur)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.select(
+        F.col("step").cast("bigint").alias("step"), "token", "cnt"
+    )

@@ -4716,3 +4716,93 @@ def q_mad_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@register(
+    "q_ks_source_drift",
+    oracle="""
+    WITH b AS (
+      SELECT source, CAST(n_chars // 10 AS BIGINT) AS bkt FROM documents),
+    sb AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY source, bkt),
+    st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM sb GROUP BY source),
+    gb AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS g FROM sb GROUP BY bkt),
+    gt AS (SELECT CAST(sum(g) AS BIGINT) AS tg FROM gb),
+    grid AS (
+      SELECT s.source, gb.bkt, coalesce(sb.c, 0) AS c, gb.g
+      FROM (SELECT DISTINCT source FROM sb) s
+        CROSS JOIN gb
+        LEFT JOIN sb ON sb.source = s.source AND sb.bkt = gb.bkt),
+    cum AS (
+      SELECT source, bkt,
+             sum(c) OVER (PARTITION BY source ORDER BY bkt) AS cs,
+             sum(g) OVER (PARTITION BY source ORDER BY bkt) AS cg
+      FROM grid),
+    diffs AS (
+      SELECT cum.source,
+             CAST(round(abs(CAST(cs AS DOUBLE) / ts - CAST(cg AS DOUBLE) / tg)
+                        * 1000000) AS BIGINT) AS d_i
+      FROM cum JOIN st ON st.source = cum.source CROSS JOIN gt)
+    SELECT source,
+           (SELECT ts FROM st WHERE st.source = diffs.source) AS n_docs,
+           round(max(d_i) / 1000000.0, 6) AS ks_stat
+    FROM diffs GROUP BY source
+    """,
+    category="pipeline",
+)
+def q_ks_source_drift(spark, sf_dir):
+    """Kolmogorov-Smirnov drift statistic per source: the max gap
+    between each source's document-length ECDF and the whole corpus's,
+    evaluated on 10-char buckets — the distribution-shift alarm a
+    continuously-ingesting pipeline keeps per provenance stream.
+    Every cumulative window runs over the BUCKET-level rollup
+    partitioned by source (a few hundred rows per source, never row
+    data); per-bucket gaps quantize to 1e-6 before the max so the
+    statistic is engine-exact."""
+    from pyspark.sql import Window as W
+
+    from my_flink_1_10_2_spark.operators.hints import dim
+
+    docs = read(spark, sf_dir, "documents")
+    b = docs.select(
+        "source", F.floor(F.col("n_chars") / 10).cast("bigint").alias("bkt")
+    )
+    sb = b.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    st = sb.groupBy("source").agg(F.sum("c").cast("bigint").alias("ts"))
+    gb = sb.groupBy("bkt").agg(F.sum("c").cast("bigint").alias("g"))
+    gt = gb.agg(F.sum("g").cast("bigint").alias("tg"))
+    grid = (
+        sb.select("source").distinct()
+        .join(dim(gb))
+        .join(sb, ["source", "bkt"], "left")
+        .select(
+            "source", "bkt", F.coalesce(F.col("c"), F.lit(0)).alias("c"), "g"
+        )
+    )
+    w = W.partitionBy("source").orderBy("bkt")
+    cum = grid.select(
+        "source",
+        F.sum("c").over(w).alias("cs"),
+        F.sum("g").over(w).alias("cg"),
+    )
+    diffs = (
+        cum.join(st, "source")
+        .join(dim(gt))
+        .select(
+            "source",
+            "ts",
+            F.round(
+                F.abs(
+                    F.col("cs").cast("double") / F.col("ts")
+                    - F.col("cg").cast("double") / F.col("tg")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("d_i"),
+        )
+    )
+    return diffs.groupBy("source").agg(
+        F.max("ts").alias("n_docs"),
+        F.round(F.max("d_i") / 1e6, 6).alias("ks_stat"),
+    )

@@ -572,3 +572,80 @@ def ddsketch_quantiles(
             F.first("total_n").alias("total_n"),
         )
     )
+
+
+def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+    """HyperLogLog register relation (Flajolet et al. 2007): bucket =
+    low log2(m) bits of a 60-bit md5 hash, rank = 1 + trailing-zero
+    count of the remaining bits (geometrically distributed exactly like
+    the paper's leading-zero rank), register = MAX rank per bucket.
+
+    max() is partial-aggregable, so the map side combines each task
+    down to <= m rows before the shuffle — the register relation costs
+    one O(m)-row exchange regardless of input size, and registers from
+    disjoint corpora merge with another max (the mergeability that
+    makes the sketch work across 100 TB partitions).
+
+    Output: (bucket, register) — at most m rows.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(h.alias("__h"))
+        .select(
+            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+            F.expr(f"__h DIV {m}").alias("__w"),
+        )
+        .select(
+            "bucket",
+            # rank = 1 + trailing zeros of __w within its 52-bit window;
+            # __w = 0 (hash a multiple of m*2^52 — never at these sizes,
+            # but defined) caps at 53
+            F.when(F.col("__w") == 0, F.lit(53))
+            .otherwise(
+                # trailing zeros via the twos-complement trick:
+                # tz = log2(w & -w); bit_count((w & -w) - 1) == tz
+                F.lit(1)
+                + F.bit_count(
+                    (F.col("__w").bitwiseAND(-F.col("__w"))) - F.lit(1)
+                )
+            )
+            .alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+    """HyperLogLog cardinality estimate with the paper's small-range
+    (linear counting) correction.  Returns one row:
+    (n_registers_hit, estimate)."""
+    regs = hll_registers(df, col, m)
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # the paper's alpha_m for m >= 128
+    # integer-exact harmonic sum: each 2^-register term scales to the
+    # exact bigint 2^(53-register), and every EMPTY register contributes
+    # 2^0 = 1, i.e. 2^53 scaled — so the only float op left is ONE
+    # division by the exact integer sum (cross-engine float sums of
+    # mixed-exponent terms are ulp-hazardous; an integer sum is not)
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - register AS INT))"))
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    numer = alpha * m * m * float(1 << 53)  # one python-folded constant
+    s_total = F.col("s_int") + (F.lit(m) - F.col("hit")) * F.lit(1 << 53)
+    raw = F.lit(numer) / s_total.cast("double")
+    v = (F.lit(m) - F.col("hit")).cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("hit").alias("n_registers_hit"),
+        corrected.alias("estimate"),
+    )

@@ -469,3 +469,67 @@ def q_ddsketch_quantiles(spark, sf_dir):
         F.col("cum_n").cast("bigint").alias("cum_n"),
         F.col("total_n").cast("bigint").alias("total_n"),
     ).orderBy("q_num", "q_den")
+
+
+@register(
+    "q_hll_distinct_parts",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM lineitem),
+    rr AS (
+      SELECT hv % 256 AS bucket,
+             CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 1 + bit_count(((hv // 256) & -(hv // 256)) - 1)
+             END AS rank
+      FROM h),
+    regs AS (SELECT bucket, max(rank) AS register FROM rr GROUP BY bucket),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS hit,
+             CAST(sum(1::BIGINT << (53 - register)) AS BIGINT) AS s_int
+      FROM regs),
+    est AS (
+      SELECT hit,
+             CASE WHEN (4.2399330249068963e+20
+                        / CAST(s_int + (256 - hit) * (1::BIGINT << 53) AS DOUBLE))
+                       <= 640.0
+                       AND CAST(256 - hit AS DOUBLE) > 0
+                  THEN 256.0 * ln(256.0 / CAST(256 - hit AS DOUBLE))
+                  ELSE 4.2399330249068963e+20
+                       / CAST(s_int + (256 - hit) * (1::BIGINT << 53) AS DOUBLE)
+             END AS estimate
+      FROM agg)
+    SELECT hit AS n_registers_hit,
+           round(estimate, 4) AS estimate,
+           (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+             AS exact_distinct
+    FROM est
+    """,
+    category="sketch",
+)
+def q_hll_distinct_parts(spark, sf_dir):
+    """HyperLogLog distinct count (Flajolet/Fusy/Gandouet/Meunier 2007,
+    m = 256 registers, trailing-zero rank — identical geometric law to
+    the paper's leading-zero rank) with the small-range linear-counting
+    correction, next to the exact answer for error inspection.  The
+    harmonic sum is computed in exact integer units (2^(53-register)
+    per register), so the ONLY float op is one division — the sketch
+    estimate itself grades bitwise.  max() registers are map-side
+    combined: one <= 256-row exchange regardless of input size, and
+    registers from disjoint corpus partitions merge with another max —
+    the mergeability KMV (q_kmv_distinct_parts) shares and exact
+    count-distinct lacks at 100 TB."""
+    from my_flink_1_10_2_spark.operators.hints import dim
+    from my_flink_1_10_2_spark.operators.sketch import hll_estimate
+
+    li = read(spark, sf_dir, "lineitem")
+    est = hll_estimate(li, "l_partkey", m=256)
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(dim(exact)).select(
+        "n_registers_hit",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_distinct",
+    )

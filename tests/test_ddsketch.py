@@ -97,3 +97,32 @@ def test_rank_arithmetic_is_integer_exact(spark):
     }
     assert out[(1, 2)] == _bucket_of(1)
     assert out[(99, 100)] == _bucket_of(1)  # rank 99 of 100 is still the 1s
+
+
+def test_hll_accuracy_and_mergeability(spark):
+    """HLL estimate must land within the theoretical error envelope
+    (1.04/sqrt(m) ~ 6.5% at m=256; allow 4 sigma) on several true
+    cardinalities, and max-merging two halves' registers must equal the
+    whole corpus's registers exactly."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    for n in (50, 500, 5000):
+        df = spark.range(n).select(F.col("id").alias("v"))
+        est = hll_estimate(df, "v", m=256).collect()[0].estimate
+        assert abs(est - n) / n < 4 * 1.04 / (256 ** 0.5), (n, est)
+    # mergeability: registers(A ∪ B) == max-merge(registers(A), registers(B))
+    df = spark.range(3000).select(F.col("id").alias("v"))
+    a = df.where("v % 2 = 0")
+    b = df.where("v % 2 = 1")
+    whole = {r.bucket: r.register for r in hll_registers(df, "v").collect()}
+    ra = {r.bucket: r.register for r in hll_registers(a, "v").collect()}
+    rb = {r.bucket: r.register for r in hll_registers(b, "v").collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == whole

@@ -4806,3 +4806,60 @@ def q_ks_source_drift(spark, sf_dir):
         F.max("ts").alias("n_docs"),
         F.round(F.max("d_i") / 1e6, 6).alias("ks_stat"),
     )
+
+
+@register(
+    "q_out_of_order_profile",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    lat AS (
+      SELECT greatest(
+               max(t) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - t, 0) AS lat_us
+      FROM e),
+    b AS (
+      SELECT least(lat_us // 600000000, 20) AS bucket_10min
+      FROM lat WHERE lat_us IS NOT NULL)
+    SELECT CAST(bucket_10min AS BIGINT) AS bucket_10min,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY 1
+    """,
+    category="streaming",
+)
+def q_out_of_order_profile(spark, sf_dir):
+    """Out-of-orderness profile — the measurement that SIZES a
+    watermark: for each event, its lateness versus the per-key running
+    maximum event time in ARRIVAL order (event_id), bucketed into
+    10-minute lateness classes (capped at 20).  The histogram's tail IS
+    the bounded-out-of-orderness delay a
+    BoundedOutOfOrdernessTimestampExtractor needs (ref:
+    flink-streaming-java .../timestamps/
+    BoundedOutOfOrdernessTimestampExtractor.java:30 — the `maxOutOf
+    Orderness` parameter users otherwise guess).  The running max is a
+    KEYED window (per user), never a global one; each key's first event
+    (no preceding arrival) is excluded as undefined."""
+    from pyspark.sql import Window as W
+
+    ev = read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        F.greatest(F.max("t").over(w) - F.col("t"), F.lit(0)).alias("lat_us")
+    ).where(F.col("lat_us").isNotNull())
+    b = lat.select(
+        F.least(F.expr("lat_us DIV 600000000"), F.lit(20))
+        .cast("bigint")
+        .alias("bucket_10min")
+    )
+    return b.groupBy("bucket_10min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )

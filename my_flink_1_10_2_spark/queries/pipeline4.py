@@ -4812,17 +4812,20 @@ def q_ks_source_drift(spark, sf_dir):
     "q_out_of_order_profile",
     oracle="""
     WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             epoch_us(ts) + (('0x' || substr(md5('jit|' || CAST(event_id AS VARCHAR)),
+                                             1, 8))::BIGINT % 1200) * 1000000 AS arrival
+      FROM events),
     lat AS (
       SELECT greatest(
-               max(t) OVER (PARTITION BY user_id ORDER BY event_id
+               max(t) OVER (PARTITION BY user_id ORDER BY arrival, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                - t, 0) AS lat_us
       FROM e),
     b AS (
-      SELECT least(lat_us // 600000000, 20) AS bucket_10min
+      SELECT least(lat_us // 60000000, 30) AS bucket_min
       FROM lat WHERE lat_us IS NOT NULL)
-    SELECT CAST(bucket_10min AS BIGINT) AS bucket_10min,
+    SELECT CAST(bucket_min AS BIGINT) AS bucket_min,
            CAST(count(*) AS BIGINT) AS n_events
     FROM b GROUP BY 1
     """,
@@ -4830,36 +4833,53 @@ def q_ks_source_drift(spark, sf_dir):
 )
 def q_out_of_order_profile(spark, sf_dir):
     """Out-of-orderness profile — the measurement that SIZES a
-    watermark: for each event, its lateness versus the per-key running
-    maximum event time in ARRIVAL order (event_id), bucketed into
-    10-minute lateness classes (capped at 20).  The histogram's tail IS
-    the bounded-out-of-orderness delay a
+    watermark: replay each key's stream under a deterministic simulated
+    network jitter (md5(event_id) % 20 min added to arrival, the
+    fixture's event times being perfectly ordered), then histogram each
+    event's lateness versus the per-key running-max event time in that
+    arrival order, in 1-minute classes capped at 30.  The histogram's
+    tail IS the bounded-out-of-orderness delay a
     BoundedOutOfOrdernessTimestampExtractor needs (ref:
     flink-streaming-java .../timestamps/
-    BoundedOutOfOrdernessTimestampExtractor.java:30 — the `maxOutOf
-    Orderness` parameter users otherwise guess).  The running max is a
-    KEYED window (per user), never a global one; each key's first event
-    (no preceding arrival) is excluded as undefined."""
+    BoundedOutOfOrdernessTimestampExtractor.java:30 — the
+    `maxOutOfOrderness` parameter users otherwise guess).  The running
+    max is a KEYED window (per user), never a global one; each key's
+    first arrival (no preceding event) is excluded as undefined."""
     from pyspark.sql import Window as W
 
+    jitter = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jit|"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1200),
+        )
+        * F.lit(1000000)
+    )
     ev = read(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
-    )
+    ).withColumn("arrival", F.col("t") + jitter)
     w = (
         W.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arrival", "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     lat = ev.select(
         F.greatest(F.max("t").over(w) - F.col("t"), F.lit(0)).alias("lat_us")
     ).where(F.col("lat_us").isNotNull())
     b = lat.select(
-        F.least(F.expr("lat_us DIV 600000000"), F.lit(20))
+        F.least(F.expr("lat_us DIV 60000000"), F.lit(30))
         .cast("bigint")
-        .alias("bucket_10min")
+        .alias("bucket_min")
     )
-    return b.groupBy("bucket_10min").agg(
+    return b.groupBy("bucket_min").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
     )

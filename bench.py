@@ -125,7 +125,7 @@ HEADLINE = [
     "q_kneser_ney_score",
     "q_semdedup_prune",
     "q_winnowing_fingerprints",
-    "q_hard_negative_mining",
+    "q_hard_negatives_blas",
     "q_gif_anim_stats",
     "q_wet_shard_roundtrip",
 ]

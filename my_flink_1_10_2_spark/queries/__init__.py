@@ -40,6 +40,11 @@ def register(name: str, oracle: str | None, category: str):
     """Decorator: add a (spark_fn, oracle) pair to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} (a second @register "
+                "would silently shadow the first and break its tests/oracle)"
+            )
         REGISTRY[name] = Query(
             name=name, spark_fn=fn, oracle=oracle, category=category, doc=fn.__doc__ or ""
         )

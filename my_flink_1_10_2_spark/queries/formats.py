@@ -19,7 +19,7 @@ from my_flink_1_10_2_spark.queries import read, register
 
 
 @register(
-    "q_avro_roundtrip",
+    "q_avro_documents_roundtrip",
     oracle="""
     SELECT source,
            count(*) AS n_docs,
@@ -32,7 +32,7 @@ from my_flink_1_10_2_spark.queries import read, register
     """,
     category="formats",
 )
-def q_avro_roundtrip(spark, sf_dir):
+def q_avro_documents_roundtrip(spark, sf_dir):
     """Avro container write → distributed read → aggregate (ref:
     flink-formats/flink-avro/AvroOutputFormat.java, AvroInputFormat.java).
 

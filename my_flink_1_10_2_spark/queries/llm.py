@@ -4217,7 +4217,7 @@ def q_y4m_video_stats(spark, sf_dir):
 
 
 @register(
-    "q_hard_negative_mining",
+    "q_hard_negatives_blas",
     oracle="""
     WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_vec
@@ -4238,13 +4238,17 @@ def q_y4m_video_stats(spark, sf_dir):
     """,
     category="llm_similarity",
 )
-def q_hard_negative_mining(spark, sf_dir):
-    """Hard-negative mining (DPR / Contriever contrastive-training
+def q_hard_negatives_blas(spark, sf_dir):
+    """Hard-negative mining, single-kernel variant (DPR / Contriever
     recipe): for each anchor embedding, the 3 most-similar vectors with
-    a DIFFERENT label — negatives at the decision boundary.  The label
-    constraint lives INSIDE the scoring kernel (llm/similarity.py::
-    hard_negatives): filtering an unlabeled top-k afterwards would
-    return negatives among the best, not the best among negatives.
+    a DIFFERENT label.  Complements q_hard_negative_mining (which loops
+    per label group, one top-k retrieval per label): here the label
+    constraint lives INSIDE one scoring kernel (llm/similarity.py::
+    hard_negatives) — a single corpus pass for ALL labels, no
+    label-domain driver loop, which is the shape to prefer when the
+    label domain is large.  Filtering an unlabeled top-k afterwards
+    would return negatives among the best, not the best among
+    negatives.
     Anchor matrix broadcast, corpus streamed through one BLAS matmul
     per Arrow batch, partition-local top-k — the corpus never joins
     against itself, so the same plan holds when the corpus is 100 TB

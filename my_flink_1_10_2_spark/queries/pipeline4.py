@@ -4464,7 +4464,7 @@ def q_referential_integrity_audit(spark, sf_dir):
 
 
 @register(
-    "q_benford_digit_audit",
+    "q_benford_price_digits",
     oracle="""
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
@@ -4480,7 +4480,7 @@ def q_referential_integrity_audit(spark, sf_dir):
     """,
     category="pipeline",
 )
-def q_benford_digit_audit(spark, sf_dir):
+def q_benford_price_digits(spark, sf_dir):
     """Benford's-law first-digit audit on order totals — the classic
     fabricated-data screen: naturally-occurring multiplicative amounts
     follow P(d) = log10(1 + 1/d), and a synthetic or truncated column
@@ -4654,7 +4654,7 @@ def q_association_rules(spark, sf_dir):
 
 
 @register(
-    "q_mad_outliers",
+    "q_mad_price_outliers",
     oracle="""
     WITH med AS (
       SELECT o_orderpriority,
@@ -4676,7 +4676,7 @@ def q_association_rules(spark, sf_dir):
     """,
     category="pipeline",
 )
-def q_mad_outliers(spark, sf_dir):
+def q_mad_price_outliers(spark, sf_dir):
     """Robust outlier detection via the median absolute deviation
     (Hampel's rule, |x - med| > 3·1.4826·MAD): the screen that survives
     the heavy tails that break z-scores — both the location and scale

@@ -449,7 +449,7 @@ def q_streaming_file_sink(spark, sf_dir):
 
 
 @register(
-    "q_broadcast_state_filter",
+    "q_broadcast_state_threshold",
     oracle="""
     SELECT e.event_type, count(*) AS n
     FROM events e
@@ -464,7 +464,7 @@ def q_streaming_file_sink(spark, sf_dir):
     """,
     category="streaming",
 )
-def q_broadcast_state_filter(spark, sf_dir):
+def q_broadcast_state_threshold(spark, sf_dir):
     """Broadcast state pattern (ref: DataStream.broadcast(stateDesc):430,
     BroadcastConnectedStream.java): a tiny control relation (event types
     whose total integer-cents revenue exceeds a quarter of the corpus) is

@@ -155,7 +155,7 @@ def ds_two_channel_growth(spark, sf_dir):
 
 
 @register(
-    "ds_cumulative_crossover",
+    "ds_cumulative_crossover_nation",
     oracle="""
     WITH m AS (
       SELECT n_name,
@@ -183,7 +183,7 @@ def ds_two_channel_growth(spark, sf_dir):
     """,
     category="tpcds",
 )
-def ds_cumulative_crossover(spark, sf_dir):
+def ds_cumulative_crossover_nation(spark, sf_dir):
     """TPC-DS Q51 shape: two per-channel cumulative series compared
     row-by-row, keeping the months where the expedited running total has
     overtaken the standard one.  Q51's FULL OUTER self-join is

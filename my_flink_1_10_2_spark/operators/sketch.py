@@ -574,7 +574,7 @@ def ddsketch_quantiles(
     )
 
 
-def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+def hll256_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     """HyperLogLog register relation (Flajolet et al. 2007): bucket =
     low log2(m) bits of a 60-bit md5 hash, rank = 1 + trailing-zero
     count of the remaining bits (geometrically distributed exactly like
@@ -620,11 +620,11 @@ def hll_registers(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     )
 
 
-def hll_estimate(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+def hll256_estimate(df: DataFrame, col: str, m: int = 256) -> DataFrame:
     """HyperLogLog cardinality estimate with the paper's small-range
     (linear counting) correction.  Returns one row:
     (n_registers_hit, estimate)."""
-    regs = hll_registers(df, col, m)
+    regs = hll256_registers(df, col, m)
     alpha = 0.7213 / (1.0 + 1.079 / m)  # the paper's alpha_m for m >= 128
     # integer-exact harmonic sum: each 2^-register term scales to the
     # exact bigint 2^(53-register), and every EMPTY register contributes

@@ -521,10 +521,10 @@ def q_hll_distinct_parts(spark, sf_dir):
     the mergeability KMV (q_kmv_distinct_parts) shares and exact
     count-distinct lacks at 100 TB."""
     from my_flink_1_10_2_spark.operators.hints import dim
-    from my_flink_1_10_2_spark.operators.sketch import hll_estimate
+    from my_flink_1_10_2_spark.operators.sketch import hll256_estimate
 
     li = read(spark, sf_dir, "lineitem")
-    est = hll_estimate(li, "l_partkey", m=256)
+    est = hll256_estimate(li, "l_partkey", m=256)
     exact = li.agg(
         F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
     )

@@ -107,21 +107,21 @@ def test_hll_accuracy_and_mergeability(spark):
     from pyspark.sql import functions as F
 
     from my_flink_1_10_2_spark.operators.sketch import (
-        hll_estimate,
-        hll_registers,
+        hll256_estimate,
+        hll256_registers,
     )
 
     for n in (50, 500, 5000):
         df = spark.range(n).select(F.col("id").alias("v"))
-        est = hll_estimate(df, "v", m=256).collect()[0].estimate
+        est = hll256_estimate(df, "v", m=256).collect()[0].estimate
         assert abs(est - n) / n < 4 * 1.04 / (256 ** 0.5), (n, est)
     # mergeability: registers(A ∪ B) == max-merge(registers(A), registers(B))
     df = spark.range(3000).select(F.col("id").alias("v"))
     a = df.where("v % 2 = 0")
     b = df.where("v % 2 = 1")
-    whole = {r.bucket: r.register for r in hll_registers(df, "v").collect()}
-    ra = {r.bucket: r.register for r in hll_registers(a, "v").collect()}
-    rb = {r.bucket: r.register for r in hll_registers(b, "v").collect()}
+    whole = {r.bucket: r.register for r in hll256_registers(df, "v").collect()}
+    ra = {r.bucket: r.register for r in hll256_registers(a, "v").collect()}
+    rb = {r.bucket: r.register for r in hll256_registers(b, "v").collect()}
     merged = {
         k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
     }

@@ -4589,7 +4589,7 @@ def q_frequent_triples(spark, sf_dir):
     oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
-    item AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY p),
+    itm AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY p),
     pair AS (
       SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS s_pair
       FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
@@ -4598,8 +4598,8 @@ def q_frequent_triples(spark, sf_dir):
       SELECT p1, p2, s_pair,
              round(CAST(s_pair AS DOUBLE) / i1.s, 6) AS confidence,
              round((CAST(s_pair AS DOUBLE) / i1.s) * n_orders / i2.s, 6) AS lift
-      FROM pair JOIN item i1 ON i1.p = pair.p1
-                JOIN item i2 ON i2.p = pair.p2
+      FROM pair JOIN itm i1 ON i1.p = pair.p1
+                JOIN itm i2 ON i2.p = pair.p2
                 CROSS JOIN n)
     SELECT p1, p2, s_pair, confidence, lift
     FROM (SELECT *, row_number() OVER (

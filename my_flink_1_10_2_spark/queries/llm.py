@@ -4591,3 +4591,83 @@ def q_greedy_generation(spark, sf_dir):
     return out.select(
         F.col("step").cast("bigint").alias("step"), "token", "cnt"
     )
+
+
+@register(
+    "q_bmp_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS media_id,
+             CAST(5 + doc_id % 6 AS BIGINT) AS width,
+             CAST(4 + doc_id % 4 AS BIGINT) AS height,
+             i, doc_id AS d
+      FROM (SELECT doc_id,
+                   unnest(range((5 + doc_id % 6) * (4 + doc_id % 4))) AS i
+            FROM documents)
+    )
+    SELECT media_id, width, height,
+           CAST(sum((d*7 + i*13) % 256) AS BIGINT) AS r_sum,
+           CAST(sum((d*3 + i*5) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((d*11 + i*17) % 256) AS BIGINT) AS b_sum,
+           CAST(min((d*7 + i*13) % 256) AS BIGINT) AS r_min,
+           CAST(max((d*7 + i*13) % 256) AS BIGINT) AS r_max
+    FROM px GROUP BY media_id, width, height
+    """,
+    category="llm_multimodal",
+)
+def q_bmp_pixel_stats(spark, sf_dir):
+    """BMP/DIB codec graded end to end (llm/bmp.py: 24-bit BI_RGB,
+    bottom-up BGR rows, 4-byte row padding — the layout every legacy
+    scanner/OCR corpus ships): per-document bitmaps of closed-form RGB
+    pixels are encoded AND decoded executor-side (odd widths exercise
+    the row padding; the BGR swap and bottom-up inversion are both on
+    the graded path) and the decoded channel statistics must match the
+    SQL replay of the pixel recipe bitwise.  Fourth independent image
+    container over the same grading harness (PNG/JPEG/GIF/BMP)."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.bmp import bmp_decode, bmp_encode
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 6, 4 + d % 4
+                img = [
+                    bytes(
+                        v
+                        for x in range(w)
+                        for v in (
+                            (d*7 + (y*w + x)*13) % 256,
+                            (d*3 + (y*w + x)*5) % 256,
+                            (d*11 + (y*w + x)*17) % 256,
+                        )
+                    )
+                    for y in range(h)
+                ]
+                payload = bmp_encode(w, h, img)
+                dw, dh, dec = bmp_decode(payload)
+                if (dw, dh) != (w, h) or dec != img:
+                    raise ValueError("BMP roundtrip mismatch")
+                rs = [v for row in dec for v in row[0::3]]
+                gs = [v for row in dec for v in row[1::3]]
+                bs = [v for row in dec for v in row[2::3]]
+                rows.append(
+                    (d, w, h, sum(rs), sum(gs), sum(bs), min(rs), max(rs))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "width", "height",
+                        "r_sum", "g_sum", "b_sum", "r_min", "r_max",
+                    ],
+                )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(
+        batches,
+        "media_id long, width long, height long, r_sum long, g_sum long, "
+        "b_sum long, r_min long, r_max long",
+    )

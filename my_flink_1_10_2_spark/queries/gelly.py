@@ -915,3 +915,48 @@ def q_stress_centrality(spark, sf_dir):
     from my_flink_1_10_2_spark.operators.gelly import stress_centrality
 
     return stress_centrality(_edges(spark, sf_dir), n_sources=8, max_iters=10)
+
+
+_KTRUSS_K, _KTRUSS_UNROLL = 4, 6
+
+
+def _ktruss_oracle() -> str:
+    """k-truss peel unrolled to a fixed depth (Spark runs to fixpoint,
+    so parity also proves convergence within the unroll): per level,
+    each edge's triangle support = wedges through its endpoints closed
+    by the previous level's edge set; edges under k-2 drop."""
+    sql = f"""
+    WITH edges0 AS MATERIALIZED ({_KCORE_EDGE_SQL.replace('%%', '%')}),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges0 WHERE src <> dst)"""
+    need = _KTRUSS_K - 2
+    for i in range(1, _KTRUSS_UNROLL + 1):
+        sql += f""",
+    sym{i - 1} AS MATERIALIZED (
+      SELECT a, b FROM e{i - 1} UNION ALL SELECT b, a FROM e{i - 1}),
+    s{i} AS MATERIALIZED (
+      SELECT e.a, e.b, count(*) AS c
+      FROM e{i - 1} e
+        JOIN sym{i - 1} s1 ON s1.a = e.a
+        JOIN sym{i - 1} s2 ON s2.a = e.b AND s2.b = s1.b
+      GROUP BY e.a, e.b),
+    e{i} AS MATERIALIZED (SELECT a, b FROM s{i} WHERE c >= {need})"""
+    return sql + f"""
+    SELECT a, b, CAST(c AS BIGINT) AS support
+    FROM s{_KTRUSS_UNROLL} WHERE c >= {need}"""
+
+
+@register("q_k_truss", oracle=_ktruss_oracle(), category="graph")
+def q_k_truss(spark, sf_dir):
+    """k-truss decomposition (Cohen 2008; operators/gelly.py::k_truss):
+    the maximal subgraph where every EDGE closes >= k-2 triangles — the
+    cohesion-based sharpening of q_k_core (degree can be faked by a
+    star; triangles cannot).  On the k-core fixture graph at k=4 the
+    pendant chain and the sparse core fringe peel away, leaving the
+    38-edge dense truss with per-edge in-truss supports.  Iterative
+    wedge-join peel to fixpoint; the oracle unrolls the identical peel
+    and the grade proves convergence within the unrolled depth."""
+    from my_flink_1_10_2_spark.operators.gelly import k_truss
+
+    return k_truss(_kcore_edges(spark, sf_dir), k=_KTRUSS_K)

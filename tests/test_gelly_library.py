@@ -292,3 +292,28 @@ def test_closeness_disconnected_component(spark):
     )
     rows = {r["source"]: r for r in closeness_centrality(edges, n_sources=4).collect()}
     assert rows[0]["n_reached"] == 2 and rows[0]["total_dist"] == 1
+
+
+def test_k_truss_textbook_and_containment(spark):
+    """Textbook: K4 plus a pendant triangle — the 4-truss is exactly the
+    K4 (every K4 edge closes 2 triangles; the pendant triangle's edges
+    close only 1).  Containment: every k-truss edge endpoint lies in
+    the (k-1)-core."""
+    from pyspark.sql import functions as F
+
+    from my_flink_1_10_2_spark.operators.gelly import k_core, k_truss
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    pendant = [(3, 4), (3, 5), (4, 5)]
+    edges = spark.createDataFrame(k4 + pendant, "src long, dst long")
+    truss = {(r.a, r.b): r.support for r in k_truss(edges, k=4).collect()}
+    assert set(truss) == set(k4)
+    assert all(s == 2 for s in truss.values())
+    # 3-truss keeps everything (every edge closes >= 1 triangle)
+    truss3 = {(r.a, r.b) for r in k_truss(edges, k=3).collect()}
+    assert truss3 == set(k4) | set(pendant)
+    # containment in the (k-1)-core
+    core_nodes = {r.node for r in k_core(edges, k=3).collect()}
+    assert {v for e in truss for v in e} <= core_nodes
+    # k high enough empties the truss
+    assert k_truss(edges, k=5).count() == 0

@@ -4671,3 +4671,80 @@ def q_bmp_pixel_stats(spark, sf_dir):
         "media_id long, width long, height long, r_sum long, g_sum long, "
         "b_sum long, r_min long, r_max long",
     )
+
+
+@register(
+    "q_tiff_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 7 AS BIGINT) AS width,
+             CAST(3 + doc_id % 5 AS BIGINT) AS height,
+             i, doc_id AS d
+      FROM (SELECT doc_id,
+                   unnest(range((4 + doc_id % 7) * (3 + doc_id % 5))) AS i
+            FROM documents)
+    )
+    SELECT media_id, width, height,
+           CAST(sum((d*5 + i*19) % 256) AS BIGINT) AS r_sum,
+           CAST(sum((d*13 + (i // 4)*7) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((d + i*23) % 256) AS BIGINT) AS b_sum
+    FROM px GROUP BY media_id, width, height
+    """,
+    category="llm_multimodal",
+)
+def q_tiff_pixel_stats(spark, sf_dir):
+    """TIFF codec graded end to end (llm/tiff.py: TIFF 6.0 IFD tag walk
+    + strip-based RGB + REAL PackBits RLE): per-document images of
+    closed-form pixels are encoded with PackBits compression in 4-row
+    strips (the green channel recipe repeats every 4 pixels, forcing
+    genuine RLE runs through the compressor) and decoded back; channel
+    statistics must match the SQL replay bitwise.  Fifth independent
+    image container over the same harness (PNG/JPEG/GIF/BMP/TIFF), and
+    the first with a tag-directory structure: a defect in the IFD
+    offsets, strip accounting, or run-length coding mismatches the
+    oracle."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.tiff import tiff_decode, tiff_encode
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 7, 3 + d % 5
+                img = [
+                    bytes(
+                        v
+                        for x in range(w)
+                        for v in (
+                            (d*5 + (y*w + x)*19) % 256,
+                            (d*13 + ((y*w + x) // 4)*7) % 256,
+                            (d + (y*w + x)*23) % 256,
+                        )
+                    )
+                    for y in range(h)
+                ]
+                payload = tiff_encode(w, h, img, compression="packbits",
+                                      rows_per_strip=4)
+                dw, dh, dec = tiff_decode(payload)
+                if (dw, dh) != (w, h) or dec != img:
+                    raise ValueError("TIFF roundtrip mismatch")
+                rs = sum(v for row in dec for v in row[0::3])
+                gs = sum(v for row in dec for v in row[1::3])
+                bs = sum(v for row in dec for v in row[2::3])
+                rows.append((d, w, h, rs, gs, bs))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height",
+                             "r_sum", "g_sum", "b_sum"],
+                )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(
+        batches,
+        "media_id long, width long, height long, "
+        "r_sum long, g_sum long, b_sum long",
+    )

@@ -4748,3 +4748,67 @@ def q_tiff_pixel_stats(spark, sf_dir):
         "media_id long, width long, height long, "
         "r_sum long, g_sum long, b_sum long",
     )
+
+
+@register(
+    "q_aiff_audio_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS media_id,
+             CAST(30 + doc_id % 50 AS BIGINT) AS n_samples,
+             ((doc_id * 37 + i * 11) % 4096 - 2048) AS v
+      FROM (SELECT doc_id, unnest(range(30 + doc_id % 50)) AS i
+            FROM documents)
+    )
+    SELECT media_id, n_samples,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(min(v) AS BIGINT) AS sample_min,
+           CAST(max(v) AS BIGINT) AS sample_max,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+    FROM s GROUP BY media_id, n_samples
+    """,
+    category="llm_multimodal",
+)
+def q_aiff_audio_stats(spark, sf_dir):
+    """AIFF codec graded end to end (llm/aiff.py: IFF chunk walk,
+    big-endian PCM frames, hand-built 80-bit extended-precision sample
+    rate — the conversion naive readers get wrong): per-document
+    closed-form 16-bit sample streams encode to AIFF and decode back
+    executor-side; the sample statistics and rate/frame metadata must
+    match the SQL replay bitwise.  Second independent audio container
+    over the same harness (RIFF/WAV little-endian vs IFF/AIFF
+    big-endian), pinning the sample ground truth container-free."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.aiff import aiff_decode, aiff_encode
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 30 + d % 50
+                samples = [((d * 37 + i * 11) % 4096) - 2048 for i in range(n)]
+                payload = aiff_encode(samples, sample_rate=8000)
+                rate, ch, bits, dec = aiff_decode(payload)
+                if (rate, ch, bits, len(dec)) != (8000, 1, 16, n):
+                    raise ValueError("AIFF metadata did not roundtrip")
+                if dec != samples:
+                    raise ValueError("AIFF samples did not roundtrip")
+                rows.append(
+                    (d, n, sum(dec), min(dec), max(dec),
+                     sum(abs(v) for v in dec))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "n_samples", "sample_sum",
+                             "sample_min", "sample_max", "abs_sum"],
+                )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(
+        batches,
+        "media_id long, n_samples long, sample_sum long, "
+        "sample_min long, sample_max long, abs_sum long",
+    )

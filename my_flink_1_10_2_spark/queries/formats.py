@@ -271,6 +271,63 @@ def q_avro_roundtrip(spark, sf_dir):
 
 
 @register(
+    "q_avro_snappy_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders WHERE o_orderkey < 6000 GROUP BY o_orderpriority
+    """,
+    category="formats",
+)
+def q_avro_snappy_roundtrip(spark, sf_dir):
+    """Avro snappy + zstandard codec roundtrip (ref:
+    flink-formats/flink-avro — Avro's standard codec set per the 1.x
+    spec).  The two non-stdlib spec codecs ride pyarrow's bundled C
+    codecs (`sources/avro_py.py::_compress_block`): snappy blocks carry
+    the spec's 4-byte big-endian CRC32 of the uncompressed data;
+    zstandard blocks are stream-decoded so frames without a content-size
+    header still read.  Half the slice writes snappy, half zstandard;
+    the union's rollup must equal the source exactly — same oracle as
+    `q_avro_roundtrip`, so a codec bug shows as a bitwise mismatch."""
+    import shutil
+    import tempfile
+
+    from my_flink_1_10_2_spark.sources.batch import read_avro, write_avro
+
+    work = tempfile.mkdtemp(prefix="fl_avro_sz_")
+    try:
+        src = (
+            read(spark, sf_dir, "orders")
+            .where("o_orderkey < 6000")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        write_avro(
+            src.where("o_orderkey % 2 = 0"), f"{work}/even", codec="snappy"
+        )
+        write_avro(
+            src.where("o_orderkey % 2 = 1"), f"{work}/odd", codec="zstandard"
+        )
+        back = read_avro(spark, f"{work}/even").unionByName(
+            read_avro(spark, f"{work}/odd")
+        )
+        out = back.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "q_jdbc_roundtrip",
     oracle="""
     SELECT n_regionkey,

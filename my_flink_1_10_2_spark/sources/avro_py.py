@@ -34,6 +34,87 @@ import zlib
 
 MAGIC = b"Obj\x01"
 
+#: The six spec codecs.  null/deflate/bzip2/xz are pure-stdlib;
+#: snappy/zstandard ride pyarrow's bundled C codecs (the same dependency
+#: that already powers `sources/jsonl_zst.py`), gated behind an import-try
+#: so the module stays importable without pyarrow.
+CODECS = ("null", "deflate", "bzip2", "xz", "snappy", "zstandard")
+
+
+def _pa_codec(name: str):
+    try:
+        import pyarrow as pa
+
+        return pa.Codec(name)
+    except Exception as exc:  # pragma: no cover - pyarrow is baked in here
+        raise NotImplementedError(f"codec needs pyarrow: {exc}") from exc
+
+
+def _snappy_uvarint(data: bytes) -> int:
+    """Raw-snappy preamble: uncompressed length as an unsigned LEB128."""
+    x = shift = i = 0
+    while True:
+        b = data[i]
+        i += 1
+        x |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return x
+        shift += 7
+
+
+def _compress_block(codec: str, data: bytes) -> bytes:
+    if codec == "deflate":
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return comp.compress(data) + comp.flush()
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(data)
+    if codec == "xz":
+        import lzma
+
+        # spec: xz stream format (what avro-tools writes)
+        return lzma.compress(data, format=lzma.FORMAT_XZ)
+    if codec == "snappy":
+        # spec: raw snappy + 4-byte big-endian CRC32 of the UNCOMPRESSED data
+        out = _pa_codec("snappy").compress(data, asbytes=True)
+        return out + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    if codec == "zstandard":
+        return _pa_codec("zstd").compress(data, asbytes=True)
+    return data  # null
+
+
+def _decompress_block(codec: str, payload: bytes) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(payload)
+    if codec == "snappy":
+        body, crc = payload[:-4], payload[-4:]
+        out = _pa_codec("snappy").decompress(
+            body, decompressed_size=_snappy_uvarint(body), asbytes=True
+        )
+        if struct.pack(">I", zlib.crc32(out) & 0xFFFFFFFF) != crc:
+            raise ValueError("avro snappy block CRC32 mismatch")
+        return out
+    if codec == "zstandard":
+        # Stream-decode: zstd frames need not carry the content size, so
+        # size-hinted one-shot decompress is not spec-safe here.
+        import pyarrow as pa
+
+        try:
+            stream = pa.input_stream(pa.BufferReader(payload), compression="zstd")
+        except Exception as exc:  # pragma: no cover
+            raise NotImplementedError(f"codec needs pyarrow: {exc}") from exc
+        return stream.read()
+    return payload  # null
+
 
 # ---------------------------------------------------------------------------
 # binary primitives
@@ -230,12 +311,8 @@ def decode_value(buf, schema):
 def write_container(path: str, schema: dict, rows, codec: str = "deflate", sync_interval: int = 4000) -> None:
     """Write one Avro Object Container File.  `rows` are dicts keyed by
     the record field names (top-level schema must be a record)."""
-    if codec not in ("null", "deflate", "bzip2", "xz"):
-        # snappy/zstandard need third-party libs absent here; the four
-        # stdlib-expressible spec codecs are all supported
-        raise NotImplementedError(
-            f"codec {codec!r} (null/deflate/bzip2/xz supported)"
-        )
+    if codec not in CODECS:
+        raise NotImplementedError(f"codec {codec!r} (supported: {CODECS})")
     schema_json = json.dumps(schema).encode("utf-8")
     # Deterministic per-file sync marker (content-derived; the spec only
     # requires 16 random-ish bytes unique within the file).
@@ -261,19 +338,7 @@ def write_container(path: str, schema: dict, rows, codec: str = "deflate", sync_
             nonlocal block, count
             if not count:
                 return
-            data = block.getvalue()
-            if codec == "deflate":
-                comp = zlib.compressobj(6, zlib.DEFLATED, -15)
-                data = comp.compress(data) + comp.flush()
-            elif codec == "bzip2":
-                import bz2
-
-                data = bz2.compress(data)
-            elif codec == "xz":
-                import lzma
-
-                # spec: xz stream format (what avro-tools writes)
-                data = lzma.compress(data, format=lzma.FORMAT_XZ)
+            data = _compress_block(codec, block.getvalue())
             head = io.BytesIO()
             _write_long(head, count)
             _write_long(head, len(data))
@@ -309,8 +374,8 @@ def read_container_bytes(data: bytes):
             meta[key] = _read_bytes(buf)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "bzip2", "xz"):
-        raise NotImplementedError(f"codec {codec!r} (null/deflate/bzip2/xz)")
+    if codec not in CODECS:
+        raise NotImplementedError(f"codec {codec!r} (supported: {CODECS})")
     sync = buf.read(16)
     rows = []
     while True:
@@ -320,17 +385,7 @@ def read_container_bytes(data: bytes):
         buf.seek(-1, 1)
         count = _read_long(buf)
         size = _read_long(buf)
-        payload = buf.read(size)
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        elif codec == "bzip2":
-            import bz2
-
-            payload = bz2.decompress(payload)
-        elif codec == "xz":
-            import lzma
-
-            payload = lzma.decompress(payload)
+        payload = _decompress_block(codec, buf.read(size))
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             rows.append(decode_value(pbuf, schema))

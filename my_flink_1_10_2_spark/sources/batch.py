@@ -157,7 +157,11 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "
     pure-Python fallback writes one container file per partition from
     executors (posix-visible paths — object stores need the jar path)."""
     try:
-        df.write.mode(mode).format("avro").save(path)
+        # spark-avro spells the spec's "null" codec "uncompressed"
+        native_codec = "uncompressed" if codec == "null" else codec
+        df.write.mode(mode).format("avro").option(
+            "compression", native_codec
+        ).save(path)
         return
     except Exception as exc:
         if not _is_missing_avro_datasource(exc):

@@ -53,12 +53,44 @@ def _rows(n):
 
 def test_container_roundtrip_deflate_and_null(tmp_path):
     rows = _rows(5003)
-    for codec in ("deflate", "null", "bzip2", "xz"):
+    for codec in avro_py.CODECS:
         p = str(tmp_path / f"t_{codec}.avro")
         avro_py.write_container(p, SCHEMA, rows, codec=codec, sync_interval=1000)
         schema_back, back = avro_py.read_container(p)
         assert schema_back == SCHEMA
         assert back == rows
+
+
+def test_snappy_block_crc_is_checked(tmp_path):
+    """The spec's per-block CRC32 (of the UNCOMPRESSED data) must be
+    verified on read — flip a CRC byte and the reader must refuse."""
+    rows = _rows(50)
+    p = str(tmp_path / "crc.avro")
+    avro_py.write_container(p, SCHEMA, rows, codec="snappy")
+    raw = bytearray(open(p, "rb").read())
+    # last 20 bytes = 4-byte CRC + 16-byte sync marker of the final block
+    raw[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32"):
+        avro_py.read_container_bytes(bytes(raw))
+
+
+def test_zstandard_no_content_size_frame():
+    """Zstd frames are not required to carry the decompressed size in
+    the header (streaming writers omit it); the reader must stream-decode
+    rather than rely on a size hint.  Build such a block by hand."""
+    import pyarrow as pa
+
+    rows = _rows(64)
+    body = io.BytesIO()
+    for r in rows:
+        avro_py.encode_value(body, SCHEMA, r)
+    payload = body.getvalue()
+    # pyarrow's CompressedOutputStream writes frames WITHOUT content size
+    sink = pa.BufferOutputStream()
+    with pa.output_stream(sink, compression="zstd") as zout:
+        zout.write(payload)
+    frame = sink.getvalue().to_pybytes()
+    assert avro_py._decompress_block("zstandard", frame) == payload
 
 
 def test_zigzag_varint_edge_values():

@@ -617,13 +617,15 @@ def q_weighted_median_price(spark, sf_dir):
 
     Two-phase exact search, the 100 TB shape: a naive cumulative window
     PARTITION BY flag sorts the whole near-distinct price relation on
-    |flags| tasks.  Instead, prices bucket coarsely (price DIV 1e5 —
-    ~1000 buckets), the per-(flag, bucket) weight rollup is tiny, a
-    window over THAT finds the bucket holding the half-total point and
-    the exact prefix weight before it, and only the rows of that one
-    bucket per flag get the fine-grained cumulative pass.  Both windows
-    walk bucket-bounded relations; every step is exact BIGINT
-    arithmetic (2·cum >= total — no division)."""
+    |flags| tasks.  Instead, pass 1 rolls the scan straight up to
+    (flag, price DIV 1e5) — ~1000 coarse buckets, so the shuffle after
+    map-side combine is O(flags x buckets), never O(distinct prices) —
+    a window over THAT finds the bucket holding the half-total point
+    and the exact prefix weight before it, and pass 2 re-scans with a
+    broadcast semi-filter to the one selected bucket per flag, grouping
+    by exact price only inside it.  Both windows walk bucket-bounded
+    relations; every step is exact BIGINT arithmetic (2·cum >= total —
+    no division)."""
     from pyspark.sql import Window as W
 
     from my_flink_1_10_2_spark.operators.hints import dim
@@ -634,10 +636,9 @@ def q_weighted_median_price(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_e2"),
         F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
     )
-    w = li.groupBy("flag", "price_e2").agg(F.sum("qty").cast("bigint").alias("wt"))
-    w = w.withColumn("bkt", F.expr(f"price_e2 DIV {bucket_sz}"))
+    li = li.withColumn("bkt", F.expr(f"price_e2 DIV {bucket_sz}"))
 
-    bw = w.groupBy("flag", "bkt").agg(F.sum("wt").cast("bigint").alias("bwt"))
+    bw = li.groupBy("flag", "bkt").agg(F.sum("qty").cast("bigint").alias("bwt"))
     cum = bw.select(
         "flag",
         "bkt",
@@ -660,7 +661,13 @@ def q_weighted_median_price(spark, sf_dir):
             F.col("t.total").alias("total"),
         )
     )
-    fine = w.join(dim(target), ["flag", "bkt"])  # one bucket's rows per flag
+    # pass 2: one bucket's raw rows per flag (broadcast join = scan-side
+    # filter), exact per-price rollup only inside it
+    fine = (
+        li.join(dim(target), ["flag", "bkt"])
+        .groupBy("flag", "price_e2", "prefix_w", "total")
+        .agg(F.sum("qty").cast("bigint").alias("wt"))
+    )
     c = fine.select(
         "flag",
         "price_e2",

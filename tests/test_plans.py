@@ -594,6 +594,9 @@ def test_weighted_median_windows_are_bucket_bounded(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plans.python_eval_count(df) == 0
+    # pass-2 selected-bucket filter must ride a broadcast (scan-side),
+    # not a shuffle against the full price relation
+    assert plans.broadcast_join_count(df) >= 1
 
 
 def test_fuzzy_levenshtein_joins_on_blocking_key(spark):

@@ -514,5 +514,25 @@ def all_queries() -> dict[str, Query]:
     if graded:
         fresh = {n: q for n, q in ordered.items() if n not in graded}
         seen = {n: q for n, q in ordered.items() if n in graded}
-        ordered = {**fresh, **seen}
+        # judge-named re-grade priorities float to the head of the
+        # never-graded block so they land inside the 50-query window
+        prio = {
+            n: fresh[n] for n in _GRADE_PRIORITY if n in fresh
+        }
+        rest = {n: q for n, q in fresh.items() if n not in prio}
+        ordered = {**prio, **rest, **seen}
     return ordered
+
+
+#: Round-8 verdict item 6: the restored shadowed variants and the
+#: renamed sketch/statistic set must reach the driver's grade window in
+#: round 9 (plus the round-9 avro codec query).  Only consulted while
+#: they are still never-graded; no effect once CORRECTNESS records them.
+_GRADE_PRIORITY = [
+    "q_avro_documents_roundtrip",
+    "q_broadcast_state_threshold",
+    "q_benford_price_digits",
+    "q_mad_price_outliers",
+    "q_hll_distinct_parts",
+    "q_avro_snappy_roundtrip",
+]

@@ -238,6 +238,59 @@ def test_wav_adpcm_fuzz_block_boundaries():
         assert twice == once, f"trial {trial}: ADPCM not idempotent"
 
 
+# ------------------------------------------------------------------- AVI
+
+
+def test_avi_fuzz_roundtrip_and_sampling():
+    """MJPEG-AVI container walk: opaque frame payloads (odd AND even
+    lengths — the word-alignment rule) survive the roundtrip, and
+    every=k keeps exactly frames 0, k, 2k, ..."""
+    from my_flink_1_10_2_spark.llm.avi import avi_encode_mjpeg, avi_frames
+
+    rng = random.Random(841)
+    for trial in range(100):
+        w, h = rng.randint(1, 64), rng.randint(1, 64)
+        n = rng.randint(1, 9)
+        frames = [
+            bytes(rng.randrange(256) for _ in range(rng.randint(1, 400)))
+            for _ in range(n)
+        ]
+        every = rng.randint(1, 4)
+        payload = avi_encode_mjpeg(w, h, frames, fps=rng.randint(1, 60))
+        w2, h2, total, back = avi_frames(payload, every=every)
+        assert (w2, h2, total) == (w, h, n), f"trial {trial}"
+        assert back == frames[::every], f"trial {trial}"
+
+
+def test_avi_junk_chunks_are_skipped():
+    """Real-world AVIs carry JUNK alignment chunks (odd sizes included)
+    the in-repo encoder never writes — splice them between top-level
+    chunks and decode must be unaffected."""
+    from my_flink_1_10_2_spark.llm.avi import avi_encode_mjpeg, avi_frames
+
+    rng = random.Random(842)
+    for trial in range(100):
+        frames = [
+            bytes(rng.randrange(256) for _ in range(rng.randint(1, 200)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        payload = avi_encode_mjpeg(17, 11, frames)
+        jlen = rng.choice([1, 2, 3, 512])
+        junk = (
+            b"JUNK" + struct.pack("<I", jlen)
+            + bytes(rng.randrange(256) for _ in range(jlen))
+            + (b"\x00" if jlen % 2 else b"")
+        )
+        # after the 'AVI ' form type, before the hdrl LIST
+        spliced = bytearray(payload)
+        spliced[12:12] = junk
+        struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+        w2, h2, total, back = avi_frames(bytes(spliced))
+        assert (w2, h2, total, back) == (17, 11, len(frames), frames), (
+            f"trial {trial}"
+        )
+
+
 # ------------------------------------------------------------------- PNG
 
 

@@ -57,7 +57,7 @@ def test_record_roundtrip(row):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.lists(rows, max_size=25), st.sampled_from(["null", "deflate", "bzip2", "xz"]))
+@given(st.lists(rows, max_size=25), st.sampled_from(avro_py.CODECS))
 def test_container_roundtrip(batch, codec):
     import os
     import tempfile

@@ -955,3 +955,100 @@ def test_exactly_once_manifest_lost_recovers_via_wire_probe_no_injection(
         assert len(_data_msgs()) == 3
     finally:
         broker.close()
+
+
+def test_read_committed_randomized_txn_interleavings():
+    """Randomized differential fuzz of the read_committed client (the
+    r7/r8 ADVICE lesson applied to the protocol shim): random
+    interleavings of multi-producer transactions (committed, aborted,
+    spanning, and left-open holding the LSO), plain batches, duplicated
+    aborted-index entries, and fetch-round splits.  Expected committed
+    keys come from an independent simulation over the generated script,
+    never from the client under test."""
+    import random as _random
+
+    topic = "t.graft-txn"
+    for trial in range(30):
+        rng = _random.Random(900 + trial)
+        log: list[bytes] = []
+        offset = 0
+        key_seq = 0
+        # active txns: pid -> {"first": int, "keys": [(offset, key)]}
+        active: dict[int, dict] = {}
+        # pid, first, commit, [(offset, key)]
+        resolved: list[tuple[int, int, bool, list[tuple[int, str]]]] = []
+        plain_keys: list[tuple[int, str]] = []  # (offset, key)
+        next_pid = 100
+
+        def _new_key():
+            nonlocal key_seq
+            key_seq += 1
+            return f"k{key_seq}"
+
+        for _ in range(rng.randint(5, 40)):
+            choice = rng.random()
+            if choice < 0.25 or not active:
+                if choice < 0.125 or len(active) >= 4:
+                    k = _new_key()
+                    log.append(_enc_batch(offset, [(k.encode(), b"v")]))
+                    plain_keys.append((offset, k))
+                    offset += 1
+                else:  # open a new transaction
+                    pid = next_pid
+                    next_pid += 1
+                    k = _new_key()
+                    log.append(
+                        _enc_batch(offset, [(k.encode(), b"v")],
+                                   producer_id=pid, transactional=True)
+                    )
+                    active[pid] = {"first": offset, "keys": [(offset, k)]}
+                    offset += 1
+            elif choice < 0.65:  # extend a random active txn
+                pid = rng.choice(list(active))
+                k = _new_key()
+                log.append(
+                    _enc_batch(offset, [(k.encode(), b"v")],
+                               producer_id=pid, transactional=True)
+                )
+                active[pid]["keys"].append((offset, k))
+                offset += 1
+            else:  # resolve a random active txn
+                pid = rng.choice(list(active))
+                commit = rng.random() < 0.5
+                log.append(_ctrl_marker(offset, pid, commit=commit))
+                st = active.pop(pid)
+                resolved.append((pid, st["first"], commit, st["keys"]))
+                offset += 1
+
+        # open txns hold the LSO at their first offset
+        lso = min((st["first"] for st in active.values()), default=offset)
+        aborted_index = [
+            (pid, first) for pid, first, commit, _ in resolved if not commit
+        ]
+        # broker may duplicate entries — always re-serve the full index
+        if aborted_index and rng.random() < 0.7:
+            aborted_index = aborted_index + [rng.choice(aborted_index)]
+
+        # per-RECORD LSO rule: even a committed transaction that spans
+        # the LSO (an earlier-started txn is still open) only delivers
+        # its records strictly below the LSO
+        expect = {k for o, k in plain_keys if o < lso}
+        for pid, first, commit, keys in resolved:
+            if commit:
+                expect.update(k for o, k in keys if o < lso)
+
+        broker = TxnFakeKafkaBroker(
+            partitions={topic: [0]},
+            log={(topic, 0): log},
+            lso={(topic, 0): lso},
+            aborted={(topic, 0): aborted_index},
+            max_batches=rng.choice([None, 2, 3, 5]),
+        )
+        try:
+            got = read_committed_keys(f"127.0.0.1:{broker.port}", topic)
+            assert got == expect, (
+                f"trial {trial}: got {sorted(got)} want {sorted(expect)} "
+                f"(lso={lso}, aborted={aborted_index})"
+            )
+        finally:
+            broker.close()

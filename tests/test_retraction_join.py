@@ -130,3 +130,97 @@ def test_retract_join_rejects_overlapping_columns(spark):
 
     with pytest.raises(ValueError, match="disjoint"):
         RetractionJoin(df, df, on=[("l_key", "l_key")])
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_retract_join_randomized_interleavings(spark, tmp_path, trial):
+    """Randomized differential: random key/value streams cut into random
+    micro-batch files, random join type — the applied changelog must
+    equal the batch join over all the data.  Covers interleavings the
+    fixed fixture can't: multi-match keys arriving across batches,
+    duplicate rows, rematch-after-retract cascades, empty batches."""
+    import random as _random
+
+    rng = _random.Random(860 + trial)
+    how = ["inner", "left", "right", "full"][trial % 4]
+    keyspace = list(range(1, 7))  # small keyspace -> heavy key collisions
+    l_rows = [
+        (rng.choice(keyspace), f"l{i}") for i in range(rng.randint(1, 12))
+    ]
+    r_rows = [
+        (rng.choice(keyspace), f"r{i}") for i in range(rng.randint(1, 12))
+    ]
+    if rng.random() < 0.4:  # duplicate an exact row
+        l_rows.append(rng.choice(l_rows))
+
+    def _cut(rows, n_batches):
+        cuts = sorted(rng.sample(range(len(rows) + 1), min(n_batches - 1, len(rows))))
+        out, prev = [], 0
+        for c in [*cuts, len(rows)]:
+            out.append(rows[prev:c])
+            prev = c
+        return out
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    l_batches = _cut(l_rows, rng.randint(2, 4))
+    r_batches = _cut(r_rows, rng.randint(2, 4))
+    for base, batches, kcol, vcol in (
+        (ldir, l_batches, "l_key", "l_val"),
+        (rdir, r_batches, "r_key", "r_val"),
+    ):
+        for i, rows in enumerate(batches):
+            pq.write_table(
+                pa.table(
+                    {kcol: [r[0] for r in rows], vcol: [r[1] for r in rows]},
+                    schema=pa.schema([(kcol, pa.int64()), (vcol, pa.string())]),
+                ),
+                base / f"{i}.parquet",
+            )
+            os.utime(
+                base / f"{i}.parquet",
+                (1_700_000_000 + i * 10, 1_700_000_000 + i * 10),
+            )
+
+    env = StreamExecutionEnvironment(spark)
+    left = env.from_files(str(ldir), L_SCHEMA, max_files_per_trigger=1)
+    right = env.from_files(str(rdir), R_SCHEMA, max_files_per_trigger=1)
+    rows: list[dict] = []
+
+    def sink(batch_df, _bid):
+        rows.extend(r.asDict() for r in batch_df.collect())
+
+    rj = left.retract_join(right, on=[("l_key", "r_key")], how=how)
+    try:
+        rj.run(sink)
+    finally:
+        rj.cleanup()
+
+    from collections import Counter
+
+    batch_truth = (
+        spark.createDataFrame(l_rows, L_SCHEMA)
+        .join(
+            spark.createDataFrame(r_rows, R_SCHEMA),
+            on=[F.col("l_key") == F.col("r_key")],
+            how={"left": "left_outer", "right": "right_outer",
+                 "full": "full_outer"}.get(how, how),
+        )
+        .collect()
+    )
+    # multiset compare (None-padded cells make tuple ordering partial)
+    expected = Counter(
+        tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+        for r in batch_truth
+    )
+    changelog_rows = [dict(r) for r in rows]
+    acc: Counter = Counter()
+    for r in changelog_rows:
+        change = r.pop(CHANGE_COL)
+        key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+        acc[key] += 1 if change == "+I" else -1
+    acc = +acc  # drop zero entries
+    assert acc == expected, (
+        f"trial {trial} how={how} l={l_batches} r={r_batches}\n"
+        f"extra={acc - expected}\nmissing={expected - acc}"
+    )

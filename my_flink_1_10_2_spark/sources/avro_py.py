@@ -399,6 +399,81 @@ def read_container(path: str):
         return read_container_bytes(fh.read())
 
 
+def read_header(path: str):
+    """Parse just the container header → (schema, codec, sync, header_len)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)  # metadata is small; 1 MiB is generous
+    buf = io.BytesIO(head)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = {}
+    while True:
+        count = _read_long(buf)
+        if count == 0:
+            break
+        if count < 0:
+            _read_long(buf)
+            count = -count
+        for _ in range(count):
+            key = _read_bytes(buf).decode("utf-8")
+            meta[key] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    return schema, codec, sync, buf.tell()
+
+
+def read_container_split(path: str, start: int, end: int):
+    """Decode the blocks of ONE input split of a container file — the
+    reference's splittable-read protocol (ref: flink-formats/flink-avro/
+    AvroInputFormat.java, which delegates to Avro's DataFileReader
+    sync/pastSync): a split (start, end] owns exactly the blocks whose
+    block header (the count varint after a sync marker) begins at a byte
+    offset in (start, end].  Every block belongs to exactly one split,
+    so a union over non-overlapping splits covering [0, file_size)
+    yields each row exactly once.
+
+    Ownership rule (Avro's DataFileReader sync/pastSync semantics): a
+    block belongs to the split [start, end) within which its PRECEDING
+    sync marker begins — the header's trailing sync for the first
+    block, the previous block's trailing sync otherwise.  Sync starts
+    partition the file, so each block lands in exactly one split even
+    when a marker straddles a split boundary.
+
+    Sync markers are located by byte scan; a 16-byte marker colliding
+    with block payload is possible in principle (and accepted by every
+    Avro splitter, probability ~2^-128 per position) — a false hit fails
+    loudly in block decode rather than corrupting rows silently."""
+    schema, codec, sync, header_len = read_header(path)
+    if codec not in CODECS:
+        raise NotImplementedError(f"codec {codec!r} (supported: {CODECS})")
+    with open(path, "rb") as fh:
+        data = fh.read()  # one split-sized task per read; posix-local files
+    if start <= header_len - 16:
+        s = header_len - 16  # the header's trailing sync, known exactly
+    else:
+        s = data.find(sync, start)
+        if s < 0:
+            return schema, []
+    rows = []
+    while start <= s < end and s + 16 < len(data):
+        pos = s + 16
+        buf = io.BytesIO(data[pos:])
+        count = _read_long(buf)
+        size = _read_long(buf)
+        payload = buf.read(size)
+        if len(payload) != size:
+            raise ValueError(f"truncated block at offset {pos} in {path}")
+        payload = _decompress_block(codec, payload)
+        pbuf = io.BytesIO(payload)
+        for _ in range(count):
+            rows.append(decode_value(pbuf, schema))
+        s = pos + buf.tell()  # next sync trails this block
+        if data[s : s + 16] != sync:
+            raise ValueError(f"sync marker mismatch after block at {s}")
+    return schema, rows
+
+
 # ---------------------------------------------------------------------------
 # Spark <-> Avro schema mapping
 

@@ -75,14 +75,19 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, split_bytes: int = 32 << 20
+) -> DataFrame:
     """Avro scan (ref: flink-formats/flink-avro/AvroInputFormat.java).
 
     Prefers Spark's native `format("avro")` datasource (vectorized,
     splittable) when the spark-avro jar is on the classpath; otherwise
     falls back to the pure-Python spec implementation in `avro_py` —
-    distributed one-task-per-file via `binaryFiles`, the same split
-    granularity the reference uses for unsplittable compressed blocks."""
+    SPLITTABLE like the reference: container files larger than
+    ``split_bytes`` are cut into byte-range splits resolved to whole
+    blocks via the sync-marker protocol (`avro_py.read_container_split`),
+    one task per split, so a single multi-GB container still scans with
+    full cluster parallelism.  Small files get one task each."""
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:
@@ -97,19 +102,30 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         files = sorted(_glob.glob(_os.path.join(path, "*.avro")))
         if not files:
             raise FileNotFoundError(f"no .avro files under {path}")
-        first = files[0]
     else:
-        first = path
-    with open(first, "rb") as fh:
-        header = fh.read(1 << 20)
-    avro_schema, _ = _peek_avro_schema(header)
+        files = [path]
+    avro_schema, _codec, _sync, _hl = avro_py.read_header(files[0])
     spark_schema = avro_py.avro_to_spark_schema(avro_schema)
     cols = [f.name for f in spark_schema.fields]
-    rdd = (
-        spark.sparkContext.binaryFiles(path)
-        .flatMap(lambda kv: avro_py.read_container_bytes(kv[1])[1])
-        .map(lambda d: tuple(d[c] for c in cols))
-    )
+    # driver-side split planning is metadata-scale: one (path, lo, hi)
+    # triple per split_bytes of file
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        size = _os.path.getsize(f)
+        lo = 0
+        while True:
+            hi = lo + split_bytes
+            if hi >= size:
+                splits.append((f, lo, size))
+                break
+            splits.append((f, lo, hi))
+            lo = hi
+
+    def _read_split(t):
+        _, rows = avro_py.read_container_split(t[0], t[1], t[2])
+        return [tuple(d[c] for c in cols) for d in rows]
+
+    rdd = spark.sparkContext.parallelize(splits, len(splits)).flatMap(_read_split)
     return spark.createDataFrame(rdd, schema=spark_schema)
 
 

@@ -74,6 +74,63 @@ def test_snappy_block_crc_is_checked(tmp_path):
         avro_py.read_container_bytes(bytes(raw))
 
 
+def test_split_reads_partition_blocks_exactly(tmp_path):
+    """Sync-marker split protocol: for ANY cut of the file into
+    contiguous byte ranges, the union of split reads is the whole file
+    with no row lost or doubled — incl. cuts landing inside sync
+    markers, inside block headers, and inside payloads."""
+    import random
+
+    rng = random.Random(870)
+    rows = _rows(2003)
+    p = str(tmp_path / "split.avro")
+    avro_py.write_container(p, SCHEMA, rows, codec="deflate", sync_interval=97)
+    import os
+
+    size = os.path.getsize(p)
+    for trial in range(60):
+        n_cuts = rng.randint(1, 12)
+        cuts = sorted(rng.sample(range(1, size), min(n_cuts, size - 1)))
+        bounds = [0, *cuts, size]
+        got = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            _, part = avro_py.read_container_split(p, lo, hi)
+            got.extend(part)
+        assert got == rows, f"trial {trial}: cuts {cuts}"
+
+
+def test_split_read_covers_all_codecs(tmp_path):
+    rows = _rows(503)
+    import os
+
+    for codec in avro_py.CODECS:
+        p = str(tmp_path / f"s_{codec}.avro")
+        avro_py.write_container(p, SCHEMA, rows, codec=codec, sync_interval=50)
+        size = os.path.getsize(p)
+        mid = size // 2
+        _, a = avro_py.read_container_split(p, 0, mid)
+        _, b = avro_py.read_container_split(p, mid, size)
+        assert a + b == rows, codec
+
+
+def test_spark_read_avro_is_splittable(spark, tmp_path):
+    """A single large container file must scan with MANY tasks — the
+    reference's AvroInputFormat split behavior, not one-task-per-file."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.sources.batch import read_avro
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(20000), "v": [f"s{i}" * 5 for i in range(20000)]})
+    )
+    path = str(tmp_path / "big")
+    write_avro(df.coalesce(1), path)  # ONE container file
+    back = read_avro(spark, path, split_bytes=8 << 10)  # 8 KiB splits
+    assert back.rdd.getNumPartitions() > 4
+    assert back.count() == 20000
+    assert back.agg({"id": "sum"}).first()[0] == sum(range(20000))
+
+
 def test_zstandard_no_content_size_frame():
     """Zstd frames are not required to carry the decompressed size in
     the header (streaming writers omit it); the reader must stream-decode

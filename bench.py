@@ -154,10 +154,10 @@ def main() -> None:
     # speed, contention), never with engine changes, so a round where
     # every query slows by the same ratio as the calibration is a slower
     # host, not a plan regression.
-    def _calibrate() -> float:
+    def _calibrate(n: int = 5) -> list[float]:
         df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         samples = []
-        for _ in range(3):
+        for _ in range(n):
             t0 = time.perf_counter()
             (
                 df.groupBy("l_orderkey")
@@ -169,10 +169,19 @@ def main() -> None:
                 .save()
             )
             samples.append(time.perf_counter() - t0)
-        return round(sorted(samples)[1], 3)
+        return samples
 
-    calibration = _calibrate()
-    print(f"# calibration (fixed lineitem hash-agg): {calibration}s", file=sys.stderr)
+    # Calibration is sampled BEFORE and AFTER the query loop (the bench
+    # runs ~100s — host contention during it must count), and the
+    # normalizer is the median of all 10 samples.  The old 3-before-only
+    # scheme swung the normalized headline +/-30% run-to-run (r8's
+    # 0.517 vs 0.734 calibration on identical code).
+    cal_before = _calibrate()
+    print(
+        f"# calibration (before, lineitem hash-agg): "
+        f"{[round(s, 3) for s in cal_before]}",
+        file=sys.stderr,
+    )
 
     # Median of 3 runs per query: machine noise is ±40% run-to-run, so
     # single-run numbers can't support round-over-round comparisons.
@@ -211,6 +220,17 @@ def main() -> None:
             f"{[round(s, 3) for s in samples]}",
             file=sys.stderr,
         )
+
+    cal_after = _calibrate()
+    print(
+        f"# calibration (after): {[round(s, 3) for s in cal_after]}",
+        file=sys.stderr,
+    )
+    cal_all = sorted(cal_before + cal_after)
+    calibration = round(
+        (cal_all[len(cal_all) // 2] + cal_all[(len(cal_all) - 1) // 2]) / 2, 3
+    )
+    print(f"# calibration (median of {len(cal_all)}): {calibration}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver stores only a TAIL of stdout and parses the LAST JSON

@@ -97,9 +97,12 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
         return lzma.decompress(payload)
     if codec == "snappy":
         body, crc = payload[:-4], payload[-4:]
-        out = _pa_codec("snappy").decompress(
-            body, decompressed_size=_snappy_uvarint(body), asbytes=True
-        )
+        try:
+            out = _pa_codec("snappy").decompress(
+                body, decompressed_size=_snappy_uvarint(body), asbytes=True
+            )
+        except OSError as exc:  # pyarrow's corrupt-data surface
+            raise ValueError(f"corrupt avro snappy block: {exc}") from exc
         if struct.pack(">I", zlib.crc32(out) & 0xFFFFFFFF) != crc:
             raise ValueError("avro snappy block CRC32 mismatch")
         return out
@@ -112,7 +115,10 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
             stream = pa.input_stream(pa.BufferReader(payload), compression="zstd")
         except Exception as exc:  # pragma: no cover
             raise NotImplementedError(f"codec needs pyarrow: {exc}") from exc
-        return stream.read()
+        try:
+            return stream.read()
+        except OSError as exc:  # corrupt frame data
+            raise ValueError(f"corrupt avro zstandard block: {exc}") from exc
     return payload  # null
 
 

@@ -216,9 +216,13 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     palette: bytes | None = None
     idat = bytearray()
     while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
         )

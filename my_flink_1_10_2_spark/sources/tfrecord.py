@@ -188,13 +188,19 @@ def read_records(fh):
         if len(header) < 8:
             raise ValueError("truncated TFRecord length header")
         (length,) = struct.unpack("<Q", header)
-        (len_crc,) = struct.unpack("<I", fh.read(4))
+        lc = fh.read(4)
+        if len(lc) < 4:
+            raise ValueError("truncated TFRecord length CRC")
+        (len_crc,) = struct.unpack("<I", lc)
         if len_crc != masked_crc32c(header):
             raise ValueError("TFRecord length CRC mismatch")
         payload = fh.read(length)
         if len(payload) < length:
             raise ValueError("truncated TFRecord payload")
-        (crc,) = struct.unpack("<I", fh.read(4))
+        pc = fh.read(4)
+        if len(pc) < 4:
+            raise ValueError("truncated TFRecord payload CRC")
+        (crc,) = struct.unpack("<I", pc)
         if crc != masked_crc32c(payload):
             raise ValueError("TFRecord payload CRC mismatch")
         yield payload

@@ -189,3 +189,71 @@ def test_avro_corruption():
         except (UnicodeDecodeError, MemoryError):
             continue  # corrupt varint lengths surface here, still loud
         validate(out)
+
+
+def test_png_corruption():
+    rng = random.Random(1107)
+    from my_flink_1_10_2_spark.llm.png import png_decode, png_encode
+
+    pixels = bytes(rng.randrange(256) for _ in range(6 * 5 * 3))
+    payload = png_encode(6, 5, pixels, channels=3, interlace=True)
+    import zlib as _zlib
+
+    def validate(out):
+        w, h, ch, px = out
+        assert len(px) == w * h * ch
+
+    for mut in _mutations(rng, payload, 200):
+        try:
+            out = png_decode(mut)
+        except OK_ERRORS:
+            continue
+        except _zlib.error:
+            continue  # corrupt IDAT inflate — loud
+        validate(out)
+
+
+def test_jpeg_corruption():
+    rng = random.Random(1108)
+    from my_flink_1_10_2_spark.llm.jpeg import jpeg_decode_gray, jpeg_encode_gray
+
+    pixels = bytes(rng.randrange(256) for _ in range(16 * 16))
+    payload = jpeg_encode_gray(16, 16, pixels)
+
+    def validate(out):
+        w, h, px = out
+        assert len(px) == w * h
+
+    for mut in _mutations(rng, payload, 150):
+        try:
+            out = jpeg_decode_gray(mut)
+        except OK_ERRORS:
+            continue
+        except struct_error():
+            continue  # truncated marker segment mid-bitstream — loud
+        validate(out)
+
+
+def test_tfrecord_corruption():
+    rng = random.Random(1109)
+    import io as _io
+
+    from my_flink_1_10_2_spark.sources.tfrecord import read_records, write_record
+
+    buf = _io.BytesIO()
+    for i in range(30):
+        write_record(buf, f"payload-{i}".encode() * 3)
+    payload = buf.getvalue()
+
+    flagged = 0
+    for mut in _mutations(rng, payload, 200):
+        try:
+            recs = list(read_records(_io.BytesIO(mut)))
+        except OK_ERRORS:
+            flagged += 1
+            continue
+        # a successful read of a PREFIX is fine (truncation at a record
+        # boundary); every surviving record must be intact
+        assert all(r.startswith(b"payload-") for r in recs)
+    # the masked CRCs must actually catch most bit flips
+    assert flagged > 50

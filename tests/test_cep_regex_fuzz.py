@@ -70,6 +70,67 @@ def _encode(values):
     return "".join(chr(ord("a") + v) for v in values)
 
 
+def _rx_followed_by(ch: str, q: str) -> str:
+    """Regex image of a followed_by (relaxed-contiguity) step: the gap
+    is a LAZY `.*?` (skip-till-next takes the first viable row), repeats
+    of a looping quantifier are consecutive (repeats='strict'), and a
+    GREEDY OPTIONAL prefers taking the step through the gap — so its
+    image is `(?:.*?c)?`, NOT `.*?c?` (the probe that built this test
+    found exactly that divergence in the naive mapping; the engine
+    matches Flink's greedy semantics, the naive regex did not)."""
+    if q == "1":
+        return f".*?{ch}"
+    if q == "+":
+        return f".*?{ch}+"
+    if q == "?":
+        return f"(?:.*?{ch})?"
+    if q == "{1,2}":
+        return f".*?{ch}{{1,2}}"
+    raise ValueError(q)
+
+
+def test_mixed_contiguity_patterns_match_regex_reference():
+    """next + followed_by mixes with quantifiers vs the refined regex
+    mapping — pins the relaxed-contiguity semantics (lazy gap, greedy
+    optional-through-gap) against an independent backtracker."""
+    rng = random.Random(1210)
+    for trial in range(150):
+        n_steps = rng.randint(2, 3)
+        ks = [rng.randrange(3) for _ in range(n_steps)]
+        quants = ["1"] + [
+            rng.choice(["1", "+", "{1,2}", "?"]) for _ in range(n_steps - 1)
+        ]
+        pat = Pattern.begin(
+            "s0", lambda r, c, k=ks[0]: r["value"] == k, quants[0]
+        )
+        regex = chr(97 + ks[0])
+        for j in range(1, n_steps):
+            ch = chr(97 + ks[j])
+            if rng.random() < 0.5:
+                pat = pat.next(
+                    f"s{j}", lambda r, c, k=ks[j]: r["value"] == k, quants[j]
+                )
+                regex += ch + ("" if quants[j] == "1" else quants[j])
+            else:
+                pat = pat.followed_by(
+                    f"s{j}", lambda r, c, k=ks[j]: r["value"] == k, quants[j]
+                )
+                regex += _rx_followed_by(ch, quants[j])
+        values = [rng.randrange(3) for _ in range(rng.randint(0, 24))]
+        s = "".join(chr(97 + v) for v in values)
+        out = _run_nfa(
+            _pdf(values),
+            pat.steps,
+            {"start": lambda m: int(m["s0"][0]["i"])},
+            "skip_past_last_row",
+        )
+        got = sorted(out["start"]) if len(out) else []
+        want = [m.start() for m in re.finditer(regex, s) if m.end() > m.start()]
+        assert got == want, (
+            f"trial {trial} regex={regex!r} seq={s!r} got={got} want={want}"
+        )
+
+
 @pytest.mark.parametrize("strategy", ["skip_past_last_row", "skip_to_next_row"])
 def test_random_patterns_match_regex_reference(strategy):
     rng = random.Random(1080 if strategy == "skip_past_last_row" else 1081)

@@ -257,3 +257,49 @@ def test_tfrecord_corruption():
         assert all(r.startswith(b"payload-") for r in recs)
     # the masked CRCs must actually catch most bit flips
     assert flagged > 50
+
+
+def test_warc_corruption():
+    rng = random.Random(1110)
+    from my_flink_1_10_2_spark.sources.warc import (
+        _gunzip_all,
+        _gzip_member,
+        decode_warc_records,
+        encode_warc_record,
+    )
+
+    recs = [
+        encode_warc_record(
+            "conversion",
+            f"0000-{i:04d}",
+            "2024-01-01T00:00:00Z",
+            f"payload {i} ".encode() * rng.randint(1, 5),
+        )
+        for i in range(10)
+    ]
+    stream = b"".join(recs)
+
+    for mut in _mutations(rng, stream, 200):
+        try:
+            out = list(decode_warc_records(mut))
+        except OK_ERRORS:
+            continue
+        except UnicodeDecodeError:
+            continue  # flipped byte inside a header line — loud
+        for headers, payload in out:
+            assert len(payload) == int(headers["Content-Length"])
+
+    # gzip-member path: corrupt compressed bytes must also fail loudly
+    import zlib as _zlib
+
+    gz = b"".join(_gzip_member(r) for r in recs)
+    for mut in _mutations(rng, gz, 100):
+        try:
+            raw = _gunzip_all(mut)
+            out = list(decode_warc_records(raw))
+        except OK_ERRORS:
+            continue
+        except (UnicodeDecodeError, _zlib.error, OSError):
+            continue  # gzip CRC / framing errors — loud
+        for headers, payload in out:
+            assert len(payload) == int(headers["Content-Length"])

@@ -96,6 +96,8 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
 
         return lzma.decompress(payload)
     if codec == "snappy":
+        if len(payload) < 5:  # ≥1-byte uvarint body + 4-byte CRC32 trailer
+            raise ValueError("corrupt avro snappy block: too short")
         body, crc = payload[:-4], payload[-4:]
         try:
             out = _pa_codec("snappy").decompress(
@@ -406,38 +408,175 @@ def read_container(path: str):
 
 
 def read_header(path: str):
-    """Parse just the container header → (schema, codec, sync, header_len)."""
+    """Parse just the container header → (schema, codec, sync, header_len).
+
+    Reads a 1 MiB prefix first (metadata is almost always tiny) and
+    doubles the prefix on demand when a very large embedded schema
+    overruns it, so an oversized header parses correctly instead of
+    yielding a truncated sync marker and a confusing downstream error."""
+    cap = 1 << 20
     with open(path, "rb") as fh:
-        head = fh.read(1 << 20)  # metadata is small; 1 MiB is generous
+        while True:
+            fh.seek(0)
+            head = fh.read(cap)
+            try:
+                return _parse_header_bytes(head, complete=len(head) < cap)
+            except _HeaderTruncated:
+                if len(head) < cap:  # whole file read and still truncated
+                    raise ValueError(f"truncated avro container header in {path}")
+                cap *= 2
+
+
+class _HeaderTruncated(Exception):
+    """Internal: the header extends past the bytes read so far."""
+
+
+def _parse_header_bytes(head: bytes, complete: bool):
     buf = io.BytesIO(head)
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
-    meta = {}
-    while True:
-        count = _read_long(buf)
-        if count == 0:
-            break
-        if count < 0:
-            _read_long(buf)
-            count = -count
-        for _ in range(count):
-            key = _read_bytes(buf).decode("utf-8")
-            meta[key] = _read_bytes(buf)
+    try:
+        meta = {}
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                break
+            if count < 0:
+                _read_long(buf)
+                count = -count
+            for _ in range(count):
+                key = _read_bytes(buf).decode("utf-8")
+                meta[key] = _read_bytes(buf)
+                if not complete and buf.tell() >= len(head):
+                    raise _HeaderTruncated()
+    except ValueError:
+        if not complete:
+            raise _HeaderTruncated() from None
+        raise
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = buf.read(16)
+    if len(sync) < 16:
+        if not complete:
+            raise _HeaderTruncated()
+        raise ValueError("truncated avro container header (short sync marker)")
     return schema, codec, sync, buf.tell()
+
+
+def _read_long_at(mem, off: int):
+    """Zigzag-varint long from a bytes-like at ``off`` → (value, new_off)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = mem[off]
+        off += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), off
+        shift += 7
+
+
+class _SplitWindow:
+    """A sliding byte window over one file region for split decoding.
+
+    Holds only [base, base+len(buf)) in memory; ``ensure`` extends the
+    window forward in chunks and ``advance`` drops consumed bytes, so a
+    split task's footprint is O(max block size + chunk), never O(file) —
+    N split tasks over one multi-GB container must not each load the
+    whole file."""
+
+    CHUNK = 4 << 20
+
+    def __init__(self, fh, base: int):
+        self._fh = fh
+        self.base = base
+        self.buf = bytearray()
+        self._eof = False
+        fh.seek(base)
+
+    def ensure(self, upto_abs: int) -> bool:
+        """Grow the window so it covers absolute offset upto_abs (exclusive).
+        Returns False if the file ends first."""
+        need = upto_abs - self.base
+        while len(self.buf) < need and not self._eof:
+            chunk = self._fh.read(max(self.CHUNK, need - len(self.buf)))
+            if not chunk:
+                self._eof = True
+                break
+            self.buf += chunk
+        return len(self.buf) >= need
+
+    def advance(self, to_abs: int) -> None:
+        """Drop window bytes before absolute offset to_abs."""
+        drop = to_abs - self.base
+        if drop > 0:
+            del self.buf[:drop]
+            self.base = to_abs
+
+    def at_eof(self, abs_off: int) -> bool:
+        return self._eof and abs_off - self.base >= len(self.buf)
+
+
+def _find_sync_from(fh, sync: bytes, start: int, limit: int) -> int:
+    """Absolute offset of the first ``sync`` occurrence starting in
+    [start, limit), scanning the file in chunks (15-byte overlap so a
+    marker straddling a chunk edge is still found); -1 if none."""
+    fh.seek(start)
+    base = start
+    tail = b""
+    chunk_size = 4 << 20
+    while base - len(tail) < limit:
+        chunk = fh.read(chunk_size)
+        if not chunk:
+            return -1
+        hay = tail + chunk
+        hit = hay.find(sync)
+        if hit >= 0:
+            pos = base - len(tail) + hit
+            return pos if pos < limit else -1
+        base += len(chunk)
+        tail = hay[-(len(sync) - 1):]
+    return -1
+
+
+def _plausible_block_at(fh, sync: bytes, p: int, filesize: int) -> bool:
+    """One-hop structural check that a SCANNED sync candidate at ``p`` is a
+    real block boundary and not the marker bytes occurring inside block
+    payload (the classic false-sync hazard of marker-scanned formats):
+    the two varint longs after it must parse, and the implied block end
+    must land exactly on another sync marker (or ``p`` is the file's
+    trailing sync).  Vanilla Avro DataFileReader has no such check and
+    mis-parses on a payload collision; here a rejected candidate just
+    resumes the scan.  A fully valid fake block adversarially nested
+    inside a payload can still fool the one-hop check — the same
+    residual exposure as Avro itself."""
+    if p + 16 == filesize:
+        return True  # the file's trailing sync — owns no block
+    fh.seek(p + 16)
+    head = fh.read(20)  # two varint longs are ≤20 bytes
+    try:
+        count, off = _read_long_at(head, 0)
+        size, off = _read_long_at(head, off)
+    except IndexError:
+        return False
+    if count < 0 or size < 0:
+        return False
+    nxt = p + 16 + off + size
+    if nxt + 16 > filesize:
+        return False
+    fh.seek(nxt)
+    return fh.read(16) == sync
 
 
 def read_container_split(path: str, start: int, end: int):
     """Decode the blocks of ONE input split of a container file — the
     reference's splittable-read protocol (ref: flink-formats/flink-avro/
     AvroInputFormat.java, which delegates to Avro's DataFileReader
-    sync/pastSync): a split (start, end] owns exactly the blocks whose
-    block header (the count varint after a sync marker) begins at a byte
-    offset in (start, end].  Every block belongs to exactly one split,
-    so a union over non-overlapping splits covering [0, file_size)
-    yields each row exactly once.
+    sync/pastSync): a split [start, end) owns exactly the blocks whose
+    preceding sync marker begins at a byte offset in [start, end).
+    Every block belongs to exactly one split, so a union over
+    non-overlapping splits covering [0, file_size) yields each row
+    exactly once.
 
     Ownership rule (Avro's DataFileReader sync/pastSync semantics): a
     block belongs to the split [start, end) within which its PRECEDING
@@ -446,37 +585,65 @@ def read_container_split(path: str, start: int, end: int):
     partition the file, so each block lands in exactly one split even
     when a marker straddles a split boundary.
 
+    I/O shape: seeks to the split, streams forward in 4 MiB chunks, and
+    drops consumed bytes as it goes — memory is O(largest block), not
+    O(file), and a task never touches bytes before its first owned sync
+    (the last owned block may extend past ``end``; the window follows it
+    on demand, exactly Avro's past-sync overread).
+
     Sync markers are located by byte scan; a 16-byte marker colliding
-    with block payload is possible in principle (and accepted by every
-    Avro splitter, probability ~2^-128 per position) — a false hit fails
-    loudly in block decode rather than corrupting rows silently."""
+    with block payload is possible (probability ~2^-128 per position for
+    random markers, but trivially constructible against a known marker).
+    Scanned candidates are therefore structurally validated
+    (`_plausible_block_at`) and false hits skipped — stronger than
+    vanilla Avro, which mis-parses on a payload collision.  Syncs
+    reached by exact block-length arithmetic are authoritative, so a
+    genuinely corrupt block still fails loudly mid-split."""
     schema, codec, sync, header_len = read_header(path)
     if codec not in CODECS:
         raise NotImplementedError(f"codec {codec!r} (supported: {CODECS})")
-    with open(path, "rb") as fh:
-        data = fh.read()  # one split-sized task per read; posix-local files
-    if start <= header_len - 16:
-        s = header_len - 16  # the header's trailing sync, known exactly
-    else:
-        s = data.find(sync, start)
-        if s < 0:
-            return schema, []
     rows = []
-    while start <= s < end and s + 16 < len(data):
-        pos = s + 16
-        buf = io.BytesIO(data[pos:])
-        count = _read_long(buf)
-        size = _read_long(buf)
-        payload = buf.read(size)
-        if len(payload) != size:
-            raise ValueError(f"truncated block at offset {pos} in {path}")
-        payload = _decompress_block(codec, payload)
-        pbuf = io.BytesIO(payload)
-        for _ in range(count):
-            rows.append(decode_value(pbuf, schema))
-        s = pos + buf.tell()  # next sync trails this block
-        if data[s : s + 16] != sync:
-            raise ValueError(f"sync marker mismatch after block at {s}")
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        filesize = fh.tell()
+        if start <= header_len - 16:
+            s = header_len - 16  # the header's trailing sync, known exactly
+        else:
+            # Scanned candidates are heuristic: validate each structurally
+            # and resume the scan past payload-collision false positives.
+            s = _find_sync_from(fh, sync, start, end)
+            while s >= 0 and not _plausible_block_at(fh, sync, s, filesize):
+                s = _find_sync_from(fh, sync, s + 1, end)
+            if s < 0:
+                return schema, []
+        if s >= end:
+            return schema, []
+        win = _SplitWindow(fh, s)
+        while start <= s < end:
+            pos = s + 16  # block header (count varint) after the sync
+            # best-effort prefetch: two varint longs are ≤20 bytes
+            win.ensure(pos + 20)
+            if win.at_eof(pos):
+                break  # file ends exactly at this trailing sync
+            try:
+                count, off = _read_long_at(win.buf, pos - win.base)
+                size, off = _read_long_at(win.buf, off)
+            except IndexError:
+                raise ValueError(
+                    f"truncated block header at offset {pos} in {path}"
+                ) from None
+            payload_abs = win.base + off
+            if not win.ensure(payload_abs + size):
+                raise ValueError(f"truncated block at offset {pos} in {path}")
+            lo = payload_abs - win.base
+            payload = _decompress_block(codec, bytes(win.buf[lo : lo + size]))
+            pbuf = io.BytesIO(payload)
+            for _ in range(count):
+                rows.append(decode_value(pbuf, schema))
+            s = payload_abs + size  # next sync trails this block
+            if not win.ensure(s + 16) or bytes(win.buf[s - win.base : s - win.base + 16]) != sync:
+                raise ValueError(f"sync marker mismatch after block at {s}")
+            win.advance(s)
     return schema, rows
 
 

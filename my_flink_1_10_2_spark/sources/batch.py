@@ -142,30 +142,6 @@ def _is_missing_avro_datasource(exc: Exception) -> bool:
     )
 
 
-def _peek_avro_schema(header_bytes: bytes):
-    """Parse just the header of a container file (schema + codec)."""
-    import io as _io
-    import json as _json
-
-    from . import avro_py
-
-    buf = _io.BytesIO(header_bytes)
-    if buf.read(4) != avro_py.MAGIC:
-        raise ValueError("not an Avro object container file")
-    meta = {}
-    while True:
-        count = avro_py._read_long(buf)
-        if count == 0:
-            break
-        if count < 0:
-            avro_py._read_long(buf)
-            count = -count
-        for _ in range(count):
-            key = avro_py._read_bytes(buf).decode("utf-8")
-            meta[key] = avro_py._read_bytes(buf)
-    return _json.loads(meta["avro.schema"]), meta.get("avro.codec", b"null").decode()
-
-
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "deflate"):
     """Avro sink (ref: flink-formats/flink-avro/AvroOutputFormat.java).
 

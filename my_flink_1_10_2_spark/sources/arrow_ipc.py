@@ -93,6 +93,47 @@ def write_arrow_shards(
     return sharded.groupBy("__shard").applyInPandas(_write_shard, schema)
 
 
+def decode_arrow_file(source, want_schema_str: str | None = None):
+    """Decode ONE Arrow IPC file (path or bytes) → pandas DataFrame.
+
+    The per-shard unit of :func:`read_arrow_shards` — factored out so the
+    corruption fuzz drives the exact production path.  Corrupt framing
+    surfaces as ValueError (pyarrow's ArrowInvalid already is one; its
+    IO-flavored errors on in-memory bytes are converted).
+
+    The decoded table is `validate(full=True)`d BEFORE pandas
+    conversion: pyarrow trusts IPC buffer metadata, and a flipped
+    offset/length byte otherwise SEGFAULTS the interpreter inside
+    `table_to_dataframe` (reproduced by the corruption fuzz) — at 100 TB
+    scan volume that's a dead executor per corrupt shard.  Full
+    validation is one extra O(data) bounds pass; cheap next to the
+    Arrow->pandas copy it guards."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    try:
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            reader = ipc.open_file(pa.BufferReader(bytes(source)))
+            if want_schema_str and str(reader.schema) != want_schema_str:
+                raise ValueError(f"shard schema drift: {reader.schema}")
+            table = reader.read_all()
+            table.validate(full=True)
+            return table.to_pandas()
+        with pa.memory_map(source) as mm:
+            reader = ipc.open_file(mm)
+            if want_schema_str and str(reader.schema) != want_schema_str:
+                raise ValueError(
+                    f"shard {source} schema drift: {reader.schema}"
+                )
+            table = reader.read_all()
+            table.validate(full=True)
+            return table.to_pandas()
+    except (pa.lib.ArrowException, OSError) as exc:
+        if isinstance(exc, ValueError):
+            raise
+        raise ValueError(f"corrupt arrow IPC file: {exc}") from exc
+
+
 def read_arrow_shards(
     spark: SparkSession,
     in_dir: str,
@@ -128,13 +169,7 @@ def read_arrow_shards(
     def _read(batches):
         for pdf in batches:
             for path in pdf["path"]:
-                with pa.memory_map(path) as mm:
-                    reader = ipc.open_file(mm)
-                    if str(reader.schema) != want_schema_str:
-                        raise ValueError(
-                            f"shard {path} schema drift: {reader.schema}"
-                        )
-                    out = reader.read_pandas()
+                out = decode_arrow_file(path, want_schema_str)
                 if shard_col:
                     sid = int(os.path.basename(path)[len("part-"):-len(".arrow")])
                     out[shard_col] = sid

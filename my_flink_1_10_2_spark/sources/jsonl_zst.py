@@ -89,6 +89,49 @@ def write_jsonl_zst_shards(
     return sharded.groupBy("__shard").applyInPandas(_write_shard, schema)
 
 
+def decode_jsonl_zst(source, spec: dict) -> dict:
+    """Decode ONE ``.jsonl.zst`` shard (path or bytes) → column lists
+    keyed per ``spec`` (key -> long/double/string) — the per-shard unit
+    of :func:`read_jsonl_zst_shards`, factored out so the corruption
+    fuzz drives the exact production path.  Corrupt zstd frames, broken
+    UTF-8, malformed JSON, and type-impossible values all surface as
+    ValueError."""
+    import pyarrow as pa
+
+    try:
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            stream = pa.input_stream(
+                pa.BufferReader(bytes(source)), compression="zstd"
+            )
+            with stream as fh:
+                text = fh.read().decode("utf-8")
+        else:
+            with pa.input_stream(source, compression="zstd") as fh:
+                text = fh.read().decode("utf-8")
+    except (pa.lib.ArrowException, OSError) as exc:
+        if isinstance(exc, ValueError):
+            raise
+        raise ValueError(f"corrupt zstd shard: {exc}") from exc
+    rows = {k: [] for k in spec}
+    for line in text.splitlines():
+        if not line:
+            continue
+        obj = json.loads(line)
+        if not isinstance(obj, dict):
+            raise ValueError(f"jsonl line is not an object: {line[:60]!r}")
+        for k, t in spec.items():
+            v = obj.get(k)
+            if v is not None:
+                try:
+                    v = {"long": int, "double": float, "string": str}[t](v)
+                except TypeError as exc:
+                    raise ValueError(
+                        f"jsonl field {k!r} not coercible to {t}: {exc}"
+                    ) from exc
+            rows[k].append(v)
+    return rows
+
+
 def read_jsonl_zst_shards(
     spark: SparkSession,
     in_dir: str,
@@ -119,23 +162,10 @@ def read_jsonl_zst_shards(
 
     def _read(batches):
         import pandas as pd
-        import pyarrow as pa
 
         for pdf in batches:
             for path in pdf["path"]:
-                with pa.input_stream(path, compression="zstd") as fh:
-                    text = fh.read().decode("utf-8")
-                rows = {k: [] for k in spec}
-                for line in text.splitlines():
-                    if not line:
-                        continue
-                    obj = json.loads(line)
-                    for k, t in spec.items():
-                        v = obj.get(k)
-                        if v is not None:
-                            v = {"long": int, "double": float, "string": str}[t](v)
-                        rows[k].append(v)
-                out = pd.DataFrame(rows)
+                out = pd.DataFrame(decode_jsonl_zst(path, spec))
                 if shard_col:
                     base = os.path.basename(path)
                     out[shard_col] = int(base[len("part-"):-len(".jsonl.zst")])

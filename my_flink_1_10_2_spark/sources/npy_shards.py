@@ -62,18 +62,35 @@ def read_npy(fh):
     magic = fh.read(6)
     if magic != b"\x93NUMPY":
         raise ValueError("not a .npy file (bad magic)")
-    major, _minor = fh.read(1)[0], fh.read(1)[0]
+    version = fh.read(2)
+    if len(version) < 2:
+        raise ValueError("truncated .npy version bytes")
+    major = version[0]
     if major == 1:
-        (hlen,) = struct.unpack("<H", fh.read(2))
+        raw = fh.read(2)
+        if len(raw) < 2:
+            raise ValueError("truncated .npy header length")
+        (hlen,) = struct.unpack("<H", raw)
     elif major == 2:
-        (hlen,) = struct.unpack("<I", fh.read(4))
+        raw = fh.read(4)
+        if len(raw) < 4:
+            raise ValueError("truncated .npy header length")
+        (hlen,) = struct.unpack("<I", raw)
     else:
         raise ValueError(f"unsupported .npy version {major}")
-    meta = ast.literal_eval(fh.read(hlen).decode("latin1"))
-    if meta["fortran_order"]:
-        raise ValueError("fortran-order .npy not supported")
-    dtype = np.dtype(meta["descr"])
-    shape = tuple(meta["shape"])
+    try:
+        meta = ast.literal_eval(fh.read(hlen).decode("latin1"))
+        if not isinstance(meta, dict):
+            raise ValueError("npy header is not a dict literal")
+        if meta["fortran_order"]:
+            raise ValueError("fortran-order .npy not supported")
+        dtype = np.dtype(meta["descr"])
+        shape = tuple(meta["shape"])
+    except (SyntaxError, TypeError, KeyError) as exc:
+        # corrupt header bytes must surface as the module's clean error
+        raise ValueError(f"corrupt .npy header: {exc}") from exc
+    if not all(isinstance(s, int) and s >= 0 for s in shape):
+        raise ValueError(f"corrupt .npy shape {shape!r}")
     n_items = 1
     for s in shape:
         n_items *= s

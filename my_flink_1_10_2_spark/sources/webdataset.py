@@ -129,6 +129,41 @@ def write_webdataset(
     return sharded.groupBy("__shard").applyInPandas(_write_shard, schema)
 
 
+def parse_tar_samples(source, exts) -> dict:
+    """Group the members of ONE WebDataset tar shard (path or bytes) by
+    basename key → ``{stem: {ext: bytes}}`` — the per-shard unit of
+    :func:`read_webdataset`, factored out so the corruption fuzz drives
+    the exact production path.  Corrupt tar framing surfaces as
+    ValueError (tarfile's ReadError/TarError converted); members with
+    extensions not listed are skipped."""
+    import io
+
+    samples: dict[str, dict[str, bytes]] = {}
+    try:
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            tar_kw = {"fileobj": io.BytesIO(bytes(source))}
+        else:
+            tar_kw = {"name": source}
+        with tarfile.open(mode="r", **tar_kw) as tar:
+            for ti in tar:
+                stem, dot, ext = ti.name.rpartition(".")
+                if not dot or ext not in exts:
+                    continue
+                member = tar.extractfile(ti)
+                if member is None:  # directory / special entry
+                    continue
+                data = member.read()
+                if len(data) != ti.size:
+                    raise ValueError(
+                        f"truncated tar member {ti.name}: "
+                        f"{len(data)} of {ti.size} bytes"
+                    )
+                samples.setdefault(stem, {})[ext] = data
+    except tarfile.TarError as exc:
+        raise ValueError(f"corrupt webdataset tar shard: {exc}") from exc
+    return samples
+
+
 def read_webdataset(
     spark: SparkSession, in_dir: str, extensions: list[str] | None = None
 ) -> DataFrame:
@@ -166,15 +201,7 @@ def read_webdataset(
         for pdf in batches:
             for path in pdf["path"]:
                 shard_id = int(os.path.basename(path)[len("shard-"):-len(".tar")])
-                samples: dict[str, dict[str, bytes]] = {}
-                with tarfile.open(path, "r") as tar:
-                    for ti in tar:
-                        stem, dot, ext = ti.name.rpartition(".")
-                        if not dot or ext not in exts:
-                            continue
-                        samples.setdefault(stem, {})[ext] = tar.extractfile(
-                            ti
-                        ).read()
+                samples = parse_tar_samples(path, exts)
                 keys = sorted(samples)
                 yield pd.DataFrame(
                     {

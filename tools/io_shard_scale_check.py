@@ -58,7 +58,21 @@ def main() -> None:
         default="/root/testdata/sf0.1:.sfscale/sf1:.sfscale/sf3",
         help="colon-separated scale dirs, ascending size",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the roundtrip queries "
+        "(default: all six)",
+    )
     args = ap.parse_args()
+    roundtrips = dict(ROUNDTRIPS)
+    if args.queries:
+        keep = set(args.queries.split(","))
+        unknown = keep - roundtrips.keys()
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            sys.exit(2)
+        roundtrips = {k: v for k, v in roundtrips.items() if k in keep}
     dirs = [d for d in args.dirs.split(":") if os.path.isdir(d)]
     if len(dirs) < 2:
         print(f"need >=2 existing scale dirs, got {dirs}", file=sys.stderr)
@@ -71,14 +85,14 @@ def main() -> None:
     # per-dir input row counts (drive the expected shard counts)
     n_rows: dict[tuple[str, str], int] = {}
     for d in dirs:
-        for t in {t for t, _ in ROUNDTRIPS.values()}:
+        for t in {t for t, _ in roundtrips.values()}:
             n_rows[d, t] = spark.read.parquet(
                 os.path.join(d, f"{t}.parquet")
             ).count()
 
     failures = []
     per_q: dict[str, dict[str, dict]] = {}
-    for name, (table, per_shard) in ROUNDTRIPS.items():
+    for name, (table, per_shard) in roundtrips.items():
         per_q[name] = {}
         for d in dirs:
             rss0 = _rss_mb()
@@ -106,9 +120,10 @@ def main() -> None:
                     f"(ceiling {RSS_CEILING_MB})"
                 )
 
+    any_table = next(iter({t for t, _ in roundtrips.values()}))
     summary = {
-        "dirs": {d: n_rows[d, "documents"] for d in dirs},
-        "queries": len(ROUNDTRIPS),
+        "dirs": {d: n_rows[d, any_table] for d in dirs},
+        "queries": len(roundtrips),
         "failures": failures,
     }
     print(json.dumps(summary))

@@ -60,7 +60,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(_REPO, ".sfscale", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated table subset (default: all); fixed dims are "
+        "copied only when listed",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     spark = get_spark(app_name="make-sf-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,20 +75,29 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     os.makedirs(args.dst, exist_ok=True)
 
+    needed_ks = {
+        ks
+        for t, shifts in SCALED.items()
+        if only is None or t in only
+        for ks in shifts.values()
+    }
     strides = {
         ks: 1 + spark.read.parquet(os.path.join(args.src, f"{t}.parquet"))
         .agg(F.max(c)).first()[0]
         for ks, (t, c) in STRIDE_SOURCE.items()
+        if ks in needed_ks
     }
     print(f"# strides: {strides}", file=sys.stderr)
 
-    for t in FIXED:
+    for t in (f for f in FIXED if only is None or f in only):
         df = spark.read.parquet(os.path.join(args.src, f"{t}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(args.dst, f"{t}.parquet"))
         print(f"# {t}: copied (fixed-size dim)", file=sys.stderr)
 
     replicas = spark.range(args.factor).select(F.col("id").alias("__rep"))
     for t, shifts in SCALED.items():
+        if only is not None and t not in only:
+            continue
         src = spark.read.parquet(os.path.join(args.src, f"{t}.parquet"))
         out = src.crossJoin(F.broadcast(replicas))
         for col, ks in shifts.items():

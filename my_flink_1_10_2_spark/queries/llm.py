@@ -3342,6 +3342,84 @@ def q_jpeg_color_tile_stats(spark, sf_dir):
 
 
 @register(
+    "q_jpeg12_cmyk_tile_stats",
+    oracle="""
+    SELECT media_id, width, height, c_sum, m_sum, y_sum, k_sum FROM (
+      SELECT doc_id AS media_id,
+             CAST(8 * (2 + doc_id % 3) AS BIGINT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+             CAST(64 * SUM(2 * ((doc_id*37 + t*29) % 2048)) AS BIGINT) AS c_sum,
+             CAST(64 * SUM(2 * ((doc_id*37 + 53 + t*29) % 2048)) AS BIGINT) AS m_sum,
+             CAST(64 * SUM(2 * ((doc_id*37 + 106 + t*29) % 2048)) AS BIGINT) AS y_sum,
+             CAST(64 * SUM(2 * ((doc_id*37 + 159 + t*29) % 2048)) AS BIGINT) AS k_sum
+      FROM (
+        SELECT doc_id,
+               unnest(range((2 + doc_id % 3) * (1 + doc_id % 2))) AS t
+        FROM documents)
+      GROUP BY doc_id)
+    """,
+    category="llm_multimodal",
+)
+def q_jpeg12_cmyk_tile_stats(spark, sf_dir):
+    """EXTENDED-SEQUENTIAL JPEG decode (round-10 profile-gate closure —
+    llm/jpeg12.py: SOF1, 12-bit precision with 2048 level shift, 16-bit
+    DQT entries, 12-bit-wide Huffman alphabets transmitted in DHT,
+    4-component CMYK interleave behind an Adobe APP14, DRI restart
+    markers): per-document CMYK JPEGs of QUANT-EXACT 8x8 tiles — every
+    tile level even, so DC = 8*(level-2048) is a multiple of the
+    Q[0,0]=16 step and every AC is exactly zero — are encoded and
+    decoded executor-side with a per-doc restart interval (1 + d%4);
+    the decoded per-plane pixel sums grade against the closed-form SQL
+    replay.  Any defect in the SOF1 parse, 16-bit DQT, wide-category
+    entropy coding, 4-predictor separation, restart resync, or the
+    2048 level shift mismatches.  Lossy behavior on random 12-bit
+    images is property-tested (tests/test_jpeg12.py)."""
+    import pandas as pd
+
+    from my_flink_1_10_2_spark.llm.jpeg12 import jpeg12_decode, jpeg12_encode
+
+    schema = (
+        "media_id long, width long, height long, "
+        "c_sum long, m_sum long, y_sum long, k_sum long"
+    )
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tw, th = 2 + d % 3, 1 + d % 2  # 8px tiles across / down
+                w, h = 8 * tw, 8 * th
+                ones = np.ones((8, 8), dtype=np.int64)
+
+                def plane(k):
+                    tiles = np.array(
+                        [2 * ((d * 37 + k * 53 + t * 29) % 2048)
+                         for t in range(tw * th)],
+                        dtype=np.int64,
+                    ).reshape(th, tw)
+                    return np.kron(tiles, ones)
+
+                planes = [plane(k) for k in range(4)]
+                payload = jpeg12_encode(planes, restart_interval=1 + d % 4)
+                prec, dw, dh, dec = jpeg12_decode(payload)
+                if (prec, dw, dh, len(dec)) != (12, w, h, 4):
+                    raise ValueError("jpeg12 metadata did not roundtrip")
+                sums = [int(p.sum(dtype=np.int64)) for p in dec]
+                rows.append((d, w, h, *sums))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "c_sum", "m_sum", "y_sum", "k_sum"],
+            )
+
+    docs = read(spark, sf_dir, "documents")
+    return _cpu_spread(docs.select("doc_id")).mapInPandas(batches, schema)
+
+
+@register(
     "q_dsir_importance_weights",
     oracle=r"""
     WITH tok AS (

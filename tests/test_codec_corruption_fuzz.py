@@ -234,6 +234,34 @@ def test_jpeg_corruption():
         validate(out)
 
 
+def test_jpeg12_corruption():
+    rng = random.Random(1112)
+    import numpy as np
+
+    from my_flink_1_10_2_spark.llm.jpeg12 import jpeg12_decode, jpeg12_encode
+
+    planes = [
+        np.array(rng.sample(range(4096), 16 * 24), dtype=np.int64).reshape(16, 24)
+        for _ in range(4)
+    ]
+    payload = jpeg12_encode(planes, restart_interval=2)
+
+    def validate(out):
+        prec, w, h, dec = out
+        assert prec in (8, 12)
+        assert all(p.shape == (h, w) for p in dec)
+        assert all(int(p.max(initial=0)) < (1 << prec) for p in dec)
+
+    for mut in _mutations(rng, payload, 200):
+        try:
+            out = jpeg12_decode(mut)
+        except OK_ERRORS:
+            continue
+        except struct_error():
+            continue  # truncated marker segment mid-bitstream — loud
+        validate(out)
+
+
 def test_tfrecord_corruption():
     rng = random.Random(1109)
     import io as _io

@@ -224,3 +224,220 @@ def read_wet_shards(
                 yield out
 
     return path_df.mapInPandas(_read, schema)
+
+
+# ---------------------------------------------------------------------------
+# Splittable reads of EXTERNAL multi-member .warc.gz files (the Common
+# Crawl layout: one gzip member per record, multi-GB per file).  Our own
+# WET shards parallelize one-task-per-shard; a crawl archive is ONE huge
+# file, so without byte-range splits a 40 GB segment would scan on a
+# single task — the same wall the round-9/10 splittable Avro reader
+# removed (avro_py.read_container_split), solved with the same
+# architecture: scanned candidates are structurally VALIDATED, chained
+# offsets are authoritative.
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+#: scanned-candidate validation refuses to inflate more than this much
+#: from one member before declaring the candidate false — a true member
+#: this large is indistinguishable from pathology at scan time (chained
+#: members, whose offsets are exact, have no cap).
+_SCAN_INFLATE_CAP = 1 << 30
+
+
+def _try_member_at(fh, p: int, *, cap: int | None, chunk: int = 1 << 20):
+    """Attempt to decompress ONE gzip member starting at byte ``p`` and
+    parse it as WARC.  Returns (records, consumed_bytes) or None if the
+    bytes at ``p`` are not a complete gzip member whose payload starts
+    with ``WARC/`` — the validation that makes magic-byte collisions
+    inside compressed data (the false-sync hazard of every marker-
+    scanned format) harmless: a false candidate fails inflation, the
+    WARC/ prefix check, or record framing, and the scan resumes."""
+    import zlib
+
+    fh.seek(p)
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    fed = 0
+    try:
+        while not d.eof:
+            data = fh.read(chunk)
+            if not data:
+                return None  # EOF mid-member: truncated / false candidate
+            fed += len(data)
+            out += d.decompress(data)
+            if len(out) >= 5 and not bytes(out[:5]) == b"WARC/":
+                return None
+            if cap is not None and len(out) > cap:
+                return None
+    except zlib.error:
+        return None
+    consumed = fed - len(d.unused_data)
+    if not bytes(out[:5]) == b"WARC/":
+        return None
+    try:
+        records = list(decode_warc_records(bytes(out)))
+    except ValueError:
+        return None
+    return records, consumed
+
+
+def _scan_member_from(fh, start: int, limit: int, fsize: int):
+    """First offset in [start, limit) holding a VALIDATED member start:
+    gzip magic + full-member inflate + WARC framing + one-hop end check
+    (the member must end at EOF or at another gzip magic).  Returns
+    (offset, records, consumed) or None."""
+    pos = start
+    tail = b""
+    base = start
+    fh.seek(start)
+    scan_chunk = 4 << 20
+    while True:
+        data = fh.read(scan_chunk)
+        if not data:
+            return None
+        hay = tail + data
+        hay_base = base - len(tail)
+        at = 0
+        while True:
+            hit = hay.find(_GZ_MAGIC, at)
+            if hit < 0:
+                break
+            p = hay_base + hit
+            if p >= limit:
+                return None
+            got = _try_member_at(fh, p, cap=_SCAN_INFLATE_CAP)
+            if got is not None:
+                records, consumed = got
+                nxt = p + consumed
+                if nxt == fsize or _peek(fh, nxt, 3) == _GZ_MAGIC:
+                    return p, records, consumed
+            at = hit + 1
+        base += len(data)
+        tail = hay[-(len(_GZ_MAGIC) - 1):]
+        if base - len(tail) >= limit:
+            return None
+        fh.seek(base)
+
+
+def _peek(fh, p: int, n: int) -> bytes:
+    keep = fh.tell()
+    fh.seek(p)
+    out = fh.read(n)
+    fh.seek(keep)
+    return out
+
+
+def read_warc_gz_split(path: str, start: int, end: int):
+    """Decode the records of ONE byte-range split [start, end) of a
+    multi-member .warc.gz file.  A split owns every gzip member whose
+    FIRST byte lies in [start, end); the last owned member may extend
+    past ``end`` (the past-sync overread rule, exactly as
+    avro_py.read_container_split).  Unions of non-overlapping splits
+    covering [0, fsize) therefore yield each record exactly once.
+
+    The first member of a split is found by scanning for the gzip magic
+    and validated structurally (full inflate + WARC framing + one-hop
+    end check); every subsequent member starts at an EXACT offset and
+    is authoritative — corrupt bytes there raise, they are never
+    silently skipped.  An adversarially nested full valid member inside
+    compressed payload can still fool the scan — the residual exposure
+    every marker-scanned splittable format accepts."""
+    fsize = os.path.getsize(path)
+    records: list = []
+    with open(path, "rb") as fh:
+        if start == 0:
+            if _peek(fh, 0, 3) != _GZ_MAGIC:
+                raise ValueError(f"{path}: not a gzip file")
+            p = 0
+            got = _try_member_at(fh, 0, cap=None)
+            if got is None:
+                raise ValueError(f"{path}: corrupt leading gzip member")
+            recs, consumed = got
+        else:
+            found = _scan_member_from(fh, start, end, fsize)
+            if found is None:
+                return []
+            p, recs, consumed = found
+        while True:
+            records.extend(recs)
+            p += consumed
+            if p >= fsize or p >= end:
+                break
+            # chained offset: authoritative, corruption raises loudly
+            got = _try_member_at(fh, p, cap=None)
+            if got is None:
+                raise ValueError(
+                    f"{path}: corrupt gzip member at exact offset {p}"
+                )
+            recs, consumed = got
+    return records
+
+
+def read_warc_gz(
+    spark: SparkSession,
+    path: str,
+    *,
+    split_bytes: int = 128 << 20,
+    warc_types: tuple | None = None,
+) -> DataFrame:
+    """Read one external multi-member .warc.gz file (or a directory of
+    them) with byte-range parallelism: each task decodes one
+    [start, end) split via :func:`read_warc_gz_split`.  Returns
+    (path, warc_type, record_id, date, target_uri, payload binary).
+
+    ``split_bytes`` trades task granularity against scan overhead —
+    128 MiB default mirrors a comfortable HDFS/S3 block; a 40 GB
+    Common Crawl segment becomes ~320 independent tasks instead of 1.
+    """
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".gz")
+        )
+        if not files:
+            raise FileNotFoundError(f"no .gz files under {path}")
+    else:
+        files = [path]
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        lo = 0
+        while lo < size:
+            splits.append((f, lo, min(lo + split_bytes, size)))
+            lo += split_bytes
+    wanted = warc_types
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(splits, len(splits)),
+        "path string, start long, end long",
+    )
+
+    def _read(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for f, lo, hi in zip(pdf["path"], pdf["start"], pdf["end"]):
+                rows = []
+                for headers, payload in read_warc_gz_split(f, int(lo), int(hi)):
+                    wt = headers.get("WARC-Type", "")
+                    if wanted and wt not in wanted:
+                        continue
+                    rows.append((
+                        f, wt,
+                        headers.get("WARC-Record-ID", ""),
+                        headers.get("WARC-Date", ""),
+                        headers.get("WARC-Target-URI", ""),
+                        payload,
+                    ))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["path", "warc_type", "record_id", "date",
+                             "target_uri", "payload"],
+                )
+
+    return sdf.mapInPandas(
+        _read,
+        "path string, warc_type string, record_id string, date string, "
+        "target_uri string, payload binary",
+    )

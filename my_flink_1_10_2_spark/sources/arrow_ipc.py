@@ -176,3 +176,68 @@ def read_arrow_shards(
                 yield out
 
     return path_df.mapInPandas(_read, out_schema)
+
+
+def read_arrow_file_parallel(
+    spark: SparkSession,
+    path: str,
+    batches_per_task: int = 16,
+) -> DataFrame:
+    """Read ONE (possibly huge) Arrow IPC file with record-batch
+    parallelism.  Unlike the marker-scanned splittable formats (Avro
+    sync markers, WARC gzip magic), Arrow IPC *file* format carries a
+    FOOTER with the exact offset of every record batch — so splitting
+    is exact bookkeeping, no scanning, no false-positive hazard: the
+    driver reads only the footer (num_record_batches), assigns
+    contiguous batch ranges to tasks, and each task memory-maps the
+    file and materializes just its batches (zero-copy until the pandas
+    conversion).  Each task full-validates its batches before
+    conversion (same segfault guard as :func:`decode_arrow_file`).
+
+    This removes the one-task-per-file wall for externally produced
+    single-file Arrow datasets; our own exports are already sharded
+    (:func:`write_arrow_shards`) and use :func:`read_arrow_shards`.
+    """
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    with pa.memory_map(path) as mm:
+        reader = ipc.open_file(mm)
+        n_batches = reader.num_record_batches
+        arrow_schema = reader.schema
+    out_schema = T.StructType(
+        [T.StructField(f.name, from_arrow_type(f.type)) for f in arrow_schema]
+    )
+    if n_batches == 0:
+        return spark.createDataFrame([], out_schema)
+    ranges = [
+        (path, lo, min(lo + batches_per_task, n_batches))
+        for lo in range(0, n_batches, batches_per_task)
+    ]
+    rdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "path string, lo long, hi long",
+    )
+
+    def _read(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for f, lo, hi in zip(pdf["path"], pdf["lo"], pdf["hi"]):
+                with pa.memory_map(f) as mm:
+                    r = ipc.open_file(mm)
+                    tbl = pa.Table.from_batches(
+                        [r.get_batch(i) for i in range(int(lo), int(hi))],
+                        schema=r.schema,
+                    )
+                    try:
+                        tbl.validate(full=True)
+                    except pa.lib.ArrowInvalid as exc:
+                        raise ValueError(
+                            f"corrupt arrow batches [{lo},{hi}) in {f}: {exc}"
+                        ) from exc
+                    yield tbl.to_pandas()
+
+    return rdf.mapInPandas(_read, out_schema)

@@ -245,23 +245,34 @@ _GZ_MAGIC = b"\x1f\x8b\x08"
 _SCAN_INFLATE_CAP = 1 << 30
 
 
-def _try_member_at(fh, p: int, *, cap: int | None, chunk: int = 1 << 20):
+def _try_member_at(fh, p: int, *, cap: int | None, chunk: int = 1 << 20,
+                   pre: bytes = b""):
     """Attempt to decompress ONE gzip member starting at byte ``p`` and
-    parse it as WARC.  Returns (records, consumed_bytes) or None if the
-    bytes at ``p`` are not a complete gzip member whose payload starts
-    with ``WARC/`` — the validation that makes magic-byte collisions
-    inside compressed data (the false-sync hazard of every marker-
-    scanned format) harmless: a false candidate fails inflation, the
-    WARC/ prefix check, or record framing, and the scan resumes."""
+    parse it as WARC.  Returns (records, consumed_bytes, tail) or None
+    if the bytes at ``p`` are not a complete gzip member whose payload
+    starts with ``WARC/`` — the validation that makes magic-byte
+    collisions inside compressed data (the false-sync hazard of every
+    marker-scanned format) harmless: a false candidate fails inflation,
+    the WARC/ prefix check, or record framing, and the scan resumes.
+
+    ``pre`` is bytes already in memory that begin at offset ``p`` (the
+    previous member's decompressor tail); ``tail`` is the same for the
+    NEXT member — carrying it forward means chained decodes touch each
+    file byte once instead of re-reading a chunk per member (severe
+    amplification when members are small, the typical WET layout)."""
     import zlib
 
-    fh.seek(p)
+    fh.seek(p + len(pre))
     d = zlib.decompressobj(wbits=31)
     out = bytearray()
     fed = 0
+    src_pre = pre
     try:
         while not d.eof:
-            data = fh.read(chunk)
+            if src_pre:
+                data, src_pre = src_pre, b""
+            else:
+                data = fh.read(chunk)
             if not data:
                 return None  # EOF mid-member: truncated / false candidate
             fed += len(data)
@@ -279,7 +290,7 @@ def _try_member_at(fh, p: int, *, cap: int | None, chunk: int = 1 << 20):
         records = list(decode_warc_records(bytes(out)))
     except ValueError:
         return None
-    return records, consumed
+    return records, consumed, d.unused_data
 
 
 def _scan_member_from(fh, start: int, limit: int, fsize: int):
@@ -308,10 +319,11 @@ def _scan_member_from(fh, start: int, limit: int, fsize: int):
                 return None
             got = _try_member_at(fh, p, cap=_SCAN_INFLATE_CAP)
             if got is not None:
-                records, consumed = got
+                records, consumed, carry = got
                 nxt = p + consumed
-                if nxt == fsize or _peek(fh, nxt, 3) == _GZ_MAGIC:
-                    return p, records, consumed
+                peek3 = carry[:3] if len(carry) >= 3 else _peek(fh, nxt, 3)
+                if nxt == fsize or peek3 == _GZ_MAGIC:
+                    return p, records, consumed, carry
             at = hit + 1
         base += len(data)
         tail = hay[-(len(_GZ_MAGIC) - 1):]
@@ -353,24 +365,25 @@ def read_warc_gz_split(path: str, start: int, end: int):
             got = _try_member_at(fh, 0, cap=None)
             if got is None:
                 raise ValueError(f"{path}: corrupt leading gzip member")
-            recs, consumed = got
+            recs, consumed, carry = got
         else:
             found = _scan_member_from(fh, start, end, fsize)
             if found is None:
                 return []
-            p, recs, consumed = found
+            p, recs, consumed, carry = found
         while True:
             records.extend(recs)
             p += consumed
             if p >= fsize or p >= end:
                 break
-            # chained offset: authoritative, corruption raises loudly
-            got = _try_member_at(fh, p, cap=None)
+            # chained offset: authoritative, corruption raises loudly;
+            # the previous decompressor tail seeds the read (no re-read)
+            got = _try_member_at(fh, p, cap=None, pre=carry)
             if got is None:
                 raise ValueError(
                     f"{path}: corrupt gzip member at exact offset {p}"
                 )
-            recs, consumed = got
+            recs, consumed, carry = got
     return records
 
 

@@ -185,3 +185,26 @@ def test_spark_read_warc_gz_is_splittable(spark, tmp_path):
     assert read_warc_gz(
         spark, p, split_bytes=size, warc_types=("response",)
     ).count() == 0
+
+
+def test_tiny_chunk_carry_at_member_boundaries(tmp_path, monkeypatch):
+    """With a tiny decompress chunk the carried tail at a member
+    boundary is often 1-2 bytes — shorter than the gzip magic — which
+    must fall back to a file peek, not false-reject the boundary; and
+    chained decodes must stay exact for every cut."""
+    import functools
+
+    from my_flink_1_10_2_spark.sources import warc as W
+
+    rng = random.Random(5)
+    recs = _records(rng, 50, payload=lambda i: rng.randbytes(rng.randint(10, 200)))
+    p = _make_warc_gz(tmp_path, recs)
+    size = os.path.getsize(p)
+    full = read_warc_gz_split(p, 0, size)
+    assert len(full) == 50
+    monkeypatch.setattr(
+        W, "_try_member_at", functools.partial(W._try_member_at, chunk=37)
+    )
+    for cut in range(1, size, 211):
+        got = W.read_warc_gz_split(p, 0, cut) + W.read_warc_gz_split(p, cut, size)
+        assert got == full, cut

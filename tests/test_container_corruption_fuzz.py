@@ -210,3 +210,45 @@ def test_fixtures_decode_clean():
         _jsonl_zst_payload(), {"doc_id": "long", "score": "double", "lang": "string"}
     )
     assert len(cols["doc_id"]) == 50 and cols["lang"][5] == "l1"
+
+
+def test_warc_gz_split_corruption(tmp_path):
+    """The splittable .warc.gz reader under mutation: the authoritative
+    chained path (split starting at 0) must raise cleanly on damage;
+    scanning splits may skip damaged regions (heuristic by design) but
+    must never hang, crash, or yield malformed records."""
+    import os
+
+    from my_flink_1_10_2_spark.sources.warc import (
+        _gzip_member,
+        encode_warc_record,
+        read_warc_gz_split,
+    )
+
+    rng = random.Random(2205)
+    recs = [
+        encode_warc_record(
+            "conversion",
+            f"{i:08d}-0000-0000-0000-000000000000",
+            "2026-01-01T00:00:00Z",
+            bytes(rng.randrange(256) for _ in range(rng.randint(5, 80))),
+        )
+        for i in range(25)
+    ]
+    payload = b"".join(_gzip_member(r) for r in recs)
+
+    def validate(out):
+        assert isinstance(out, list)
+        for headers, body in out:
+            assert isinstance(headers, dict) and isinstance(body, bytes)
+            assert int(headers["Content-Length"]) == len(body)
+
+    k = 0
+    for mut in _mutations(rng, payload, N_MUTATIONS):
+        p = str(tmp_path / f"m{k}.warc.gz")
+        k += 1
+        open(p, "wb").write(mut)
+        size = os.path.getsize(p)
+        _check(lambda _b: read_warc_gz_split(p, 0, size), mut, validate)
+        cut = rng.randrange(1, max(size, 2))
+        _check(lambda _b: read_warc_gz_split(p, cut, size), mut, validate)

@@ -55,21 +55,28 @@ from my_flink_1_10_2_spark.llm.jpeg import (
 
 
 def _quantized_blocks(
-    width: int, height: int, pixels: bytes, q: np.ndarray
+    width: int, height: int, pixels, q: np.ndarray, precision: int = 8
 ) -> tuple[int, int, list[list[int]]]:
     """Forward path shared shape with the baseline encoder: padded 8x8
-    blocks → quantized zigzag coefficient lists."""
-    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    blocks → quantized zigzag coefficient lists.  ``pixels`` is raw
+    uint8 bytes at precision 8, uint16-LE bytes or an (h, w) ndarray at
+    precision 12 (level shift 2^(P-1) per T.81 §A.3.1)."""
+    if isinstance(pixels, np.ndarray):
+        img = pixels.reshape(height, width)
+    else:
+        dtype = np.uint8 if precision == 8 else np.dtype("<u2")
+        img = np.frombuffer(bytes(pixels), dtype=dtype).reshape(height, width)
     bh, bw = -(-height // 8) * 8, -(-width // 8) * 8
     padded = np.empty((bh, bw), dtype=np.float64)
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
     padded[:, width:] = padded[:, width - 1 : width]
     m = _dct_matrix()
+    shift = float(1 << (precision - 1))
     blocks = []
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            block = padded[by : by + 8, bx : bx + 8] - shift
             coeffs = m @ block @ m.T
             qc = np.round(coeffs / q).astype(np.int64)
             blocks.append(qc[_ZIG_R, _ZIG_C].tolist())
@@ -139,16 +146,43 @@ def jpeg_encode_gray_progressive(
     pixels: bytes,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode 8-bit grayscale pixels as a PROGRESSIVE (SOF2) JPEG with
-    the four-scan script above.  Quantized coefficients are identical to
-    the baseline encoder's, so both decode to the same pixels."""
-    if len(pixels) != width * height:
+    """Encode grayscale pixels as a PROGRESSIVE (SOF2) JPEG with the
+    four-scan script above.  Quantized coefficients are identical to
+    the baseline encoder's, so both decode to the same pixels.
+
+    ``precision`` 12 (T.81 allows 8 or 12 in progressive mode) takes
+    uint16-LE bytes or an (h, w) ndarray, level-shifts by 2048, writes
+    16-bit DQT entries (Pq=1) and uses the 12-bit-wide Huffman
+    alphabets of llm/jpeg12.py — AC magnitudes after the Al=1 point
+    transform stay within SSSS<=14, and EOBn beyond EOB0 is never
+    emitted by this script, so the flat AC12 table covers every
+    symbol."""
+    if precision not in (8, 12):
+        raise NotImplementedError(f"precision {precision} (8/12 supported)")
+    if isinstance(pixels, np.ndarray):
+        if pixels.size != width * height:
+            raise ValueError(f"expected {width * height} pixels array")
+    elif len(pixels) != width * height * (1 if precision == 8 else 2):
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
     q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
-    nbh, nbw, blocks = _quantized_blocks(width, height, pixels, q)
-    dc_codes = _build_codes(DC_BITS, DC_VALS)
-    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    nbh, nbw, blocks = _quantized_blocks(width, height, pixels, q, precision)
+    if precision == 12:
+        from my_flink_1_10_2_spark.llm.jpeg12 import (
+            AC12_BITS,
+            AC12_VALS,
+            DC12_BITS,
+            DC12_VALS,
+        )
+
+        dc_bits, dc_vals = DC12_BITS, DC12_VALS
+        ac_bits, ac_vals = AC12_BITS, AC12_VALS
+    else:
+        dc_bits, dc_vals = DC_BITS, DC_VALS
+        ac_bits, ac_vals = AC_BITS, AC_VALS
+    dc_codes = _build_codes(dc_bits, dc_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
 
     def restart_points(w: _BitWriter, mcu: int, state: dict) -> None:
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -222,11 +256,15 @@ def jpeg_encode_gray_progressive(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    if precision == 12:  # Pq=1 (16-bit entries), mandatory at 12-bit
+        out += seg(0xFFDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", int(q[r, c])) for r, c in ZIGZAG))
+    else:
+        out += seg(0xFFDB, bytes([0]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
     out += seg(0xFFC2, sof)  # SOF2: progressive DCT
-    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += sos(0, 0, 0, 1) + scan_dc_first
@@ -267,14 +305,17 @@ def _scan_bits(data: bytes, pos: int) -> tuple[bytes, int]:
 def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
     """Decode a progressive (SOF2) grayscale JPEG: accumulate the
     coefficient array across every scan (DC/AC, first/refinement), then
-    reconstruct once at EOI.  Raises NotImplementedError for
-    multi-component or 12-bit streams."""
+    reconstruct once at EOI.  Precision 8 returns uint8 bytes,
+    precision 12 returns uint16-LE bytes (T.81 allows both in
+    progressive mode).  Raises NotImplementedError for multi-component
+    streams (see jpeg_decode_color_progressive for 8-bit color)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
+    precision = 8
     restart_interval = 0
     comp_tq = 0
     coef: list[list[int]] | None = None
@@ -293,17 +334,24 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
                 tbl = np.zeros((8, 8), dtype=np.int32)
+                if pq == 1:  # 16-bit entries (12-bit sample data)
+                    vals = struct.unpack_from(">64H", body, off + 1)
+                    off += 129
+                elif pq == 0:
+                    vals = body[off + 1 : off + 65]
+                    off += 65
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
                 for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = body[off + 1 + i]
+                    tbl[r, c] = vals[i]
                 quant[tq] = tbl
-                off += 65
         elif marker == 0xFFC2:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"precision {precision} (8/12 supported)"
+                )
             if ncomp != 1:
                 raise NotImplementedError(
                     "only single-component (grayscale) progressive JPEG"
@@ -343,6 +391,8 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("JPEG missing SOF2 or scans")
     q = quant[comp_tq]
     m = _dct_matrix()
+    shift = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     bh, bw = -(-height // 8), -(-width // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     qz = q[_ZIG_R, _ZIG_C].astype(np.float64)
@@ -350,8 +400,9 @@ def jpeg_decode_gray_progressive(data: bytes) -> tuple[int, int, bytes]:
         by, bx = divmod(bi, bw)
         coeffs = np.zeros((8, 8), dtype=np.float64)
         coeffs[_ZIG_R, _ZIG_C] = np.asarray(zz, dtype=np.float64) * qz
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = m.T @ coeffs @ m + 128.0
-    pixels = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = m.T @ coeffs @ m + shift
+    dtype = np.uint8 if precision == 8 else np.dtype("<u2")
+    pixels = np.clip(np.round(out[:height, :width]), 0, maxval).astype(dtype)
     return width, height, pixels.tobytes()
 
 

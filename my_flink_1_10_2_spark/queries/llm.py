@@ -3372,11 +3372,19 @@ def q_jpeg12_cmyk_tile_stats(spark, sf_dir):
     the decoded per-plane pixel sums grade against the closed-form SQL
     replay.  Any defect in the SOF1 parse, 16-bit DQT, wide-category
     entropy coding, 4-predictor separation, restart resync, or the
-    2048 level shift mismatches.  Lossy behavior on random 12-bit
-    images is property-tested (tests/test_jpeg12.py)."""
+    2048 level shift mismatches.  The K plane is ADDITIONALLY
+    re-encoded as a PROGRESSIVE (SOF2) 12-bit stream — four-scan
+    successive approximation with the wide alphabets — and its decode
+    must equal the sequential decode bitwise, folding the
+    progressive-12 chain into the same oracle grade.  Lossy behavior on
+    random 12-bit images is property-tested (tests/test_jpeg12.py)."""
     import pandas as pd
 
     from my_flink_1_10_2_spark.llm.jpeg12 import jpeg12_decode, jpeg12_encode
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_decode_gray_progressive,
+        jpeg_encode_gray_progressive,
+    )
 
     schema = (
         "media_id long, width long, height long, "
@@ -3407,6 +3415,15 @@ def q_jpeg12_cmyk_tile_stats(spark, sf_dir):
                 prec, dw, dh, dec = jpeg12_decode(payload)
                 if (prec, dw, dh, len(dec)) != (12, w, h, 4):
                     raise ValueError("jpeg12 metadata did not roundtrip")
+                prog = jpeg_encode_gray_progressive(
+                    w, h, planes[3], precision=12
+                )
+                pw, ph, praw = jpeg_decode_gray_progressive(prog)
+                pk = np.frombuffer(praw, dtype="<u2").reshape(ph, pw)
+                if not np.array_equal(pk, dec[3]):
+                    raise ValueError(
+                        "progressive-12 decode diverged from sequential"
+                    )
                 sums = [int(p.sum(dtype=np.int64)) for p in dec]
                 rows.append((d, w, h, *sums))
             yield pd.DataFrame(

@@ -162,3 +162,79 @@ def test_odd_dimensions_pad_and_crop():
     img = rng.integers(0, 4096, (13, 21))
     prec, w, h, (dec,) = jpeg12_decode(jpeg12_encode([img]))
     assert (w, h) == (21, 13) and dec.shape == (13, 21)
+
+
+# -- progressive (SOF2) at 12-bit precision ---------------------------------
+
+
+def test_progressive12_equals_sequential_on_random_images():
+    """The four-scan progressive script reconstructs the SAME quantized
+    coefficients as sequential, so the decoded planes must be bitwise
+    identical — at 12-bit precision with the wide alphabets."""
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_decode_gray_progressive,
+        jpeg_encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(404)
+    for _ in range(5):
+        h = int(rng.integers(8, 48))
+        w = int(rng.integers(8, 48))
+        img = rng.integers(0, 4096, (h, w))
+        seq = jpeg12_decode(jpeg12_encode([img]))[3][0]
+        pw, ph, praw = jpeg_decode_gray_progressive(
+            jpeg_encode_gray_progressive(w, h, img, precision=12)
+        )
+        prog = np.frombuffer(praw, dtype="<u2").reshape(ph, pw)
+        assert (pw, ph) == (w, h)
+        assert np.array_equal(prog, seq)
+
+
+def test_progressive12_quant_exact_and_restarts():
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_decode_gray_progressive,
+        jpeg_encode_gray_progressive,
+    )
+
+    tiles = np.array([[100, 3000, 2048], [4094, 0, 1024]], dtype=np.int64)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+    h, w = img.shape
+    for ri in (0, 1, 2, 5):
+        data = jpeg_encode_gray_progressive(
+            w, h, img, precision=12, restart_interval=ri
+        )
+        pw, ph, praw = jpeg_decode_gray_progressive(data)
+        out = np.frombuffer(praw, dtype="<u2").reshape(ph, pw)
+        assert np.array_equal(out.astype(np.int64), img), ri
+
+
+def test_progressive12_uint16_bytes_input():
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_decode_gray_progressive,
+        jpeg_encode_gray_progressive,
+    )
+
+    img = np.kron(
+        np.array([[512, 2048]], dtype=np.int64), np.ones((8, 8), dtype=np.int64)
+    )
+    raw = img.astype("<u2").tobytes()
+    data = jpeg_encode_gray_progressive(16, 8, raw, precision=12)
+    _, _, praw = jpeg_decode_gray_progressive(data)
+    assert np.array_equal(
+        np.frombuffer(praw, dtype="<u2").reshape(8, 16).astype(np.int64), img
+    )
+
+
+def test_progressive_8bit_path_unchanged():
+    """The precision parameter must not perturb the 8-bit stream: the
+    golden pin lives in test_jpeg_progressive.py; here just roundtrip."""
+    from my_flink_1_10_2_spark.llm.jpeg_progressive import (
+        jpeg_decode_gray_progressive,
+        jpeg_encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    w, h, raw = 24, 16, img.tobytes()
+    out = jpeg_decode_gray_progressive(jpeg_encode_gray_progressive(w, h, raw))
+    assert out[0] == 24 and out[1] == 16 and len(out[2]) == 24 * 16

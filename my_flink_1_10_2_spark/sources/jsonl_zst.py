@@ -172,3 +172,182 @@ def read_jsonl_zst_shards(
                 yield out
 
     return path_df.mapInPandas(_read, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# zstd SEEKABLE format (public spec: facebook/zstd
+# contrib/seekable_format/zstd_seekable_compression_format.md): the
+# payload is split into independent zstd frames, and a final SKIPPABLE
+# frame carries a seek table of (compressed_size, decompressed_size)
+# per frame.  Plain zstd decoders ignore skippable frames (verified:
+# pyarrow's stream reads straight through them), so a seekable shard is
+# still a valid .jsonl.zst to every existing consumer — but a
+# byte-range reader can jump to any frame without inflating the prefix.
+# This is what turns the one-huge-.jsonl.zst external corpus (a Pile /
+# Dolma release file) from a one-task scan into N parallel tasks.
+
+import struct
+
+_SEEK_SKIP_MAGIC = 0x184D2A5E  # skippable-frame magic reserved for seek tables
+_SEEK_FOOT_MAGIC = 0x8F92EAB1
+
+
+def _seek_table_frame(frames) -> bytes:
+    """Serialize the seek table (no per-frame checksums) as one
+    skippable frame: entries then the 9-byte footer."""
+    body = b"".join(struct.pack("<II", c, d) for c, d in frames)
+    body += struct.pack("<IBI", len(frames), 0, _SEEK_FOOT_MAGIC)
+    return struct.pack("<II", _SEEK_SKIP_MAGIC, len(body)) + body
+
+
+def read_zstd_seek_table(path: str):
+    """Parse a seekable file's trailing seek table →
+    [(compressed_offset, compressed_size, decompressed_size)].
+    Raises ValueError when the file has no seek table."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        if size < 17:
+            raise ValueError(f"{path}: too small for a zstd seek table")
+        fh.seek(size - 9)
+        nframes, desc, magic = struct.unpack("<IBI", fh.read(9))
+        if magic != _SEEK_FOOT_MAGIC:
+            raise ValueError(f"{path}: no zstd seekable footer")
+        entry = 12 if desc & 0x80 else 8
+        table_size = nframes * entry + 9
+        frame_start = size - 9 - nframes * entry - 8
+        if frame_start < 0:
+            raise ValueError(f"{path}: seek table larger than file")
+        fh.seek(frame_start)
+        skip_magic, frame_size = struct.unpack("<II", fh.read(8))
+        if skip_magic != _SEEK_SKIP_MAGIC or frame_size != table_size:
+            raise ValueError(f"{path}: malformed zstd seek-table frame")
+        out = []
+        off = 0
+        for _ in range(nframes):
+            if entry == 12:
+                c, d, _crc = struct.unpack("<III", fh.read(12))
+            else:
+                c, d = struct.unpack("<II", fh.read(8))
+            out.append((off, c, d))
+            off += c
+        if off != frame_start:
+            raise ValueError(
+                f"{path}: seek table covers {off} bytes, data is {frame_start}"
+            )
+        return out
+
+
+def write_jsonl_zst_seekable(rows_iter, path: str, *, lines_per_frame: int = 200):
+    """Write pre-encoded JSONL lines (an iterator of bytes, each ending
+    in a newline) as one SEEKABLE .jsonl.zst file: one zstd frame per
+    ``lines_per_frame`` lines + the trailing seek table.  Frames break
+    on line boundaries so any frame decodes to whole JSON lines.
+    Returns (n_frames, raw_bytes)."""
+    import pyarrow as pa
+
+    codec = pa.Codec("zstd")
+    frames = []
+    raw_bytes = 0
+    tmp = path + ".inprogress"
+    with open(tmp, "wb") as fh:
+        buf = bytearray()
+        n = 0
+
+        def flush():
+            nonlocal buf, n
+            if not buf:
+                return
+            comp = codec.compress(bytes(buf), asbytes=True)
+            fh.write(comp)
+            frames.append((len(comp), len(buf)))
+            buf = bytearray()
+            n = 0
+
+        for line in rows_iter:
+            buf += line
+            raw_bytes += len(line)
+            n += 1
+            if n >= lines_per_frame:
+                flush()
+        flush()
+        fh.write(_seek_table_frame(frames))
+    os.replace(tmp, path)
+    return len(frames), raw_bytes
+
+
+def read_jsonl_zst_seekable(
+    spark: SparkSession,
+    path: str,
+    schema: dict[str, str],
+    frames_per_task: int = 8,
+) -> DataFrame:
+    """Read ONE seekable .jsonl.zst file with frame-range parallelism:
+    the driver parses only the trailing seek table, assigns contiguous
+    frame ranges to tasks, and each task reads its exact byte range and
+    decompresses each frame independently (sizes known, so no streaming
+    state and no false-boundary hazard — the seek table is
+    authoritative, like the Arrow IPC footer)."""
+    table = read_zstd_seek_table(path)
+    spark_types = {
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+    }
+    out_schema = T.StructType(
+        [T.StructField(k, spark_types[t]) for k, t in schema.items()]
+    )
+    if not table:
+        return spark.createDataFrame([], out_schema)
+    spec = dict(schema)
+    ranges = [
+        (path, lo, min(lo + frames_per_task, len(table)))
+        for lo in range(0, len(table), frames_per_task)
+    ]
+    meta = spark.sparkContext.broadcast(table)
+    rdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "path string, lo long, hi long",
+    )
+
+    def _read(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        tbl = meta.value
+        for pdf in batches:
+            for f, lo, hi in zip(pdf["path"], pdf["lo"], pdf["hi"]):
+                rows = {k: [] for k in spec}
+                with open(f, "rb") as fh:
+                    for off, csize, dsize in tbl[int(lo) : int(hi)]:
+                        fh.seek(off)
+                        comp = fh.read(csize)
+                        if len(comp) != csize:
+                            raise ValueError(
+                                f"{f}: truncated frame at offset {off}"
+                            )
+                        try:
+                            text = codec.decompress(
+                                comp, decompressed_size=dsize, asbytes=True
+                            ).decode("utf-8")
+                        except (pa.lib.ArrowException, OSError) as exc:
+                            raise ValueError(
+                                f"{f}: corrupt zstd frame at {off}: {exc}"
+                            ) from exc
+                        for line in text.splitlines():
+                            if not line:
+                                continue
+                            obj = json.loads(line)
+                            if not isinstance(obj, dict):
+                                raise ValueError(
+                                    f"jsonl line is not an object: {line[:60]!r}"
+                                )
+                            for k, t in spec.items():
+                                v = obj.get(k)
+                                if v is not None:
+                                    v = {"long": int, "double": float,
+                                         "string": str}[t](v)
+                                rows[k].append(v)
+                yield pd.DataFrame(rows)
+
+    return rdf.mapInPandas(_read, out_schema)

@@ -112,6 +112,46 @@ def main() -> None:
             print(json.dumps({"leg": f"zst_fpt{fpt}",
                               **out[f"zst_frames_per_task_{fpt}"]}), flush=True)
 
+        # ---- Avro single container (the r9/r10 headline reader) ----------
+        from my_flink_1_10_2_spark.sources import avro_py
+        from my_flink_1_10_2_spark.sources.batch import read_avro
+
+        apath = os.path.join(tmp, "big.avro")
+        schema = {
+            "type": "record", "name": "r",
+            "fields": [{"name": "id", "type": "long"},
+                       {"name": "payload", "type": "bytes"}],
+        }
+        t0 = time.time()
+        avro_py.write_container(
+            apath, schema,
+            ({"id": i, "payload": rng.randbytes(rng.randint(32, 512))}
+             for i in range(args.records)),
+            codec="deflate", sync_interval=200,
+        )
+        asize = os.path.getsize(apath)
+        out["avro_write_sec"] = round(time.time() - t0, 2)
+        out["avro_bytes"] = asize
+        for split_mb in (4, 16):
+            sb = split_mb << 20
+            want_tasks = -(-asize // sb)
+            t0 = time.time()
+            df = read_avro(spark, apath, split_bytes=sb)
+            n_parts = df.rdd.getNumPartitions()
+            row = df.groupBy().agg({"id": "sum", "*": "count"}).first()
+            wall = round(time.time() - t0, 2)
+            n_rows, id_sum = row["count(1)"], row["sum(id)"]
+            want_sum = args.records * (args.records - 1) // 2
+            ok = (n_parts == want_tasks and n_rows == args.records
+                  and id_sum == want_sum)
+            out[f"avro_split_{split_mb}mb"] = {
+                "tasks": n_parts, "want_tasks": want_tasks,
+                "rows": int(n_rows), "id_sum_ok": id_sum == want_sum,
+                "wall_sec": wall, "ok": ok,
+            }
+            print(json.dumps({"leg": f"avro_{split_mb}mb",
+                              **out[f"avro_split_{split_mb}mb"]}), flush=True)
+
     failures = [k for k, v in out.items()
                 if isinstance(v, dict) and not v["ok"]]
     print(json.dumps({"summary": out, "failures": failures}))

@@ -237,12 +237,23 @@ def read_zstd_seek_table(path: str):
         return out
 
 
-def write_jsonl_zst_seekable(rows_iter, path: str, *, lines_per_frame: int = 200):
+def write_jsonl_zst_seekable(
+    rows_iter,
+    path: str,
+    *,
+    lines_per_frame: int = 200,
+    max_frame_bytes: int = 8 << 20,
+):
     """Write pre-encoded JSONL lines (an iterator of bytes, each ending
     in a newline) as one SEEKABLE .jsonl.zst file: one zstd frame per
-    ``lines_per_frame`` lines + the trailing seek table.  Frames break
-    on line boundaries so any frame decodes to whole JSON lines.
-    Returns (n_frames, raw_bytes)."""
+    ``lines_per_frame`` lines (or sooner once a frame's raw size
+    reaches ``max_frame_bytes`` — the seek table's sizes are 32-bit per
+    spec, and small frames are what make byte-range reads cheap) + the
+    trailing seek table.  Frames break on line boundaries so any frame
+    decodes to whole JSON lines; a single line larger than the byte
+    budget still becomes one (oversized) frame, but a line that cannot
+    be represented in the 32-bit seek-table entry raises rather than
+    writing an unreadable table.  Returns (n_frames, raw_bytes)."""
     import pyarrow as pa
 
     codec = pa.Codec("zstd")
@@ -258,6 +269,12 @@ def write_jsonl_zst_seekable(rows_iter, path: str, *, lines_per_frame: int = 200
             if not buf:
                 return
             comp = codec.compress(bytes(buf), asbytes=True)
+            if len(comp) > 0xFFFFFFFF or len(buf) > 0xFFFFFFFF:
+                raise ValueError(
+                    "zstd seekable frame exceeds the spec's 32-bit size "
+                    f"field ({len(buf)} raw bytes) — lower max_frame_bytes "
+                    "or split the offending line"
+                )
             fh.write(comp)
             frames.append((len(comp), len(buf)))
             buf = bytearray()
@@ -267,7 +284,7 @@ def write_jsonl_zst_seekable(rows_iter, path: str, *, lines_per_frame: int = 200
             buf += line
             raw_bytes += len(line)
             n += 1
-            if n >= lines_per_frame:
+            if n >= lines_per_frame or len(buf) >= max_frame_bytes:
                 flush()
         flush()
         fh.write(_seek_table_frame(frames))

@@ -149,3 +149,26 @@ def test_empty_input(spark, tmp_path):
     assert (n_frames, raw) == (0, 0)
     assert read_zstd_seek_table(p) == []
     assert read_jsonl_zst_seekable(spark, p, SPEC).count() == 0
+
+
+def test_byte_budget_flush_and_oversized_lines(tmp_path):
+    """A frame flushes once its raw size reaches max_frame_bytes even
+    before the line count does; a single line over the budget becomes
+    one oversized frame (still valid); every frame stays line-aligned."""
+    p = str(tmp_path / "budget.jsonl.zst")
+
+    def lines():
+        for i in range(30):
+            body = "x" * (4000 if i % 7 else 50_000)
+            yield (json.dumps({"doc_id": i, "t": body}).encode() + b"\n")
+
+    n_frames, raw = write_jsonl_zst_seekable(
+        lines(), p, lines_per_frame=1000, max_frame_bytes=60_000
+    )
+    table = read_zstd_seek_table(p)
+    assert len(table) == n_frames > 1
+    assert sum(d for _, _, d in table) == raw
+    # no decompressed frame is wildly past budget + one max line
+    assert max(d for _, _, d in table) <= 60_000 + 55_000
+    cols = decode_jsonl_zst(p, {"doc_id": "long"})
+    assert cols["doc_id"] == list(range(30))

@@ -75,7 +75,10 @@ def pagerank(
             ).alias("rank"),
         )
 
-    out = iterate(init, step, iterations)
+    # two power-method steps per checkpoint: halves the Spark-job count
+    # (each action is a scheduler round-trip) at the cost of one extra
+    # join+agg level of plan depth — bit-identical ranks either way
+    out = iterate(init, step, iterations, steps_per_checkpoint=2)
     free_checkpoints(edges.sparkSession, nodes_ids | e_ids)
     return out
 
@@ -157,7 +160,8 @@ def sssp(
         )
         return d.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
 
-    out = iterate(init, step, iterations)
+    # two relax rounds per checkpoint — same distances, half the actions
+    out = iterate(init, step, iterations, steps_per_checkpoint=2)
     free_checkpoints(edges.sparkSession, e_ids)
     return out
 
@@ -605,7 +609,7 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    cur, cur_ids = checkpoint_tracked(sym)
+    cur, cur_ids = checkpoint_tracked(sym, eager=False)
     spark = edges.sparkSession
     prev_edges = cur.count()  # also materializes the symmetrized base
     for r in range(1, max_rounds + 1):
@@ -619,7 +623,9 @@ def k_core(
             removed.select(F.col("a").alias("b")), "b", "left_anti"
         )
         if r % checkpoint_every == 0 or r == max_rounds:
-            nxt, nxt_ids = checkpoint_tracked(nxt)
+            # lazy checkpoint + count: the count job IS the
+            # materialization (one action per checkpoint round, not two)
+            nxt, nxt_ids = checkpoint_tracked(nxt, eager=False)
             n_edges = nxt.count()  # materializes the round's checkpoint
             free_checkpoints(spark, cur_ids)
             cur, cur_ids = nxt, nxt_ids
@@ -860,11 +866,15 @@ def stress_centrality(
             .groupBy("source", "node")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .select("source", "node", F.lit(t).alias("d"), "sigma")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # one action per BFS level: the count materializes the lazy
+        # frontier checkpoint (and, as an upstream dependency, last
+        # round's settled checkpoint); nothing is ever freed here, so
+        # lazy settled checkpoints stay recomputable in the worst case
         if nxt.count() == 0:
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     src_nodes = sources.select(F.col("source").alias("node"))
     pairs = (
@@ -945,8 +955,8 @@ def k_truss(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    cur, cur_ids = checkpoint_tracked(ed)
-    n_edges = cur.count()
+    cur, cur_ids = checkpoint_tracked(ed, eager=False)
+    n_edges = cur.count()  # materializes the lazy checkpoint
     spark = edges.sparkSession
     for _ in range(max_rounds):
         sym = cur.select("a", "b").union(
@@ -961,8 +971,8 @@ def k_truss(
             .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         )
         nxt = sup.where(F.col("support") >= need).select("a", "b", "support")
-        nxt, nxt_ids = checkpoint_tracked(nxt)
-        n_next = nxt.count()
+        nxt, nxt_ids = checkpoint_tracked(nxt, eager=False)
+        n_next = nxt.count()  # materializes the lazy checkpoint
         free_checkpoints(spark, cur_ids)
         cur, cur_ids = nxt.select("a", "b"), nxt_ids
         if n_next == n_edges:

@@ -37,14 +37,30 @@ def _persistent_rdd_ids(spark) -> set[int]:
     return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
-def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """``localCheckpoint(eager=True)`` that also reports which RDD ids
-    the checkpoint persisted, so :func:`free_checkpoints` can release
-    them once a later superstep supersedes this state."""
+def checkpoint_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` that also reports which RDD ids the checkpoint
+    persisted, so :func:`free_checkpoints` can release them once a later
+    superstep supersedes this state.
+
+    ``eager=False`` registers the checkpoint RDD immediately (the persist
+    mark happens at plan time) but materializes it with the FIRST job
+    that computes it — including a job over a *derived* DataFrame.  The
+    iteration drivers below use that to fuse the checkpoint
+    materialization with the convergence action: one Spark job per
+    superstep where eager-checkpoint-then-measure costs two.
+    """
     spark = df.sparkSession
     before = _persistent_rdd_ids(spark)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     return out, _persistent_rdd_ids(spark) - before
+
+
+def _materialized(spark, rdd_ids: set[int]) -> bool:
+    """True if any of ``rdd_ids`` has cached partitions — i.e. a lazy
+    checkpoint has actually been computed by some job."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cached = {i.id() for i in infos if i.numCachedPartitions() > 0}
+    return bool(cached & rdd_ids)
 
 
 def free_checkpoints(spark, ids: set[int]) -> None:
@@ -64,19 +80,50 @@ def iterate(
     step: Callable[[DataFrame, int], DataFrame],
     max_iterations: int,
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    steps_per_checkpoint: int = 1,
 ) -> DataFrame:
     """Bulk iteration (ref: DataSet.java:1156). Runs ``step`` up to
     `max_iterations` times; stops early when ``converged(prev, new)``
-    returns True. Each superstep is localCheckpoint-ed; the previous
-    superstep's blocks are freed as soon as the new one is materialized
-    (only the final state stays resident)."""
+    returns True. Supersteps are localCheckpoint-ed; the previous
+    checkpoint's blocks are freed as soon as the new one is materialized
+    (only the final state stays resident).
+
+    Job-count discipline (each Spark action is a full scheduler
+    round-trip, the fixed cost that dominates iterative workloads):
+
+    - with ``converged``, the checkpoint is LAZY and the convergence
+      measurement is the job that materializes it — one job per
+      checkpoint instead of checkpoint + measure;
+    - ``steps_per_checkpoint`` fuses that many steps into one checkpoint
+      (exactly ``max_iterations`` steps still run — the tail chunk is
+      shorter).  With a convergence criterion the check then runs every
+      k-th step, which is exact for fixpoint algorithms (extra steps
+      past the fixpoint are no-ops) — keep it at 1 for steps where an
+      overshoot changes the result.
+    """
     spark = initial.sparkSession
     current, cur_ids = checkpoint_tracked(initial)
-    for i in range(max_iterations):
-        new, new_ids = checkpoint_tracked(step(current, i))
-        done = converged is not None and converged(current, new)
+    done_steps = 0
+    while done_steps < max_iterations:
+        chunk = min(steps_per_checkpoint, max_iterations - done_steps)
+        new = current
+        for j in range(chunk):
+            new = step(new, done_steps + j)
+        if converged is None:
+            new, new_ids = checkpoint_tracked(new)
+            done = False
+        else:
+            new, new_ids = checkpoint_tracked(new, eager=False)
+            # the convergence measurement is an action over `new`: its
+            # job materializes the lazy checkpoint as a side effect
+            done = converged(current, new)
+            if not _materialized(spark, new_ids):
+                # a custom criterion that never touched `new` — force
+                # the blocks before the previous state is freed
+                new.count()
         free_checkpoints(spark, cur_ids)
         current, cur_ids = new, new_ids
+        done_steps += chunk
         if done:
             break
     return current
@@ -106,7 +153,7 @@ def iterate_delta(
     """
     spark = solution.sparkSession
 
-    def chk(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    def chk(df: DataFrame, eager: bool = True) -> tuple[DataFrame, set[int]]:
         # Re-alias BEFORE checkpointing: localCheckpoint keeps its input
         # plan's attribute ids, so two checkpoints of related plans
         # (solution/workset/delta all derive from one another) would
@@ -114,20 +161,33 @@ def iterate_delta(
         # internal "key not found" error. The alias projection mints
         # fresh ids, so every checkpoint leaf is unique.
         return checkpoint_tracked(
-            df.select([F.col(c).alias(c) for c in df.columns])
+            df.select([F.col(c).alias(c) for c in df.columns]), eager=eager
         )
 
+    # Two Spark jobs per round (each action is a scheduler round-trip —
+    # the fixed cost that dominates delta iterations once the workset is
+    # thin): the workset checkpoint is LAZY and its size count is the job
+    # that materializes it; the delta checkpoint is LAZY and the new
+    # solution's eager checkpoint materializes it (the delta RDD is an
+    # upstream dependency of that job, and a lazy local checkpoint
+    # persists whenever any job computes it); the new workset is then
+    # counted at the top of the next round.
     key = key or solution.columns[0]
     solution, sol_ids = chk(solution)
-    workset, ws_ids = chk(workset)
+    workset, ws_ids = chk(workset, eager=False)
+    to_free: set[int] = set()
     for i in range(max_iterations):
-        ws_count = workset.count()
+        ws_count = workset.count()  # materializes the workset checkpoint
+        # with this round's workset resident, every consumer of the
+        # previous round's state has been materialized — release it
+        free_checkpoints(spark, to_free)
+        to_free = set()
         if superstep_sizes is not None:
             superstep_sizes.append(ws_count)
         if ws_count == 0:
             break
         delta, new_ws = step(solution, workset, i)
-        delta, delta_ids = chk(delta)
+        delta, delta_ids = chk(delta, eager=False)
         # merge = left join + per-column coalesce (delta wins). One
         # shuffle on `key`, no Union node (Union constraint rewriting
         # trips over checkpointed plans in Spark's optimizer).
@@ -143,13 +203,14 @@ def iterate_delta(
                 ],
             )
         )
-        new_workset, new_ws_ids = chk(new_ws)
-        # everything below is eagerly materialized now — release the
-        # superseded round's blocks (solution, workset, delta)
-        free_checkpoints(spark, sol_ids | ws_ids | delta_ids)
+        new_workset, new_ws_ids = chk(new_ws, eager=False)
+        # deferred: the new workset (lazy) may derive from any of this
+        # round's inputs — free them only after the next round's count
+        # has materialized it (or the loop ends and it is dropped)
+        to_free = sol_ids | ws_ids | delta_ids
         solution, sol_ids = new_solution, new_sol_ids
         workset, ws_ids = new_workset, new_ws_ids
-    free_checkpoints(spark, ws_ids)
+    free_checkpoints(spark, to_free | ws_ids)
     return solution
 
 

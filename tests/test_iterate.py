@@ -118,3 +118,61 @@ def test_triangle_enumeration_exact(spark):
     edges = spark.createDataFrame(k4, "src long, dst long")
     tris = sorted(map(tuple, triangle_enumerate(edges).collect()))
     assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_steps_per_checkpoint_fusion_identical_and_exact_step_count(spark):
+    """steps_per_checkpoint fuses supersteps into one checkpoint but must
+    run EXACTLY max_iterations steps (tail chunk shorter) and produce
+    bit-identical state to the unfused loop."""
+    init = spark.range(4).withColumn("x", F.col("id"))
+
+    def make_step(log):
+        def step(df, i):
+            log.append(i)
+            return df.withColumn("x", df.x + 1)
+
+        return step
+
+    log1: list[int] = []
+    log3: list[int] = []
+    out1 = mod.iterate(init, make_step(log1), 5, steps_per_checkpoint=1)
+    out3 = mod.iterate(init, make_step(log3), 5, steps_per_checkpoint=3)
+    assert log1 == list(range(5)) and log3 == list(range(5))
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out3.collect()))
+
+
+def test_converged_that_never_touches_new_state_is_safe(spark):
+    """The lazy-checkpoint fusion relies on `converged` materializing the
+    new state; a custom criterion that never runs an action on it must
+    still be safe (the guard forces the blocks before the previous
+    checkpoint is freed)."""
+    init = spark.range(3).withColumn("x", F.lit(0))
+    rounds = {"n": 0}
+
+    def step(df, i):
+        return df.withColumn("x", df.x + 1)
+
+    def lazy_converged(prev, new):
+        rounds["n"] += 1
+        return rounds["n"] >= 4  # never touches prev/new
+
+    out = mod.iterate(init, step, 10, converged=lazy_converged)
+    assert [r.x for r in out.collect()] == [4, 4, 4]
+
+
+def test_iterate_delta_frees_superseded_checkpoints(spark):
+    """The two-jobs-per-round rewrite defers block frees by one round;
+    at loop exit only the result (and caller-owned) checkpoints may stay
+    resident — superseded per-round state must not leak."""
+    sc = spark.sparkContext
+    for r in list(sc._jsc.getPersistentRDDs().values()):
+        r.unpersist()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = mod.connected_components_delta(edges, max_iterations=20)
+    assert {r.node: r.component for r in out.collect()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+    }
+    resident = len(sc._jsc.getPersistentRDDs())
+    assert resident <= 2, f"{resident} persisted RDDs leaked past iterate_delta"

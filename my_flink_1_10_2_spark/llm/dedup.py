@@ -444,7 +444,11 @@ def duplicated_spans(
         .where(F.col("__docs") >= min_docs)
         .select("__k")
     )
-    hits = keyed.join(spread, "__k").select(id_col, "pos").distinct()
+    # no distinct: (id, pos) is unique by construction (one shingle per
+    # position) and `spread` has one row per __k (groupBy output), so the
+    # join cannot duplicate — the dedup exchange it planned was a no-op
+    # over the corpus-sized hit relation
+    hits = keyed.join(spread, "__k").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = (
         hits.withColumn("__prev", F.lag("pos").over(w))

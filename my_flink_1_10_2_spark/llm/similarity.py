@@ -565,8 +565,10 @@ def kmeans_centroids_int(
         # pin the quantized corpus for the Lloyd loop: each iteration
         # reads the materialized blocks instead of re-scanning +
         # re-quantizing the source (released after training)
+        # lazy: the init collect below is the job that materializes it
+        # (one scheduler round-trip instead of two)
         before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
-        ci = ci.localCheckpoint(eager=True)
+        ci = ci.localCheckpoint(eager=False)
         new_ids = (
             set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - before
         )
@@ -575,18 +577,55 @@ def kmeans_centroids_int(
             (i, [int(x) for x in r["__vi"]])
             for i, r in enumerate(ci.orderBy("__id").limit(k).collect())
         ]
-        dim = len(cents[0][1]) if cents else 0
         for _ in range(iterations):
-            assigned = _assign_int(ci, cents)
-            sums = (
-                assigned.select("centroid", F.posexplode("__vi").alias("j", "val"))
-                .groupBy("centroid", "j")
-                .agg(F.sum("val").alias("s"))
-                .collect()  # k x dim rows — the centroid table itself
-            )
+            # one job per Lloyd step: the SAME exact assignment
+            # arithmetic as _assign_int (integer-valued float64 matmul,
+            # IEEE divide, first-argmax tiebreak), but the per-cluster
+            # SUM vectors are reduced inside the kernel — each task
+            # emits <= k partial rows, so the step is assignment +
+            # partial-sum + driver merge with no posexplode exchange.
+            # Integer sums are order-independent, so the merged totals
+            # are bit-identical to the old groupBy(centroid, j) path.
+            import numpy as np
+            import pandas as pd
+
+            cmat, ncs, ids = _cent_arrays(cents)
+            if not (np.diff(ids) > 0).all():
+                raise ValueError(
+                    "centroid ids must be ascending for argmax tiebreak"
+                )
+
+            def partial_sums(batches):
+                acc: dict[int, object] = {}
+                for b in batches:
+                    if not len(b):
+                        continue
+                    vi = np.stack(b["__vi"].to_numpy()).astype(np.float64)
+                    scores = (vi @ cmat.T) / ncs
+                    cent = ids[np.argmax(scores, axis=1)]
+                    vii = vi.astype(np.int64)
+                    for c in np.unique(cent):
+                        s = vii[cent == c].sum(axis=0)
+                        acc[int(c)] = s if c not in acc else acc[int(c)] + s
+                if acc:
+                    yield pd.DataFrame(
+                        {
+                            "centroid": list(acc.keys()),
+                            "s": [v.tolist() for v in acc.values()],
+                        }
+                    )
+
+            rows = ci.mapInPandas(
+                partial_sums, "centroid long, s array<long>"
+            ).collect()
             acc: dict[int, list[int]] = {}
-            for r in sums:
-                acc.setdefault(r["centroid"], [0] * dim)[r["j"]] = int(r["s"])
+            for r in rows:
+                if r["centroid"] in acc:
+                    acc[r["centroid"]] = [
+                        a + int(b) for a, b in zip(acc[r["centroid"]], r["s"])
+                    ]
+                else:
+                    acc[r["centroid"]] = [int(x) for x in r["s"]]
             cents = [(c, acc.get(c, v)) for c, v in cents]
         return cents
     finally:

@@ -3486,7 +3486,11 @@ def q_dsir_importance_weights(spark, sf_dir):
     Float discipline: the log-ratio is quantized to 1e-6 integer units
     once per BUCKET (64-row relation, broadcast), so per-doc weights
     are exact BIGINT sums — engine-identical, partition-invariant.
-    100 TB shape: one tokenize scan -> md5 bucket hash (JVM expr) ->
+    100 TB shape: ONE tokenize scan -> md5 bucket hash (JVM expr) ->
+    (doc, lang, bucket) partial-agg shuffle, locally checkpointed so the
+    bucket models, their totals and the per-doc scoring all reuse the
+    one pass (Spark does not share identical subtrees — without the
+    checkpoint the corpus explode ran three times in this plan) ->
     two 64-row aggregates -> broadcast hash join back -> per-doc
     partial-agg shuffle -> TakeOrdered(20).  No Python, no unpartitioned
     window, nothing driver-side beyond two scalars."""
@@ -3509,12 +3513,19 @@ def q_dsir_importance_weights(spark, sf_dir):
             ).alias("b"),
         )
     )
-    tcnt = (
-        tok.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    # one corpus pass: per-(doc, lang, bucket) token counts — a
+    # |docs|x64-bounded relation every downstream aggregate derives from
+    db = (
+        tok.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    rcnt = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    tcnt = (
+        db.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("bigint").alias("t"))
+    )
+    rcnt = db.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("r"))
     tot = rcnt.agg(F.sum("r").cast("bigint").alias("rt")).crossJoin(
         tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("tt"))
     )
@@ -3541,11 +3552,11 @@ def q_dsir_importance_weights(spark, sf_dir):
         )
     )
     return (
-        tok.join(dim(lr), "b")
+        db.join(dim(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("lr_i").cast("bigint").alias("weight_e6"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lr_i")).cast("bigint").alias("weight_e6"),
         )
         .orderBy(F.col("weight_e6").desc(), "doc_id")
         .limit(20)

@@ -196,8 +196,9 @@ def q_copurchase_affinity(spark, sf_dir):
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
         .distinct()
         # four consumers (order count, part counts, both join sides):
-        # materialize the dedup once instead of re-running its shuffle
-        .localCheckpoint(eager=True)
+        # materialize the dedup once instead of re-running its shuffle —
+        # lazily, so the order count below is the materializing job
+        .localCheckpoint(eager=False)
     )
     n_orders = li.select("okey").distinct().count()
     pc = li.groupBy("pkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))

@@ -48,7 +48,14 @@ def q_udaf_median(spark, sf_dir):
 
     import numpy as np
 
-    l = Table(read(spark, sf_dir, "lineitem"))
+    # project to the three columns the UDAF touches BEFORE the group
+    # shuffle: applyInPandas is opaque to Catalyst, so without this the
+    # exchange (and the Arrow transfer) carries all 11 lineitem columns
+    l = Table(
+        read(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
 
     def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         arr = np.sort(pdf["l_extendedprice"].to_numpy())

@@ -164,39 +164,68 @@ def minhash_signatures(
     """MinHash signature per document: sig[i] = min over shingles of
     h_i(shingle).
 
-    Scale design: explode (no distinct — duplicates can't change a min)
-    → md5 digests as named columns (one md5 per hash GROUP of 4, not per
-    hash) → groupBy(id) with 16 min() aggregates.  min() is
-    partial-aggregable, so the map side combines down to one row per doc
-    per task before the shuffle — exchange volume is O(docs × 16), not
-    O(shingles).
+    Scale design — MAP-ONLY: the per-doc shingle array is built in place
+    (same enumeration as :func:`shingle_rows`: one gram per start
+    position, short docs yield their single truncated gram), md5 digests
+    are computed per GROUP of 4 hashes, and each signature slot is an
+    ``array_min`` over the fixed-width hex chunks.  No explode, no
+    aggregate operator, no exchange beyond the doc fan-out repartition —
+    at 100 TB the signature pass is one scan.  The previous
+    explode + groupBy(16 × min(string)) formulation planned a
+    SortAggregate pair (var-width min buffers disqualify
+    HashAggregate) and measured 1.64 s vs 1.28 s for this at sf0.1.
+
+    min() over the fixed-width lowercase-hex chunks equals min() over
+    their numeric values (hex digits order lexicographically ==
+    numerically at fixed width), so the hex→bigint conversion stays
+    deferred to AFTER the min: num_hashes `conv` calls per DOC, not per
+    shingle (per-shingle conv measured 45%% slower end to end).
 
     Output: (id, sig array<bigint>).
     """
-    exploded = shingle_rows(df, text_col, id_col, n)
     groups = num_hashes // 4
-    with_digests = exploded.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{g}|"), F.col("shingle"))).alias(f"d{g}")
-            for g in range(groups)
-        ],
+    words = F.split(
+        F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+"
     )
-    # min() over the fixed-width lowercase-hex chunks equals min() over
-    # their numeric values (hex digits order lexicographically == numerically
-    # at fixed width), so the per-shingle hex→bigint conversion is deferred
-    # to AFTER the aggregate: num_hashes conversions per DOC instead of per
-    # SHINGLE (~50× fewer `conv` calls at 50 shingles/doc).
+    # same row set as the exploded path: null-text docs produce no row
+    base = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("__w"))
+        .where(F.col("__w").isNotNull())
+    )
+    n_grams = F.greatest(F.size("__w") - (n - 1), F.lit(1))
+    # one shingle per start position; F.get returns NULL past the end and
+    # concat_ws skips NULLs — identical gram strings to shingle_rows
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__w"), i + k) for k in range(n)]
+        ),
+    )
+    cur = base.select(F.col(id_col), grams.alias("__sh"))
+    for g in range(groups):
+        seed = F.lit(f"{g}|")
+        cur = cur.withColumn(
+            f"__d{g}",
+            F.transform(
+                F.col("__sh"),
+                (lambda sd: lambda s: F.md5(F.concat(sd, s)))(seed),
+            ),
+        )
     mins = []
     for i in range(num_hashes):
         g, lo = i // 4, (i % 4) * 8 + 1
-        mins.append(F.min(F.substring(F.col(f"d{g}"), lo, 8)).alias(f"h{i}"))
-    sig = with_digests.groupBy(id_col).agg(*mins)
-    return sig.select(
+        mins.append(
+            F.array_min(
+                F.transform(
+                    F.col(f"__d{g}"),
+                    (lambda off: lambda x: F.substring(x, off, 8))(lo),
+                )
+            )
+        )
+    return cur.select(
         F.col(id_col),
-        F.array(
-            *[F.conv(F.col(f"h{i}"), 16, 10).cast("bigint") for i in range(num_hashes)]
-        ).alias("sig"),
+        F.array(*[F.conv(m, 16, 10).cast("bigint") for m in mins]).alias("sig"),
     )
 
 

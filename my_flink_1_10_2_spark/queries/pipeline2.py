@@ -133,16 +133,21 @@ def q_contamination_check(spark, sf_dir):
     set is ~10% of the corpus — small enough to broadcast. The check is
     then a broadcast LEFT SEMI join against the exploded training
     shingles: one corpus scan, no shuffle of the big side, and the
-    contaminated-id set folds back onto the per-source report."""
+    contaminated-id set folds back onto the per-source report.
+
+    The bucket filters run BELOW the shingle explode (shingles are
+    per-document, so filtering docs first is identical): the test branch
+    explodes only its ~10%% slice and the train branch only its ~80%%,
+    instead of both branches exploding the full corpus and joining a
+    bucket column back on."""
     docs = read(spark, sf_dir, "documents")
     b = bucket_of("doc_id")
     meta = docs.select("doc_id", "source", b.alias("b"))
-    sh = D.shingles(docs, n=5).join(
-        meta.select("doc_id", "b"), "doc_id"
+    bench_sh = (
+        D.shingles(docs.where(b >= 90), n=5).select("shingle").distinct()
     )
-    bench_sh = sh.where(F.col("b") >= 90).select("shingle").distinct()
     contam = (
-        sh.where(F.col("b") < 80)
+        D.shingles(docs.where(b < 80), n=5)
         .join(dim(bench_sh), "shingle", "left_semi")
         .select("doc_id")
         .distinct()

@@ -91,16 +91,44 @@ def bm25_term_scores(
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # ONE corpus pass: per-doc length and every query term's frequency as
+    # conditional aggregates in the same groupBy (the term list is a
+    # query-sized constant), lazily checkpointed so the corpus stats, the
+    # document frequencies and the scoring all reuse it — the previous
+    # dl/tf split re-ran the tokenize explode three times in one plan.
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    # unpivot to the (doc, term, tf) stream of term HITS — same rows as
+    # the old filtered groupBy (a doc emits a term row iff tf > 0) — with
+    # dl already on the row, so no dl join is needed downstream
+    tf_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"), F.col(f"__tf_{i}").alias("tf")
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
     tf = (
-        toks.where(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(F.col(id_col), F.col("dl"), F.explode(tf_structs).alias("p"))
+        .select(id_col, "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     # N over ALL documents, avgdl over all docs' lengths (docs with no
     # query term still shape the statistics) — one tiny aggregate.
     stats = docs.select(F.count("*").alias("n")).crossJoin(
-        dl.agg(F.sum("dl").alias("dl_sum"))
+        per_doc.agg(F.sum("dl").alias("dl_sum"))
     )
     dfreq = (
         tf.groupBy("term")
@@ -117,8 +145,7 @@ def bm25_term_scores(
         tf_d + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl_d) / avgdl)
     )
     return (
-        tf.join(dl, id_col)
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .withColumn("score", score)
         .withColumn("score_e6", F.round(F.col("score") * 1e6).cast("bigint"))
         .select(id_col, "term", "tf", "dl", "score", "score_e6")

@@ -1365,10 +1365,13 @@ def q_bigram_backoff_score(spark, sf_dir):
     docs = read(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     tok = docs.select("doc_id", toks.alias("t"))
+    # vocabulary-bounded model table, lazily checkpointed so the total
+    # and the scoring join reuse one unigram corpus pass
     uni = (
         tok.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c_w").cast("bigint").alias("tt"))
     pair_idx = F.sequence(F.lit(0), F.size("t") - 2)
@@ -1387,8 +1390,16 @@ def q_bigram_backoff_score(spark, sf_dir):
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    # bigram-type table checkpointed once (vocabulary²-bounded); the
+    # context counts derive from it (sum of bigram-type counts per w1 ==
+    # count of bigram instances per w1, exact integers) instead of
+    # re-exploding the corpus a third time
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bgc.groupBy("w1").agg(F.sum("c_bg").cast("bigint").alias("c_ctx"))
     from my_flink_1_10_2_spark.operators.hints import dim
 
     lp = (
@@ -4007,7 +4018,16 @@ def q_kneser_ney_score(spark, sf_dir):
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    # the bigram-TYPE relation is vocabulary²-bounded (the docstring's
+    # "model tables"); checkpoint it lazily so the context/continuation/
+    # type aggregates and the scoring join all reuse ONE corpus explode +
+    # bigram shuffle (Spark shares no identical subtrees — this plan
+    # previously re-ran the corpus pass four times)
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .localCheckpoint(eager=False)
+    )
     ctx = bgc.groupBy("w1").agg(
         F.sum("c_bg").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_fwd")
     )

@@ -291,13 +291,12 @@ def global_ntile_multi(
     boundary search per metric, and the returned plan); the old chained
     shape checkpointed the ever-wider full row set once per metric.
     """
-    df = df.localCheckpoint(eager=True)
+    # lazy checkpoint: the count below is the materializing job
+    df = df.localCheckpoint(eager=False)
     n = df.count()
-    out = df
-    for out_col, order in specs:
-        if n == 0:
-            out = out.withColumn(out_col, F.lit(None).cast("int"))
-            continue
+
+    def locate(order):
+        """Collect one metric's boundary rows (k-1 rows, bounded)."""
         q, r = divmod(n, k)
         cuts = [j * q + min(j, r) for j in range(1, k)]
         cuts = [c for c in cuts if 1 <= c < n]  # rank n ends bucket k: no cut
@@ -310,7 +309,30 @@ def global_ntile_multi(
             num_partitions=num_partitions,
         )
         bnd_rows = ranked.where(F.col("__r").isin(list(set(cuts)))).collect()
-        by_rank = {row["__r"]: row for row in bnd_rows}
+        return cuts, {row["__r"]: row for row in bnd_rows}
+
+    # the per-metric boundary searches are independent bounded side jobs
+    # — run them concurrently (guide §2.6: overlap independent jobs so
+    # one search's straggler tail back-fills with the next search's
+    # tasks); results are deterministic regardless of completion order
+    located: dict[int, tuple] = {}
+    live = [(i, order) for i, (_, order) in enumerate(specs) if n > 0]
+    if len(live) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(live))) as pool:
+            futs = {i: pool.submit(locate, order) for i, order in live}
+        located = {i: f.result() for i, f in futs.items()}
+    elif live:
+        i, order = live[0]
+        located[i] = locate(order)
+
+    out = df
+    for i, (out_col, order) in enumerate(specs):
+        if n == 0:
+            out = out.withColumn(out_col, F.lit(None).cast("int"))
+            continue
+        cuts, by_rank = located[i]
         bucket = F.lit(1)
         for c in cuts:
             b = by_rank[c]

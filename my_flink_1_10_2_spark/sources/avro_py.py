@@ -413,8 +413,14 @@ def read_header(path: str):
     Reads a 1 MiB prefix first (metadata is almost always tiny) and
     doubles the prefix on demand when a very large embedded schema
     overruns it, so an oversized header parses correctly instead of
-    yielding a truncated sync marker and a confusing downstream error."""
+    yielding a truncated sync marker and a confusing downstream error.
+    Growth is capped at 64 MiB: past that the file is far more likely a
+    corrupt header (every parse ValueError inside an incomplete prefix
+    is retried as possible truncation) than a legitimately >64 MiB
+    schema, and the retry loop must not read a multi-GB file into memory
+    before surfacing the real error."""
     cap = 1 << 20
+    max_cap = 64 << 20
     with open(path, "rb") as fh:
         while True:
             fh.seek(0)
@@ -424,6 +430,10 @@ def read_header(path: str):
             except _HeaderTruncated:
                 if len(head) < cap:  # whole file read and still truncated
                     raise ValueError(f"truncated avro container header in {path}")
+                if cap >= max_cap:
+                    # surface the underlying parse failure instead of
+                    # doubling forever on a corrupt header
+                    return _parse_header_bytes(head, complete=True)
                 cap *= 2
 
 

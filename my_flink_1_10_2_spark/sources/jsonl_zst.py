@@ -113,6 +113,16 @@ def decode_jsonl_zst(source, spec: dict) -> dict:
             raise
         raise ValueError(f"corrupt zstd shard: {exc}") from exc
     rows = {k: [] for k in spec}
+    _decode_jsonl_lines(text, spec, rows)
+    return rows
+
+
+def _decode_jsonl_lines(text: str, spec: dict, rows: dict) -> None:
+    """Decode decompressed jsonl text into ``rows`` (column lists) —
+    the ONE line-decode loop both the shard reader and the seekable
+    reader use, so they share a single error contract (malformed JSON
+    raises from json.loads; non-object lines and type-impossible values
+    raise ValueError)."""
     for line in text.splitlines():
         if not line:
             continue
@@ -129,7 +139,6 @@ def decode_jsonl_zst(source, spec: dict) -> dict:
                         f"jsonl field {k!r} not coercible to {t}: {exc}"
                     ) from exc
             rows[k].append(v)
-    return rows
 
 
 def read_jsonl_zst_shards(
@@ -351,20 +360,7 @@ def read_jsonl_zst_seekable(
                             raise ValueError(
                                 f"{f}: corrupt zstd frame at {off}: {exc}"
                             ) from exc
-                        for line in text.splitlines():
-                            if not line:
-                                continue
-                            obj = json.loads(line)
-                            if not isinstance(obj, dict):
-                                raise ValueError(
-                                    f"jsonl line is not an object: {line[:60]!r}"
-                                )
-                            for k, t in spec.items():
-                                v = obj.get(k)
-                                if v is not None:
-                                    v = {"long": int, "double": float,
-                                         "string": str}[t](v)
-                                rows[k].append(v)
+                        _decode_jsonl_lines(text, spec, rows)
                 yield pd.DataFrame(rows)
 
     return rdf.mapInPandas(_read, out_schema)

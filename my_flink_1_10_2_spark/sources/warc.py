@@ -297,7 +297,8 @@ def _scan_member_from(fh, start: int, limit: int, fsize: int):
     """First offset in [start, limit) holding a VALIDATED member start:
     gzip magic + full-member inflate + WARC framing + one-hop end check
     (the member must end at EOF or at another gzip magic).  Returns
-    (offset, records, consumed) or None."""
+    (offset, records, consumed, tail) or None — ``tail`` is the
+    decompressor's unused trailing bytes, carried into the next scan."""
     pos = start
     tail = b""
     base = start
@@ -420,6 +421,12 @@ def read_warc_gz(
         while lo < size:
             splits.append((f, lo, min(lo + split_bytes, size)))
             lo += split_bytes
+    if not splits:
+        # zero-byte inputs produce zero splits; fail with the file list
+        # instead of Spark's opaque "positive number of slices" error
+        raise ValueError(
+            f"read_warc_gz: no non-empty .warc.gz input among {files}"
+        )
     wanted = warc_types
     sdf = spark.createDataFrame(
         spark.sparkContext.parallelize(splits, len(splits)),

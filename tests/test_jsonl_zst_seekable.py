@@ -172,3 +172,28 @@ def test_byte_budget_flush_and_oversized_lines(tmp_path):
     assert max(d for _, _, d in table) <= 60_000 + 55_000
     cols = decode_jsonl_zst(p, {"doc_id": "long"})
     assert cols["doc_id"] == list(range(30))
+
+
+def test_type_impossible_value_raises_valueerror_both_paths(spark, tmp_path):
+    """Both readers share one line-decode helper, so a type-impossible
+    field (a list in a 'long' column) must raise ValueError — not a raw
+    TypeError — in the seekable path exactly as in the shard path."""
+    import pyarrow as pa
+
+    from my_flink_1_10_2_spark.sources.jsonl_zst import decode_jsonl_zst
+
+    p = str(tmp_path / "bad.jsonl.zst")
+    lines = [json.dumps({"i": [1, 2], "s": "x"})]
+    write_jsonl_zst_seekable(
+        (ln.encode() + b"\n" for ln in lines), p, lines_per_frame=8
+    )
+    # executor-side ValueError surfaces wrapped in PythonException; the
+    # contract is the normalized "not coercible" ValueError message
+    with pytest.raises(Exception, match="not coercible"):
+        read_jsonl_zst_seekable(spark, p, {"i": "long", "s": "string"}).collect()
+    # shard path: same contract on the same payload
+    buf = pa.BufferOutputStream()
+    with pa.output_stream(buf, compression="zstd") as z:
+        z.write(("\n".join(lines) + "\n").encode())
+    with pytest.raises(ValueError, match="not coercible"):
+        decode_jsonl_zst(buf.getvalue().to_pybytes(), {"i": "long", "s": "string"})

@@ -558,35 +558,42 @@ def ds_hour_bucket_pivot(spark, sf_dir):
 )
 def ds_wide_two_year_join(spark, sf_dir):
     """TPC-DS Q64 shape: a wide multi-table join around a same-entity
-    two-period self-join ((part, customer) revenue in 1996 vs 1997,
-    keep growers). The self-join runs on the AGGREGATED relation, and
-    all four dimensions broadcast onto it."""
+    two-period comparison ((part, customer) revenue in 1996 vs 1997,
+    keep growers), with all four dimensions broadcast onto it.
+
+    The two periods are CONDITIONAL AGGREGATES of one (part, customer)
+    rollup — one lineitem ⋈ orders pass and no self-join — instead of
+    the per-year self-join of the same aggregate, whose two branches
+    each re-ran the fact join (Spark shares no identical subtrees).  A
+    (pk, ck) group missing either year yields a NULL side and is
+    filtered exactly like the old inner self-join's absent row."""
     l = read(spark, sf_dir, "lineitem")
     o = read(spark, sf_dir, "orders")
     p = read(spark, sf_dir, "part")
     c = read(spark, sf_dir, "customer")
     n = read(spark, sf_dir, "nation")
     r = read(spark, sf_dir, "region")
+    yr = F.year("o_orderdate")
     py = (
         l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(yr.isin(1996, 1997))
         .groupBy(
             F.col("l_partkey").alias("pk"),
             F.col("o_custkey").alias("ck"),
-            F.year("o_orderdate").alias("yr"),
         )
-        .agg(F.sum(_revenue()).alias("rev"))
+        .agg(
+            F.sum(F.when(yr == 1996, _revenue())).alias("rev_a"),
+            F.sum(F.when(yr == 1997, _revenue())).alias("rev_b"),
+        )
+        .where(
+            F.col("rev_a").isNotNull()
+            & F.col("rev_b").isNotNull()
+            & (F.col("rev_b") > F.col("rev_a"))
+        )
     )
-    a = py.where(F.col("yr") == 1996).alias("a")
-    b = py.where(F.col("yr") == 1997).alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("b.rev") > F.col("a.rev")),
-        )
-        .join(dim(p), F.col("a.pk") == p.p_partkey)
-        .join(dim(c), F.col("a.ck") == c.c_custkey)
+        py.join(dim(p), F.col("pk") == p.p_partkey)
+        .join(dim(c), F.col("ck") == c.c_custkey)
         .join(dim(n), c.c_nationkey == n.n_nationkey)
         .join(dim(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -594,10 +601,10 @@ def ds_wide_two_year_join(spark, sf_dir):
             "c_mktsegment",
             "n_name",
             "r_name",
-            F.col("a.pk").alias("partkey"),
-            F.col("a.ck").alias("custkey"),
-            F.round(F.col("a.rev"), 4).alias("rev_y1"),
-            F.round(F.col("b.rev"), 4).alias("rev_y2"),
+            F.col("pk").alias("partkey"),
+            F.col("ck").alias("custkey"),
+            F.round(F.col("rev_a"), 4).alias("rev_y1"),
+            F.round(F.col("rev_b"), 4).alias("rev_y2"),
         )
     )
 

@@ -227,19 +227,34 @@ def ds_best_worst_performers(spark, sf_dir):
     descending, join rank-to-rank so each output row pairs the i-th best
     with the i-th worst, then join names back twice.
 
-    The part-level aggregate (≪ lineitem) is computed once and reused by
-    both windows; the two rank joins and name joins are all broadcasts."""
+    The part-level aggregate (≪ lineitem, part-dimension-bounded) is
+    computed once and lazily checkpointed so BOTH rank directions reuse
+    it (Spark shares no identical subtrees — each global_rank branch
+    previously re-ran the lineitem aggregation).  With only the top/
+    bottom 10 needed, each direction is orderBy().limit(10) — Spark's
+    TakeOrderedAndProject keeps 10 rows per partition then merges, so no
+    rank machinery and no corpus-sized window; the rank column is a
+    row_number over the 10 surviving rows only (the q_bm25_ranking
+    top-k pattern)."""
+    from pyspark.sql import Window
+
     li = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part")
-    perf = li.groupBy("l_partkey").agg(F.round(F.avg(_rev()), 4).alias("avg_rev"))
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    perf = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.avg(_rev()), 4).alias("avg_rev"))
+        .localCheckpoint(eager=False)
+    )
 
-    best = global_rank(
-        perf, [F.col("avg_rev").desc(), F.col("l_partkey")], "rk"
-    ).where(F.col("rk") <= 10)
-    worst = global_rank(
-        perf, [F.col("avg_rev").asc(), F.col("l_partkey")], "rk"
-    ).where(F.col("rk") <= 10)
+    def topk(order):
+        return (
+            perf.orderBy(*order)
+            .limit(10)
+            .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        )
+
+    best = topk([F.col("avg_rev").desc(), F.col("l_partkey")])
+    worst = topk([F.col("avg_rev").asc(), F.col("l_partkey")])
     return (
         best.alias("b")
         .join(worst.alias("w"), "rk")

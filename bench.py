@@ -1,9 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+Prints TWO JSON lines on stdout (everything else goes to stderr):
+  last-but-one: {"metric": "per_query_sec", "unit": "sec", "sf": ...,
+                 "values": {name: sec, ...}}      (compact, 2 dp)
+  last:         {"metric": "headline_query_wall_sec", "value": total_sec,
+                 "unit": "sec", "sf": ..., "n_queries": N,
+                 "calibration_sec": ..., "value_normalized": ...}
+The scalars line is LAST and tiny so a bounded stdout tail always holds
+a complete parseable final line; the per-query line right before it
+carries the same query names as the historical "queries" dict (entries
+are only ever added, never removed or renamed).
 """
 
 from __future__ import annotations
@@ -264,6 +271,20 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
+    # Per-query timings for the driver's round-over-round comparator and
+    # scaling table (round-11 verdict item 1): ONE compact JSON line on
+    # stdout, LAST-BUT-ONE — 2-decimal values with no spaces (~2.2 KB for
+    # 85 queries).  The headline scalars line stays LAST and tiny so the
+    # driver's 2000-char stdout tail always holds a complete parseable
+    # final line (rounds 4/5 broke exactly this by putting the full-
+    # precision dict on the final line).
+    per_query = {
+        "metric": "per_query_sec",
+        "unit": "sec",
+        "sf": result["sf"],
+        "values": {n: round(t, 2) for n, t in timings.items()},
+    }
+    print(json.dumps(per_query, separators=(",", ":")))
     print(json.dumps(result))
 
 

@@ -56,11 +56,15 @@ def checkpoint_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, se
 
 
 def _materialized(spark, rdd_ids: set[int]) -> bool:
-    """True if any of ``rdd_ids`` has cached partitions — i.e. a lazy
-    checkpoint has actually been computed by some job."""
+    """True if any of ``rdd_ids`` is FULLY cached — every partition of
+    the lazy checkpoint has been computed by some job.  Partial caching
+    (a ``take(1)``/``limit`` convergence action that only ran some
+    partitions) must NOT count: freeing the previous superstep then
+    would strand the unmaterialized partitions, whose lineage still
+    references the freed blocks."""
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    cached = {i.id() for i in infos if i.numCachedPartitions() > 0}
-    return bool(cached & rdd_ids)
+    full = {i.id() for i in infos if i.numCachedPartitions() >= i.numPartitions()}
+    return bool(full & rdd_ids)
 
 
 def free_checkpoints(spark, ids: set[int]) -> None:
@@ -175,41 +179,50 @@ def iterate_delta(
     key = key or solution.columns[0]
     solution, sol_ids = chk(solution)
     workset, ws_ids = chk(workset, eager=False)
+    created = set(sol_ids) | ws_ids  # every id this call persisted
     to_free: set[int] = set()
-    for i in range(max_iterations):
-        ws_count = workset.count()  # materializes the workset checkpoint
-        # with this round's workset resident, every consumer of the
-        # previous round's state has been materialized — release it
-        free_checkpoints(spark, to_free)
-        to_free = set()
-        if superstep_sizes is not None:
-            superstep_sizes.append(ws_count)
-        if ws_count == 0:
-            break
-        delta, new_ws = step(solution, workset, i)
-        delta, delta_ids = chk(delta, eager=False)
-        # merge = left join + per-column coalesce (delta wins). One
-        # shuffle on `key`, no Union node (Union constraint rewriting
-        # trips over checkpointed plans in Spark's optimizer).
-        value_cols = [c for c in solution.columns if c != key]
-        new_solution, new_sol_ids = chk(
-            solution.alias("s")
-            .join(delta.alias("d"), key, "left")
-            .select(
-                key,
-                *[
-                    F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c)
-                    for c in value_cols
-                ],
+    try:
+        for i in range(max_iterations):
+            ws_count = workset.count()  # materializes the workset checkpoint
+            # with this round's workset resident, every consumer of the
+            # previous round's state has been materialized — release it
+            free_checkpoints(spark, to_free)
+            to_free = set()
+            if superstep_sizes is not None:
+                superstep_sizes.append(ws_count)
+            if ws_count == 0:
+                break
+            delta, new_ws = step(solution, workset, i)
+            delta, delta_ids = chk(delta, eager=False)
+            created |= delta_ids
+            # merge = left join + per-column coalesce (delta wins). One
+            # shuffle on `key`, no Union node (Union constraint rewriting
+            # trips over checkpointed plans in Spark's optimizer).
+            value_cols = [c for c in solution.columns if c != key]
+            new_solution, new_sol_ids = chk(
+                solution.alias("s")
+                .join(delta.alias("d"), key, "left")
+                .select(
+                    key,
+                    *[
+                        F.coalesce(F.col(f"d.{c}"), F.col(f"s.{c}")).alias(c)
+                        for c in value_cols
+                    ],
+                )
             )
-        )
-        new_workset, new_ws_ids = chk(new_ws, eager=False)
-        # deferred: the new workset (lazy) may derive from any of this
-        # round's inputs — free them only after the next round's count
-        # has materialized it (or the loop ends and it is dropped)
-        to_free = sol_ids | ws_ids | delta_ids
-        solution, sol_ids = new_solution, new_sol_ids
-        workset, ws_ids = new_workset, new_ws_ids
+            new_workset, new_ws_ids = chk(new_ws, eager=False)
+            created |= new_sol_ids | new_ws_ids
+            # deferred: the new workset (lazy) may derive from any of this
+            # round's inputs — free them only after the next round's count
+            # has materialized it (or the loop ends and it is dropped)
+            to_free = sol_ids | ws_ids | delta_ids
+            solution, sol_ids = new_solution, new_sol_ids
+            workset, ws_ids = new_workset, new_ws_ids
+    except BaseException:
+        # mid-loop failure returns nothing — release every block this
+        # call persisted instead of leaking them until session GC
+        free_checkpoints(spark, created)
+        raise
     free_checkpoints(spark, to_free | ws_ids)
     return solution
 

@@ -74,14 +74,16 @@ def global_rank(
     Two passes: ``repartitionByRange`` on the ordering (sampled
     boundaries; correctness does not depend on where they land, only
     balance), per-partition local ``row_number``, then each partition's
-    offset = cumulative count of the partitions ordered before it — a
-    window over <= num_partitions rows, broadcast back by partition id.
-    ``order_by`` must be a total order (add a unique tie-break column),
-    otherwise the rank of tied rows is boundary-dependent.
+    offset = cumulative count of the partitions ordered before it —
+    an O(P)-row collect folded on the driver and re-attached as a dense
+    pid-indexed array literal (O(1) lookup per row).  ``order_by`` must
+    be a total order (add a unique tie-break column), otherwise the rank
+    of tied rows is boundary-dependent.
 
-    At 100 TB: one range exchange + one tiny offsets broadcast —
-    the plan gate asserts no `Exchange SinglePartition` feeds the
-    row-data window.
+    At 100 TB: one range exchange, a P-row driver collect, and a pure
+    projection — no single-task window, no offsets join, no broadcast
+    exchange.  Builds EAGERLY (the collect runs the range exchange when
+    the operator is constructed).
     """
     from pyspark.sql import Window
 
@@ -93,48 +95,70 @@ def global_rank(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*order)
-    # Pin the partition-id-tagged relation: both downstream branches
-    # (the offsets aggregate and the final join) must read the SAME
+    # Pin the partition-id-tagged relation: both downstream consumers
+    # (the offsets count and the final projection) must read the SAME
     # materialization — spark_partition_id() is nondeterministic, and an
     # independently recomputed range exchange could assign different ids
-    # to the two branches, corrupting ranks.
+    # to the two consumers, corrupting ranks.
     local = ranged.withColumn("__lrn", F.row_number().over(w_local)).localCheckpoint(
         eager=False
     )
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = _prefix_offsets(counts, [("__off", "__n", "sum")])
+    # Per-partition counts are O(P) rows: collect them NOW (the job also
+    # materializes the checkpoint), fold the exclusive prefix offsets on
+    # the driver with exact integer arithmetic, and attach them as a
+    # dense pid-indexed ARRAY literal — O(1) per-row lookup, and the
+    # returned plan is a pure projection over the checkpoint scan: no
+    # offsets join, no broadcast exchange, one fewer Spark job per use.
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    offs = _dense_offset_arrays(counts, [("__n", "sum")])["__n"]
+    if offs is None:  # empty input: no partitions produced rows
+        return local.withColumn(rank_col, F.col("__lrn").cast("bigint")).drop(
+            "__pid", "__lrn"
+        )
+    off = F.element_at(F.lit(offs).cast("array<bigint>"), F.col("__pid") + 1)
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__lrn", "__off")
+        local.withColumn(rank_col, (F.col("__lrn") + off).cast("bigint"))
+        .drop("__pid", "__lrn")
     )
 
 
-def _prefix_offsets(totals: DataFrame, specs: list[tuple[str, str, str]]) -> DataFrame:
-    """EXCLUSIVE prefix aggregate over the O(num_partitions) per-partition
-    totals relation, keyed by ``__pid`` — via a triangular self-join
-    (b.__pid < a.__pid) instead of an unpartitioned window, so even this
-    bounded step never plans an ``Exchange SinglePartition`` feeding a
-    Window (the plan gate bans that shape outright).  P² pairs with
-    P = shuffle partitions ≈ 32–2000: trivially broadcastable.
+def _dense_offset_arrays(
+    totals_rows, specs: list[tuple[str, str]]
+) -> dict[str, list | None]:
+    """EXCLUSIVE prefix aggregates over collected per-partition totals.
 
-    specs: (out_col, total_col, fn) with fn in {"sum", "max"}.  Sum
-    offsets coalesce to 0 for the first partition; max offsets stay NULL
-    there (callers decide the identity).
+    ``totals_rows``: Rows with ``__pid`` plus one total column per spec;
+    ``specs``: ``(total_col, fn)`` with fn in {"sum", "max"}.  Returns,
+    per total column, a dense array indexed by pid (missing pids — empty
+    partitions — get the running value; they contribute no rows, so the
+    value is never consulted) or None when there are no rows at all.
+    Sum offsets start at 0 (SQL ``coalesce(sum, 0)``); max offsets start
+    at NULL (SQL max over an empty frame); NULL totals are skipped, as
+    SQL aggregates skip them.  Driver arithmetic is exact: Python ints
+    are unbounded, floats/Decimals fold in ascending-pid order.
     """
-    a = totals.alias("a")
-    b = totals.alias("b")
-    joined = a.join(
-        F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left"
-    )
-    aggs = []
-    for out, col, fn in specs:
-        src = F.col(f"b.{col}")
-        agg = F.sum(src) if fn == "sum" else F.max(src)
-        if fn == "sum":
-            agg = F.coalesce(agg, F.lit(0))
-        aggs.append(agg.alias(out))
-    return joined.groupBy(F.col("a.__pid").alias("__pid")).agg(*aggs)
+    if not totals_rows:
+        return {col: None for col, _ in specs}
+    by_pid = sorted(totals_rows, key=lambda r: r["__pid"])
+    size = by_pid[-1]["__pid"] + 1
+    out: dict[str, list] = {}
+    for col, fn in specs:
+        acc = 0 if fn == "sum" else None
+        arr: list = []
+        it = iter(by_pid)
+        nxt = next(it)
+        for pid in range(size):
+            arr.append(acc)
+            if nxt is not None and nxt["__pid"] == pid:
+                v = nxt[col]
+                if v is not None:
+                    if fn == "sum":
+                        acc = acc + v
+                    else:
+                        acc = v if acc is None else max(acc, v)
+                nxt = next(it, None)
+        out[col] = arr
+    return out
 
 
 def global_running(
@@ -158,10 +182,11 @@ def global_running(
     results are tie-order dependent in ANY engine.
 
     Shape: one range exchange on the order key, per-partition local
-    running aggregates, per-partition totals folded into exclusive
-    prefix offsets by a triangular O(P²) broadcast join, offsets
-    broadcast back by partition id.  Scales to any row count; the only
-    single-point data structure is the P-row offsets relation.
+    running aggregates, per-partition totals collected (O(P) rows),
+    folded into exclusive prefix offsets on the driver, and re-attached
+    as dense pid-indexed array literals.  Scales to any row count; the
+    only single-point data structure is the P-row totals relation.
+    Builds EAGERLY (the collect runs the range exchange at construction).
     """
     from pyspark.sql import Window
 
@@ -192,20 +217,37 @@ def global_running(
         local = local.withColumn(f"__l_{out}", run)
     # Pin partition ids — same nondeterminism hazard as global_rank.
     local = local.localCheckpoint(eager=False)
-    totals = local.groupBy("__pid").agg(
+    # Same fused shape as global_rank: collect the O(P)-row totals NOW
+    # (the job also materializes the checkpoint), fold exclusive prefix
+    # offsets on the driver, attach them as dense pid-indexed array
+    # literals — the returned plan is a pure projection over the
+    # checkpoint scan (no offsets join, no broadcast exchange, one fewer
+    # Spark job per use).  SQL type discipline is preserved by casting
+    # each array to its total column's aggregate type (sum over ints is
+    # already long there, decimals widened).
+    totals_df = local.groupBy("__pid").agg(
         *[
             (F.sum(col) if fn == "sum" else F.max(col)).alias(f"__t_{out}")
             for out, col, fn, _ in specs
         ]
     )
-    offsets = _prefix_offsets(
-        totals, [(f"__o_{out}", f"__t_{out}", fn) for out, _, fn, _ in specs]
+    dtypes = {f.name: f.dataType.simpleString() for f in totals_df.schema.fields}
+    arrays = _dense_offset_arrays(
+        totals_df.collect(), [(f"__t_{out}", fn) for out, _, fn, _ in specs]
     )
-    out_df = local.join(F.broadcast(offsets), "__pid")
+    out_df = local
     for out, _, fn, _ in specs:
-        l, o = F.col(f"__l_{out}"), F.col(f"__o_{out}")
+        arr = arrays[f"__t_{out}"]
+        dt = dtypes[f"__t_{out}"]
+        if arr is None:  # empty input: no rows consult the offset
+            o = F.lit(None).cast(dt)
+        else:
+            o = F.element_at(
+                F.lit(arr).cast(f"array<{dt}>"), F.col("__pid") + 1
+            )
+        l = F.col(f"__l_{out}")
         if fn == "sum":
-            combined = l + o
+            combined = l + F.coalesce(o, F.lit(0))
         else:
             combined = F.when(o.isNull(), l).otherwise(
                 F.when(l.isNull(), o).otherwise(F.greatest(l, o))
@@ -213,7 +255,7 @@ def global_running(
         out_df = out_df.withColumn(out, combined)
     drop = ["__pid"]
     for out, _, _, _ in specs:
-        drop += [f"__l_{out}", f"__o_{out}"]
+        drop += [f"__l_{out}"]
     return out_df.drop(*drop)
 
 

@@ -7,8 +7,10 @@ any language consumes the shards and vice versa.
 Scale design mirrors :mod:`.webdataset` / :mod:`.tfrecord`:
 
 - **write**: rows are assigned contiguous global-rank shard ranges
-  (``operators/rank.py::global_rank`` — range-partitioned, never a single
-  task), ONE shuffle keyed on shard_id, each task streams exactly one
+  decided on the keys alone (``sources/sharding.py`` — broadcast
+  boundary keys + map-side binary search, never a single task and the
+  payload never range-shuffles), ONE shuffle of the payload keyed on
+  shard_id, each task streams exactly one
   ``part-NNNNN.arrow`` file and emits a manifest row.  Files land via
   ``.inprogress`` + atomic rename, so a crashed task retry never leaves a
   half-shard visible (the StreamingFileSink recipe,
@@ -43,15 +45,16 @@ def write_arrow_shards(
     manifest (shard_id, path, n_samples, first_key, last_key, n_bytes,
     n_batches).  ``compression`` may be ``"zstd"`` / ``"lz4"`` / None
     (pyarrow IPC body-buffer compression)."""
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from my_flink_1_10_2_spark.sources.sharding import assign_contiguous_shards
 
     cols = cols or [c for c in df.columns]
     if key_col not in cols:
         cols = [key_col] + cols
     os.makedirs(out_dir, exist_ok=True)
-    ranked = global_rank(df.select(*cols), [F.asc(key_col)], rank_col="__rk")
-    sharded = ranked.withColumn(
-        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    # keys-only shard assignment (sharding.py, guide §8): one payload
+    # exchange — the groupBy(__shard) into the write kernel
+    sharded = assign_contiguous_shards(
+        df.select(*cols), key_col, samples_per_shard
     )
     key_name, dest, out_cols, comp = key_col, out_dir, cols, compression
 

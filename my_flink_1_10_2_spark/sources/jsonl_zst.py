@@ -7,9 +7,9 @@ are deterministic and any JSONL consumer (jq, datasets, duckdb's
 read_json) parses them.
 
 Scale shape matches the other export sinks: contiguous global-rank
-shard ranges (``operators/rank.py::global_rank`` — never one task),
-one shuffle keyed on shard id to write, one task per shard to read,
-atomic ``.inprogress`` renames.
+shard ranges decided on keys alone (``sources/sharding.py`` — never one
+task, payload never range-shuffles), one payload shuffle keyed on shard
+id to write, one task per shard to read, atomic ``.inprogress`` renames.
 """
 
 from __future__ import annotations
@@ -35,15 +35,16 @@ def write_jsonl_zst_shards(
     raw_bytes, zst_bytes)."""
     import pyarrow as pa
 
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from my_flink_1_10_2_spark.sources.sharding import assign_contiguous_shards
 
     cols = cols or list(df.columns)
     if key_col not in cols:
         cols = [key_col] + cols
     os.makedirs(out_dir, exist_ok=True)
-    ranked = global_rank(df.select(*cols), [F.asc(key_col)], rank_col="__rk")
-    sharded = ranked.withColumn(
-        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    # keys-only shard assignment (sharding.py, guide §8): one payload
+    # exchange — the groupBy(__shard) into the write kernel
+    sharded = assign_contiguous_shards(
+        df.select(*cols), key_col, samples_per_shard
     )
     dest, kc, out_cols = out_dir, key_col, cols
 

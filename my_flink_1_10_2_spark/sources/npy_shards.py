@@ -16,9 +16,10 @@ Each shard is a PAIR of files — ``part-NNNNN.ids.npy`` (int64 keys) and
 expects: ids and vectors aligned by row position.
 
 Scale shape matches the other export sinks (webdataset/tfrecord/arrow):
-contiguous global-rank shard ranges via ``operators/rank.py::global_rank``
-(range-partitioned, never one task), one shuffle keyed on shard id, one
-task per shard on read, atomic ``.inprogress`` renames.
+contiguous global-rank shard ranges decided on keys alone
+(``sources/sharding.py`` — never one task, vectors never
+range-shuffle), one payload shuffle keyed on shard id, one task per
+shard on read, atomic ``.inprogress`` renames.
 """
 
 from __future__ import annotations
@@ -110,14 +111,13 @@ def write_npy_shards(
     """Export (id, vector) rows as aligned ids/emb .npy shard pairs;
     returns the manifest (shard_id, n_vecs, dim, first_key, last_key,
     ids_bytes, emb_bytes)."""
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from my_flink_1_10_2_spark.sources.sharding import assign_contiguous_shards
 
     os.makedirs(out_dir, exist_ok=True)
-    ranked = global_rank(
-        emb.select(id_col, vec_col), [F.asc(id_col)], rank_col="__rk"
-    )
-    sharded = ranked.withColumn(
-        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    # keys-only shard assignment (sharding.py, guide §8): one payload
+    # exchange — the groupBy(__shard) into the write kernel
+    sharded = assign_contiguous_shards(
+        emb.select(id_col, vec_col), id_col, samples_per_shard
     )
     dest, idc, vc = out_dir, id_col, vec_col
 

@@ -222,14 +222,15 @@ def write_tfrecords(
     (shard_id, path, n_samples, first_key, last_key, n_bytes).  Integer
     columns become Int64List, floats FloatList, strings/binary BytesList;
     the key column is always included as an int64 feature."""
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from my_flink_1_10_2_spark.sources.sharding import assign_contiguous_shards
 
     feature_cols = feature_cols or ["text"]
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col] + [c for c in feature_cols if c != key_col]
-    ranked = global_rank(df.select(*cols), [F.asc(key_col)], rank_col="__rk")
-    sharded = ranked.withColumn(
-        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    # keys-only shard assignment (sharding.py, guide §8): one payload
+    # exchange — the groupBy(__shard) into the write kernel
+    sharded = assign_contiguous_shards(
+        df.select(*cols), key_col, samples_per_shard
     )
     key_name, dest, fcols = key_col, out_dir, cols
 

@@ -121,13 +121,14 @@ def write_wet_shards(
     """Write documents as WET shards (``part-NNNNN.warc.wet.gz``): a
     ``warcinfo`` record then one ``conversion`` record per row, each its
     own gzip member.  Returns the shard manifest."""
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from my_flink_1_10_2_spark.sources.sharding import assign_contiguous_shards
 
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, text_col] + ([uri_col] if uri_col else [])
-    ranked = global_rank(df.select(*cols), [F.asc(key_col)], rank_col="__rk")
-    sharded = ranked.withColumn(
-        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    # keys-only shard assignment (sharding.py, guide §8): one payload
+    # exchange — the groupBy(__shard) into the write kernel
+    sharded = assign_contiguous_shards(
+        df.select(*cols), key_col, samples_per_shard
     )
     dest, kc, tc, uc = out_dir, key_col, text_col, uri_col
 

@@ -8,12 +8,13 @@ of consecutive tar members sharing a basename key — ``000000000042.txt``,
 streaming I/O for training loaders; the shard is the unit of parallelism.
 
 Scale design (the 100 TB export path):
-  - **write**: one exact contiguous sample index from the repo's
-    range-partitioned :func:`~my_flink_1_10_2_spark.operators.rank.global_rank`
-    (never a single-partition window), then ONE shuffle keyed on
-    ``shard_id``; each task streams exactly one tar to disk.  Shards are
-    contiguous key ranges — the property loaders rely on for
-    deterministic epoch ordering.
+  - **write**: shard ids are decided on the KEYS ALONE
+    (sources/sharding.py: rank the key projection, broadcast the N/S
+    boundary keys, map-side binary search — never a single-partition
+    window), then ONE shuffle of the payload keyed on ``shard_id``; each
+    task streams exactly one tar to disk.  Shards are contiguous key
+    ranges — the property loaders rely on for deterministic epoch
+    ordering.
   - **read**: one task per shard file, no shuffle; the shard list is a
     driver-side listing (metadata-scale), samples never touch the driver.
   - **determinism**: tar bytes are canonical (USTAR, mtime=0, uid=gid=0,
@@ -74,14 +75,15 @@ def write_webdataset(
     Manifest: (shard_id, path, n_samples, first_key, last_key, n_bytes) —
     one row per shard, n_bytes = final tar file size.
     """
-    from my_flink_1_10_2_spark.operators.rank import global_rank
+    from my_flink_1_10_2_spark.sources.sharding import assign_contiguous_shards
 
     columns = columns or {"text": "txt"}
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, *columns.keys()]
-    ranked = global_rank(df.select(*cols), [F.asc(key_col)], rank_col="__rk")
-    sharded = ranked.withColumn(
-        "__shard", ((F.col("__rk") - 1) / samples_per_shard).cast("bigint")
+    # keys-only shard assignment (sharding.py, guide §8): the payload
+    # crosses ONE exchange — the groupBy(__shard) into the write kernel
+    sharded = assign_contiguous_shards(
+        df.select(*cols), key_col, samples_per_shard
     )
 
     exts = dict(columns)  # col -> ext, closed over by the writer

@@ -562,6 +562,16 @@ def kmeans_centroids_int(
     spark = corpus.sparkSession
     new_ids: set[int] = set()
     if iterations > 0:
+        # Fan the quantized corpus out to the session's parallelism when
+        # the scan gives too few partitions (small files): each Lloyd
+        # step's cost is per-row BLAS work inside the kernel, so idle
+        # cores are pure loss.  At 100 TB the scan already has thousands
+        # of partitions and this is a no-op.  The repartition happens
+        # BEFORE the checkpoint, so every iteration reads the fanned-out
+        # blocks without re-shuffling.
+        target = spark.sparkContext.defaultParallelism
+        if ci.rdd.getNumPartitions() < target:
+            ci = ci.repartition(target)
         # pin the quantized corpus for the Lloyd loop: each iteration
         # reads the materialized blocks instead of re-scanning +
         # re-quantizing the source (released after training)

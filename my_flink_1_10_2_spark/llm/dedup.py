@@ -181,6 +181,13 @@ def minhash_signatures(
     deferred to AFTER the min: num_hashes `conv` calls per DOC, not per
     shingle (per-shingle conv measured 45%% slower end to end).
 
+    Per-task memory bound: the in-row gram array plus its ``groups``
+    parallel digest arrays cost ~128+ bytes per shingle per doc (for 16
+    hashes) — per-task memory scales with the LONGEST document, where
+    the exploded path streamed one shingle per row.  Web-scale corpora
+    with multi-million-word outlier documents should cap or segment
+    such docs upstream before this pass.
+
     Output: (id, sig array<bigint>).
     """
     groups = num_hashes // 4

@@ -88,6 +88,11 @@ def bm25_term_scores(
     """
     if not terms:
         raise ValueError("bm25_term_scores: need at least one query term")
+    # A duplicate query term would emit duplicate (doc, term) rows and
+    # double that term's document frequency; the pre-rewrite
+    # isin+groupBy(id, term) shape collapsed duplicates, so keep that
+    # contract by deduping at entry (first occurrence wins, order kept).
+    terms = list(dict.fromkeys(terms))
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )

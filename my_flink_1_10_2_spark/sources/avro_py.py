@@ -432,8 +432,16 @@ def read_header(path: str):
                     raise ValueError(f"truncated avro container header in {path}")
                 if cap >= max_cap:
                     # surface the underlying parse failure instead of
-                    # doubling forever on a corrupt header
-                    return _parse_header_bytes(head, complete=True)
+                    # doubling forever on a corrupt header — naming the
+                    # file and the cap (the bare re-parse can die inside
+                    # _read_long with a cryptic unpack ValueError)
+                    try:
+                        return _parse_header_bytes(head, complete=True)
+                    except ValueError as exc:
+                        raise ValueError(
+                            f"avro container header in {path} exceeds the "
+                            f"{max_cap >> 20} MiB cap or is corrupt: {exc}"
+                        ) from exc
                 cap *= 2
 
 

@@ -85,50 +85,27 @@ def train_bpe(
                 ),
             )
         )
-        # ONE Spark job per merge: the pair counting needs no exchange —
-        # per-task PARTIAL sums (vectorized pandas groupby over the
-        # JVM-exploded pair stream, <= |symbol pairs| rows out per task)
-        # are collected and merged on the driver with unbounded Python
-        # ints, and the argmax tie-break (cnt desc, l_sym, r_sym) runs
-        # over that tiny dict.  The old groupBy + orderBy + limit(1)
-        # planned a shuffle whose AQE query stage cost a second scheduler
-        # round-trip per merge — pure fixed cost for a driver-looped
-        # iterative operator (guide §2.4).  Integer partial sums are
-        # order-independent, so the winner is bit-identical.
-        pair_rows = (
+        # Round-12 note: a one-job-per-merge variant (JVM explode feeding
+        # a mapInPandas partial-count kernel, driver merge/argmax —
+        # 27 -> 15 jobs for 12 merges) was implemented and MEASURED
+        # SLOWER: interleaved A/B medians 2.76 s (this shape) vs 4.47 s
+        # (kernel shape) at sf0.1 — the Arrow transfer of the exploded
+        # pair stream plus per-task pandas groupby costs far more than
+        # the AQE query-stage round-trip it saves.  The JVM hash
+        # aggregate below keeps the pair counting codegen'd; the shuffle
+        # it plans is tiny (distinct symbol pairs).
+        best = (
             cur.where(F.size(syms) > 1)
-            .select(F.col("freq"), pair.alias("p"))
-            .select("freq", F.col("p.l_sym").alias("l_sym"), F.col("p.r_sym").alias("r_sym"))
+            .select("freq", pair.alias("p"))
+            .groupBy("p.l_sym", "p.r_sym")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l_sym", "r_sym")
+            .limit(1)
+            .collect()
         )
-
-        def _partial_counts(batches):
-            import pandas as pd
-
-            acc: dict[tuple[str, str], int] = {}
-            for b in batches:
-                if not len(b):
-                    continue
-                g = b.groupby(["l_sym", "r_sym"], sort=False)["freq"].sum()
-                for k, c in g.items():
-                    acc[k] = acc.get(k, 0) + int(c)
-            if acc:
-                ls, rs = zip(*acc.keys())
-                yield pd.DataFrame(
-                    {"l_sym": ls, "r_sym": rs, "cnt": list(acc.values())}
-                )
-
-        counts: dict[tuple[str, str], int] = {}
-        for r in pair_rows.mapInPandas(
-            _partial_counts, "l_sym string, r_sym string, cnt long"
-        ).collect():
-            k = (r["l_sym"], r["r_sym"])
-            counts[k] = counts.get(k, 0) + int(r["cnt"])
-        if not counts:
+        if not best:
             break
-        (l_sym, r_sym), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        b = {"l_sym": l_sym, "r_sym": r_sym, "cnt": cnt}
+        b = best[0]
         merges.append((step, b["l_sym"], b["r_sym"], b["l_sym"] + b["r_sym"], int(b["cnt"])))
         pat = SEP + b["l_sym"] + SEP + SEP + b["r_sym"] + SEP
         rep = SEP + b["l_sym"] + b["r_sym"] + SEP

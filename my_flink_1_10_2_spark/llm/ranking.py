@@ -27,6 +27,13 @@ Float discipline (what makes the DuckDB oracle exact, not approximate):
     first, so the SUM is exact BIGINT arithmetic, immune to
     partition-order float reassociation.
 
+Round-12 note: an r11 rewrite fused dl/tf into ONE conditional-agg
+corpus pass; the driver's bench measured it consistently SLOWER at
+sf0.1 (r11: 2.14->3.46 s driver-normalized; r12 interleaved A/B:
+old 1.26 s vs new 1.49 s medians) - the |terms| conditional sums
+per doc plus the struct explode cost more than the extra tokenize
+passes they save, so the dl/tf split below is the keeper.
+
 Scale shape: tokenize → explode → (doc, term) partial-agg shuffle
 (map-side combine), a |terms|-row broadcast for df/idf, one broadcast
 scalar for (N, avgdl) — the corpus-sized relation shuffles once, on the
@@ -88,52 +95,25 @@ def bm25_term_scores(
     """
     if not terms:
         raise ValueError("bm25_term_scores: need at least one query term")
-    # A duplicate query term would emit duplicate (doc, term) rows and
-    # double that term's document frequency; the pre-rewrite
-    # isin+groupBy(id, term) shape collapsed duplicates, so keep that
-    # contract by deduping at entry (first occurrence wins, order kept).
+    # A duplicate query term would emit duplicate (doc, term) rows under
+    # a conditional-agg formulation and double that term's document
+    # frequency; the isin+groupBy(id, term) shape below collapses them,
+    # but dedup at entry anyway so the API contract is explicit (first
+    # occurrence wins, order kept).
     terms = list(dict.fromkeys(terms))
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )
-    # ONE corpus pass: per-doc length and every query term's frequency as
-    # conditional aggregates in the same groupBy (the term list is a
-    # query-sized constant), lazily checkpointed so the corpus stats, the
-    # document frequencies and the scoring all reuse it — the previous
-    # dl/tf split re-ran the tokenize explode three times in one plan.
-    per_doc = (
-        toks.groupBy(id_col)
-        .agg(
-            F.count("*").alias("dl"),
-            *[
-                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-                .cast("long")
-                .alias(f"__tf_{i}")
-                for i, t in enumerate(terms)
-            ],
-        )
-        .localCheckpoint(eager=False)
-    )
-    # unpivot to the (doc, term, tf) stream of term HITS — same rows as
-    # the old filtered groupBy (a doc emits a term row iff tf > 0) — with
-    # dl already on the row, so no dl join is needed downstream
-    tf_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("term"), F.col(f"__tf_{i}").alias("tf")
-            )
-            for i, t in enumerate(terms)
-        ]
-    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     tf = (
-        per_doc.select(F.col(id_col), F.col("dl"), F.explode(tf_structs).alias("p"))
-        .select(id_col, "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-        .where(F.col("tf") > 0)
+        toks.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
     )
     # N over ALL documents, avgdl over all docs' lengths (docs with no
     # query term still shape the statistics) — one tiny aggregate.
     stats = docs.select(F.count("*").alias("n")).crossJoin(
-        per_doc.agg(F.sum("dl").alias("dl_sum"))
+        dl.agg(F.sum("dl").alias("dl_sum"))
     )
     dfreq = (
         tf.groupBy("term")
@@ -150,7 +130,8 @@ def bm25_term_scores(
         tf_d + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl_d) / avgdl)
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
         .withColumn("score", score)
         .withColumn("score_e6", F.round(F.col("score") * 1e6).cast("bigint"))
         .select(id_col, "term", "tf", "dl", "score", "score_e6")

@@ -562,16 +562,33 @@ def kmeans_centroids_int(
     spark = corpus.sparkSession
     new_ids: set[int] = set()
     if iterations > 0:
-        # Fan the quantized corpus out to the session's parallelism when
-        # the scan gives too few partitions (small files): each Lloyd
-        # step's cost is per-row BLAS work inside the kernel, so idle
-        # cores are pure loss.  At 100 TB the scan already has thousands
-        # of partitions and this is a no-op.  The repartition happens
-        # BEFORE the checkpoint, so every iteration reads the fanned-out
-        # blocks without re-shuffling.
+        # Fan the quantized corpus out toward the session's parallelism
+        # when the scan gives too few partitions (small files): each
+        # Lloyd step's cost is per-row BLAS work inside the kernel, so
+        # idle cores are pure loss at real corpus sizes.  SIZE-GATED:
+        # one fanned partition per ~4 MB of input (plan-stats estimate),
+        # because on tiny inputs the per-task Arrow/scheduling overhead
+        # of the iterative kernel outweighs the parallelism (measured at
+        # sf0.1: 2000 rows / 0.8 MB — unconditional 32-way fan-out cost
+        # +0.5 s wall for ~1 ms of parallelizable BLAS).  At 100 TB the
+        # scan already has thousands of partitions and this is a no-op.
+        # The repartition happens BEFORE the checkpoint, so every
+        # iteration reads the fanned-out blocks without re-shuffling.
         target = spark.sparkContext.defaultParallelism
-        if ci.rdd.getNumPartitions() < target:
-            ci = ci.repartition(target)
+        cur_parts = ci.rdd.getNumPartitions()
+        if cur_parts < target:
+            try:
+                size = int(
+                    str(ci._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+                )
+            except Exception:
+                size = None
+            parts = (
+                target if size is None
+                else max(1, min(target, size // (4 << 20)))
+            )
+            if parts > cur_parts:
+                ci = ci.repartition(parts)
         # pin the quantized corpus for the Lloyd loop: each iteration
         # reads the materialized blocks instead of re-scanning +
         # re-quantizing the source (released after training)

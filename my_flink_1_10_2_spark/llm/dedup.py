@@ -45,7 +45,7 @@ def shingle_rows(
     """
     words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
     return (
-        df.repartition(F.col(id_col))
+        _doc_fanout(df, id_col)
         .select(F.col(id_col), words.alias("__w"))
         .select(id_col, F.col("__w"), F.posexplode("__w").alias("__i", "__w0"))
         .where(F.col("__i") <= F.greatest(F.size("__w") - n, F.lit(0)))
@@ -147,6 +147,23 @@ def containment_pairs(
     )
 
 
+def _doc_fanout(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-fan the documents out BEFORE the hash-heavy per-doc work
+    (shingle explode, md5 chains).  An explicit partition count is used
+    because ``repartition(col)`` without one is AQE-coalescible: on
+    small inputs the coalescer folds the exchange to one or two
+    partitions and the md5-dominated downstream serializes (measured 10
+    tasks end-to-end for the spans query at sf0.1).  The count is
+    scale-adaptive — the larger of the session's configured shuffle
+    parallelism and the core count — never a local-mode constant."""
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(target, F.col(id_col))
+
+
 def _md5_hash64(col, seed: int):
     """Deterministic 60-bit hash from md5(seed || value) — engine-portable
     (DuckDB computes the identical md5)."""
@@ -196,7 +213,7 @@ def minhash_signatures(
     )
     # same row set as the exploded path: null-text docs produce no row
     base = (
-        df.repartition(F.col(id_col))
+        _doc_fanout(df, id_col)
         .select(F.col(id_col), words.alias("__w"))
         .where(F.col("__w").isNotNull())
     )
@@ -424,7 +441,7 @@ def shingle_rows_pos(
     """
     words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, r"\s+")
     return (
-        df.repartition(F.col(id_col))
+        _doc_fanout(df, id_col)
         .select(F.col(id_col), words.alias("__w"))
         .select(id_col, F.col("__w"), F.posexplode("__w").alias("__i", "__w0"))
         .where(F.col("__i") <= F.size("__w") - n)

@@ -125,14 +125,15 @@ def test_global_rank_matches_row_number_no_single_partition(spark):
     assert got.orderBy("rk").collect() == want.orderBy("rk").collect()
     txt = got._jdf.queryExecution().executedPlan().toString()
     # the row-data window runs partition-local inside the checkpointed
-    # stage; the visible plan must have NO single-partition window at
-    # all — the prefix offsets fold is a triangular broadcast join over
-    # the O(partitions) totals (inequality join -> nested loop, bounded)
+    # stage; the visible plan must have NO single-partition window and
+    # (since round 12) NO join at all — the prefix offsets are folded on
+    # the driver and attached as a pid-indexed array literal, so the
+    # returned plan is a pure projection over the checkpoint scan
     from my_flink_1_10_2_spark import plans
 
     assert plans.single_partition_windows(got) == []
-    bnlj = [l for l in txt.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert bnlj and all("__pid" in l for l in bnlj), bnlj
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Join" not in txt, txt
 
 
 def test_compaction_collapses_files_preserves_rows(spark, tmp_path):

@@ -520,8 +520,9 @@ def test_standardize_broadcasts_dim_stats(spark):
 def test_skyline_avoids_dominance_join(spark):
     """The skyline must run as pre-agg + running-max (global_running),
     never the O(n²) dominance self-join the NOT EXISTS oracle spells
-    out.  The only nested-loop allowed is global_running's triangular
-    prefix-offsets join over the O(partitions) ``__pid`` totals."""
+    out.  (Since round 12 global_running folds its prefix offsets on the
+    driver — no nested-loop should appear at all; the __pid allowance
+    below is kept for the historical triangular-join shape.)"""
     df = _df(spark, "q_skyline_pareto")
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
